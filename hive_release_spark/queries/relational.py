@@ -1,0 +1,443 @@
+"""Core relational operators: scan/filter/project, aggregation (hash agg,
+distinct aggs, grouping sets/rollup/cube, statistical UDAFs, percentiles,
+collect), sort/limit/top-k/sampling, set operations.
+
+Hive counterparts (SURVEY.md §2.A/§2.C/§2.E/§2.F; upstream
+``ql/src/java/org/apache/hadoop/hive/ql/exec/``): TableScanOperator,
+SelectOperator, FilterOperator, GroupByOperator (hash + streaming modes,
+GroupByDesc.Mode partial/final), ReduceSinkOperator (→ Spark Exchange),
+LimitOperator + TopNHash, UnionOperator, and the GenericUDAF* classes in
+``ql/udf/generic/``. In Spark all physical strategy selection
+(HashAggregate vs SortAggregate, partial/final split, TakeOrderedAndProject
+for top-k) is Catalyst's job — these queries declare the logical plan only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_release_spark.catalog import load_table, register_views
+from hive_release_spark.queries.registry import register
+
+# ---------------------------------------------------------------------------
+# Scan / filter / project (TableScanOperator + FilterOperator + SelectOperator)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_quantity > 45
+    """,
+    tags=("scan", "filter", "project"),
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate; both reach the parquet scan (PushedFilters /
+    ReadSchema in .explain — Hive's ppd/PredicatePushDown + ColumnPruner are
+    Catalyst built-ins, SURVEY.md §4.1).
+
+    Row-level arithmetic is left unrounded: IEEE double ops are bit-identical
+    across engines, while round() half-case behavior is not (engines differ at
+    exact .xx5 boundaries, which money values hit)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_quantity") > 45))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-shaped pricing summary (filter → hash agg → sort)
+# ---------------------------------------------------------------------------
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                       AS sum_qty,
+       round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)                                       AS avg_qty,
+       round(avg(l_extendedprice), 4)                                  AS avg_price,
+       round(avg(l_discount), 4)                                       AS avg_disc,
+       count(*)                                                        AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=Q1_ORACLE, tags=("agg", "flagship"))
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: the §2.A spine (scan → filter → partial agg
+    → shuffle → final agg → sort). Hive: FilterOperator + GroupByOperator
+    (PARTIAL1/MERGEPARTIAL) + ReduceSinkOperator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation family (GroupByOperator + GenericUDAF*)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(var_pop(l_quantity), 4)                 AS qty_var_pop,
+           round(var_samp(l_quantity), 4)                AS qty_var_samp,
+           round(stddev_pop(l_quantity), 4)              AS qty_stddev_pop,
+           round(stddev_samp(l_quantity), 4)             AS qty_stddev_samp,
+           round(covar_pop(l_quantity, l_extendedprice), 2)  AS qp_covar_pop,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qp_covar_samp,
+           round(corr(l_quantity, l_extendedprice), 4)   AS qp_corr,
+           round(min(l_extendedprice), 2)                AS min_price,
+           round(max(l_extendedprice), 2)                AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical UDAF family (Hive GenericUDAF{Variance,Std,Covariance,
+    Correlation} — SURVEY.md §2.C)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.var_pop(q), 4).alias("qty_var_pop"),
+        F.round(F.var_samp(q), 4).alias("qty_var_samp"),
+        F.round(F.stddev_pop(q), 4).alias("qty_stddev_pop"),
+        F.round(F.stddev_samp(q), 4).alias("qty_stddev_samp"),
+        F.round(F.covar_pop(q, p), 2).alias("qp_covar_pop"),
+        F.round(F.covar_samp(q, p), 2).alias("qp_covar_samp"),
+        F.round(F.corr(q, p), 4).alias("qp_corr"),
+        F.round(F.min(p), 2).alias("min_price"),
+        F.round(F.max(p), 2).alias("max_price"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey)           AS nd_parts,
+           count(DISTINCT l_suppkey)           AS nd_supps,
+           round(sum(DISTINCT l_quantity), 2)  AS sum_d_qty,
+           count(*)                            AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation (Hive TOK_FUNCTIONDI +
+    HiveExpandDistinctAggregatesRule; Catalyst RewriteDistinctAggregates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_parts"),
+        F.countDistinct("l_suppkey").alias("nd_supps"),
+        F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_d_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("agg", "grouping_sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS + grouping() markers (Hive TOK_GROUPING_SETS,
+    GenericUDFGrouping — SURVEY.md §2.C). Uses Spark SQL to exercise the SQL
+    surface; Catalyst expands to a single Expand+Aggregate."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), '|')           AS nations,
+           array_to_string(list_sort(list(DISTINCT n_name)), '|')  AS nations_set
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("agg", "collect"),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set (Hive GenericUDAFCollect{List,Set}).
+    Sorted + joined to a string so the result is order-deterministic."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("nations"),
+        F.array_join(F.sort_array(F.collect_set("n_name")), "|").alias("nations_set"),
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_linestatus,
+           round(quantile_cont(l_quantity, 0.5), 4)          AS qty_p50,
+           round(quantile_cont(l_extendedprice, 0.25), 4)    AS price_p25,
+           round(quantile_cont(l_extendedprice, 0.95), 4)    AS price_p95,
+           round(median(l_discount), 4)                      AS disc_median
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile (Hive GenericUDAFPercentile*; interpolated —
+    matches DuckDB quantile_cont). percentile_approx is intentionally NOT
+    oracle-gated (sketch-based, non-deterministic across engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("qty_p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("price_p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("price_p95"),
+        F.round(F.expr("percentile(l_discount, 0.5)"), 4).alias("disc_median"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k / sample / distinct (§2.E)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("sort", "limit", "topk"),
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → Spark TakeOrderedAndProject (Hive TopNHash +
+    LimitPushdownOptimizer — SURVEY.md §2.E). Tie-broken on the unique key
+    for determinism."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "limit_offset_page",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+    tags=("sort", "limit", "offset"),
+)
+def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination (Hive LimitOperator + TOK_OFFSET)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(40)
+        .limit(20)
+    )
+
+
+@register(
+    "sample_bucket",
+    oracle="""
+    SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price,
+           count(DISTINCT l_orderkey) AS nd_orders
+    FROM lineitem
+    WHERE l_orderkey % 10 = 3
+    """,
+    tags=("sample",),
+)
+def sample_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bucket sampling: TABLESAMPLE(BUCKET 4 OUT OF 10 ON
+    l_orderkey) semantics (Hive TOK_TABLEBUCKETSAMPLE, SplitSample —
+    SURVEY.md §2.E) expressed as a key-modulo predicate so the oracle
+    computes the identical bucket. (``df.sample`` exists for the
+    probabilistic form but is RNG-based, hence not oracle-gated.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 10 == 3).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.countDistinct("l_orderkey").alias("nd_orders"),
+    )
+
+
+@register(
+    "distinct_rows",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, c_nationkey
+    FROM customer
+    WHERE c_acctbal > 0
+    """,
+    tags=("distinct",),
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT (Hive compiles to GroupByOperator on all cols)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.filter(F.col("c_acctbal") > 0).select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.F: UNION [ALL], INTERSECT [ALL], EXCEPT [ALL])
+# ---------------------------------------------------------------------------
+
+
+def _key_sets(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
+    b = orders.filter(F.col("o_totalprice") > 50000).select(F.col("o_custkey").alias("k"))
+    return a, b
+
+
+_SETOP_A = "SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000"
+_SETOP_B = "SELECT o_custkey AS k FROM orders WHERE o_totalprice > 50000"
+
+
+@register(
+    "setop_union",
+    oracle=f"""
+    SELECT k, count(*) AS n FROM ({_SETOP_A} UNION ALL {_SETOP_B}) GROUP BY k
+    """,
+    tags=("setop",),
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (Hive UnionOperator) + aggregate to stabilize multiplicity."""
+    a, b = _key_sets(spark, sf_dir)
+    return a.union(b).groupBy("k").agg(F.count("*").alias("n"))
+
+
+@register(
+    "setop_union_distinct",
+    oracle=f"{_SETOP_A} UNION {_SETOP_B}",
+    tags=("setop",),
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _key_sets(spark, sf_dir)
+    return a.union(b).distinct()
+
+
+@register(
+    "setop_intersect",
+    oracle=f"{_SETOP_A} INTERSECT {_SETOP_B}",
+    tags=("setop",),
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _key_sets(spark, sf_dir)
+    return a.intersect(b)
+
+
+@register(
+    "setop_intersect_all",
+    oracle=f"SELECT k, count(*) AS n FROM ({_SETOP_A} INTERSECT ALL {_SETOP_B}) GROUP BY k",
+    tags=("setop",),
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _key_sets(spark, sf_dir)
+    return a.intersectAll(b).groupBy("k").agg(F.count("*").alias("n"))
+
+
+@register(
+    "setop_except",
+    oracle=f"{_SETOP_A} EXCEPT {_SETOP_B}",
+    tags=("setop",),
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _key_sets(spark, sf_dir)
+    return a.subtract(b)
+
+
+@register(
+    "setop_except_all",
+    oracle=f"SELECT k, count(*) AS n FROM ({_SETOP_A} EXCEPT ALL {_SETOP_B}) GROUP BY k",
+    tags=("setop",),
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _key_sets(spark, sf_dir)
+    return a.exceptAll(b).groupBy("k").agg(F.count("*").alias("n"))
