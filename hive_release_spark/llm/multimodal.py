@@ -1,0 +1,81 @@
+"""Multimodal column plumbing (SURVEY.md §2.L).
+
+Images/audio/video are opaque ``binary`` payloads plus typed metadata —
+the Hive analogue is BINARY columns (TOK_BINARY, GenericUDFToBinary;
+SURVEY.md §1.2). The Spark-side plumbing (schema, partitioning, Arrow
+batch shape through ``mapInPandas``) is real and tested; the actual codec
+step is a deterministic fake because no image/audio libraries ship in
+this container — swap ``_fake_decode`` for PIL/ffmpeg in production.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Metadata schema for a multimodal asset column.
+ASSET_META_FIELDS = "n_bytes BIGINT, checksum STRING, modality STRING"
+
+
+def pack_assets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Build an asset table: payload BINARY + typed metadata columns.
+    (Here the payload is the utf-8 text; in production it is the media
+    bytes and the metadata comes from ingest.)"""
+    payload = F.col(text_col).cast("binary")
+    return df.select(
+        F.col(id_col).alias("asset_id"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("checksum"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col(id_col) % 3 + 1).cast("int"),
+        ).alias("modality"),
+    )
+
+
+FEATURE_SCHEMA = (
+    "asset_id BIGINT, modality STRING, width INT, height INT, "
+    "n_frames INT, feat_norm DOUBLE"
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """Deterministic stand-in for a real decoder (PIL / torchaudio /
+    ffmpeg): derives stable pseudo-dimensions from the payload digest.
+    Replace this function — and only this function — for real media."""
+    d = hashlib.sha256(payload).digest()
+    width = 64 + d[0] % 192
+    height = 64 + d[1] % 192
+    n_frames = 1 + d[2] % 32
+    feat_norm = int.from_bytes(d[3:7], "big") / 2**32
+    return width, height, n_frames, feat_norm
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Decode / feature-extract over Arrow batches (``mapInPandas`` — the
+    TRANSFORM/ScriptOperator replacement, SURVEY.md §2.A). Each batch is a
+    pandas DataFrame of (asset_id, payload, modality); the UDF returns the
+    typed feature rows. Partitioning is preserved; no shuffle."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_frames": [d[2] for d in decoded],
+                    "feat_norm": [round(d[3], 6) for d in decoded],
+                }
+            )
+
+    return assets.select("asset_id", "payload", "modality").mapInPandas(
+        decode_batches, schema=FEATURE_SCHEMA
+    )

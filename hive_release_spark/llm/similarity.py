@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (SURVEY.md §2.L).
+
+``embeddings.parquet`` carries ``embedding ARRAY<FLOAT>`` (FIXTURES.md).
+Two paths:
+
+- Brute-force cosine top-k — exact baseline. Dot products via
+  ``zip_with``/``aggregate`` higher-order functions (JVM-side, codegen'd;
+  no Python). Queries broadcast against the corpus, so the corpus never
+  shuffles: at 100 TB this is one pass over the corpus per query batch.
+- LSH-bucketed ANN — random-hyperplane signatures (deterministic planes
+  derived from xxhash64, no RNG), bucket join, exact re-rank within
+  buckets. Trades recall for avoiding the full scan per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def as_double_vec(col: Column | str) -> Column:
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product (matches a scalar loop exactly)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast(queries) ⋈ corpus → window rank.
+
+    The rank window partitions by query id — high cardinality, no skew.
+    Ties broken by neighbor id for determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
+    )
+    sims = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold (embedding near-dup). ``block_col``
+    restricts pairs to a blocking key (e.g. cluster label) — the IVF-style
+    scale path; None = full cross product (small inputs only)."""
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        as_double_vec(vec_col).alias("v"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    return (
+        a.join(b, cond)
+        .withColumn("sim", cosine(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component p[i][j] derived
+    from a splitmix-style integer mix of (i, j) — no RNG state, stable
+    across sessions/partitions."""
+    planes = []
+    for i in range(n_planes):
+        row = []
+        for j in range(dim):
+            z = (i * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 30)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            z ^= z >> 31
+            row.append((z / 2**64) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: sign-of-projection LSH signature → bucket join → exact cosine
+    re-rank within bucket. Approximate (recall < 1) but each query touches
+    only its bucket — the 100 TB path."""
+    planes = _hyperplanes(dim, n_planes)
+
+    def signature(vec: Column) -> Column:
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(x) for x in plane]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.lit(1 << i),
+            ).otherwise(0)
+            for i, plane in enumerate(planes)
+        ]
+        return F.aggregate(F.array(*bits), F.lit(0), lambda acc, x: acc + x)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")
+    ).withColumn("bucket", signature(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
+    ).withColumn("bucket", signature(F.col("cv")))
+    sims = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )

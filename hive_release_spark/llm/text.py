@@ -1,0 +1,134 @@
+"""Text analysis operators (SURVEY.md §2.L).
+
+Hive precedents: ``sentences`` (GenericUDFSentences), ``ngrams`` /
+``context_ngrams`` (GenericUDAF{nGrams,ContextNGrams}) — the ~10 genuine
+gaps in Spark's builtin surface (SURVEY.md §2.H verdict). Re-expressed here
+with built-in array/higher-order functions (JVM-side, codegen'd) so they
+scale without Python in the hot path; only the n-gram language model
+scorer drops to a pandas UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# Tiny demonstration stopword list (deterministic, shared with oracles).
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (corpus is single-space separated)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """Fraction of tokens that are stopwords — a quality-score feature."""
+    toks = tokens(text)
+    stop = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    return F.size(stop) / F.size(toks)
+
+
+def avg_token_len(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return total / F.size(toks)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 over the sorted distinct token set —
+    canonicalizes word order + duplication (near-dup pre-key)."""
+    canon = F.array_join(F.array_sort(F.array_distinct(tokens(text))), " ")
+    return F.md5(canon)
+
+
+def bigrams(text: Column | str) -> Column:
+    """Hive ``ngrams(sentences(...), 2, k)`` analogue: the bigram array,
+    built with higher-order functions (no UDF)."""
+    w = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat(F.element_at(w, i + 1), F.lit(" "), F.element_at(w, i + 2)),
+    )
+
+
+def top_ngrams(df: DataFrame, text_col: str = "text", n_out: int = 30) -> DataFrame:
+    """Corpus-level top-k bigram frequencies (Hive GenericUDAFnGrams
+    parity): explode → count → top-k. Scales as a word-count."""
+    return (
+        df.select(F.explode(bigrams(text_col)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("ngram"))
+        .limit(n_out)
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality scoring: length, token stats, stopword ratio,
+    punctuation ratio. All JVM-side expressions."""
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        F.round(avg_token_len(t), 4).alias("avg_tok_len"),
+        F.round(stopword_ratio(t), 4).alias("stop_ratio"),
+        (F.length(t) - F.length(F.regexp_replace(t, "[^a-z]", "")))
+        .cast("long")
+        .alias("n_nonalpha"),
+    )
+
+
+# Marker-token sets for the rule-based language guesser. On this synthetic
+# corpus (same vocab for every lang) it is a *demonstration* of the operator
+# shape; on real text the markers would be per-language function words.
+_LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "value", "fast")),
+    ("de", ("der", "und", "nicht")),
+    ("fr", ("le", "et", "les")),
+    ("es", ("el", "que", "los")),
+)
+
+
+def langid_rules(text: Column | str) -> Column:
+    """Rule-chain language ID: first language whose marker tokens appear.
+    SQL-expressible (oracle-parity); see ``langid_ngram`` for the scorer."""
+    toks = tokens(text)
+    expr = F.lit("unknown")
+    for lang, markers in reversed(_LANG_MARKERS):
+        hit = F.size(F.filter(toks, lambda t: t.isin(*markers))) > 0
+        expr = F.when(hit, lang).otherwise(expr)
+    return expr
+
+
+# NOTE: a DataType instance (not a DDL string) keeps this importable
+# before any SparkSession exists.
+@pandas_udf(StringType())
+def langid_ngram(texts: pd.Series) -> pd.Series:
+    """Character-n-gram frequency language scorer (Arrow-batched pandas
+    UDF — the slow-path escape hatch, SURVEY.md §2.I). Deterministic:
+    fixed profile table, no RNG. Demonstration profiles."""
+    profiles = {
+        "en": {"th", "he", "er", "va", "ue"},
+        "de": {"de", "un", "ch", "ei", "ie"},
+        "fr": {"le", "es", "en", "qu", "re"},
+        "es": {"el", "os", "la", "de", "ue"},
+    }
+
+    def score(t: str) -> str:
+        grams = {t[i : i + 2] for i in range(len(t) - 1)}
+        best = max(
+            ((lang, len(grams & prof)) for lang, prof in profiles.items()),
+            key=lambda kv: (kv[1], kv[0]),
+        )
+        return best[0] if best[1] > 0 else "unknown"
+
+    return texts.map(score)

@@ -6,6 +6,9 @@ from hive_release_spark.queries.registry import REGISTRY, Query, register  # noq
 from hive_release_spark.queries import (  # noqa: F401,E402
     relational,
     joins,
+    windows,
+    functions_sql,
+    llm,
 )
 
 

@@ -1,0 +1,388 @@
+"""Scalar-function surface queries (SURVEY.md §2.H) + UDTF/lateral view
+(§2.A LateralViewJoinOperator, UDTFOperator).
+
+Hive counterparts: the ~230 built-ins registered in
+``ql/exec/FunctionRegistry`` (string/math/date/conditional/JSON/hash/
+complex-type/masking families, ``ql/udf/*`` + ``ql/udf/generic/*``), and
+generator functions explode/posexplode/stack (``GenericUDTF*``).
+
+These queries exercise the Spark-native equivalents end-to-end; the full
+name-by-name export (Hive name → Spark Column fn) lives in
+``hive_release_spark.functions``.
+
+Oracle notes: libm-backed math (exp/ln/…) can differ by 1 ulp between the
+JVM and DuckDB → those are aggregated then rounded. Integer-valued and
+string functions compare exactly per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_release_spark.catalog import load_table
+from hive_release_spark.queries.registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                          AS u,
+           lower(p_brand)                         AS l,
+           length(p_name)                         AS len,
+           substr(p_name, 1, 8)                   AS pre,
+           concat_ws('-', p_brand, p_type)        AS bt,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')  AS padded,
+           reverse(p_brand)                       AS rev,
+           replace(p_type, ' ', '_')              AS rep,
+           strpos(p_name, 'a')                    AS pos_a,
+           translate(p_brand, '#B', '_b')         AS tr,
+           ascii(p_name)                          AS first_cp,
+           trim(concat(' ', p_brand, ' '))        AS trimmed
+    FROM part
+    """,
+    tags=("functions", "string"),
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family (Hive UDFUpper/UDFLower/UDFLength/UDFSubstr/
+    GenericUDFConcatWS/UDFLpad/UDFReverse/UDFReplace/GenericUDFInstr/
+    UDFTranslate/UDFAscii/GenericUDFTrim)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("u"),
+        F.lower("p_brand").alias("l"),
+        F.length("p_name").cast("long").alias("len"),
+        F.substring("p_name", 1, 8).alias("pre"),
+        F.concat_ws("-", "p_brand", "p_type").alias("bt"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded"),
+        F.reverse("p_brand").alias("rev"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("rep"),
+        F.instr("p_name", "a").cast("long").alias("pos_a"),
+        F.translate("p_brand", "#B", "_b").alias("tr"),
+        F.ascii("p_name").cast("long").alias("first_cp"),
+        F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias("trimmed"),
+    )
+
+
+@register(
+    "fn_regex",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1)            AS first_word,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS novowel_len,
+           CASE WHEN regexp_matches(text, 'hash') THEN 1 ELSE 0 END AS has_hash
+    FROM documents
+    WHERE doc_id < 200
+    """,
+    tags=("functions", "regex"),
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / regexp_replace / rlike (Hive UDFRegExpExtract,
+    UDFRegExpReplace, GenericUDFRegExp). Spark regexp_replace is global —
+    DuckDB oracle uses the 'g' flag."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).cast("long").alias("novowel_len"),
+        F.when(F.col("text").rlike("hash"), 1).otherwise(0).cast("long").alias("has_hash"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(abs(l_discount - 0.05)), 4)        AS s_abs,
+           CAST(sum(CAST(ceil(l_extendedprice) AS BIGINT)) AS BIGINT)  AS s_ceil,
+           CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS s_floor,
+           round(sum(sqrt(l_quantity)), 4)              AS s_sqrt,
+           round(sum(exp(l_discount)), 4)               AS s_exp,
+           round(sum(ln(l_extendedprice)), 4)           AS s_ln,
+           round(sum(log10(l_extendedprice)), 4)        AS s_log10,
+           round(sum(pow(l_quantity, 2)), 2)            AS s_pow,
+           round(sum(sign(l_discount - 0.05)), 2)       AS s_sign,
+           CAST(sum(((l_orderkey % 7) + 7) % 7) AS BIGINT) AS s_pmod
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("functions", "math"),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family (UDFAbs/UDFCeil/UDFFloor/UDFSqrt/UDFExp/UDFLn/UDFLog10/
+    UDFPower/GenericUDFPosMod …). Aggregated+rounded because JVM Math and
+    libm can differ by 1 ulp per row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 4).alias("s_abs"),
+        F.sum(F.ceil("l_extendedprice").cast("long")).alias("s_ceil"),
+        F.sum(F.floor("l_extendedprice").cast("long")).alias("s_floor"),
+        F.round(F.sum(F.sqrt("l_quantity")), 4).alias("s_sqrt"),
+        F.round(F.sum(F.exp("l_discount")), 4).alias("s_exp"),
+        F.round(F.sum(F.log("l_extendedprice")), 4).alias("s_ln"),
+        F.round(F.sum(F.log10("l_extendedprice")), 4).alias("s_log10"),
+        F.round(F.sum(F.pow("l_quantity", F.lit(2))), 2).alias("s_pow"),
+        F.round(F.sum(F.signum(F.col("l_discount") - 0.05)), 2).alias("s_sign"),
+        F.sum(F.pmod(F.col("l_orderkey"), F.lit(7))).alias("s_pmod"),
+    )
+
+
+@register(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                     AS y,
+           month(o_orderdate)                    AS m,
+           day(o_orderdate)                      AS d,
+           quarter(o_orderdate)                  AS q,
+           weekofyear(o_orderdate)               AS woy,
+           dayofweek(o_orderdate) + 1            AS dow,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           last_day(o_orderdate)                 AS month_end,
+           CAST(o_orderdate AS DATE) + 30        AS plus30,
+           CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+           date_diff('day', o_orderdate, TIMESTAMP '1998-01-01') AS days_to_98,
+           CAST(epoch(o_orderdate) AS BIGINT)    AS epoch_s
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+    """,
+    tags=("functions", "datetime"),
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family (UDFYear/Month/Day/WeekOfYear, GenericUDFQuarter,
+    GenericUDFLastDay, GenericUDFDateAdd, GenericUDFAddMonths,
+    GenericUDFDateDiff, UDFUnixTimestamp — SURVEY.md §2.H). Spark
+    dayofweek is 1=Sunday; DuckDB is 0=Sunday (oracle adjusts)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.weekofyear("o_orderdate").cast("long").alias("woy"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.trunc("o_orderdate", "month").alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.date_add(F.col("o_orderdate"), 30).alias("plus30"),
+        F.add_months(F.col("o_orderdate"), 2).alias("plus2m"),
+        F.datediff(F.lit("1998-01-01").cast("timestamp_ntz"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_98"),
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("epoch_s"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'rich' END                          AS bucket,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           greatest(c_acctbal, 0.0)                      AS floor0,
+           least(c_acctbal, 1000.0)                      AS cap1k,
+           CASE WHEN c_nationkey BETWEEN 5 AND 10 THEN 1 ELSE 0 END AS mid_nation,
+           CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END AS bal_null
+    FROM customer
+    """,
+    tags=("functions", "conditional"),
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family (GenericUDFWhen/Coalesce/NullIf/Greatest/Least/
+    Between/OPNull — SURVEY.md §2.H)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("rich")
+        .alias("bucket"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("floor0"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("cap1k"),
+        F.when(F.col("c_nationkey").between(5, 10), 1).otherwise(0).cast("long").alias(
+            "mid_nation"
+        ),
+        F.when(F.col("c_acctbal").isNull(), 1).otherwise(0).cast("long").alias("bal_null"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_type,
+           count(*)                                   AS n,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+           count(props->>'missing')                   AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("functions", "json"),
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction (Hive GenericUDFGetJsonObject / json_tuple —
+    SURVEY.md §2.H) over the events.props payload."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.get_json_object("props", "$.missing")).alias("n_missing"),
+    )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name)                 AS h_md5,
+           sha256(c_name)              AS h_sha256,
+           base64(encode(c_name))      AS b64,
+           length(c_name)              AS name_len
+    FROM customer
+    WHERE c_custkey % 10 = 0
+    """,
+    tags=("functions", "hash"),
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash/crypto family (UDFMd5, GenericUDFSha2, GenericUDFBase64 —
+    SURVEY.md §2.H)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("h_md5"),
+        F.sha2("c_name", 256).alias("h_sha256"),
+        F.base64(F.col("c_name").cast("binary")).alias("b64"),
+        F.length("c_name").cast("long").alias("name_len"),
+    )
+
+
+@register(
+    "fn_mask",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked
+    FROM customer
+    WHERE c_custkey % 20 = 0
+    """,
+    tags=("functions", "masking"),
+)
+def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data masking (Hive GenericUDFMask family — SURVEY.md §2.H): upper→X,
+    lower→x, digit→n. Spark's built-in ``mask`` implements the same
+    default; the oracle spells it out with regexes."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 20 == 0)
+    return c.select("c_custkey", F.mask("c_name").alias("masked"))
+
+
+@register(
+    "fn_complex_types",
+    oracle="""
+    SELECT c_custkey,
+           len(l)                                   AS arr_size,
+           array_to_string(list_sort(l), ',')       AS arr_sorted,
+           CASE WHEN list_contains(l, 7) THEN 1 ELSE 0 END AS has7,
+           list_extract(list_sort(l), 1)            AS smallest,
+           {'k': c_custkey, 'seg': c_mktsegment}.seg AS seg_field
+    FROM (SELECT c_custkey, c_mktsegment,
+                 [c_nationkey % 5, c_nationkey % 3, 7] AS l
+          FROM customer WHERE c_custkey % 50 = 0)
+    """,
+    tags=("functions", "complex_types"),
+)
+def fn_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY/STRUCT constructors + accessors (Hive GenericUDFArray/Struct/
+    Index/SortArray/ArrayContains, serde2 ListTypeInfo/StructTypeInfo —
+    SURVEY.md §1.2, §2.H)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 50 == 0)
+    arr = F.array(F.col("c_nationkey") % 5, F.col("c_nationkey") % 3, F.lit(7))
+    st = F.named_struct(F.lit("k"), F.col("c_custkey"), F.lit("seg"), F.col("c_mktsegment"))
+    return c.select(
+        "c_custkey",
+        F.size(arr).cast("long").alias("arr_size"),
+        F.array_join(F.sort_array(arr), ",").alias("arr_sorted"),
+        F.array_contains(arr, 7).cast("long").alias("has7"),
+        F.element_at(F.sort_array(arr), 1).alias("smallest"),
+        st.getField("seg").alias("seg_field"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDTF / lateral view (explode, posexplode, stack)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udtf_explode_wordcount",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 30
+    """,
+    tags=("udtf", "lateral_view"),
+)
+def udtf_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode(split(...)) — Hive LateralViewJoinOperator +
+    GenericUDTFExplode (SURVEY.md §2.A). The scale-out word count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(30)
+    )
+
+
+@register(
+    "udtf_posexplode",
+    oracle="""
+    SELECT doc_id, pos - 1 AS pos, word
+    FROM (SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents WHERE doc_id < 50)
+    WHERE pos <= 3
+    """,
+    tags=("udtf", "lateral_view"),
+)
+def udtf_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — position-aware UDTF (Hive GenericUDTFPosExplode).
+    Spark pos is 0-based; DuckDB subscripts are 1-based (oracle adjusts)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .filter(F.col("pos") <= 2)
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "word")
+    )
+
+
+@register(
+    "udtf_stack",
+    oracle="""
+    SELECT r_regionkey AS k, r_name AS name FROM region
+    UNION ALL
+    SELECT r_regionkey + 100, upper(r_name) FROM region
+    """,
+    tags=("udtf",),
+)
+def udtf_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stack(n, ...) row generator (Hive GenericUDTFStack); the oracle is
+    its UNION ALL expansion."""
+    region = load_table(spark, sf_dir, "region")
+    return region.selectExpr(
+        "stack(2, r_regionkey, r_name, CAST(r_regionkey + 100 AS INT), upper(r_name)) AS (k, name)"
+    )

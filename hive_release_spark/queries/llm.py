@@ -1,0 +1,278 @@
+"""LLM-pipeline operator queries (SURVEY.md §2.L) over the ``documents``
+and ``embeddings`` fixtures. Implementations live in
+``hive_release_spark.llm``; these entries wire them to the driver's
+oracle gate. MinHash-LSH / SimHash / ANN / pandas-UDF ops are genuinely
+non-SQL-expressible → registered without an oracle (rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_release_spark.catalog import load_table
+from hive_release_spark.llm import dedup, multimodal, similarity, text
+from hive_release_spark.queries.registry import register
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT array_to_string(string_split(text, ' ')[1:5], ' ') AS content_key,
+           min(doc_id) AS survivor_id,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content key (here: 5-token prefix) with deterministic
+    min-id survivor — hash-groupBy, one shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.array_join(F.slice(text.tokens("text"), 1, 5), " ")
+    return dedup.exact_dedup(docs, key)
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(count(*) * 1.0 / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6)
+             AS jaccard
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) * 1.0 / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.5
+    """,
+    tags=("llm", "dedup", "neardup"),
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-shingle Jaccard near-dup pairs (≥ 0.5) via inverted-index join —
+    no O(n²) document cross product."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, n=3, threshold=0.5)
+
+
+@register("dedup_minhash_lsh", tags=("llm", "dedup", "neardup", "no_oracle"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)-LSH(8 bands) candidates verified with exact Jaccard.
+    Not SQL-expressible (banded signature join) → rows-only check; its
+    output is validated against dedup_jaccard_pairs in tests/."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.5)
+
+
+@register("dedup_simhash", tags=("llm", "dedup", "neardup", "no_oracle"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (hamming ≤ 6) via 16-bit band buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=6)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: all pairs with cosine ≥ 0.4 (brute force here;
+    ``cosine_pairs(block_col=...)`` is the blocked scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS sim
+      FROM e q JOIN e c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 20
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    tags=("llm", "similarity", "topk"),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id < 20): the exact
+    ANN baseline. Broadcast queries, window rank per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=5
+    )
+
+
+@register("sim_ann_lsh", tags=("llm", "similarity", "ann", "no_oracle"))
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN top-5 (approximate; recall measured in
+    tests against the brute-force baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucket_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) - (len(string_split(text, ' ')) - 1) AS total_tok_chars,
+           len(list_filter(string_split(text, ' '),
+               t -> t IN ('the','a','of','and','to','in','is','on'))) AS n_stop,
+           length(text) - length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_nonalpha
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score features as exact integer counts (ratios = downstream
+    division; integers keep the oracle hash exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = text.tokens(t)
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).alias(
+            "total_tok_chars"
+        ),
+        F.size(F.filter(toks, lambda x: x.isin(*text.STOPWORDS))).cast("long").alias("n_stop"),
+        (F.length(t) - F.length(F.regexp_replace(t, "[^a-z]", ""))).cast("long").alias(
+            "n_nonalpha"
+        ),
+    )
+
+
+@register(
+    "text_langid",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE
+             WHEN len(list_filter(string_split(text,' '), t -> t IN ('the','value','fast'))) > 0 THEN 'en'
+             WHEN len(list_filter(string_split(text,' '), t -> t IN ('der','und','nicht'))) > 0 THEN 'de'
+             WHEN len(list_filter(string_split(text,' '), t -> t IN ('le','et','les'))) > 0 THEN 'fr'
+             WHEN len(list_filter(string_split(text,' '), t -> t IN ('el','que','los'))) > 0 THEN 'es'
+             ELSE 'unknown'
+           END AS predicted
+    FROM documents
+    """,
+    tags=("llm", "text", "langid"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-chain language ID (marker tokens). The n-gram scorer variant is
+    ``text_langid_ngram`` (pandas UDF, rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", text.langid_rules("text").alias("predicted"))
+
+
+@register("text_langid_ngram", tags=("llm", "text", "langid", "no_oracle"))
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language scorer as an Arrow-batched pandas UDF —
+    the §2.I extension surface (GenericUDF analogue)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", text.langid_ngram("text").alias("predicted"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint: md5 of the sorted distinct token
+    set (word-order/duplication invariant)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "text_ngrams_top",
+    oracle="""
+    SELECT ngram, count(*) AS freq
+    FROM (
+      SELECT unnest(list_transform(generate_series(1, len(w)-1),
+                    i -> w[i] || ' ' || w[i+1])) AS ngram
+      FROM (SELECT string_split(text, ' ') AS w FROM documents)
+    )
+    GROUP BY ngram
+    ORDER BY freq DESC, ngram
+    LIMIT 30
+    """,
+    tags=("llm", "text", "ngrams"),
+)
+def text_ngrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive ``ngrams`` UDAF parity: corpus top-30 bigrams."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.top_ngrams(docs, n_out=30)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS checksum,
+           (['image','audio','video'])[(doc_id % 3) + 1] AS modality
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary asset column + typed metadata (payload elided from the
+    output — the oracle checks size/checksum/modality)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.pack_assets(docs).select("asset_id", "n_bytes", "checksum", "modality")
+
+
+@register("multimodal_features", tags=("llm", "multimodal", "no_oracle"))
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract via mapInPandas (deterministic fake codec —
+    the Arrow plumbing is the real artifact; see llm/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.pack_assets(docs))

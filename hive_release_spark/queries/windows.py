@@ -1,0 +1,201 @@
+"""Window functions / PTF (SURVEY.md §2.D).
+
+Hive counterparts: PTFOperator + WindowingTableFunction (upstream
+``ql/exec/PTFOperator.java``, ``ql/udf/ptf/WindowingTableFunction.java``),
+ranking/navigation UDAFs ``GenericUDAF{RowNumber,Rank,DenseRank,
+PercentRank,CumeDist,NTile,Lead,Lag,FirstValue,LastValue}``, frame model
+``ql/plan/ptf/WindowFrameDef`` with ROWS (TOK_WINDOWRANGE) and value-based
+RANGE (TOK_WINDOWVALUES) boundaries.
+
+Spark: ``Window.partitionBy().orderBy()`` + ``rowsBetween``/``rangeBetween``
+— WindowExec sorts within partitions after a hash exchange on the partition
+keys; at scale the partition key (suppkey/custkey) must be high-cardinality,
+which these are.
+
+Determinism: every ORDER BY includes a unique tie-break key; frame sums use
+either integral doubles (exact) or 2-decimal money (true value never sits
+on a rounding boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hive_release_spark.catalog import load_table
+from hive_release_spark.queries.registry import register
+
+
+@register(
+    "window_ranking",
+    oracle="""
+    SELECT c_custkey,
+           row_number()   OVER w AS rn,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           percent_rank() OVER w AS prnk,
+           cume_dist()    OVER w AS cdist,
+           ntile(4)       OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("window", "ranking"),
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ranking family over a partitioned, uniquely-ordered window."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "window_lead_lag",
+    oracle="""
+    SELECT o_orderkey,
+           lag(o_totalprice, 1, 0.0)  OVER w AS prev_price,
+           lead(o_totalprice, 1, 0.0) OVER w AS next_price,
+           lag(o_orderkey, 2)         OVER w AS prev2_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "navigation"),
+)
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag with offset + default (Hive GenericUDAF{Lead,Lag})."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.lag("o_totalprice", 1, 0.0).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1, 0.0).over(w).alias("next_price"),
+        F.lag("o_orderkey", 2).over(w).alias("prev2_key"),
+    )
+
+
+@register(
+    "window_rows_frame",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           sum(l_quantity) OVER (PARTITION BY l_suppkey
+                                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS qty_3row,
+           count(*) OVER (PARTITION BY l_suppkey
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n,
+           round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_price
+    FROM lineitem
+    """,
+    tags=("window", "frame_rows"),
+)
+def window_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frames: sliding 3-row sum + running totals (Hive WindowFrameDef
+    ROWS boundaries)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w = W.partitionBy("l_suppkey").orderBy(*order)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("l_quantity").over(w.rowsBetween(-2, 0)).alias("qty_3row"),
+        F.count("*").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("running_n"),
+        F.round(
+            F.sum("l_extendedprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
+        ).alias("running_price"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1k,
+           round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW), 2) AS sum_within_1k
+    FROM orders
+    """,
+    tags=("window", "frame_range"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame (Hive TOK_WINDOWVALUES + ValueBoundaryScanner
+    family — numeric scanner)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, W.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        F.count("*").over(w).alias("n_within_1k"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_within_1k"),
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT s_suppkey,
+           first_value(s_name) OVER w AS richest,
+           last_value(s_name)  OVER w AS poorest,
+           nth_value(s_name, 2) OVER w AS runner_up
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "navigation"),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/nth_value over the full-partition frame (Hive
+    GenericUDAF{FirstValue,LastValue})."""
+    supp = load_table(spark, sf_dir, "supplier")
+    w = (
+        W.partitionBy("s_nationkey")
+        .orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return supp.select(
+        "s_suppkey",
+        F.first("s_name").over(w).alias("richest"),
+        F.last("s_name").over(w).alias("poorest"),
+        F.nth_value("s_name", 2).over(w).alias("runner_up"),
+    )
+
+
+@register(
+    "window_share_of_total",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice / sum(o_totalprice) OVER (PARTITION BY o_custkey), 6)
+             AS share_of_cust,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 2) AS cust_total,
+           count(*) OVER (PARTITION BY o_custkey) AS cust_n
+    FROM orders
+    """,
+    tags=("window", "agg_over_window"),
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary UDAF over an unordered window (Hive reuses GroupBy
+    evaluators in streaming mode — SURVEY.md §2.D). sum+count instead of
+    avg: avg of two 2-decimal values lands exactly on .xx5 rounding
+    boundaries, where engines' round() half-cases disagree."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey")
+    return orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") / F.sum("o_totalprice").over(w), 6).alias(
+            "share_of_cust"
+        ),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cust_total"),
+        F.count("*").over(w).alias("cust_n"),
+    )
