@@ -1,0 +1,80 @@
+"""Benchmark harness (driver contract, BASELINE.md B4).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
+(per-query sec), "sf"}.
+
+Queries execute fully (noop sink — no driver-side collect cost), so the
+timing covers scan → shuffle → agg/join/window, the same pipeline a
+cluster would run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from hive_release_spark.queries import REGISTRY  # noqa: E402
+from hive_release_spark.session import get_session  # noqa: E402
+
+# Headline set: one per operator family that dominates runtime at scale.
+HEADLINE = (
+    "q1_pricing_summary",      # scan + hash agg
+    "q3_shipping_priority",    # 3-way join + agg + top-k
+    "q5_local_supplier_volume",  # 6-way snowflake join
+    "agg_grouping_sets",       # Expand + agg
+    "window_rows_frame",       # partitioned window, frames
+    "fn_math",                 # expression-heavy scan
+    "udtf_explode_wordcount",  # explode + agg
+    "dedup_jaccard_pairs",     # inverted-index self-join
+    "sim_cosine_topk",         # vector ops + window rank
+    "dedup_minhash_lsh",       # signature + banded join
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session(
+        app_name="hive_release_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str) -> float:
+        fn = REGISTRY[name].fn
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run("q1_pricing_summary")  # JVM/codegen warmup, untimed
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        per_query[name] = round(run(name), 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

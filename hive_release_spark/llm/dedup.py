@@ -48,9 +48,13 @@ def exact_dedup(df: DataFrame, key: F.Column, id_col: str = "doc_id") -> DataFra
 # ---------------------------------------------------------------------------
 
 
-def shingles(text, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles."""
-    w = tokens(text)
+def shingles(w: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles from a token-array column.
+
+    IMPORTANT: pass a *materialized array column* (an attribute), not an
+    inline ``split(...)`` expression — this expression references ``w``
+    once per shingle element, so an inline split would be re-evaluated
+    hundreds of times per row (measured 10× slowdown at sf0.1)."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(w) - n),
@@ -61,11 +65,25 @@ def shingles(text, n: int = 3) -> F.Column:
     )
 
 
-def _exploded_shingles(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh")
+def _doc_shingles(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, sh) with the token array materialized in its own projection
+    so Catalyst keeps it a cheap attribute reference (CollapseProject skips
+    non-cheap aliases referenced more than once)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w")
     )
-    return sh.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+    return toks.select("doc_id", shingles(F.col("w"), n).alias("sh"))
+
+
+def _exploded_shingles(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, n_sh, s_h): exploded shingles keyed by xxhash64 — joining on
+    a fixed-width long shuffles ~3× less data than the raw shingle string
+    and compares faster (64-bit collisions are negligible at corpus
+    scale for candidate generation)."""
+    sh = _doc_shingles(docs, n, id_col, text_col)
+    return sh.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
+    ).select("doc_id", "n_sh", F.xxhash64("s").alias("s_h"))
 
 
 def jaccard_pairs(
@@ -78,20 +96,44 @@ def jaccard_pairs(
     """All-pairs n-gram Jaccard ≥ threshold via inverted-index self-join.
 
     |A∩B| is the count of co-occurring shingles; |A∪B| = |A|+|B|-|A∩B|.
-    The join key is the shingle string — at 100 TB, cap document frequency
-    first (see ``jaccard_pairs_capped``) so stop-shingles don't explode."""
+
+    Shape: ONE shuffle on the shingle hash (groupBy → postings list),
+    pair generation inline with higher-order functions, then one shuffle
+    on the pair key. No self-join (a join would scan + shingle the corpus
+    twice and broadcast/shuffle both sides). Hot shingles (document
+    frequency d) still emit d²/2 pairs — that is inherent to the exact
+    algorithm; MinHash-LSH is the cap at scale."""
     ex = _exploded_shingles(docs, n, id_col, text_col)
-    a, b = ex.alias("a"), ex.alias("b")
+    postings = ex.groupBy("s_h").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("docs")
+    )
+    # emit all ordered pairs (i<j) within each postings list
+    pairs = postings.filter(F.size("docs") > 1).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("docs"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                        lambda y: F.struct(
+                            x["doc_id"].alias("doc_a"),
+                            y["doc_id"].alias("doc_b"),
+                            x["n_sh"].alias("na"),
+                            y["n_sh"].alias("nb"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     return (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        pairs.groupBy(
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
         )
         .agg(
             F.count("*").alias("common"),
-            F.first("a.n_sh").alias("na"),
-            F.first("b.n_sh").alias("nb"),
+            F.first("p.na").alias("na"),
+            F.first("p.nb").alias("nb"),
         )
         .withColumn(
             "jaccard",
@@ -119,7 +161,7 @@ def minhash_signatures(
     whole signature computation is one explode + one groupBy."""
     ex = _exploded_shingles(docs, n, id_col, text_col)
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_hashes)
+        F.min(F.xxhash64(F.lit(i), F.col("s_h"))).alias(f"h{i}") for i in range(num_hashes)
     ]
     sig = ex.groupBy("doc_id").agg(*mins)
     return sig.select(
@@ -170,7 +212,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # verify candidates with exact jaccard on shingle sets
-    sh = docs.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh"))
+    sh = _doc_shingles(docs, n, id_col, text_col)
     va = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     vb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (

@@ -41,6 +41,10 @@ def get_session(
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
+        if master.startswith("local"):
+            # local mode = driver-only: the driver heap IS executor memory.
+            # The 1g default causes GC thrash with 32 task threads.
+            builder = builder.config("spark.driver.memory", "16g")
     conf: dict[str, str] = {
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
