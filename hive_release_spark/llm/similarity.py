@@ -106,15 +106,19 @@ def cosine_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes: component p[i][j] derived
-    from a splitmix-style integer mix of (i, j) — no RNG state, stable
-    across sessions/partitions."""
+def _hyperplanes(dim: int, n_planes: int, table: int = 0) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component p[t][i][j]
+    derived from a splitmix-style integer mix of (table, i, j) — no RNG
+    state, stable across sessions/partitions."""
     planes = []
     for i in range(n_planes):
         row = []
         for j in range(dim):
-            z = (i * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = (
+                table * 0xD6E8FEB86659FD93
+                + i * 0x9E3779B97F4A7C15
+                + j * 0xBF58476D1CE4E5B9
+            ) & 0xFFFFFFFFFFFFFFFF
             z = ((z ^ (z >> 30)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
             z ^= z >> 31
             row.append((z / 2**64) * 2.0 - 1.0)
@@ -126,17 +130,23 @@ def lsh_bucket_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN: sign-of-projection LSH signature → bucket join → exact cosine
-    re-rank within bucket. Approximate (recall < 1) but each query touches
-    only its bucket — the 100 TB path."""
-    planes = _hyperplanes(dim, n_planes)
+    """Multi-table hyperplane-LSH ANN: ``n_tables`` independent
+    sign-of-projection signatures of ``n_planes`` bits each; a corpus
+    vector is a candidate if it bucket-matches the query in ANY table
+    (OR-amplification — single-table AND-only recall collapses on
+    near-orthogonal data). Candidates are deduped, exact-cosine
+    re-ranked. Approximate; each query touches only its buckets — the
+    100 TB path (tune n_planes up for bigger corpora: bucket size ~
+    n/2^n_planes per table)."""
 
-    def signature(vec: Column) -> Column:
+    def signature(vec: Column, table: int) -> Column:
+        planes = _hyperplanes(dim, n_planes, table)
         bits = [
             F.when(
                 F.aggregate(
@@ -153,19 +163,30 @@ def lsh_bucket_topk(
             ).otherwise(0)
             for i, plane in enumerate(planes)
         ]
-        return F.aggregate(F.array(*bits), F.lit(0), lambda acc, x: acc + x)
+        # table id in the high bits keeps buckets disjoint across tables
+        return F.aggregate(F.array(*bits), F.lit(table << 32), lambda acc, x: acc + x)
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")
-    ).withColumn("bucket", signature(F.col("qv")))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
-    ).withColumn("bucket", signature(F.col("cv")))
-    sims = (
+    def with_buckets(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        sigs = F.array(*[signature(F.col(vc), t) for t in range(n_tables)])
+        return df.select(idc, vc, F.explode(sigs).alias("bucket"))
+
+    q = with_buckets(
+        queries.select(F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")),
+        "query_id",
+        "qv",
+    )
+    c = with_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")),
+        "neighbor_id",
+        "cv",
+    )
+    candidates = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
+    sims = candidates.withColumn("sim", cosine(F.col("qv"), F.col("cv")))
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))

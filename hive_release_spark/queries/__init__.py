@@ -9,6 +9,7 @@ from hive_release_spark.queries import (  # noqa: F401,E402
     windows,
     functions_sql,
     llm,
+    streaming_batch,
 )
 
 

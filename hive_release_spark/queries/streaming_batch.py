@@ -1,0 +1,136 @@
+"""Streaming-capability queries (SURVEY.md §2.K) in oracle-comparable
+form. Each uses the *same* transformation functions the real streams run
+(unified API, ``hive_release_spark.streaming.pipelines``); the
+``stream_tumbling_live`` entry actually executes readStream →
+availableNow → memory sink and must produce the identical result as the
+batch oracle.
+
+Oracle notes: events.ts is TIMESTAMP_NS in DuckDB and µs in Spark —
+oracle outputs are CAST(... AS TIMESTAMP) to truncate ns → µs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_release_spark.catalog import load_table
+from hive_release_spark.queries.registry import register
+from hive_release_spark.streaming import pipelines as P
+
+_TUMBLING_ORACLE = """
+SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("stream_tumbling", oracle=_TUMBLING_ORACLE, tags=("streaming", "window"))
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling 1h aggregation (batch execution of the
+    streaming plan)."""
+    return P.tumbling_agg(load_table(spark, sf_dir, "events"))
+
+
+@register("stream_tumbling_live", oracle=_TUMBLING_ORACLE, tags=("streaming", "live"))
+def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME aggregation executed as a real Structured Streaming query
+    (file source → availableNow trigger → memory sink, complete mode).
+    Sharing the batch oracle proves stream/batch result parity."""
+    stream = P.load_events_stream(spark, sf_dir)
+    return P.run_available_now(P.tumbling_agg(stream), "stream_tumbling_live")
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    SELECT CAST(ws AS TIMESTAMP) AS window_start,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM (
+      SELECT value,
+             unnest([time_bucket(INTERVAL '1 hour', ts),
+                     time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS ws
+      FROM events
+    )
+    GROUP BY 1
+    """,
+    tags=("streaming", "window"),
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h window, 1h hop — every event lands in two windows (the
+    oracle expands the two bucket assignments explicitly)."""
+    return P.sliding_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL '6 hours' THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) + INTERVAL '6 hours' AS TIMESTAMP) AS session_end,
+           user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session_window"),
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (6h gap) per user — Spark ``session_window``; the
+    oracle is the classic gaps-and-islands rewrite, which doubles as the
+    §2.D windowing demonstration."""
+    return P.session_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_dedup_first",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(ts AS TIMESTAMP) AS first_ts,
+           event_id AS first_event_id
+    FROM (SELECT user_id, event_type, ts, event_id,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup per (user_id, event_type) — the batch twin of
+    ``dropDuplicatesWithinWatermark`` with a deterministic survivor."""
+    return P.dedup_keep_first(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           count(*) AS n, round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static broadcast dim (works identically on the stream —
+    see tests)."""
+    return P.stream_static_join(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )

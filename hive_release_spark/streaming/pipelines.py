@@ -1,0 +1,141 @@
+"""Streaming pipelines over the ``events`` table (FIXTURES.md §2.K).
+
+Spark's unified API: every transformation here accepts a batch OR a
+streaming DataFrame — the driver-facing queries run them in batch mode
+(oracle-comparable), and tests + ``run_available_now`` run the identical
+plans as real streams (readStream → watermark → agg → sink).
+
+Scale notes: event-time aggregations shuffle on (window, key) — bounded
+state via watermark; session windows keep per-key state until the gap
+expires; dedup-keep-first is a window rank in batch and
+``dropDuplicatesWithinWatermark`` in streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hive_release_spark.catalog import _EVENTS_RAW_SCHEMA
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table. The file source needs a
+    directory; ``pathGlobFilter`` selects the events file within sf_dir.
+    Same ns→µs conversion as the batch loader."""
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+# ---------------------------------------------------------------------------
+# Unified (batch + streaming) transformations
+# ---------------------------------------------------------------------------
+
+
+def tumbling_agg(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Event-time tumbling window counts/sums per event_type."""
+    return (
+        events.groupBy(F.window("ts", duration), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame, duration: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding (hopping) windows: each event lands in duration/slide
+    windows."""
+    return (
+        events.groupBy(F.window("ts", duration, slide))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "6 hours") -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity; end = last event + gap (Spark session_window semantics)."""
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_keep_first(events: DataFrame) -> DataFrame:
+    """First event per (user_id, event_type) — deterministic keep-first
+    dedup. Batch form: window rank (deterministic tie-break on event_id).
+    Streaming form: ``dropDuplicatesWithinWatermark`` (see
+    ``dedup_stream``)."""
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("first_ts"),
+            F.col("event_id").alias("first_event_id"),
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup on the natural key within a watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def stream_static_join(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream ⋈ static-dim broadcast join (events.user_id lives in the
+    customer key space — FIXTURES.md): revenue-by-segment enrichment."""
+    dim = customers.select("c_custkey", "c_mktsegment")
+    return (
+        events.join(F.broadcast(dim), events.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming execution helpers
+# ---------------------------------------------------------------------------
+
+
+def run_available_now(
+    result: DataFrame, name: str, output_mode: str = "complete", timeout_s: int = 300
+) -> DataFrame:
+    """Execute a streaming result fully (availableNow trigger → memory
+    sink) and return the materialized table. Stops any prior query with
+    the same name so re-runs are idempotent."""
+    spark = result.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    q.stop()
+    return spark.table(name)

@@ -1,0 +1,86 @@
+"""Hive function-surface unit tests (SURVEY.md §2.H) — the
+FunctionRegistry export and the gap implementations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_release_spark.functions import (
+    FUNCTION_REGISTRY,
+    create_union,
+    extract_union,
+    in_file,
+    mask_first_n,
+    mask_show_last_n,
+    replicate_rows,
+    sort_array_by,
+)
+
+
+def test_registry_size_and_callables():
+    assert len(FUNCTION_REGISTRY) >= 200
+    assert all(callable(v) for v in FUNCTION_REGISTRY.values())
+
+
+def test_same_name_tier_evaluates(spark):
+    df = spark.createDataFrame([("Hello World", -3, 2.25)], "s STRING, i INT, d DOUBLE")
+    r = df.select(
+        FUNCTION_REGISTRY["upper"]("s").alias("u"),
+        FUNCTION_REGISTRY["abs"]("i").alias("a"),
+        FUNCTION_REGISTRY["ceil"]("d").alias("c"),
+        FUNCTION_REGISTRY["concat_ws"](F.lit("-"), "s", "s").alias("cw"),
+        FUNCTION_REGISTRY["pmod"]("i", F.lit(5)).alias("p"),
+    ).collect()[0]
+    assert r.u == "HELLO WORLD" and r.a == 3 and r.c == 3 and r.p == 2
+    assert r.cw == "Hello World-Hello World"
+
+
+def test_div_truncates_toward_zero(spark):
+    df = spark.createDataFrame([(7, 2), (-7, 2)], "a INT, b INT")
+    got = [r.q for r in df.select(FUNCTION_REGISTRY["div"]("a", "b").alias("q")).collect()]
+    assert got == [3, -3]
+
+
+def test_mask_family(spark):
+    df = spark.createDataFrame([("Cust1234Secret",)], "s STRING")
+    r = df.select(
+        mask_first_n("s", 4).alias("mf"),
+        mask_show_last_n("s", 6).alias("msl"),
+    ).collect()[0]
+    assert r.mf == "Xxxx1234Secret"
+    assert r.msl.endswith("Secret") and not r.msl.startswith("Cust")
+
+
+def test_union_type_roundtrip(spark):
+    df = spark.createDataFrame([(1,)], "x INT")
+    r = df.select(
+        extract_union(create_union(F.lit(0), F.col("x"), F.lit("s")), 0).alias("v0"),
+        extract_union(create_union(F.lit(1), F.col("x"), F.lit("s")), 1).alias("v1"),
+        extract_union(create_union(F.lit(0), F.col("x"), F.lit("s"))).alias("full"),
+    ).collect()[0]
+    assert r.v0 == 1 and r.v1 == "s" and r.full.tag == 0
+
+
+def test_replicate_rows(spark):
+    df = spark.createDataFrame([(3, "a")], "n INT, v STRING")
+    out = df.select(replicate_rows("n", "v").alias("r"))
+    assert out.count() == 3
+
+
+def test_sort_array_by(spark):
+    df = spark.createDataFrame([(1,)], "x INT")
+    arr = F.array(
+        F.named_struct(F.lit("k"), F.lit(3), F.lit("v"), F.lit("c")),
+        F.named_struct(F.lit("k"), F.lit(1), F.lit("v"), F.lit("a")),
+        F.named_struct(F.lit("k"), F.lit(2), F.lit("v"), F.lit("b")),
+    )
+    r = df.select(sort_array_by(arr, "k").alias("s")).collect()[0]
+    assert [e.v for e in r.s] == ["a", "b", "c"]
+
+
+def test_in_file(spark, tmp_path):
+    f = tmp_path / "allow.txt"
+    f.write_text("alpha\nbeta\n")
+    df = spark.createDataFrame([("alpha",), ("gamma",)], "s STRING")
+    got = [r.ok for r in df.select(in_file("s", str(f)).alias("ok")).collect()]
+    assert got == [True, False]

@@ -1,0 +1,68 @@
+"""Plan-quality assertions (SURVEY.md §4 / §6 phase 6): the optimizations
+Hive implements as dedicated Transform classes must appear in Catalyst's
+physical plans — pushdown, pruning, broadcast, top-k. Analogue of Hive's
+TestPerfCliDriver plan assertions (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_release_spark.catalog import load_table
+from hive_release_spark.queries import REGISTRY
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = REGISTRY["scan_filter_project"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    # quantity predicate is parquet-pushable
+    assert "GreaterThan(l_quantity" in plan, plan[:2000]
+
+
+def test_column_pruning(spark):
+    """A 2-column projection must not read the full 11-column lineitem."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_q5_uses_broadcast_joins(spark):
+    plan = _plan(REGISTRY["q5_local_supplier_volume"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_is_take_ordered(spark):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (Hive TopNHash
+    analogue), not a global sort."""
+    plan = _plan(REGISTRY["topk_orders"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_join_strategy(spark):
+    plan = _plan(REGISTRY["join_left_semi"].fn(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+
+
+def test_agg_has_partial_final_split(spark):
+    """Map-side partial agg (Hive GroupByOperator PARTIAL1/MERGEPARTIAL)
+    → two HashAggregate levels around the exchange."""
+    plan = _plan(REGISTRY["q1_pricing_summary"].fn(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_active(spark):
+    """codegen explain mode shows the WholeStageCodegen subtrees (the
+    formatted mode hides them pre-AQE-finalization)."""
+    plan = _plan(REGISTRY["q1_pricing_summary"].fn(spark, SF_SMOKE), mode="codegen")
+    assert "WholeStageCodegen" in plan

@@ -1,0 +1,58 @@
+"""Streaming integration: the same pipelines executed as REAL streams
+(readStream → availableNow → memory sink) must equal their batch twins.
+SURVEY.md §2.K."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_release_spark.catalog import load_table
+from hive_release_spark.streaming import pipelines as P
+from tests.conftest import SF_SMOKE
+
+
+def _batch_events(spark):
+    return load_table(spark, SF_SMOKE, "events")
+
+
+def _collect_set(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_tumbling_stream_equals_batch(spark):
+    batch = P.tumbling_agg(_batch_events(spark))
+    stream = P.run_available_now(
+        P.tumbling_agg(P.load_events_stream(spark, SF_SMOKE)), "t_tumbling_test"
+    )
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    assert _collect_set(batch, cols) == _collect_set(stream, cols)
+
+
+def test_session_stream_equals_batch(spark):
+    batch = P.session_agg(_batch_events(spark))
+    stream = P.run_available_now(
+        P.session_agg(P.load_events_stream(spark, SF_SMOKE)), "t_session_test"
+    )
+    cols = ["session_start", "session_end", "user_id", "n_events", "sum_value"]
+    assert _collect_set(batch, cols) == _collect_set(stream, cols)
+
+
+def test_stream_static_join_equals_batch(spark):
+    cust = load_table(spark, SF_SMOKE, "customer")
+    batch = P.stream_static_join(_batch_events(spark), cust)
+    stream = P.run_available_now(
+        P.stream_static_join(P.load_events_stream(spark, SF_SMOKE), cust),
+        "t_join_test",
+    )
+    cols = ["c_mktsegment", "event_type", "n", "sum_value"]
+    assert _collect_set(batch, cols) == _collect_set(stream, cols)
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """dropDuplicatesWithinWatermark keeps one row per key (append mode)."""
+    stream = P.dedup_stream(P.load_events_stream(spark, SF_SMOKE), "1 hour")
+    out = P.run_available_now(stream, "t_dedup_test", output_mode="append")
+    batch_keys = _batch_events(spark).select("user_id", "event_type").distinct().count()
+    got = out.select("user_id", "event_type").distinct().count()
+    assert out.count() == got  # no duplicate keys in output
+    assert got == batch_keys  # every key survived
