@@ -10,6 +10,7 @@ from hive_release_spark.queries import (  # noqa: F401,E402
     functions_sql,
     llm,
     streaming_batch,
+    extensions,
 )
 
 

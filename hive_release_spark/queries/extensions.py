@@ -1,0 +1,217 @@
+"""Extension-surface queries: PIVOT, join strategy hints, applyInPandas
+(the GenericUDAF/PTF extension point), TRANSFORM scripts, map/URL
+functions, histogram sketch.
+
+Hive counterparts: ScriptOperator/TOK_TRANSFORM (§2.A), join strategy
+optimizers Bucket/SMB/ShuffleHash (§2.B), GenericUDAFHistogramNumeric
+(§2.C), GenericUDFStrToMap / GenericUDFParseUrl (§2.H), the UDAF/PTF
+extension surface (§2.I). PIVOT is a Spark bonus (absent in Hive 2.3's
+grammar — SURVEY.md §2.C).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_release_spark.catalog import load_table, register_views
+from hive_release_spark.queries.registry import register
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with explicit values (→ single-pass conditional aggregation;
+    explicit value list avoids the extra distinct-scan Spark needs for
+    implicit pivots — the 100 TB habit)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = li.groupBy("l_returnflag").pivot("l_linestatus", ["O", "F"]).sum("l_quantity")
+    return piv.select(
+        "l_returnflag",
+        F.round(F.col("O"), 2).alias("O"),
+        F.round(F.col("F"), 2).alias("F"),
+    )
+
+
+_SUPP_JOIN_ORACLE = """
+SELECT s.s_name, count(*) AS n, round(sum(l.l_quantity), 2) AS sum_qty
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_name
+"""
+
+
+@register("join_merge_hint", oracle=_SUPP_JOIN_ORACLE, tags=("join", "hint", "smb"))
+def join_merge_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-merge join forced via hint — Hive's SMB join path
+    (SMBMapJoinOperator / SortedMergeBucketMapJoinOptimizer). With
+    bucketed tables (sources.write_bucketed_table) the shuffle drops out;
+    here the hint pins the merge strategy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").hint("merge")
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@register("join_shuffle_hash_hint", oracle=_SUPP_JOIN_ORACLE, tags=("join", "hint"))
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-hash join via hint — Hive's reduce-side hash join without
+    the sort, right for large-but-not-broadcastable build sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").hint("shuffle_hash")
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@register(
+    "ptf_apply_in_pandas_zscore",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round((l_quantity - avg(l_quantity) OVER w) / stddev_samp(l_quantity) OVER w, 4)
+             AS z
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag, l_linestatus)
+    """,
+    tags=("ptf", "extension", "pandas"),
+)
+def ptf_apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score via ``applyInPandas`` — the Python replacement
+    for Hive's GenericUDAFResolver2/PTF extension surface (SURVEY.md
+    §2.I): arbitrary per-group logic over Arrow batches, shuffled once on
+    the group key. The oracle is the pure-SQL window formulation —
+    proving the custom-UDAF path computes exactly what the declarative
+    plan would."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["l_quantity"]
+        z = (v - v.mean()) / v.std(ddof=1)
+        return pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "z": z.round(4),
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").applyInPandas(
+        zscore, "l_orderkey long, l_linenumber int, z double"
+    )
+
+
+@register(
+    "script_transform",
+    oracle="""
+    SELECT CAST(l_orderkey AS VARCHAR) AS k, CAST(l_linenumber AS VARCHAR) AS ln
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+    tags=("script", "transform"),
+)
+def script_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive TRANSFORM ... USING 'script' (ScriptOperator, §2.A) — Spark
+    SQL executes the same syntax natively (rows piped through the process
+    as delimited text; integer columns keep exact string forms)."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT TRANSFORM(l_orderkey, l_linenumber) USING 'cat' AS (k STRING, ln STRING)
+        FROM lineitem WHERE l_orderkey < 100
+        """
+    )
+
+
+@register(
+    "fn_str_to_map",
+    oracle="""
+    SELECT p_partkey,
+           CAST(p_size AS BIGINT)       AS size_v,
+           CAST(p_partkey % 7 AS BIGINT) AS bucket_v
+    FROM part WHERE p_partkey % 4 = 0
+    """,
+    tags=("functions", "map"),
+)
+def fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str_to_map round-trip (GenericUDFStrToMap): serialize two fields
+    into 'k:v,k:v' text, parse back, extract by key. The oracle computes
+    the same scalars directly — proving parse fidelity."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 4 == 0)
+    kv = F.concat(
+        F.lit("size:"), F.col("p_size").cast("string"),
+        F.lit(",bucket:"), (F.col("p_partkey") % 7).cast("string"),
+    )
+    m = F.str_to_map(kv, F.lit(","), F.lit(":"))
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "size").cast("long").alias("size_v"),
+        F.element_at(m, "bucket").cast("long").alias("bucket_v"),
+    )
+
+
+@register(
+    "fn_parse_url",
+    oracle="""
+    SELECT p_partkey,
+           lower(replace(p_brand, '#', '')) || '.example.com' AS host,
+           '/' || replace(p_type, ' ', '_')        AS path,
+           CAST(p_partkey AS VARCHAR)              AS id_param
+    FROM part WHERE p_partkey % 5 = 0
+    """,
+    tags=("functions", "url"),
+)
+def fn_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url HOST/PATH/QUERY:key (GenericUDFParseUrl): build a URL
+    from columns, parse the components back; oracle recomputes them
+    directly."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 5 == 0)
+    # '#' in p_brand would start a URL fragment — strip it
+    brand = F.replace(F.lower("p_brand"), F.lit("#"), F.lit(""))
+    url = F.concat(
+        F.lit("https://"), brand, F.lit(".example.com/"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")),
+        F.lit("?id="), F.col("p_partkey").cast("string"),
+    )
+    return p.select(
+        "p_partkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("id_param"),
+    )
+
+
+@register("agg_histogram_numeric", tags=("agg", "sketch", "no_oracle"))
+def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_numeric (GenericUDAFHistogramNumeric parity): streaming
+    bin-merge sketch — bin placement is engine-specific, so rows-only
+    (Spark's implementation IS the Hive algorithm)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.groupBy("l_returnflag").agg(
+        F.expr("histogram_numeric(l_extendedprice, 10)").alias("hist")
+    )
+    return h.select(
+        "l_returnflag",
+        F.posexplode("hist").alias("bin", "bucket"),
+    ).select(
+        "l_returnflag",
+        "bin",
+        F.round(F.col("bucket.x"), 2).alias("x"),
+        F.col("bucket.y").cast("long").alias("y"),
+    )
