@@ -51,7 +51,7 @@ character_length chr coalesce collect_list collect_set concat concat_ws conv
 corr cos count covar_pop covar_samp crc32 cume_dist current_database
 current_date current_timestamp current_user date_add date_format date_sub
 datediff day dayofmonth dayofweek decode degrees dense_rank e element_at elt
-encode exp explode factorial field find_in_set first_value floor format_number
+encode exp explode factorial find_in_set first_value floor format_number
 from_unixtime from_utc_timestamp get_json_object greatest grouping hash hex
 histogram_numeric hour if initcap inline instr isnotnull isnull json_tuple
 lag last_day last_value lead least length levenshtein like ln locate log log10
@@ -110,6 +110,14 @@ def std(col) -> Column:
 @_register("day_of_week")
 def day_of_week(col) -> Column:
     return F.dayofweek(_c(col))
+
+
+@_register("field")
+def field(needle, *haystack) -> Column:
+    """Hive UDFField: 1-based index of the first argument equal to
+    ``needle`` (0 if absent). Spark has no same-name builtin →
+    array_position composition."""
+    return F.array_position(F.array(*[_c(h) for h in haystack]), _c(needle)).cast("int")
 
 
 @_register("mask_hash")

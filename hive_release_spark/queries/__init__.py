@@ -11,6 +11,7 @@ from hive_release_spark.queries import (  # noqa: F401,E402
     llm,
     streaming_batch,
     extensions,
+    coverage,
 )
 
 

@@ -1,0 +1,185 @@
+"""Coverage-completion queries: MatchPath PTF, context n-grams, BPE-ish
+tokenization, remaining string/misc function families, fraction
+sampling. Closes the last SURVEY.md §2 inventory rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_release_spark.catalog import load_table
+from hive_release_spark.functions import hive as hive_fns
+from hive_release_spark.llm.text import tokens
+from hive_release_spark.operators.matchpath import match_path
+from hive_release_spark.queries.registry import register
+
+
+@register(
+    "ptf_matchpath",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             lead(event_type) OVER w AS next_type,
+             lag(event_type)  OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, 0 AS match_pos
+    FROM ordered WHERE event_type = 'error' AND next_type = 'purchase'
+    UNION ALL
+    SELECT user_id, event_id, 1 AS match_pos
+    FROM ordered WHERE event_type = 'purchase' AND prev_type = 'error'
+    """,
+    tags=("ptf", "matchpath"),
+)
+def ptf_matchpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatchPath (Hive udf/ptf/MatchPath.java): find error→purchase
+    sequences per user. The 'EP' pattern is oracle-expressible via
+    lead/lag — proving the generic regex engine agrees with the
+    declarative special case."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    sym = (
+        F.when(F.col("event_type") == "error", "E")
+        .when(F.col("event_type") == "purchase", "P")
+        .otherwise("O")
+    )
+    out = match_path(ev, ["user_id"], ["ts", "event_id"], sym, "EP")
+    return out.select("user_id", "event_id", "match_pos")
+
+
+@register(
+    "text_context_ngrams",
+    oracle="""
+    SELECT w2 AS word, count(*) AS freq
+    FROM (
+      SELECT unnest(list_transform(generate_series(1, len(w)-1),
+                    i -> CASE WHEN w[i] = 'the' THEN w[i+1] END)) AS w2
+      FROM (SELECT string_split(text, ' ') AS w FROM documents)
+    )
+    WHERE w2 IS NOT NULL
+    GROUP BY w2
+    ORDER BY freq DESC, w2
+    LIMIT 20
+    """,
+    tags=("llm", "text", "ngrams"),
+)
+def text_context_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive ``context_ngrams(sentences(...), array('the', null), k)``
+    parity: most frequent words following the context word 'the'."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("w"))
+    followers = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.when(
+                    F.element_at("w", i) == "the", F.element_at("w", i + 1)
+                ),
+            )
+        ).alias("word")
+    ).filter(F.col("word").isNotNull())
+    return (
+        followers.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_token_bpe_regex",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens
+    FROM documents WHERE doc_id < 300
+    """,
+    tags=("llm", "text", "tokenize"),
+)
+def text_token_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization count: word/number/punct split via regex
+    (the GPT-2-style pre-tokenizer shape) vs whitespace count."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "fn_string2",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_brand, 'Brand#1')                    AS lev,
+           left(p_name, 5)                                    AS l5,
+           right(p_name, 5)                                   AS r5,
+           CASE WHEN starts_with(p_type, 'PROMO') THEN 1 ELSE 0 END AS is_promo,
+           CASE WHEN contains(p_name, 'red') THEN 1 ELSE 0 END AS has_red,
+           array_to_string((string_split(p_type, ' '))[1:2], ' ') AS si2
+    FROM part WHERE p_partkey % 3 = 0
+    """,
+    tags=("functions", "string"),
+)
+def fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string batch: levenshtein, left/right, startswith/contains,
+    substring_index (Hive UDFs of the same names)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 3 == 0)
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", F.lit("Brand#1")).cast("long").alias("lev"),
+        F.substring("p_name", 1, 5).alias("l5"),
+        F.col("p_name").substr(F.length("p_name") - 4, F.lit(5)).alias("r5"),
+        F.when(F.col("p_type").startswith("PROMO"), 1).otherwise(0).cast("long").alias(
+            "is_promo"
+        ),
+        F.when(F.col("p_name").contains("red"), 1).otherwise(0).cast("long").alias(
+            "has_red"
+        ),
+        F.substring_index("p_type", " ", 2).alias("si2"),
+    )
+
+
+@register("fn_misc_surface", tags=("functions", "no_oracle"))
+def fn_misc_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only sweep of families DuckDB can't mirror 1:1: xpath,
+    sentences, format_number, elt/field/find_in_set, conv/bin/hex,
+    factorial, soundex, initcap, crc32, xxhash64, monotonically
+    increasing id shape. Determinism: everything derives from table
+    values; the driver records row count + schema."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    return p.select(
+        "p_partkey",
+        F.expr("xpath_string('<a><b>x</b></a>', 'a/b')").alias("xp"),
+        F.sentences(F.concat(F.col("p_name"), F.lit(". "), F.col("p_type"))).alias("sents"),
+        F.format_number(F.col("p_retailprice"), 2).alias("fmt"),
+        F.expr("elt(2, 'a', p_brand, 'c')").alias("elt2"),
+        hive_fns.field(F.col("p_brand"), F.lit("Brand#1"), F.col("p_brand")).alias("fld"),
+        F.expr("find_in_set(p_brand, concat('x,', p_brand, ',y'))").alias("fis"),
+        F.conv(F.col("p_partkey").cast("string"), 10, 16).alias("hex16"),
+        F.bin(F.col("p_size").cast("long")).alias("binv"),
+        F.hex(F.col("p_size").cast("long")).alias("hexv"),
+        F.factorial(F.col("p_size") % 10).alias("fact"),
+        F.soundex("p_name").alias("sdx"),
+        F.initcap("p_type").alias("ic"),
+        F.crc32(F.col("p_brand").cast("binary")).alias("crc"),
+        F.xxhash64("p_name").alias("xx64"),
+    )
+
+
+@register("sample_fraction", tags=("sample", "no_oracle"))
+def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE (n PERCENT) — seeded Bernoulli sample + aggregate.
+    RNG is engine-specific → rows-only (the deterministic bucket variant
+    ``sample_bucket`` carries the oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.sample(fraction=0.1, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )

@@ -1,0 +1,114 @@
+"""Scale-mechanism tests: salted joins, bucketed shuffle-free joins,
+dynamic partition pruning, AQE knobs, virtual columns. These are the
+§2.B/§4 mechanisms a 100 TB deployment leans on — asserted at the plan
+level, the same way Hive's TestPerfCliDriver asserts plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_release_spark.catalog import load_table
+from hive_release_spark.operators.skew import salted_join
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_suppkey", "l_quantity")
+    supp = load_table(spark, SF_SMOKE, "supplier").select("s_suppkey", "s_name")
+    supp = supp.withColumnRenamed("s_suppkey", "l_suppkey")
+    plain = (
+        li.join(supp, "l_suppkey")
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    )
+    salted = (
+        salted_join(li, supp, on="l_suppkey", n_salts=4)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_aqe_skew_knobs_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+@pytest.fixture()
+def bucketed_pair(spark, tmp_path):
+    """Two tables bucketed+sorted the same way on the join key (Hive
+    CLUSTERED BY ... SORTED BY ... INTO 4 BUCKETS)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS bkt_db")
+    a = spark.range(0, 1000).withColumn("va", F.col("id") * 2)
+    b = spark.range(0, 1000).withColumn("vb", F.col("id") * 3)
+    for name, df in (("ba", a), ("bb", b)):
+        (
+            df.write.format("parquet")
+            .mode("overwrite")
+            .bucketBy(4, "id")
+            .sortBy("id")
+            .option("path", str(tmp_path / name))
+            .saveAsTable(f"bkt_db.{name}")
+        )
+    yield "bkt_db.ba", "bkt_db.bb"
+    spark.sql("DROP DATABASE IF EXISTS bkt_db CASCADE")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_pair):
+    """Co-bucketed join must not exchange either side — Hive's bucket-map
+    /SMB join (SMBMapJoinOperator), Spark's bucketed scan."""
+    ta, tb = bucketed_pair
+    a, b = spark.table(ta), spark.table(tb)
+    joined = a.join(b.hint("merge"), "id").filter(F.col("va") >= 0)
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert joined.count() == 1000
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """DPP (Hive AppMasterEventOperator / SparkPartitionPruningSink —
+    SURVEY.md §2.A): a partitioned fact joined to a filtered dim must
+    prune fact partitions at runtime."""
+    fact_path = str(tmp_path / "fact")
+    facts = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 10).cast("string").alias("ds")
+    )
+    facts.write.partitionBy("ds").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.range(0, 10).select(
+        F.col("id").cast("string").alias("ds"), F.lit("x").alias("attr")
+    ).filter(F.col("ds") == "3")
+    joined = fact.join(dim, "ds")
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(ds" in plan, plan
+    assert joined.count() == 100
+
+
+def test_virtual_column_input_file_name(spark):
+    """Hive virtual column INPUT__FILE__NAME (TableScanOperator —
+    SURVEY.md §2.A) → input_file_name()."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    r = li.select(F.input_file_name().alias("f")).limit(1).collect()[0]
+    assert "lineitem.parquet" in r.f
+
+
+def test_small_file_compaction(spark, tmp_path):
+    """ALTER TABLE ... CONCATENATE analogue: coalesce-rewrite many small
+    files into few (Hive AbstractFileMergeOperator — SURVEY.md §2.A)."""
+    p = str(tmp_path / "many")
+    spark.range(0, 100).repartition(20).write.parquet(p)
+    import glob
+
+    assert len(glob.glob(f"{p}/part-*")) >= 20
+    compacted = str(tmp_path / "few")
+    spark.read.parquet(p).coalesce(2).write.parquet(compacted)
+    assert len(glob.glob(f"{compacted}/part-*")) <= 2
+    assert spark.read.parquet(compacted).count() == 100
