@@ -12,6 +12,7 @@ from hive_release_spark.queries import (  # noqa: F401,E402
     streaming_batch,
     extensions,
     coverage,
+    coverage2,
 )
 
 

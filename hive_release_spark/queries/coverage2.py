@@ -1,0 +1,110 @@
+"""Final §2 inventory rows: UNIQUEJOIN composition, HLL count-distinct
+sketch (the modern successor of Hive's bloom/NDV sketches), Python UDTF
+(§2.I GenericUDTF extension point).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_release_spark.catalog import load_table
+from hive_release_spark.queries.registry import register
+
+
+@register(
+    "join_unique",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1),
+         n AS (SELECT n_nationkey AS k, count(*) AS n_nat  FROM nation   GROUP BY 1)
+    SELECT coalesce(c.k, s.k, n.k) AS k,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp,
+           coalesce(n_nat, 0)  AS n_nat
+    FROM c FULL JOIN s ON c.k = s.k
+           FULL JOIN n ON coalesce(c.k, s.k) = n.k
+    """,
+    tags=("join", "uniquejoin"),
+)
+def join_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive UNIQUEJOIN (TOK_UNIQUEJOIN — multi-way full outer preserving
+    every key from every side) composed from chained FULL joins with key
+    coalescing, exactly as SURVEY.md §2.B prescribes."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .groupBy(F.col("n_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_nat"))
+    )
+    cs = c.join(s, c.ck == s.sk, "full").select(
+        F.coalesce(F.col("ck"), F.col("sk")).alias("csk"), "n_cust", "n_supp"
+    )
+    return (
+        cs.join(n, cs.csk == n.nk, "full")
+        .select(
+            F.coalesce(F.col("csk"), F.col("nk")).alias("k"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+            F.coalesce(F.col("n_nat"), F.lit(0)).alias("n_nat"),
+        )
+    )
+
+
+@register("agg_hll_sketch", tags=("agg", "sketch", "no_oracle"))
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-distinct sketch: Hive's GenericUDAFBloomFilter/ComputeStats
+    NDV role → DataSketches HLL (mergeable across partitions — the 100 TB
+    NDV path). Estimates are implementation-specific → rows-only; the
+    test asserts ≤2% error vs exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("ndv_est"),
+        F.approx_count_distinct("l_partkey").alias("ndv_hllpp"),
+        F.countDistinct("l_partkey").alias("ndv_exact"),
+    )
+
+
+@register(
+    "udtf_python",
+    oracle="""
+    SELECT doc_id, pos - 1 AS pos, word
+    FROM (SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents WHERE doc_id < 20)
+    WHERE pos <= 2
+    """,
+    tags=("udtf", "extension", "python"),
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (§2.I GenericUDTF analogue): lateral-joined
+    table-valued function emitting (pos, word) for the first two tokens.
+    Same oracle shape as posexplode — proving the Python extension path
+    computes what the builtin generator does."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string")
+    class FirstTokens:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")[:2]):
+                yield i, w
+
+    spark.udtf.register("hrs_first_tokens", FirstTokens)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    docs.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.word
+        FROM udtf_docs d, LATERAL hrs_first_tokens(d.text) t
+        """
+    )
