@@ -74,6 +74,29 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("fn_datetime_misc", tags=("functions", "datetime", "no_oracle"))
+def fn_datetime_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only sweep of date/time functions DuckDB can't mirror 1:1:
+    months_between (31-day fraction convention), next_day (weekday-name
+    arg), from/to_utc_timestamp (tz-shift semantics), make_interval,
+    interval arithmetic, date_format patterns (SURVEY.md §2.H)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    ts = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.round(F.months_between(F.lit("1998-01-01").cast("timestamp_ntz"), ts), 4).alias(
+            "mb"
+        ),
+        F.next_day(ts, "Mon").alias("next_mon"),
+        F.from_utc_timestamp(ts.cast("timestamp"), "America/Los_Angeles").alias("la_time"),
+        F.to_utc_timestamp(ts.cast("timestamp"), "Asia/Tokyo").alias("from_jst"),
+        (ts + F.make_interval(F.lit(0), F.lit(1), F.lit(0), F.lit(2))).alias("plus_1m2d"),
+        F.date_format(ts, "yyyy/MM/dd EEE").alias("fmt"),
+        F.dayofyear(ts).alias("doy"),
+        F.to_unix_timestamp(ts.cast("timestamp")).alias("unix_s"),
+    )
+
+
 @register(
     "udtf_python",
     oracle="""
