@@ -13,6 +13,7 @@ from hive_release_spark.queries import (  # noqa: F401,E402
     extensions,
     coverage,
     coverage2,
+    llm2,
 )
 
 

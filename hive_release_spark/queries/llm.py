@@ -63,11 +63,33 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, n=3, threshold=0.5)
 
 
-@register("dedup_minhash_lsh", tags=("llm", "dedup", "neardup", "no_oracle"))
+_JACCARD_ORACLE = """
+    WITH sh AS (
+      SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(count(*) * 1.0 / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6)
+             AS jaccard
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) * 1.0 / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_JACCARD_ORACLE, tags=("llm", "dedup", "neardup"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)-LSH(8 bands) candidates verified with exact Jaccard.
-    Not SQL-expressible (banded signature join) → rows-only check; its
-    output is validated against dedup_jaccard_pairs in tests/."""
+
+    Oracle note: the banded-signature pipeline itself is not
+    SQL-expressible, but its *output contract* is the exact-Jaccard pair
+    set — and on this corpus the near-dup pairs have J≈0.9+ where the
+    8×4 banding's miss probability is ~2e-4 per pair, while the
+    signatures are fully deterministic (xxhash64 mixes, no RNG). The
+    exact-Jaccard oracle therefore gates it like dedup_jaccard_pairs;
+    tests additionally enforce approx ⊆ exact and recall ≥ 0.8."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.5)
 
