@@ -1,0 +1,60 @@
+"""Property-based tests (hypothesis) for semantics that must hold on
+arbitrary inputs — beyond the fixture corpus. Kept small: each property
+runs one Spark job over a generated frame."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from hive_release_spark.functions import FUNCTION_REGISTRY
+from hive_release_spark.operators.skew import salted_join
+
+SMALL = {"max_examples": 8, "deadline": None}  # Spark jobs are not cheap
+
+
+@given(st.lists(st.tuples(st.integers(-10**6, 10**6), st.integers(1, 50)), min_size=1, max_size=30))
+@settings(**SMALL)
+def test_div_truncates_toward_zero_property(spark, pairs):
+    df = spark.createDataFrame(pairs, "a LONG, b LONG")
+    got = df.select("a", "b", FUNCTION_REGISTRY["div"]("a", "b").alias("q")).collect()
+    for r in got:
+        expect = int(r.a / r.b)  # Python int() truncates toward zero
+        assert r.q == expect, (r.a, r.b, r.q, expect)
+
+
+@given(st.lists(st.text(alphabet="ab XY19#", min_size=0, max_size=12), min_size=1, max_size=20))
+@settings(**SMALL)
+def test_mask_preserves_length_and_classes(spark, strings):
+    df = spark.createDataFrame([(s,) for s in strings], "s STRING")
+    got = df.select("s", F.mask("s").alias("m")).collect()
+    for r in got:
+        assert len(r.m) == len(r.s)
+        for orig, masked in zip(r.s, r.m):
+            if orig.isupper():
+                assert masked == "X"
+            elif orig.islower():
+                assert masked == "x"
+            elif orig.isdigit():
+                assert masked == "n"
+            else:
+                assert masked == orig
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=0, max_size=40),
+    st.lists(st.tuples(st.integers(0, 5), st.text(alphabet="abc", min_size=1, max_size=3)), min_size=0, max_size=8),
+)
+@settings(**SMALL)
+def test_salted_join_equivalence_property(spark, big_rows, small_rows):
+    # unique keys on the small side (join dim contract)
+    seen, small_uniq = set(), []
+    for k, v in small_rows:
+        if k not in seen:
+            seen.add(k)
+            small_uniq.append((k, v))
+    big = spark.createDataFrame(big_rows or [(0, 0)], "k INT, v INT")
+    small = spark.createDataFrame(small_uniq or [(99, "z")], "k INT, s STRING")
+    plain = sorted(map(tuple, big.join(small, "k").collect()))
+    salted = sorted(map(tuple, salted_join(big, small, on="k", n_salts=3).collect()))
+    assert plain == salted
