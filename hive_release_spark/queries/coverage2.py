@@ -74,6 +74,37 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_regr",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS r_n,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS r_slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS r_icept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r_r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 4)      AS r_avgx,
+           round(regr_avgy(l_extendedprice, l_quantity), 4)      AS r_avgy
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    tags=("agg", "stats", "regr"),
+)
+def agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (Hive GenericUDAFBinarySet
+    regr_* registrations — SURVEY.md §2.C): slope/intercept/R²/avgs of
+    price on quantity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_linestatus").agg(
+        F.regr_count(y, x).alias("r_n"),
+        F.round(F.regr_slope(y, x), 4).alias("r_slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("r_icept"),
+        F.round(F.regr_r2(y, x), 6).alias("r_r2"),
+        F.round(F.regr_avgx(y, x), 4).alias("r_avgx"),
+        F.round(F.regr_avgy(y, x), 4).alias("r_avgy"),
+    )
+
+
 @register("fn_datetime_misc", tags=("functions", "datetime", "no_oracle"))
 def fn_datetime_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only sweep of date/time functions DuckDB can't mirror 1:1:

@@ -55,6 +55,10 @@ def get_session(
         # scale; AQE coalesces small ones back together.
         "spark.sql.files.maxPartitionBytes": "256m",
         "spark.sql.parquet.filterPushdown": "true",
+        # CBO join reordering kicks in once tables carry ANALYZE stats
+        # (ddl.analyze) — Hive's CalcitePlanner cost path (SURVEY.md §4.2).
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
     }
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
