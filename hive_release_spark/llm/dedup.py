@@ -186,29 +186,40 @@ def minhash_lsh_pairs(
     without the all-pairs shingle join on non-similar docs."""
     rows = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    # bucket key = xxhash64(band-slice); band id mixed in so buckets from
+    # different bands never collide into one group
     band_cols = F.array(
         *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(*[F.element_at("sig", bi * rows + j + 1) for j in range(rows)]).alias(
-                    "bucket"
-                ),
+            F.xxhash64(
+                F.lit(bi),
+                *[F.element_at("sig", bi * rows + j + 1) for j in range(rows)],
             )
             for bi in range(bands)
         ]
     )
-    banded = sig.select("doc_id", F.explode(band_cols).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    banded = sig.select("doc_id", F.explode(band_cols).alias("bucket"))
+    # postings-list pair emission (same shape as jaccard_pairs): ONE
+    # shuffle on the bucket, no self-join — a join would recompute the
+    # whole signature pipeline (scan→shingle→explode→groupBy) per side.
+    postings = banded.groupBy("bucket").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("docs")
     )
-    x, y = banded.alias("x"), banded.alias("y")
     candidates = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        postings.filter(F.size("docs") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("docs"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
     # verify candidates with exact jaccard on shingle sets
