@@ -105,6 +105,34 @@ def agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fn_numeric_repr",
+    oracle="""
+    SELECT p_partkey,
+           bin(p_size)                         AS b,
+           hex(p_size)                         AS h,
+           to_base(p_partkey % 1000, 16)       AS conv16,
+           CAST(factorial(p_size % 10) AS BIGINT) AS fact,
+           ascii(p_brand)                      AS a
+    FROM part WHERE p_partkey % 7 = 0
+    """,
+    tags=("functions", "numeric"),
+)
+def fn_numeric_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric representation functions with exact cross-engine values:
+    bin/hex/conv/factorial/ascii (Hive UDFBin/UDFHex/UDFConv/
+    UDFFactorial/UDFAscii — SURVEY.md §2.H)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    return p.select(
+        "p_partkey",
+        F.bin(F.col("p_size").cast("long")).alias("b"),
+        F.hex(F.col("p_size").cast("long")).alias("h"),
+        F.conv((F.col("p_partkey") % 1000).cast("string"), 10, 16).alias("conv16"),
+        F.factorial(F.col("p_size") % 10).alias("fact"),
+        F.ascii("p_brand").cast("long").alias("a"),
+    )
+
+
 @register("fn_datetime_misc", tags=("functions", "datetime", "no_oracle"))
 def fn_datetime_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only sweep of date/time functions DuckDB can't mirror 1:1:
