@@ -62,12 +62,19 @@ posexplode positive pow power printf quarter radians rand randn rank reflect
 regexp_extract regexp_replace repeat replace reverse rlike round row_number
 rpad rtrim schema_of_json second sentences sha sha1 sha2 shiftleft shiftright
 shiftrightunsigned sign signum sin size sort_array soundex space split sqrt
-stack stddev stddev_pop stddev_samp str_to_map struct substr substring
+stack stddev_pop stddev_samp str_to_map struct substr substring
 substring_index sum tan to_date to_json to_unix_timestamp to_utc_timestamp
 translate trim trunc ucase unbase64 unhex unix_timestamp upper uuid var_pop
-var_samp variance version weekofyear when xpath xpath_boolean xpath_double
+var_samp version weekofyear when xpath xpath_boolean xpath_double
 xpath_float xpath_int xpath_long xpath_number xpath_short xpath_string year
 """.split()
+# NOT same-name despite existing in Spark (semantic mismatch):
+# - Hive stddev/std/variance are POPULATION forms; Spark's same-named
+#   functions are SAMPLE forms → explicit overrides below.
+# Note: Hive `hash` is ObjectInspectorUtils.hashCode (Java-hashCode
+# based) while Spark `hash` is Murmur3 — values differ across engines.
+# Kept same-name (cross-engine hash stability was never a Hive
+# contract); pipelines needing stable content keys should use md5/sha2.
 
 FUNCTION_REGISTRY: dict[str, object] = {name: _call(name) for name in _SAME_NAME}
 
@@ -102,9 +109,22 @@ def div(a, b) -> Column:
 
 @_register("std")
 def std(col) -> Column:
-    """Hive std = stddev_pop alias family (std/stddev are population in
-    Hive; Spark stddev is sample — mapped explicitly)."""
+    """Hive std = population stddev (GenericUDAFStd)."""
     return F.stddev_pop(_c(col))
+
+
+@_register("stddev")
+def stddev(col) -> Column:
+    """Hive stddev = POPULATION stddev (GenericUDAFStd); Spark's
+    same-named builtin is the SAMPLE form — mapped explicitly."""
+    return F.stddev_pop(_c(col))
+
+
+@_register("variance")
+def variance(col) -> Column:
+    """Hive variance = POPULATION variance (GenericUDAFVariance); Spark's
+    same-named builtin is the SAMPLE form — mapped explicitly."""
+    return F.var_pop(_c(col))
 
 
 @_register("day_of_week")

@@ -35,6 +35,21 @@ def test_same_name_tier_evaluates(spark):
     assert r.cw == "Hello World-Hello World"
 
 
+def test_hive_stddev_variance_are_population_forms(spark):
+    """Hive stddev/variance = population; Spark same-names = sample.
+    The registry must serve Hive semantics."""
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x DOUBLE")
+    r = df.agg(
+        FUNCTION_REGISTRY["stddev"]("x").alias("sd"),
+        FUNCTION_REGISTRY["variance"]("x").alias("v"),
+        FUNCTION_REGISTRY["std"]("x").alias("std"),
+    ).collect()[0]
+    # population variance of {1,2,3} = 2/3; sample would be 1.0
+    assert abs(r.v - 2 / 3) < 1e-12
+    assert abs(r.sd - (2 / 3) ** 0.5) < 1e-12
+    assert r.std == r.sd
+
+
 def test_div_truncates_toward_zero(spark):
     df = spark.createDataFrame([(7, 2), (-7, 2)], "a INT, b INT")
     got = [r.q for r in df.select(FUNCTION_REGISTRY["div"]("a", "b").alias("q")).collect()]
