@@ -223,10 +223,38 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", text.langid_rules("text").alias("predicted"))
 
 
-@register("text_langid_ngram", tags=("llm", "text", "langid", "no_oracle"))
+@register(
+    "text_langid_ngram",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(generate_series(1, length(text)-1),
+                           i -> substring(text, i, 2))) AS bg
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             len(list_intersect(bg, ['th','he','er','va','ue'])) AS s_en,
+             len(list_intersect(bg, ['de','un','ch','ei','ie'])) AS s_de,
+             len(list_intersect(bg, ['le','es','en','qu','re'])) AS s_fr,
+             len(list_intersect(bg, ['el','os','la','de','ue'])) AS s_es
+      FROM g
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+                WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                WHEN s_en >= s_de THEN 'en'
+                ELSE 'de' END AS predicted
+    FROM s
+    """,
+    tags=("llm", "text", "langid"),
+)
 def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-bigram language scorer as an Arrow-batched pandas UDF —
-    the §2.I extension surface (GenericUDF analogue)."""
+    the §2.I extension surface (GenericUDF analogue). Oracle: the same
+    bigram-set-overlap argmax written in SQL (tie-break = lexicographic-
+    largest language, matching Python's max over (score, lang))."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", "lang", text.langid_ngram("text").alias("predicted"))
 
