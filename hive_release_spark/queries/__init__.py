@@ -18,9 +18,85 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 )
 
 
+# The driver's correctness gate records only the FIRST 50 entries of
+# ``queries()`` (dict order).  Round 1 recorded registration order, which
+# left every LLM/streaming/TPC-H-extra query without a driver row.  The
+# window below is chosen so those 47 previously-unrecorded queries come
+# first, topped up with one core representative per SURVEY §2 subsection
+# (§2.A scan: scan_filter_project, agg: q1; §2.B outer join:
+# join_full_outer; §2.D frames: window_rows_frame; §2.F: setop_intersect_all;
+# §2.E top-k stays covered by sim_cosine_topk)
+# so CORRECTNESS_r02 has a green row in every family.  Everything outside
+# the window is still verified locally by tools/check.py.
+DRIVER_WINDOW = [
+    # flagship + core reps (already driver-green in r01; keep fresh rows)
+    "q1_pricing_summary",
+    "scan_filter_project",
+    "join_full_outer",
+    "window_rows_frame",
+    "setop_intersect_all",
+    # §2.L dedup / similarity / text / multimodal (no r01 driver row)
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_cosine_topk",
+    "sim_cosine_topk_arrow",
+    "sim_ann_lsh",
+    "text_quality",
+    "text_langid",
+    "text_langid_ngram",
+    "text_fingerprint",
+    "text_ngrams_top",
+    "text_context_ngrams",
+    "text_token_bpe_regex",
+    "text_normalize",
+    "split_train_eval",
+    "multimodal_meta",
+    "multimodal_features",
+    # §2.K streaming batch-twins (no r01 driver row)
+    "stream_tumbling",
+    "stream_tumbling_live",
+    "stream_sliding",
+    "stream_session",
+    "stream_dedup_first",
+    "stream_static_join",
+    # §2.B/§2.C extras (no r01 driver row)
+    "q4_order_priority",
+    "q10_returned_items",
+    "q18_large_orders",
+    "join_merge_hint",
+    "join_shuffle_hash_hint",
+    "join_unique",
+    "agg_pivot",
+    "agg_regr",
+    "agg_histogram_numeric",
+    "agg_hll_sketch",
+    # §2.D PTF + §2.A/§2.I extension surface (no r01 driver row)
+    "ptf_matchpath",
+    "ptf_apply_in_pandas_zscore",
+    "script_transform",
+    "udtf_python",
+    "udtf_stack",
+    # §2.E sampling + §2.H function extras (no r01 driver row)
+    "sample_fraction",
+    "fn_str_to_map",
+    "fn_parse_url",
+    "fn_string2",
+    "fn_numeric_repr",
+]
+
+
+def _ordered():
+    window = [REGISTRY[n] for n in DRIVER_WINDOW]
+    rest = [q for n, q in REGISTRY.items() if n not in set(DRIVER_WINDOW)]
+    return window + rest
+
+
 def queries():
-    return {name: q.fn for name, q in REGISTRY.items()}
+    return {q.name: q.fn for q in _ordered()}
 
 
 def oracle_sql():
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {q.name: q.oracle for q in _ordered() if q.oracle is not None}
