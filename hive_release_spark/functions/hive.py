@@ -101,10 +101,16 @@ def lcase(col) -> Column:
 @_register("div")
 def div(a, b) -> Column:
     """Hive integer division: `a div b` truncates toward zero (Hive
-    UDFOPLongDivide)."""
-    a, b = _c(a), _c(b)
-    q = a / b
-    return F.when(q >= 0, F.floor(q)).otherwise(F.ceil(q)).cast("long")
+    UDFOPLongDivide — integral domain).
+
+    Uses Spark's exact integral `div`, not floating division: a double
+    round-trip loses precision for |a| > 2^53 (off-by-one quotients).
+    Zero divisor yields NULL (Hive semantics) even under ANSI sessions —
+    the CaseWhen guard keeps the div branch unevaluated on those rows."""
+    a, b = _c(a).cast("long"), _c(b).cast("long")
+    return F.when(b == 0, F.lit(None).cast("long")).otherwise(
+        F.call_function("div", a, b)
+    )
 
 
 @_register("std")

@@ -54,14 +54,18 @@ def shingles(w: F.Column, n: int = 3) -> F.Column:
     IMPORTANT: pass a *materialized array column* (an attribute), not an
     inline ``split(...)`` expression — this expression references ``w``
     once per shingle element, so an inline split would be re-evaluated
-    hundreds of times per row (measured 10× slowdown at sf0.1)."""
+    hundreds of times per row (measured 10× slowdown at sf0.1).
+
+    Documents with fewer than ``n`` tokens yield an EMPTY shingle array:
+    ``sequence(0, size(w)-n)`` would otherwise descend (e.g. [0, -1]) and
+    ``element_at(w, 0)`` aborts the job (and DuckDB's ``generate_series``
+    oracle yields empty there — this keeps engine and oracle aligned)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+    )
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(w, i + j + 1) for j in range(n)]
-            ),
-        )
+        F.when(F.size(w) >= n, grams).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
     )
 
 

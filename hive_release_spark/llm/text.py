@@ -53,9 +53,15 @@ def bigrams(text: Column | str) -> Column:
     """Hive ``ngrams(sentences(...), 2, k)`` analogue: the bigram array,
     built with higher-order functions (no UDF)."""
     w = tokens(text)
-    return F.transform(
+    grams = F.transform(
         F.sequence(F.lit(0), F.size(w) - 2),
         lambda i: F.concat(F.element_at(w, i + 1), F.lit(" "), F.element_at(w, i + 2)),
+    )
+    # single-token docs: sequence(0, -1) would DESCEND and element_at(w, 0)
+    # aborts the job — emit an empty bigram array instead (matches the
+    # DuckDB generate_series oracle behavior)
+    return F.when(F.size(w) >= 2, grams).otherwise(
+        F.expr("CAST(array() AS ARRAY<STRING>)")
     )
 
 

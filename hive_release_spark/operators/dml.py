@@ -40,25 +40,91 @@ def _rewrite(spark: SparkSession, path: str, transform) -> None:
     shutil.rmtree(old)
 
 
+def _partition_dirname(col: str, value) -> str:
+    """Hive-style partition directory component (``col=value``)."""
+    if value is None:
+        return f"{col}=__HIVE_DEFAULT_PARTITION__"
+    return f"{col}={value}"
+
+
+def _rewrite_partitions(
+    spark: SparkSession,
+    path: str,
+    transform,
+    partition_filter: Column,
+    partition_cols: list[str],
+) -> None:
+    """Partition-scoped copy-on-write (SCALE.md cliff #4): only partitions
+    matching ``partition_filter`` are read, rewritten, and swapped; every
+    other partition directory is untouched (identical files and mtimes).
+    Catalyst prunes the scan to the affected partitions, so at 100 TB a
+    DELETE on one day touches one day's files, not the table."""
+    df = spark.read.parquet(path)
+    affected = df.filter(partition_filter)
+    parts = affected.select(*partition_cols).distinct().collect()
+    out = transform(affected)
+    staged = f"{path}.__staged_{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(staged)
+    try:
+        for row in parts:
+            rel = os.path.join(
+                *(_partition_dirname(c, row[c]) for c in partition_cols)
+            )
+            old_dir = os.path.join(path, rel)
+            new_dir = os.path.join(staged, rel)
+            if os.path.exists(old_dir):
+                shutil.rmtree(old_dir)
+            if os.path.exists(new_dir):
+                # absent when the rewrite emptied the partition (full delete)
+                os.makedirs(os.path.dirname(old_dir), exist_ok=True)
+                os.rename(new_dir, old_dir)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+
+
 def update_table(
     spark: SparkSession,
     path: str,
     assignments: dict[str, Column],
     where: Column,
+    partition_filter: Column | None = None,
+    partition_cols: list[str] | None = None,
 ) -> None:
-    """UPDATE t SET col = expr, ... WHERE cond."""
+    """UPDATE t SET col = expr, ... WHERE cond.
+
+    With ``partition_filter`` (a predicate over ``partition_cols`` only),
+    the copy-on-write rewrite is scoped to the matching partitions; rows in
+    other partitions are untouched without being read or rewritten."""
 
     def tr(df: DataFrame) -> DataFrame:
         for col, expr in assignments.items():
             df = df.withColumn(col, F.when(where, expr).otherwise(F.col(col)))
         return df
 
-    _rewrite(spark, path, tr)
+    if partition_filter is not None:
+        if not partition_cols:
+            raise ValueError("partition_filter requires partition_cols")
+        _rewrite_partitions(spark, path, tr, partition_filter, partition_cols)
+    else:
+        _rewrite(spark, path, tr)
 
 
-def delete_from(spark: SparkSession, path: str, where: Column) -> None:
-    """DELETE FROM t WHERE cond."""
-    _rewrite(spark, path, lambda df: df.filter(~where | where.isNull()))
+def delete_from(
+    spark: SparkSession,
+    path: str,
+    where: Column,
+    partition_filter: Column | None = None,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """DELETE FROM t WHERE cond (partition-scoped when ``partition_filter``
+    is given — see :func:`update_table`)."""
+    tr = lambda df: df.filter(~where | where.isNull())  # noqa: E731
+    if partition_filter is not None:
+        if not partition_cols:
+            raise ValueError("partition_filter requires partition_cols")
+        _rewrite_partitions(spark, path, tr, partition_filter, partition_cols)
+    else:
+        _rewrite(spark, path, tr)
 
 
 def merge_into(
@@ -74,43 +140,53 @@ def merge_into(
     [WHEN MATCHED AND cond THEN DELETE] [WHEN MATCHED THEN UPDATE SET ...]
     [WHEN NOT MATCHED THEN INSERT].
 
-    Implemented as a full outer join rewrite; update expressions may
-    reference source columns via the ``src`` prefix (``F.col("src.x")``).
+    Implemented as a full outer join rewrite; update/delete expressions may
+    reference both sides via aliases (``F.col("src.x")``, ``F.col("tgt.x")``).
+
+    Matched/not-matched detection uses sentinel marker columns added to each
+    side before the join, never the nullness of data columns — a nullable
+    data column that is NULL on a matched row must not flip the row into the
+    insert branch (silent corruption otherwise).
     """
     src_cols = source.columns
 
     def tr(df: DataFrame) -> DataFrame:
+        for sentinel in ("__tgt_m", "__src_m"):
+            if sentinel in df.columns or sentinel in src_cols:
+                raise ValueError(f"column name {sentinel!r} is reserved by MERGE")
         # cardinality check: each target row may match at most one source row
         dup = source.groupBy(*on).count().filter(F.col("count") > 1).limit(1)
         if dup.count() > 0:
             raise ValueError("MERGE cardinality violation: source has duplicate keys")
-        tgt = df.alias("tgt")
-        src = source.alias("src")
+        tgt = df.withColumn("__tgt_m", F.lit(1)).alias("tgt")
+        src = source.withColumn("__src_m", F.lit(1)).alias("src")
         joined = tgt.join(src, on, "full_outer")
-        matched = F.col(f"tgt.{df.columns[0]}").isNotNull() & F.col(
-            f"src.{src_cols[0]}"
-        ).isNotNull()
+        matched = F.col("__tgt_m").isNotNull() & F.col("__src_m").isNotNull()
+        src_only = F.col("__tgt_m").isNull()
+
+        # WHEN MATCHED AND cond THEN DELETE — cond sees tgt.* and src.* on
+        # the joined frame; NULL cond keeps the row (SQL three-valued AND).
+        if matched_delete is not None:
+            joined = joined.filter(
+                ~F.coalesce(matched & matched_delete, F.lit(False))
+            )
+        if not not_matched_insert:
+            joined = joined.filter(~src_only)
+
         out_cols = []
         for c in df.columns:
+            if c in on:
+                # using-join coalesces key columns; correct for both the
+                # surviving-target and inserted-source rows
+                out_cols.append(F.col(c).alias(c))
+                continue
             col = F.col(f"tgt.{c}")
             if matched_update and c in matched_update:
                 col = F.when(matched, matched_update[c]).otherwise(col)
             if not_matched_insert and c in src_cols:
-                col = F.when(
-                    F.col(f"tgt.{df.columns[0]}").isNull(), F.col(f"src.{c}")
-                ).otherwise(col)
+                col = F.when(src_only, F.col(f"src.{c}")).otherwise(col)
             out_cols.append(col.alias(c))
-        result = joined.select(*out_cols)
-        if matched_delete is not None:
-            keep_keys = (
-                tgt.join(src, on, "left_semi").filter(matched_delete).select(*on).distinct()
-            )
-            result = result.join(keep_keys, on, "left_anti")
-        if not not_matched_insert:
-            result = result.join(source.select(*on).distinct(), on, "left_semi").union(
-                df.join(source.select(*on).distinct(), on, "left_anti")
-            )
-        return result
+        return joined.select(*out_cols)
 
     _rewrite(spark, target_path, tr)
 

@@ -29,7 +29,15 @@ def salted_join(
     keys scattered over ``n_salts`` partitions.
 
     The small side is replicated n_salts× (explode), so keep it
-    broadcast-sized × n_salts. Result equals a plain join exactly."""
+    broadcast-sized × n_salts. Result equals a plain join exactly for
+    ``how`` in {inner, left, left_semi, left_anti} — the replication is
+    invisible from the big side. Right/full outer are REJECTED: each
+    unmatched small-side row would surface once per salt replica."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
+            "unmatched small-side rows would appear once per salt replica"
+        )
     salted_big = big.withColumn(
         "__salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     )

@@ -79,3 +79,122 @@ def test_insert_into_append(spark, table):
     rows = spark.createDataFrame([(9, "z", 90.0)], "id BIGINT, name STRING, val DOUBLE")
     dml.insert_into(spark, table, rows)
     assert spark.read.parquet(table).count() == 5
+
+@pytest.fixture()
+def nullable_first_col_table(spark, tmp_path):
+    """First column nullable and NULL on a matched row — the ADVICE r01
+    regression: matched-detection must not key off data-column nullness."""
+    path = str(tmp_path / "t_null")
+    spark.createDataFrame(
+        [(None, 1, 10.0), ("b", 2, 20.0)], "note STRING, id BIGINT, val DOUBLE"
+    ).write.parquet(path)
+    return path
+
+
+def test_merge_matched_row_with_null_first_column_updates(spark, nullable_first_col_table):
+    source = spark.createDataFrame(
+        [(1, 99.0), (3, 30.0)], "id BIGINT, val DOUBLE"
+    )
+    dml.merge_into(
+        spark,
+        nullable_first_col_table,
+        source,
+        on=["id"],
+        matched_update={"val": F.col("src.val")},
+        not_matched_insert=True,
+    )
+    got = {r.id: (r.note, r.val) for r in spark.read.parquet(nullable_first_col_table).collect()}
+    # id=1 matched (despite NULL note): updated, note preserved, NOT re-inserted
+    assert got[1] == (None, 99.0)
+    assert got[2] == ("b", 20.0)
+    # id=3 inserted; note not in source -> NULL
+    assert got[3] == (None, 30.0)
+    assert len(got) == 3
+
+
+def test_merge_matched_delete_referencing_source_columns(spark, table):
+    """Canonical CDC MERGE: WHEN MATCHED AND src.op='D' THEN DELETE."""
+    source = spark.createDataFrame(
+        [(1, "D", 0.0), (2, "U", 99.0), (5, "I", 50.0)],
+        "id BIGINT, op STRING, val DOUBLE",
+    )
+    dml.merge_into(
+        spark,
+        table,
+        source,
+        on=["id"],
+        matched_update={"val": F.col("src.val")},
+        matched_delete=F.col("src.op") == "D",
+        not_matched_insert=True,
+    )
+    got = {r.id: r.val for r in spark.read.parquet(table).collect()}
+    assert 1 not in got            # deleted via src.op = 'D'
+    assert got[2] == 99.0          # updated
+    assert got[3] == 30.0 and got[4] == 40.0
+    assert got[5] == 50.0          # inserted (op column not in target schema)
+
+
+def test_merge_no_insert_drops_source_only_rows(spark, table):
+    source = spark.createDataFrame([(2, "B", 99.0), (7, "x", 1.0)],
+                                   "id BIGINT, name STRING, val DOUBLE")
+    dml.merge_into(
+        spark, table, source, on=["id"],
+        matched_update={"val": F.col("src.val")}, not_matched_insert=False,
+    )
+    got = {r.id: r.val for r in spark.read.parquet(table).collect()}
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
+
+def test_partition_scoped_delete_leaves_other_partitions_untouched(spark, tmp_path):
+    """SCALE.md cliff #4: DELETE with a partition predicate must rewrite only
+    the affected partition directory — untouched partitions keep byte-identical
+    files and mtimes."""
+    import os
+
+    path = str(tmp_path / "part_t")
+    spark.createDataFrame(
+        [("2026-01-01", 1, 10.0), ("2026-01-01", 2, 20.0),
+         ("2026-01-02", 3, 30.0), ("2026-01-02", 4, 40.0)],
+        "dt STRING, id BIGINT, val DOUBLE",
+    ).write.partitionBy("dt").parquet(path)
+
+    def snapshot(day):
+        d = os.path.join(path, f"dt={day}")
+        return {
+            f: (os.path.getmtime(os.path.join(d, f)), open(os.path.join(d, f), "rb").read())
+            for f in sorted(os.listdir(d)) if not f.startswith(".")
+        }
+
+    before_day2 = snapshot("2026-01-02")
+    dml.delete_from(
+        spark, path, F.col("id") == 1,
+        partition_filter=F.col("dt") == "2026-01-01", partition_cols=["dt"],
+    )
+    # partition-dir type inference reads dt back as DATE; compare as strings
+    got = sorted((str(r.dt), r.id) for r in spark.read.parquet(path).collect())
+    assert got == [("2026-01-01", 2), ("2026-01-02", 3), ("2026-01-02", 4)]
+    assert snapshot("2026-01-02") == before_day2
+
+
+def test_partition_scoped_update_and_full_partition_delete(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "part_t2")
+    spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0)],
+        "grp STRING, id BIGINT, val DOUBLE",
+    ).write.partitionBy("grp").parquet(path)
+
+    dml.update_table(
+        spark, path, {"val": F.col("val") + 1}, F.col("id") == 1,
+        partition_filter=F.col("grp") == "a", partition_cols=["grp"],
+    )
+    got = {r.id: r.val for r in spark.read.parquet(path).collect()}
+    assert got == {1: 11.0, 2: 20.0, 3: 30.0}
+
+    # deleting every row of partition b removes its directory
+    dml.delete_from(
+        spark, path, F.lit(True),
+        partition_filter=F.col("grp") == "b", partition_cols=["grp"],
+    )
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == [1, 2]
+    assert not os.path.exists(os.path.join(path, "grp=b"))

@@ -3,10 +3,11 @@ approximate operators validated against their exact baselines."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
-from hive_release_spark.llm import dedup, multimodal, similarity
+from hive_release_spark.llm import dedup, multimodal, similarity, text
 from tests.conftest import SF_SMOKE
 
 
@@ -68,3 +69,43 @@ def test_multimodal_features_deterministic_schema(spark):
     rows2 = feats.orderBy("asset_id").limit(3).collect()
     assert rows == rows2
     assert all(64 <= r.width < 256 and 64 <= r.height < 256 for r in rows)
+
+class TestShortDocGuards:
+    """ADVICE r01: docs with fewer tokens than the shingle width crashed
+    the whole job (descending sequence → element_at index 0). Short docs
+    must instead contribute empty shingle/bigram arrays."""
+
+    @pytest.fixture()
+    def corpus_with_short_docs(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "hi"),            # 1 token < n=3
+            (4, ""),              # empty text
+            (5, "two tokens"),    # 2 tokens < n=3
+        ]
+        return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    def test_jaccard_pairs_survives_short_docs(self, corpus_with_short_docs):
+        got = dedup.jaccard_pairs(corpus_with_short_docs, n=3, threshold=0.5).collect()
+        assert [(r.doc_a, r.doc_b) for r in got] == [(1, 2)]
+
+    def test_minhash_lsh_survives_short_docs(self, corpus_with_short_docs):
+        got = dedup.minhash_lsh_pairs(
+            corpus_with_short_docs, n=3, threshold=0.5
+        ).collect()
+        assert [(r.doc_a, r.doc_b) for r in got] == [(1, 2)]
+
+    def test_top_ngrams_survives_single_token_docs(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "x")], "doc_id BIGINT, text STRING"
+        )
+        got = {r.ngram for r in text.top_ngrams(df).collect()}
+        assert got == {"a b", "b c"}
+
+    def test_shingles_empty_for_short_docs(self, spark):
+        df = spark.createDataFrame([(1, "one two")], "doc_id BIGINT, text STRING")
+        out = df.select(
+            dedup.shingles(text.tokens(F.col("text")), 3).alias("sh")
+        ).collect()
+        assert out[0].sh == []

@@ -13,14 +13,40 @@ from hive_release_spark.operators.skew import salted_join
 SMALL = {"max_examples": 8, "deadline": None}  # Spark jobs are not cheap
 
 
-@given(st.lists(st.tuples(st.integers(-10**6, 10**6), st.integers(1, 50)), min_size=1, max_size=30))
+_LONG62 = st.integers(-(2**62), 2**62)
+
+
+@given(
+    st.lists(
+        st.tuples(_LONG62, st.one_of(st.integers(1, 50), _LONG62.filter(lambda x: x != 0))),
+        min_size=1,
+        max_size=30,
+    )
+)
 @settings(**SMALL)
 def test_div_truncates_toward_zero_property(spark, pairs):
+    """Hive UDFOPLongDivide is EXACT long division — ±2^62 operands catch
+    any double round-trip (doubles lose integers above 2^53)."""
     df = spark.createDataFrame(pairs, "a LONG, b LONG")
     got = df.select("a", "b", FUNCTION_REGISTRY["div"]("a", "b").alias("q")).collect()
     for r in got:
-        expect = int(r.a / r.b)  # Python int() truncates toward zero
+        q, rem = divmod(r.a, r.b)
+        expect = q + 1 if q < 0 and rem != 0 else q  # truncate toward zero
         assert r.q == expect, (r.a, r.b, r.q, expect)
+
+
+def test_div_zero_divisor_is_null(spark):
+    df = spark.createDataFrame([(7, 0), (7, 2)], "a LONG, b LONG")
+    got = {r.b: r.q for r in df.select("b", FUNCTION_REGISTRY["div"]("a", "b").alias("q")).collect()}
+    assert got == {0: None, 2: 3}
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 1)], "k INT, v INT")
+    with pytest.raises(ValueError, match="salt replica"):
+        salted_join(df, df, on="k", how="full_outer")
 
 
 @given(st.lists(st.text(alphabet="ab XY19#", min_size=0, max_size=12), min_size=1, max_size=20))
