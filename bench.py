@@ -35,6 +35,8 @@ HEADLINE = (
     "dedup_jaccard_pairs",     # inverted-index self-join
     "sim_cosine_topk",         # vector ops + window rank
     "dedup_minhash_lsh",       # signature + banded join
+    "q18_large_orders",        # double agg + semi-join (join-heavy shape)
+    "stream_session",          # session-window stateful shape (batch twin)
 )
 
 

@@ -153,6 +153,37 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _shingle_sig_base(
+    docs: DataFrame,
+    num_hashes: int,
+    n: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(doc_id, sh, sig): shingle set AND MinHash signature in ONE corpus
+    pass with NO shuffle — h_i = array_min(xxhash64(i, xxhash64(shingle)))
+    via higher-order functions instead of explode→groupBy. Keeping ``sh``
+    in the same frame lets LSH verify candidates without re-scanning and
+    re-shingling the corpus (the r01 3×-scan defect).
+
+    Docs with no shingles (shorter than ``n`` tokens) are dropped — they
+    can never reach the Jaccard threshold and would otherwise all collide
+    into one NULL-signature bucket."""
+    sh = _doc_shingles(docs, n, id_col, text_col).filter(F.size("sh") > 0)
+    # sh_h materialized as its own attribute: hash each shingle string ONCE,
+    # not once per hash function (expression-reuse trap, see shingles()).
+    hashed = sh.select(
+        "doc_id", "sh", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh_h")
+    )
+    sig = F.array(
+        *[
+            F.array_min(F.transform("sh_h", lambda h: F.xxhash64(F.lit(i), h)))
+            for i in range(num_hashes)
+        ]
+    )
+    return hashed.select("doc_id", "sh", sig.alias("sig"))
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 32,
@@ -161,15 +192,10 @@ def minhash_signatures(
     text_col: str = "text",
 ) -> DataFrame:
     """Per-doc MinHash signature: h_i = min over shingles of
-    xxhash64(i, shingle). xxhash64 is a Spark built-in (JVM-side) — the
-    whole signature computation is one explode + one groupBy."""
-    ex = _exploded_shingles(docs, n, id_col, text_col)
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("s_h"))).alias(f"h{i}") for i in range(num_hashes)
-    ]
-    sig = ex.groupBy("doc_id").agg(*mins)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    xxhash64(i, xxhash64(shingle)) — all JVM-side builtins, zero shuffles
+    (signatures are per-row array folds, not an explode + groupBy)."""
+    return _shingle_sig_base(docs, num_hashes, n, id_col, text_col).select(
+        "doc_id", "sig"
     )
 
 
@@ -187,9 +213,20 @@ def minhash_lsh_pairs(
     ``bands`` bands of ``num_hashes/bands`` rows: docs sharing any band
     bucket become candidates (P[candidate] ≈ 1-(1-j^r)^b). Candidates are
     then verified with exact Jaccard — output matches ``jaccard_pairs`` but
-    without the all-pairs shingle join on non-similar docs."""
+    without the all-pairs shingle join on non-similar docs.
+
+    The corpus is scanned ONCE: shingles + signatures come from one
+    persisted base frame (MEMORY_AND_DISK) reused by the banding stage and
+    both sides of the verify join. Without the persist, Spark recomputes
+    the scan→tokenize→shingle lineage per consumer — at 100 TB that is the
+    difference between one read and three. The persist is released by
+    Spark's ContextCleaner when the result frame is garbage-collected."""
+    from pyspark import StorageLevel
+
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    base = _shingle_sig_base(docs, num_hashes, n, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # bucket key = xxhash64(band-slice); band id mixed in so buckets from
     # different bands never collide into one group
     band_cols = F.array(
@@ -201,7 +238,7 @@ def minhash_lsh_pairs(
             for bi in range(bands)
         ]
     )
-    banded = sig.select("doc_id", F.explode(band_cols).alias("bucket"))
+    banded = base.select("doc_id", F.explode(band_cols).alias("bucket"))
     # postings-list pair emission (same shape as jaccard_pairs): ONE
     # shuffle on the bucket, no self-join — a join would recompute the
     # whole signature pipeline (scan→shingle→explode→groupBy) per side.
@@ -226,10 +263,10 @@ def minhash_lsh_pairs(
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with exact jaccard on shingle sets
-    sh = _doc_shingles(docs, n, id_col, text_col)
-    va = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    vb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # verify candidates with exact jaccard on shingle sets — projections of
+    # the SAME persisted base, not a fresh corpus scan per side
+    va = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    vb = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
         candidates.join(va, "doc_a")
         .join(vb, "doc_b")
@@ -286,7 +323,14 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into 4×16-bit
     chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal; wider max_hamming
-    trades recall), join bucket-mates, verify with bit_count(xor)."""
+    trades recall), pair bucket-mates, verify with bit_count(xor).
+
+    Same postings-list shape as ``jaccard_pairs``/``minhash_lsh_pairs``:
+    ONE shuffle on the (chunk, value) bucket, pair generation inline over
+    the postings list (signatures travel WITH the postings — no join back),
+    Hamming-filtered BEFORE the distinct so only surviving pairs shuffle.
+    A self-join here would recompute the whole scan→tokenize→64-bit-sums
+    signature pipeline once per side."""
     sig = simhash(docs, id_col, text_col)
     chunks = F.array(
         *[
@@ -300,19 +344,32 @@ def simhash_pairs(
     banded = sig.select("doc_id", "simhash", F.explode(chunks).alias("c")).select(
         "doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.v").alias("v")
     )
-    x, y = banded.alias("x"), banded.alias("y")
+    # postings list per bucket; sort_array over (doc_id, simhash) structs
+    # orders by doc_id, so inline pairs are emitted with doc_a < doc_b
+    postings = banded.groupBy("chunk", "v").agg(
+        F.sort_array(F.collect_set(F.struct("doc_id", "simhash"))).alias("docs")
+    )
+    pairs = postings.filter(F.size("docs") > 1).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("docs"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                        lambda y: F.struct(
+                            x["doc_id"].alias("doc_a"),
+                            y["doc_id"].alias("doc_b"),
+                            F.bit_count(
+                                x["simhash"].bitwiseXOR(y["simhash"])
+                            ).alias("hamming"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     return (
-        x.join(
-            y,
-            (F.col("x.chunk") == F.col("y.chunk"))
-            & (F.col("x.v") == F.col("y.v"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
-        )
-        .distinct()
+        pairs.select("p.doc_a", "p.doc_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -112,3 +112,32 @@ def test_small_file_compaction(spark, tmp_path):
     spark.read.parquet(p).coalesce(2).write.parquet(compacted)
     assert len(glob.glob(f"{compacted}/part-*")) <= 2
     assert spark.read.parquet(compacted).count() == 100
+
+def test_simhash_pairs_plan_has_no_self_join(spark):
+    """SimHash near-dup uses the postings-list shape (r01 VERDICT #3): the
+    signature pipeline is computed once and pairs are generated inline per
+    bucket — no join of two full signature pipelines, one shuffle on the
+    (chunk, value) bucket plus the final distinct."""
+    from hive_release_spark.llm import dedup
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(dedup.simhash_pairs(docs), mode="simple")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 3, plan
+
+
+def test_minhash_lsh_reuses_persisted_base(spark):
+    """MinHash-LSH scans + shingles the corpus ONCE (r01 VERDICT #2): the
+    shingle+signature base is persisted and reused by banding and both
+    verify sides — the plan shows in-memory table scans, and at most one
+    parquet scan of documents."""
+    from hive_release_spark.llm import dedup
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+    plan = _plan(df, mode="simple")
+    # all three consumers (banding, verify-a, verify-b) read the cache;
+    # the parquet scan inside each InMemoryRelation printout is the cache's
+    # fill plan, which executes once
+    assert plan.count("InMemoryTableScan") >= 3, plan
