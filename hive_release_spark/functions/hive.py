@@ -25,6 +25,7 @@ Hive ``CREATE MACRO`` maps to plain Python functions returning Columns;
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under PEP 563
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -193,14 +194,156 @@ def mask_show_last_n(col, n: int = 4) -> Column:
 # ---------------------------------------------------------------------------
 
 
+# Above this many lines, in_file stops inlining a literal array (plan
+# bloat: a 100k-line file would become a 100k-element expression) and
+# ships the line set as a Spark broadcast variable instead.
+_IN_FILE_LITERAL_MAX = 1000
+
+
 @_register("in_file")
 def in_file(col, filename: str) -> Column:
     """Hive GenericUDFInFile: true if the value equals any line of the
-    file. The file is read once driver-side and shipped as a broadcast
-    literal array (same distribution model as Hive's map-side file load)."""
+    file (same distribution model as Hive's map-side file load).
+
+    Small files (≤ {max} lines) inline a literal array — pure JVM,
+    codegen'd. Larger files ship the line set ONCE per executor as a
+    Spark broadcast variable checked by an Arrow-batched pandas UDF —
+    constant plan size regardless of file length. For filter contexts
+    prefer :func:`in_file_filter`, whose broadcast semi-join stays fully
+    JVM-side.""".format(max=_IN_FILE_LITERAL_MAX)
     with open(filename) as f:
         lines = [line.rstrip("\n") for line in f]
-    return F.array_contains(F.array(*[F.lit(x) for x in lines]), _c(col))
+    if len(lines) <= _IN_FILE_LITERAL_MAX:
+        return F.array_contains(F.array(*[F.lit(x) for x in lines]), _c(col))
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    spark = SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast(frozenset(lines))
+
+    @pandas_udf(BooleanType())
+    def _in_broadcast_set(s: pd.Series) -> pd.Series:
+        return s.isin(bc.value)
+
+    return _in_broadcast_set(_c(col))
+
+
+def in_file_filter(df, col, filename: str, negate: bool = False):
+    """Relational form of ``in_file`` for the common ``WHERE
+    in_file(c, f)`` case: broadcast left-semi (or left-anti) join against
+    the file's lines — the plan a 100 TB scan wants (no literal, no
+    Python; the file side is a broadcast hash relation)."""
+    spark = df.sparkSession
+    with open(filename) as f:
+        lines = [(line.rstrip("\n"),) for line in f]
+    needles = spark.createDataFrame(lines, "__in_file_line STRING").distinct()
+    cond = _c(col) == F.col("__in_file_line")
+    how = "left_anti" if negate else "left_semi"
+    return df.join(F.broadcast(needles), cond, how)
+
+
+# ---------------------------------------------------------------------------
+# bloom_filter / in_bloom_filter (Hive GenericUDAFBloomFilter /
+# GenericUDFInBloomFilter — SURVEY.md §2.C). Spark covers the *runtime
+# filtering* role with spark.sql.optimizer.runtime.bloomFilter, but a user
+# porting `SELECT ... WHERE in_bloom_filter(x, bf)` needs the callable pair.
+# Expression-composed: deterministic double hashing (h1 + i*h2 over
+# xxhash64), bit_or aggregation over 64-bit words — all JVM-side builtins,
+# map-side partial aggregation, no Python, no RNG.
+# ---------------------------------------------------------------------------
+
+
+def bloom_params(expected_entries: int, fpp: float = 0.05) -> tuple[int, int]:
+    """Standard sizing: m = -n·ln(p)/ln2², k = m/n·ln2 (same formulas as
+    Hive's BloomFilter.optimalNumOfBits/optimalNumOfHashFunctions)."""
+    import math
+
+    m = max(64, math.ceil(-expected_entries * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64  # whole 64-bit words
+    k = max(1, round(m / expected_entries * math.log(2)))
+    return m, k
+
+
+def _bloom_positions(col, m: int, k: int) -> list[Column]:
+    """k bit positions per value. All arithmetic is done mod m BEFORE the
+    multiply-add so it can never overflow a long even under ANSI sessions
+    (xxhash64 spans the full long range)."""
+    c = _c(col)
+    h1 = F.pmod(F.xxhash64(c), F.lit(m))
+    h2 = F.pmod(F.xxhash64(F.lit(1), c), F.lit(m))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]
+
+
+def bloom_filter_build(
+    df, col, expected_entries: int = 10000, fpp: float = 0.05
+) -> dict:
+    """Aggregate a column into a bloom filter: the Hive
+    ``bloom_filter(x, n)`` UDAF role. Returns ``{"m", "k", "words"}`` with
+    the bitset as a sparse {word_index: 64-bit word} dict, fetched to the
+    driver exactly like Hive returns the serialized filter to its client.
+    The heavy lifting (k-position explode → bit_or per word) is
+    distributed with map-side partial aggregation; only ~m/64 final words
+    ever reach the driver."""
+    m, k = bloom_params(expected_entries, fpp)
+    pos = F.array(*_bloom_positions(col, m, k))
+    words = (
+        df.select(F.explode(pos).alias("bit"))
+        .select(
+            (F.col("bit") / 64).cast("int").alias("w"),
+            # call_function: the python shiftleft wrapper only takes a
+            # literal int shift, the SQL function takes a column
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.pmod(F.col("bit"), F.lit(64)).cast("int")
+            ).alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    return {"m": m, "k": k, "words": {r.w: r.bits for r in words}}
+
+
+@_register("in_bloom_filter")
+def in_bloom_filter(col, bloom: dict) -> Column:
+    """Hive GenericUDFInBloomFilter: membership probe against a filter
+    built by :func:`bloom_filter_build`. No false negatives; false-positive
+    rate ≈ the build's fpp. The bitset rides in the plan as one literal
+    array of m/64 longs (e.g. 98 longs for n=1000 @ 5%)."""
+    m, k = bloom["m"], bloom["k"]
+    words = bloom["words"]
+    arr = F.array(
+        *[F.lit(words.get(i, 0)).cast("long") for i in range(m // 64)]
+    )
+    checks = []
+    for p in _bloom_positions(col, m, k):
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int")
+        )
+        checks.append(word.bitwiseAND(mask) != 0)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+@_register("bloom_filter")
+def bloom_filter(*_args, **_kwargs):
+    """Hive registers bloom_filter as a UDAF; a Column expression cannot
+    aggregate, so the engine exposes the build step as the DataFrame-level
+    :func:`bloom_filter_build` (same parameters, same filter semantics).
+    This stub exists so a ported query fails with directions, not a
+    missing-function error."""
+    raise NotImplementedError(
+        "bloom_filter is an aggregate: use "
+        "hive_release_spark.functions.hive.bloom_filter_build(df, col, "
+        "expected_entries, fpp), then in_bloom_filter(col, built_filter). "
+        "For runtime join filtering, Spark's "
+        "spark.sql.optimizer.runtime.bloomFilter.enabled covers the "
+        "optimizer role automatically."
+    )
 
 
 @_register("replicate_rows")

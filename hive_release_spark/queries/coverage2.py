@@ -190,3 +190,27 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs d, LATERAL hrs_first_tokens(d.text) t
         """
     )
+
+
+@register("agg_bloom_filter", tags=("agg", "sketch", "bloom", "no_oracle"))
+def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive bloom_filter/in_bloom_filter UDAF+UDF pair (SURVEY.md §2.C,
+    GenericUDAFBloomFilter): build a filter over the urgent-order customer
+    keys, probe every customer. Expression-composed (xxhash64 double
+    hashing + bit_or words) — deterministic, JVM-side, map-side partial
+    agg. Sketch membership is engine-specific → rows-only; the exact
+    no-false-negative / fpp-bound properties are pinned in
+    tests/test_sketches.py."""
+    from hive_release_spark.functions.hive import bloom_filter_build, in_bloom_filter
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    bf = bloom_filter_build(orders, "o_custkey", expected_entries=2000, fpp=0.03)
+    return cust.select(
+        "c_custkey", in_bloom_filter(F.col("c_custkey"), bf).alias("maybe")
+    ).agg(
+        F.count("*").alias("n_cust"),
+        F.sum(F.col("maybe").cast("long")).alias("n_maybe"),
+    )

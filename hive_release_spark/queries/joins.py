@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table, register_views
+from hive_release_spark.operators.hints import maybe_broadcast
 from hive_release_spark.queries.registry import register
 
 
@@ -85,13 +86,15 @@ def join_broadcast_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join → agg → top-k. customer broadcasts into
-    orders; orders⋈lineitem shuffles on orderkey."""
+    orders when it fits the session threshold (size-conditional — at 100×
+    scale it degrades to sort-merge instead of OOMing the executors);
+    orders⋈lineitem shuffles on orderkey."""
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -124,9 +127,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "multiway", "flagship"),
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way snowflake join. All dims broadcast; the only
-    shuffles are lineitem⋈orders (on orderkey) and the final agg — the plan
-    a 1000-executor cluster wants."""
+    """TPC-H Q5 shape: 6-way snowflake join. Fixed-size dims
+    (nation/region) broadcast unconditionally; SF-scaling dims
+    (customer/supplier) broadcast size-conditionally. The only shuffles are
+    lineitem⋈orders (on orderkey) and the final agg — the plan a
+    1000-executor cluster wants."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
@@ -137,9 +142,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            maybe_broadcast(supp),
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)

@@ -36,6 +36,21 @@ def avro_available(spark: SparkSession) -> bool:
     return True
 
 
+def require_avro(spark: SparkSession) -> None:
+    """Loud gate for the Avro path (Hive AvroSerDe — SURVEY.md §2.G).
+
+    The reader/writer code is format-generic and works as soon as the
+    spark-avro datasource is on the classpath; this environment ships only
+    the core avro-*.jar libraries, not the datasource module."""
+    if not avro_available(spark):
+        raise RuntimeError(
+            "Avro support requires the spark-avro datasource jar "
+            "(org.apache.spark:spark-avro_2.13) on the Spark classpath; "
+            "/opt/spark/jars has only the core avro libraries. Add the jar "
+            "via spark.jars / spark.jars.packages and retry."
+        )
+
+
 def write_table(
     df: DataFrame,
     path: str,

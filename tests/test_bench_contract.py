@@ -33,5 +33,5 @@ def test_bench_prints_one_json_line():
     assert payload["sf"] == 0.001
     assert payload["value"] > 0
     assert set(payload) >= {"metric", "value", "unit", "queries", "sf"}
-    assert len(payload["queries"]) == 10
+    assert len(payload["queries"]) >= 12  # r02: headline set widened (VERDICT #10)
     assert all(v >= 0 for v in payload["queries"].values())

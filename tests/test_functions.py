@@ -3,6 +3,7 @@ FunctionRegistry export and the gap implementations."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hive_release_spark.functions import (
@@ -99,3 +100,49 @@ def test_in_file(spark, tmp_path):
     df = spark.createDataFrame([("alpha",), ("gamma",)], "s STRING")
     got = [r.ok for r in df.select(in_file("s", str(f)).alias("ok")).collect()]
     assert got == [True, False]
+
+class TestInFileLargeFiles:
+    """r01 VERDICT #6: in_file on a big file must not inline a
+    10k-element literal into the plan."""
+
+    @pytest.fixture()
+    def needle_file_10k(self, tmp_path):
+        p = tmp_path / "needles.txt"
+        p.write_text("\n".join(f"Customer#{i:09d}" for i in range(0, 10000, 2)) + "\n")
+        return str(p)
+
+    def test_in_file_filter_plan_is_broadcast_semi_join(self, spark, needle_file_10k):
+        from hive_release_spark.functions.hive import in_file_filter
+
+        df = spark.createDataFrame(
+            [(f"Customer#{i:09d}",) for i in range(10)], "c_name STRING"
+        )
+        out = in_file_filter(df, "c_name", needle_file_10k)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+        assert plan.count("Customer#") == 0, "file lines leaked into the plan"
+        assert sorted(r.c_name for r in out.collect()) == [
+            f"Customer#{i:09d}" for i in range(0, 10, 2)
+        ]
+
+    def test_in_file_column_form_large_file_no_plan_bloat(self, spark, needle_file_10k):
+        fn = FUNCTION_REGISTRY["in_file"]
+        df = spark.createDataFrame(
+            [(f"Customer#{i:09d}",) for i in range(10)], "c_name STRING"
+        )
+        out = df.filter(fn("c_name", needle_file_10k))
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert len(plan) < 20_000, f"plan bloated to {len(plan)} chars"
+        assert sorted(r.c_name for r in out.collect()) == [
+            f"Customer#{i:09d}" for i in range(0, 10, 2)
+        ]
+
+    def test_in_file_small_file_literal_fast_path(self, spark, tmp_path):
+        p = tmp_path / "small.txt"
+        p.write_text("alpha\nbeta\n")
+        fn = FUNCTION_REGISTRY["in_file"]
+        df = spark.createDataFrame([("alpha",), ("gamma",)], "s STRING")
+        out = df.filter(fn("s", str(p)))
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "pythonudf" not in plan.lower(), plan
+        assert [r.s for r in out.collect()] == ["alpha"]

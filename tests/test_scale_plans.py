@@ -141,3 +141,32 @@ def test_minhash_lsh_reuses_persisted_base(spark):
     # the parquet scan inside each InMemoryRelation printout is the cache's
     # fill plan, which executes once
     assert plan.count("InMemoryTableScan") >= 3, plan
+
+def test_size_conditional_broadcast_degrades_to_sort_merge(spark):
+    """r01 VERDICT #4: fact-side dim broadcasts must be size-conditional.
+    At the default threshold customer broadcasts; with the threshold forced
+    to 0 the SAME query code must fall back to a non-broadcast join instead
+    of pinning a broadcast that would OOM at 100x scale."""
+    from hive_release_spark.queries.joins import q3_shipping_priority
+
+    plan_default = _plan(q3_shipping_priority(spark, SF_SMOKE), mode="simple")
+    assert "BroadcastHashJoin" in plan_default, plan_default
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "0")
+        plan_zero = _plan(q3_shipping_priority(spark, SF_SMOKE), mode="simple")
+        assert "BroadcastHashJoin" not in plan_zero, plan_zero
+        assert "SortMergeJoin" in plan_zero or "ShuffledHashJoin" in plan_zero, plan_zero
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_maybe_broadcast_parses_byte_confs():
+    from hive_release_spark.operators.hints import _parse_bytes
+
+    assert _parse_bytes("10485760b") == 10 * 1024 * 1024
+    assert _parse_bytes("10m") == 10 * 1024 * 1024
+    assert _parse_bytes("1GB") == 1024**3
+    assert _parse_bytes("-1") == -1
+    assert _parse_bytes("0") == 0

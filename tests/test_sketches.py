@@ -3,6 +3,8 @@ must track exact distinct counts closely."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from hive_release_spark.queries import REGISTRY
 from tests.conftest import SF_ORACLE
 
@@ -13,3 +15,38 @@ def test_hll_estimate_close_to_exact(spark):
     for r in rows:
         err = abs(r.ndv_est - r.ndv_exact) / r.ndv_exact
         assert err < 0.02, (r.l_returnflag, r.ndv_est, r.ndv_exact)
+
+
+class TestBloomFilter:
+    """bloom_filter_build / in_bloom_filter: exact contract of an
+    approximate structure — zero false negatives, bounded false positives,
+    deterministic across builds."""
+
+    def test_no_false_negatives_and_fpp_bound(self, spark):
+        from hive_release_spark.functions.hive import bloom_filter_build, in_bloom_filter
+
+        present = spark.range(0, 1000).select(F.col("id").alias("x"))
+        absent = spark.range(50_000, 51_000).select(F.col("id").alias("x"))
+        bf = bloom_filter_build(present, "x", expected_entries=1000, fpp=0.03)
+
+        hits = present.select(in_bloom_filter(F.col("x"), bf).alias("h"))
+        assert hits.filter(~F.col("h")).count() == 0  # never a false negative
+
+        fp = absent.select(in_bloom_filter(F.col("x"), bf).alias("h")).filter("h").count()
+        assert fp / 1000 < 0.03 * 3, f"false-positive rate {fp/1000} way over fpp"
+
+    def test_deterministic_build(self, spark):
+        from hive_release_spark.functions.hive import bloom_filter_build
+
+        df = spark.range(0, 500).select(F.col("id").alias("x"))
+        a = bloom_filter_build(df, "x", expected_entries=500)
+        b = bloom_filter_build(df, "x", expected_entries=500)
+        assert a == b
+
+    def test_bloom_filter_scalar_stub_redirects(self):
+        import pytest
+
+        from hive_release_spark.functions import FUNCTION_REGISTRY
+
+        with pytest.raises(NotImplementedError, match="bloom_filter_build"):
+            FUNCTION_REGISTRY["bloom_filter"]("x", 100)

@@ -82,5 +82,22 @@ def test_partitioned_write_dynamic_overwrite(spark, tmp_path):
 
 
 def test_avro_gated(spark):
-    """Avro is an external Spark module; the probe must not blow up."""
-    assert formats.avro_available(spark) in (True, False)
+    """Avro is an external Spark module; the probe must not blow up.
+    In THIS container the spark-avro datasource jar is absent (only core
+    avro-*.jar libs ship with Spark), so the gate must trip LOUDLY,
+    naming the missing artifact (r01 VERDICT #7: no silent partials). If
+    a future environment adds the jar, require_avro becomes a no-op and
+    the roundtrip below exercises the real path."""
+    import pytest
+
+    if not formats.avro_available(spark):
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            formats.require_avro(spark)
+    else:
+        formats.require_avro(spark)
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "a")
+            df = spark.range(5)
+            formats.write_table(df, p, fmt="avro")
+            assert formats.read_table(spark, p, fmt="avro").count() == 5
