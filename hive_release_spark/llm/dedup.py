@@ -281,6 +281,70 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Near-dup pairs → clusters (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Transitive closure of a near-dup pair set: (doc_id, component,
+    is_survivor), component = the min doc_id reachable through pairs, the
+    deterministic survivor every dedup pipeline needs (A~B and B~C must
+    collapse to ONE kept doc even though A~C was never emitted).
+
+    Min-label propagation: each round every node takes the min of its own
+    and its neighbors' labels; rounds needed = graph diameter, which for
+    near-dup clusters is tiny (near-dups of one source text all pair with
+    each other). Each round is one shuffle join + groupBy; the label frame
+    is localCheckpoint'ed per round so lineage stays flat (at cluster
+    scale, point spark.checkpoint.dir at durable storage instead). For
+    web-diameter graphs swap in the large-star/small-star variant
+    (O(log n) rounds) — same contract.
+    """
+    from pyspark import StorageLevel
+
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.a == labels.node)
+            .select(F.col("b").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component"),
+        (F.col("label") == F.col("node")).alias("is_survivor"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

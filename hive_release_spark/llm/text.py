@@ -77,6 +77,43 @@ def top_ngrams(df: DataFrame, text_col: str = "text", n_out: int = 30) -> DataFr
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic relevance/keyword
+    operator over a corpus. tf = in-doc term count; idf = ln((N+1)/(df+1))
+    with df = number of docs containing the term.
+
+    Shape: explode → groupBy (doc, term) for tf [shuffle 1]; groupBy term
+    for df [shuffle 2, vocabulary-sized]; df-table joins back broadcast
+    (vocab ≪ corpus); final per-doc window rank [shuffle 3 on doc_id].
+    All JVM expressions; ties broken by term for determinism."""
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.count()  # one scalar; the lit keeps idf a pure expression
+    scored = tf.join(F.broadcast(docfreq), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality scoring: length, token stats, stopword ratio,
     punctuation ratio. All JVM-side expressions."""

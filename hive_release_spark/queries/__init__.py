@@ -83,8 +83,9 @@ DRIVER_WINDOW = [
     "sample_fraction",
     "fn_str_to_map",
     "fn_parse_url",
-    "fn_string2",
-    "fn_numeric_repr",
+    # r2 additions (oracle-gated): near-dup clustering + TF-IDF
+    "dedup_connected_components",
+    "text_tfidf_top_terms",
 ]
 
 

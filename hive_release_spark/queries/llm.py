@@ -326,3 +326,78 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Arrow plumbing is the real artifact; see llm/multimodal.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.extract_features(multimodal.pack_assets(docs))
+
+
+@register(
+    "dedup_connected_components",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        WITH sh AS (
+          SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        ),
+        ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) * 1.0 / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, min(b) AS component,
+           CAST(min(b) = a AS BOOLEAN) AS is_survivor
+    FROM reach GROUP BY a
+    """,
+    tags=("llm", "dedup", "neardup", "iterative"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: transitive closure of the
+    Jaccard ≥ 0.5 pair graph via distributed min-label propagation
+    (diameter-bounded rounds; see llm/dedup.connected_components). The
+    survivor of each cluster is the min doc_id — the deterministic "which
+    copy do we keep" answer a training-data pipeline needs. Oracle:
+    DuckDB recursive-CTE transitive closure over the same pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.5)
+    return dedup.connected_components(pairs)
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+    ),
+    docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln((n.n_docs + 1.0) / (docfreq.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN docfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rk FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+    tags=("llm", "text", "tfidf"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (keyword extraction / relevance
+    weighting for a training corpus). tf·ln((N+1)/(df+1)); document
+    frequency joined back broadcast (vocabulary ≪ corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, k=3)

@@ -109,3 +109,28 @@ class TestShortDocGuards:
             dedup.shingles(text.tokens(F.col("text")), 3).alias("sh")
         ).collect()
         assert out[0].sh == []
+
+
+class TestConnectedComponents:
+    def test_multi_hop_chain_collapses_to_one_component(self, spark):
+        """A~B, B~C, C~D (no direct A~D pair): all four must land in one
+        component with min-id survivor — the transitive case plain pair
+        output gets wrong."""
+        pairs = spark.createDataFrame(
+            [(2, 3), (3, 4), (4, 5), (10, 11)], "doc_a BIGINT, doc_b BIGINT"
+        )
+        got = {r.doc_id: (r.component, r.is_survivor)
+               for r in dedup.connected_components(pairs).collect()}
+        assert got == {
+            2: (2, True), 3: (2, False), 4: (2, False), 5: (2, False),
+            10: (10, True), 11: (10, False),
+        }
+
+    def test_long_chain_converges(self, spark):
+        n = 12  # diameter 11 — forces many propagation rounds
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "doc_a BIGINT, doc_b BIGINT"
+        )
+        got = dedup.connected_components(pairs).collect()
+        assert all(r.component == 0 for r in got)
+        assert sum(r.is_survivor for r in got) == 1
