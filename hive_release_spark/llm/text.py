@@ -68,8 +68,13 @@ def bigrams(text: Column | str) -> Column:
 def top_ngrams(df: DataFrame, text_col: str = "text", n_out: int = 30) -> DataFrame:
     """Corpus-level top-k bigram frequencies (Hive GenericUDAFnGrams
     parity): explode → count → top-k. Scales as a word-count."""
+    # bigram array materialized + explode_outer: an inner explode would get
+    # an InferFiltersFromGenerate size-filter pushed into the scan with the
+    # full split-inlined bigram expression (per-element re-evaluation)
+    grams = df.select(bigrams(F.col(text_col)).alias("ngrams"))
     return (
-        df.select(F.explode(bigrams(text_col)).alias("ngram"))
+        grams.select(F.explode_outer("ngrams").alias("ngram"))
+        .filter(F.col("ngram").isNotNull())
         .groupBy("ngram")
         .agg(F.count("*").alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("ngram"))
@@ -93,8 +98,10 @@ def tfidf_top_terms(
     All JVM expressions; ties broken by term for determinism."""
     from pyspark.sql import Window
 
-    terms = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    terms = (
+        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w"))
+        .select("doc_id", F.explode_outer("w").alias("term"))
+        .filter(F.col("term").isNotNull())
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))

@@ -71,16 +71,20 @@ def text_context_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity: most frequent words following the context word 'the'."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(tokens("text").alias("w"))
-    followers = toks.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("w") - 1),
-                lambda i: F.when(
-                    F.element_at("w", i) == "the", F.element_at("w", i + 1)
-                ),
-            )
-        ).alias("word")
-    ).filter(F.col("word").isNotNull())
+    # follower array materialized, then explode_outer: an inner explode
+    # would get an inferred size-filter pushed below the projection with
+    # split(text) re-inlined per element (see llm/dedup._exploded_shingles)
+    follower_arrays = toks.select(
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.when(
+                F.element_at("w", i) == "the", F.element_at("w", i + 1)
+            ),
+        ).alias("fs")
+    )
+    followers = follower_arrays.select(F.explode_outer("fs").alias("word")).filter(
+        F.col("word").isNotNull()
+    )
     return (
         followers.groupBy("word")
         .agg(F.count("*").alias("freq"))
