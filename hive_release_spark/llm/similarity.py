@@ -193,3 +193,94 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: partition the corpus into ``n_cells`` Voronoi cells around
+    coarse centroids, probe only the ``n_probe`` nearest cells per query,
+    exact-cosine re-rank inside the probed cells.
+
+    Centroids are stride-sampled corpus vectors (deterministic — no
+    k-means iterations, no RNG; refining them with Lloyd steps only
+    improves cell balance, not the contract). One corpus pass assigns
+    cells (argmax over centroid dot products, JVM higher-order
+    functions); each query then touches ~n_probe/n_cells of the corpus —
+    the inverted-file trade every vector database makes. Recall vs the
+    exact baseline is pinned in tests.
+    """
+    n_corpus = corpus.count()
+    stride = max(1, n_corpus // n_cells)
+    centroids = [
+        (i, [float(x) for x in row.cv])
+        for i, row in enumerate(
+            corpus.select(
+                F.col(id_col).alias("cid"), as_double_vec(vec_col).alias("cv")
+            )
+            .filter(F.pmod(F.col("cid"), F.lit(stride)) == 0)
+            .orderBy("cid")
+            .limit(n_cells)
+            .collect()
+        )
+    ]  # ≤ n_cells rows on the driver — bounded, same pattern as the
+    #    broadcast query matrix in topk_arrow
+
+    def cell_sims(vec: Column) -> Column:
+        """array<struct<sim,cell>> of dot products against every centroid
+        (vectors are ~unit norm; dot order matches cosine order)."""
+        return F.array(
+            *[
+                F.struct(
+                    dot(vec, F.array(*[F.lit(x) for x in cv])).alias("sim"),
+                    F.lit(ci).alias("cell"),
+                )
+                for ci, cv in centroids
+            ]
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
+    )
+    # nearest centroid = array_max over (sim, cell) structs — lexicographic
+    # struct ordering makes this argmax with a deterministic tie-break
+    c_cells = c.select(
+        "neighbor_id", "cv", F.array_max(cell_sims(F.col("cv"))).getField("cell").alias("cell")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")
+    )
+    # top n_probe cells per query: sort the struct array desc, slice, project
+    q_probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.transform(
+                F.slice(F.reverse(F.array_sort(cell_sims(F.col("qv")))), 1, n_probe),
+                lambda s: s.getField("cell"),
+            )
+        ).alias("cell"),
+    )
+    candidates = (
+        c_cells.join(F.broadcast(q_probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+    )
+    sims = candidates.withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )

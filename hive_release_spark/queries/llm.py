@@ -162,6 +162,18 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucket_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
 
 
+@register("sim_ann_ivf", tags=("llm", "similarity", "ann", "no_oracle"))
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN top-5: corpus partitioned into Voronoi
+    cells around deterministic stride-sampled centroids, queries probe
+    the nearest cells only — the inverted-file scale path alongside the
+    LSH variant (approximate; recall pinned in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, n_cells=16, n_probe=6
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

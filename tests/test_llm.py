@@ -134,3 +134,21 @@ class TestConnectedComponents:
         got = dedup.connected_components(pairs).collect()
         assert all(r.component == 0 for r in got)
         assert sum(r.is_survivor for r in got) == 1
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    """IVF with n_probe=n_cells degenerates to exact (recall 1.0); with a
+    partial probe recall must stay usable on the near-orthogonal corpus."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.brute_force_topk(queries, emb, k=5).collect()}
+
+    full = {(r.query_id, r.neighbor_id)
+            for r in similarity.ivf_topk(queries, emb, k=5, n_cells=8, n_probe=8).collect()}
+    assert full == exact  # probing every cell == exact search
+
+    part = {(r.query_id, r.neighbor_id)
+            for r in similarity.ivf_topk(queries, emb, k=5, n_cells=8, n_probe=4).collect()}
+    recall = len(part & exact) / len(exact)
+    assert recall >= 0.5, f"IVF partial-probe recall {recall}"

@@ -66,3 +66,23 @@ def test_whole_stage_codegen_active(spark):
     formatted mode hides them pre-AQE-finalization)."""
     plan = _plan(REGISTRY["q1_pricing_summary"].fn(spark, SF_SMOKE), mode="codegen")
     assert "WholeStageCodegen" in plan
+
+
+def test_q6_predicates_all_push_to_scan(spark):
+    """TPC-H Q6 is the pushdown litmus: all four conjuncts (two shipdate
+    bounds, two discount bounds, quantity) must reach the parquet scan,
+    and the plan must be scan → partial agg → exchange(1 row) → final agg
+    with no other shuffle."""
+    df = REGISTRY["q6_forecast_revenue"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert frag in plan, f"{frag} not pushed:\n{plan[:3000]}"
+    # simple mode prints the tree once (formatted repeats nodes in the
+    # detail section, inflating substring counts)
+    assert _plan(df, mode="simple").count("Exchange") == 1
