@@ -105,6 +105,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via inverted-index self-join.
 
@@ -114,12 +115,19 @@ def jaccard_pairs(
     pair generation inline with higher-order functions, then one shuffle
     on the pair key. No self-join (a join would scan + shingle the corpus
     twice and broadcast/shuffle both sides). Hot shingles (document
-    frequency d) still emit d²/2 pairs — that is inherent to the exact
-    algorithm; MinHash-LSH is the cap at scale."""
+    frequency d) emit d²/2 pairs — inherent to the exact algorithm;
+    ``max_df`` drops postings longer than the cap BEFORE pair emission
+    (standard near-dup practice for web-scale corpora: a shingle shared
+    by thousands of documents carries no dedup signal but dominates the
+    pair count). With a cap the intersection count can only shrink, so
+    the output is a SUBSET of the exact pair set at the same threshold —
+    an explicit, one-sided trade (property-tested). None = exact."""
     ex = _exploded_shingles(docs, n, id_col, text_col)
     postings = ex.groupBy("s_h").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("docs")
     )
+    if max_df is not None:
+        postings = postings.filter(F.size("docs") <= max_df)
     # emit all ordered pairs (i<j) within each postings list; the pair
     # array is materialized in its own projection and explode_OUTER'd so
     # InferFiltersFromGenerate can't duplicate its construction into an

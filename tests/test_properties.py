@@ -84,3 +84,67 @@ def test_salted_join_equivalence_property(spark, big_rows, small_rows):
     plain = sorted(map(tuple, big.join(small, "k").collect()))
     salted = sorted(map(tuple, salted_join(big, small, on="k", n_salts=3).collect()))
     assert plain == salted
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SMALL)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation must agree with a reference
+    union-find on arbitrary small graphs (chains, stars, cycles, forests)."""
+    from hive_release_spark.llm.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expect = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a BIGINT, doc_b BIGINT"
+    )
+    got = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert got == expect, (sorted(edges), got, expect)
+
+
+@given(
+    st.lists(st.integers(1, 6), min_size=4, max_size=12),  # cluster spec
+)
+@settings(max_examples=4, deadline=None)
+def test_jaccard_max_df_output_is_subset_of_exact(spark, sizes):
+    """With a document-frequency cap the pair set must be a SUBSET of the
+    exact pair set (intersections only shrink) — the documented one-sided
+    trade."""
+    from hive_release_spark.llm.dedup import jaccard_pairs
+
+    rows, doc_id = [], 0
+    for gi, sz in enumerate(sizes):
+        base = [f"w{gi}_{j}" for j in range(8)]
+        for c in range(sz):
+            text = " ".join(base + [f"tail{gi}_{c}"])
+            rows.append((doc_id, text))
+            doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    exact = {(r.doc_a, r.doc_b) for r in jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs, n=3, threshold=0.5, max_df=3).collect()
+    }
+    assert capped <= exact, (capped - exact)
