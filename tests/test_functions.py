@@ -146,3 +146,30 @@ class TestInFileLargeFiles:
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert "pythonudf" not in plan.lower(), plan
         assert [r.s for r in out.collect()] == ["alpha"]
+
+
+def test_xpath_family_executes(spark):
+    """§2.H XML family (Hive xpath* UDFs → same-named Spark SQL fns):
+    executed, not just registry-name-checked (DuckDB has no XPath, so no
+    oracle query — fixed expectations here instead)."""
+    df = spark.createDataFrame(
+        [('<a><b>one</b><b>two</b><c>3</c></a>',)], "x STRING"
+    )
+    r = df.select(
+        FUNCTION_REGISTRY["xpath"]("x", F.lit("a/b/text()")).alias("all_b"),
+        FUNCTION_REGISTRY["xpath_string"]("x", F.lit("a/b")).alias("first_b"),
+        FUNCTION_REGISTRY["xpath_int"]("x", F.lit("a/c")).alias("c_int"),
+        FUNCTION_REGISTRY["xpath_boolean"]("x", F.lit("a/d")).alias("has_d"),
+    ).collect()[0]
+    assert r.all_b == ["one", "two"]
+    assert r.first_b == "one"
+    assert r.c_int == 3
+    assert r.has_d is False
+
+
+def test_sentences_executes(spark):
+    """Hive GenericUDFSentences → Spark sentences(): tokenizes into
+    array<array<string>> per sentence."""
+    df = spark.createDataFrame([("Hello there. How are you",)], "s STRING")
+    r = df.select(FUNCTION_REGISTRY["sentences"]("s").alias("sent")).collect()[0]
+    assert r.sent == [["Hello", "there"], ["How", "are", "you"]]
