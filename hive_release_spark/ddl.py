@@ -77,3 +77,51 @@ def msck_repair(spark: SparkSession, table: str) -> None:
 
 def truncate(spark: SparkSession, table: str) -> None:
     spark.sql(f"TRUNCATE TABLE {table}")
+
+
+def create_materialized_view(
+    spark: SparkSession, name: str, select_sql: str, fmt: str = "parquet"
+) -> None:
+    """Hive 2.3 CREATE MATERIALIZED VIEW (TOK_CREATE_MATERIALIZED_VIEW).
+
+    2.3 has no automatic query rewrite (SURVEY.md §1.1), so the faithful
+    mapping is: materialize the definition as a table and record the
+    defining SQL in a table property so REFRESH can re-run it."""
+    escaped = select_sql.replace("'", "''")
+    spark.sql(
+        f"CREATE TABLE {name} USING {fmt} "
+        f"TBLPROPERTIES ('mv.definition' = '{escaped}') AS {select_sql}"
+    )
+
+
+def refresh_materialized_view(spark: SparkSession, name: str) -> None:
+    """ALTER MATERIALIZED VIEW ... REBUILD analogue: re-run the recorded
+    definition with INSERT OVERWRITE (atomic swap of the table contents)."""
+    props = {r["key"]: r["value"] for r in spark.sql(f"SHOW TBLPROPERTIES {name}").collect()}
+    definition = props.get("mv.definition")
+    if definition is None:
+        raise ValueError(f"{name} is not a materialized view (no mv.definition property)")
+    spark.sql(f"INSERT OVERWRITE TABLE {name} {definition}")
+
+
+def add_columns(spark: SparkSession, table: str, cols: dict[str, str]) -> None:
+    """ALTER TABLE ... ADD COLUMNS (Hive TOK_ALTERTABLE_ADDCOLS)."""
+    spec = ", ".join(f"{c} {t}" for c, t in cols.items())
+    spark.sql(f"ALTER TABLE {table} ADD COLUMNS ({spec})")
+
+
+def rename_table(spark: SparkSession, old: str, new: str) -> None:
+    """ALTER TABLE ... RENAME TO."""
+    spark.sql(f"ALTER TABLE {old} RENAME TO {new}")
+
+
+def add_partition(spark: SparkSession, table: str, spec: dict[str, str]) -> None:
+    """ALTER TABLE ... ADD PARTITION (directory registered in the catalog)."""
+    kv = ", ".join(f"{k} = '{v}'" for k, v in spec.items())
+    spark.sql(f"ALTER TABLE {table} ADD IF NOT EXISTS PARTITION ({kv})")
+
+
+def drop_partition(spark: SparkSession, table: str, spec: dict[str, str]) -> None:
+    """ALTER TABLE ... DROP PARTITION."""
+    kv = ", ".join(f"{k} = '{v}'" for k, v in spec.items())
+    spark.sql(f"ALTER TABLE {table} DROP IF EXISTS PARTITION ({kv})")

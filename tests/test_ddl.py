@@ -71,3 +71,42 @@ def test_views_and_show(spark, db):
 def test_explain_passthrough(spark):
     plan = ddl.explain(spark, "SELECT id FROM range(10) WHERE id > 5")
     assert "Range" in plan
+
+
+def test_materialized_view_create_and_refresh(spark, tmp_path):
+    """Hive 2.3 MV semantics: materialized at creation, stale until an
+    explicit REBUILD re-runs the stored definition."""
+    from hive_release_spark import ddl
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS mv_db")
+    try:
+        src = str(tmp_path / "src")
+        spark.range(0, 10).write.parquet(src)
+        ddl.create_external_table(spark, "mv_db.src_t", src)
+        ddl.create_materialized_view(
+            spark, "mv_db.mv_sum", "SELECT count(*) AS n FROM mv_db.src_t"
+        )
+        assert spark.table("mv_db.mv_sum").collect()[0].n == 10
+
+        spark.range(100, 105).write.mode("append").parquet(src)
+        spark.sql("REFRESH TABLE mv_db.src_t")
+        # stale until refreshed — the 2.3 contract (no auto maintenance)
+        assert spark.table("mv_db.mv_sum").collect()[0].n == 10
+        ddl.refresh_materialized_view(spark, "mv_db.mv_sum")
+        assert spark.table("mv_db.mv_sum").collect()[0].n == 15
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS mv_db CASCADE")
+
+
+def test_alter_table_add_columns_and_rename(spark, tmp_path):
+    from hive_release_spark import ddl
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS alter_db")
+    try:
+        ddl.create_table_as(spark, "alter_db.t1", "SELECT 1 AS a")
+        ddl.add_columns(spark, "alter_db.t1", {"b": "STRING", "c": "DOUBLE"})
+        assert [f.name for f in spark.table("alter_db.t1").schema.fields] == ["a", "b", "c"]
+        ddl.rename_table(spark, "alter_db.t1", "alter_db.t2")
+        assert spark.table("alter_db.t2").count() == 1
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS alter_db CASCADE")
