@@ -284,3 +284,20 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
     )
+
+
+def label_centroids(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise mean embedding per label — class centroids, the
+    aggregation behind IVF coarse quantizers, per-class prototypes, and
+    embedding-drift monitoring. posexplode → groupBy (label, position) →
+    avg: partial aggregation map-side, shuffle carries one row per
+    (label, dim) — corpus-size-independent."""
+    ex = vectors.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(as_double_vec(vec_col)).alias("pos", "val"),
+    )
+    return ex.groupBy("label", "pos").agg(F.round(F.avg("val"), 6).alias("c"))

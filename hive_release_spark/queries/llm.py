@@ -413,3 +413,25 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency joined back broadcast (vocabulary ≪ corpus)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.tfidf_top_terms(docs, k=3)
+
+
+@register(
+    "emb_label_centroids",
+    oracle="""
+    SELECT label, pos, round(avg(val), 6) AS c
+    FROM (
+      SELECT label, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+    tags=("llm", "similarity", "agg", "centroid"),
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (element-wise mean over the vector
+    column): posexplode → (label, dim) partial agg. Positions 1-based to
+    match the SQL generate_subscripts oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.label_centroids(emb)
+    return out.select("label", (F.col("pos") + 1).alias("pos"), "c")

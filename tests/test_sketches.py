@@ -50,3 +50,18 @@ class TestBloomFilter:
 
         with pytest.raises(NotImplementedError, match="bloom_filter_build"):
             FUNCTION_REGISTRY["bloom_filter"]("x", 100)
+
+
+def test_percentile_approx_tracks_exact(spark):
+    """percentile_approx (Hive GenericUDAFPercentileApprox → Spark
+    same-name sketch) must stay within 1% relative error of the exact
+    percentile on the lineitem price column."""
+    from hive_release_spark.catalog import load_table
+    from tests.conftest import SF_ORACLE
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    r = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx"),
+    ).collect()[0]
+    assert abs(r.approx - r.exact) / r.exact < 0.01
