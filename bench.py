@@ -37,6 +37,9 @@ HEADLINE = (
     "dedup_minhash_lsh",       # signature + banded join
     "q18_large_orders",        # double agg + semi-join (join-heavy shape)
     "stream_session",          # session-window stateful shape (batch twin)
+    "q6_forecast_revenue",     # pushdown-bound scan + global agg
+    "text_tfidf_top_terms",    # corpus stats + broadcast join + window top-k
+    "emb_label_centroids",     # vector posexplode + wide partial agg
 )
 
 
