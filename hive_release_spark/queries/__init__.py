@@ -15,6 +15,7 @@ from hive_release_spark.queries import (  # noqa: F401,E402
     coverage2,
     llm2,
     tpch_more,
+    tpch_full,
 )
 
 
