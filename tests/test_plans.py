@@ -86,3 +86,45 @@ def test_q6_predicates_all_push_to_scan(spark):
     # simple mode prints the tree once (formatted repeats nodes in the
     # detail section, inflating substring counts)
     assert _plan(df, mode="simple").count("Exchange") == 1
+
+
+def test_q19_disjunction_pushes_to_both_sides(spark):
+    """Q19's OR-of-ANDs spans both join sides; Catalyst must extract the
+    per-side implications — the quantity hull [1,30] onto the lineitem
+    scan and the brand/size union onto the part scan — so neither side
+    reads unfiltered at 100 TB."""
+    plan = _plan(REGISTRY["q19_disjunctive_revenue"].fn(spark, SF_SMOKE), mode="simple")
+    li_scan = [ln for ln in plan.splitlines() if "lineitem" in ln and "DataFilters" in ln][0]
+    assert "l_quantity" in li_scan, li_scan
+    p_scan = [ln for ln in plan.splitlines() if "part.parquet" in ln and "DataFilters" in ln][0]
+    assert "p_brand" in p_scan, p_scan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_decorrelation_scans_lineitem_twice(spark):
+    """Q21's EXISTS + NOT-EXISTS pair is decorrelated into one per-order
+    aggregate joined back — so lineitem is scanned exactly twice (late
+    lines + stats), not four times as the naive correlated plan would."""
+    plan = _plan(REGISTRY["q21_waiting_suppliers"].fn(spark, SF_SMOKE))
+    assert plan.count("lineitem.parquet") == 2, plan.count("lineitem.parquet")
+    assert "CartesianProduct" not in plan
+
+
+def test_q7_nation_filter_applied_before_fact_join(spark):
+    """Q7 restricts both trade sides to two nations; the IN-filter must
+    reach the nation scan (pre-join reduction) so the supplier/customer
+    sides broadcast instead of joining the full dims at scale."""
+    plan = _plan(REGISTRY["q7_volume_shipping"].fn(spark, SF_SMOKE), mode="simple")
+    nation_scans = [
+        ln for ln in plan.splitlines() if "nation.parquet" in ln and "PushedFilters" in ln
+    ]
+    assert any("In(n_name" in ln for ln in nation_scans), nation_scans
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_outer_join_double_agg_shape(spark):
+    """Q13: LEFT OUTER join (zero-order customers survive) feeding two
+    aggregation levels, each with a partial/final split."""
+    plan = _plan(REGISTRY["q13_customer_distribution"].fn(spark, SF_SMOKE))
+    assert "LeftOuter" in plan
+    assert plan.count("HashAggregate") >= 4
