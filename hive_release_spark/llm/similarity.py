@@ -301,3 +301,21 @@ def label_centroids(
         F.posexplode(as_double_vec(vec_col)).alias("pos", "val"),
     )
     return ex.groupBy("label", "pos").agg(F.round(F.avg("val"), 6).alias("c"))
+
+
+def normalize_quantize(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """L2-normalize an embedding column and int8-quantize it
+    (q = round(127 * x / ||v||)) — the standard storage/ANN-index prep
+    for a trained-embedding corpus. Pure per-row expressions (transform/
+    aggregate HOFs): embarrassingly parallel, zero shuffles; the norm is
+    rounded to 6 decimals for output (accumulation-order ulp) while the
+    quantizer divides by the raw norm."""
+    v = as_double_vec(vec_col)
+    nrm = norm(v)
+    return df.select(
+        F.col(id_col),
+        F.round(nrm, 6).alias("l2_norm"),
+        F.transform(v, lambda x: F.round(x / nrm * 127).cast("int")).alias("q8"),
+    )

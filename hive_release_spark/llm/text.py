@@ -182,3 +182,64 @@ def langid_ngram(texts: pd.Series) -> pd.Series:
         return best[0] if best[1] > 0 else "unknown"
 
     return texts.map(score)
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-style repetition quality signals per document:
+    ``top_bigram_share`` (fraction of bigram occurrences taken by the
+    most frequent bigram) and ``distinct_token_ratio``. Docs with fewer
+    than two tokens have a NULL share (no bigrams), mirroring a
+    LEFT-joined SQL formulation.
+
+    Shape: one explode → (doc, gram) count [shuffle on doc_id+gram] →
+    per-doc max/sum [shuffle on doc_id, partial-agg combined]; the
+    token ratio is a scan-side expression. Ratios are exact rational
+    divisions (int/int), bit-identical across engines — left unrounded.
+    """
+    base = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w"))
+    ratio = base.select(
+        "doc_id",
+        (F.size(F.array_distinct("w")) / F.size("w")).alias("distinct_token_ratio"),
+    )
+    grams = df.select(
+        F.col(id_col).alias("doc_id"), bigrams(F.col(text_col)).alias("g")
+    )
+    share = (
+        grams.select("doc_id", F.explode_outer("g").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c") / F.sum("c")).alias("top_bigram_share"))
+    )
+    return (
+        ratio.join(share, "doc_id", "left")
+        .withColumn(
+            "is_repetitive",
+            (F.col("top_bigram_share") > 0.2) | (F.col("distinct_token_ratio") < 0.3),
+        )
+        .select("doc_id", "distinct_token_ratio", "top_bigram_share", "is_repetitive")
+    )
+
+
+PII_EMAIL = "[a-z0-9]+@[a-z0-9.]+"
+PII_PHONE = "\\+1-555-[0-9]{4}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction pass: replace email / phone matches with typed
+    placeholders and count redactions per row. Pure JVM regex
+    (regexp_extract_all + regexp_replace) — no UDF; patterns are kept to
+    the POSIX-class subset whose semantics agree across engines."""
+    s = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_email": F.size(F.regexp_extract_all(s, F.lit(PII_EMAIL), F.lit(0))),
+            "n_phone": F.size(F.regexp_extract_all(s, F.lit(PII_PHONE), F.lit(0))),
+            "scrubbed": F.regexp_replace(
+                F.regexp_replace(s, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+            ),
+        }
+    )

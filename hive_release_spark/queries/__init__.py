@@ -14,6 +14,7 @@ from hive_release_spark.queries import (  # noqa: F401,E402
     coverage,
     coverage2,
     llm2,
+    llm3,
     tpch_more,
     tpch_full,
 )

@@ -1,0 +1,178 @@
+"""LLM training-data pipeline operators, round 3 of coverage: quality
+repetition signals, PII scrubbing, embedding normalization/quantization,
+corpus statistics, and an end-to-end dedup→quality pipeline.
+
+These extend SURVEY.md §2.L beyond the reference's own surface — the
+operations a 100 TB pretraining-data pipeline runs between ingest and
+tokenization. All are pure JVM expressions (HOFs + regex + hash), no
+Python in the hot path; the only shuffles are the stated aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_release_spark.catalog import load_table
+from hive_release_spark.llm import similarity, text
+from hive_release_spark.queries.registry import register
+
+
+@register(
+    "text_repetition_score",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    ratio AS (SELECT doc_id,
+                     CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_token_ratio
+              FROM w),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(w)-1),
+                         i -> w[i] || ' ' || w[i+1])) AS gram
+           FROM w),
+    cnt AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY doc_id, gram),
+    share AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                       AS top_bigram_share
+              FROM cnt GROUP BY doc_id)
+    SELECT r.doc_id, r.distinct_token_ratio, s.top_bigram_share,
+           (s.top_bigram_share > 0.2 OR r.distinct_token_ratio < 0.3) AS is_repetitive
+    FROM ratio r LEFT JOIN share s ON r.doc_id = s.doc_id
+    ORDER BY r.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 repetition rules: per-doc top-bigram share and distinct
+    -token ratio, flagging repetitive documents. Ratios are exact
+    int/int divisions — unrounded, bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_features(docs).orderBy("doc_id")
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    WITH pii AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(s, '[a-z0-9]+@[a-z0-9.]+')) AS n_email,
+           len(regexp_extract_all(s, '\\+1-555-[0-9]{4}')) AS n_phone,
+           md5(regexp_replace(regexp_replace(s, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                              '\\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS scrub_md5
+    FROM pii
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "pii"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: the corpus text is synthetic (no real PII), so a
+    deterministic email+phone suffix is appended per doc, then scrubbed
+    with the shared regex pass — match counts and an md5 of the scrubbed
+    text prove both engines redact identically. JVM regex only; at scale
+    this is a pure map stage (zero shuffles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return (
+        text.pii_scrub(with_pii)
+        .select("doc_id", "n_email", "n_phone", F.md5("scrubbed").alias("scrub_md5"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "emb_normalize_quantize",
+    oracle="""
+    SELECT vec_id, round(nrm, 6) AS l2_norm,
+           list_transform(v, x -> CAST(round(x / nrm * 127) AS INTEGER)) AS q8
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))) AS nrm
+          FROM embeddings)
+    ORDER BY vec_id
+    """,
+    tags=("llm", "embedding", "quantize"),
+)
+def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-normalize + int8 quantize — ANN-index storage prep.
+    Per-row HOF expressions, zero shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.normalize_quantize(emb).orderBy("vec_id")
+
+
+@register(
+    "corpus_token_stats",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           avg(CAST(n_chars AS DOUBLE)) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    tags=("llm", "stats", "agg"),
+)
+def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: per (lang, source) doc/token/char
+    stats — the first dashboard any pretraining-data pipeline needs.
+    Token counts are scan-side expressions feeding one partial-agg
+    shuffle on the (tiny) group key space; sums/avgs over integers are
+    exact in both engines (unrounded)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(text.token_count("text")).alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.avg("n_chars").alias("avg_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "pipeline_dedup_quality",
+    oracle="""
+    WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    survivors AS (SELECT d.* FROM documents d JOIN keep k ON d.doc_id = k.doc_id)
+    SELECT doc_id, lang, source, len(string_split(text, ' ')) AS n_tokens
+    FROM survivors
+    WHERE len(string_split(text, ' ')) >= 5
+      AND n_chars >= 20
+    ORDER BY doc_id
+    """,
+    tags=("llm", "pipeline", "dedup", "quality"),
+)
+def pipeline_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ingest pipeline slice: exact-dedup (hash groupBy,
+    deterministic min-id survivor) → quality gate (token/char minimums)
+    → training-set projection. One shuffle for the dedup; the quality
+    filter rides the survivor scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        docs.join(keep, "doc_id", "left_semi")
+        .select(
+            "doc_id", "lang", "source", text.token_count("text").alias("n_tokens"), "n_chars"
+        )
+        .filter((F.col("n_tokens") >= 5) & (F.col("n_chars") >= 20))
+        .drop("n_chars")
+        .orderBy("doc_id")
+    )
