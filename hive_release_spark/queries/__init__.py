@@ -44,14 +44,12 @@ DRIVER_WINDOW = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "sim_cosine_topk",
-    "sim_cosine_topk_arrow",
     "sim_ann_lsh",
     "text_quality",
     "text_langid",
     "text_langid_ngram",
     "text_fingerprint",
     "text_ngrams_top",
-    "text_context_ngrams",
     "text_token_bpe_regex",
     "text_normalize",
     "split_train_eval",
@@ -59,7 +57,6 @@ DRIVER_WINDOW = [
     "multimodal_features",
     # §2.K streaming batch-twins (no r01 driver row)
     "stream_tumbling",
-    "stream_tumbling_live",
     "stream_sliding",
     "stream_session",
     "stream_dedup_first",
@@ -84,10 +81,17 @@ DRIVER_WINDOW = [
     # §2.E sampling + §2.H function extras (no r01 driver row)
     "sample_fraction",
     "fn_str_to_map",
-    "fn_parse_url",
-    # r2 additions (oracle-gated): near-dup clustering + TF-IDF
+    # r2 additions (oracle-gated): near-dup clustering + TF-IDF, the
+    # decorrelated-NOT-EXISTS and outer-join TPC-H shapes, and the
+    # end-to-end LLM pipeline slice (families already in-window get
+    # their strongest shape a driver row; duplicates of an in-window
+    # family — arrow twin, live-stream twin — were demoted to make room)
     "dedup_connected_components",
     "text_tfidf_top_terms",
+    "q21_waiting_suppliers",
+    "q13_customer_distribution",
+    "pipeline_dedup_quality",
+    "text_repetition_score",
 ]
 
 
