@@ -152,3 +152,47 @@ def test_ivf_ann_recall_vs_brute_force(spark):
             for r in similarity.ivf_topk(queries, emb, k=5, n_cells=8, n_probe=4).collect()}
     recall = len(part & exact) / len(exact)
     assert recall >= 0.5, f"IVF partial-probe recall {recall}"
+
+
+class TestRound3Ops:
+    """Edge semantics for the r2 additions: repetition scoring, PII
+    scrub, normalize/quantize — cases the corpus oracles never hit."""
+
+    def test_repetition_short_docs_get_null_share(self, spark):
+        df = spark.createDataFrame(
+            [(1, "hello"), (2, "a a a a b"), (3, "x y")], ["doc_id", "text"]
+        )
+        rows = {r.doc_id: r for r in text.repetition_features(df).collect()}
+        # single token: no bigrams -> NULL share, not a crash
+        assert rows[1].top_bigram_share is None
+        assert rows[1].distinct_token_ratio == 1.0
+        # 'a a' occurs 3 of 4 bigrams
+        assert rows[2].top_bigram_share == 0.75
+        assert rows[2].is_repetitive  # 2/5 distinct < 0.3 and share > 0.2
+        assert rows[3].top_bigram_share == 1.0
+
+    def test_pii_scrub_counts_and_redacts(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail me at bob1@host.org or +1-555-0199 now"),
+                (2, "no pii here"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r.doc_id: r for r in text.pii_scrub(df).collect()}
+        assert (rows[1].n_email, rows[1].n_phone) == (1, 1)
+        assert "<EMAIL>" in rows[1].scrubbed and "<PHONE>" in rows[1].scrubbed
+        assert "bob1@host.org" not in rows[1].scrubbed
+        assert (rows[2].n_email, rows[2].n_phone) == (0, 0)
+        assert rows[2].scrubbed == "no pii here"
+
+    def test_normalize_quantize_unit_bounds(self, spark):
+        df = spark.createDataFrame(
+            [(1, [3.0, 4.0]), (2, [0.0, 0.0])], ["vec_id", "embedding"]
+        )
+        rows = {r.vec_id: r for r in similarity.normalize_quantize(df).collect()}
+        assert rows[1].l2_norm == 5.0
+        assert rows[1].q8 == [76, 102]  # round(127*3/5), round(127*4/5)
+        # zero vector: norm 0 -> q8 components are NULL (0/0), never a crash
+        assert rows[2].l2_norm == 0.0
+        assert all(v is None for v in rows[2].q8)
