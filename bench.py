@@ -40,6 +40,9 @@ HEADLINE = (
     "q6_forecast_revenue",     # pushdown-bound scan + global agg
     "text_tfidf_top_terms",    # corpus stats + broadcast join + window top-k
     "emb_label_centroids",     # vector posexplode + wide partial agg
+    "q13_customer_distribution",  # outer join + double agg
+    "q21_waiting_suppliers",   # decorrelated EXISTS/NOT-EXISTS, fact reuse
+    "pipeline_dedup_quality",  # dedup + quality-gate pipeline slice
 )
 
 

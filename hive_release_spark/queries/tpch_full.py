@@ -426,28 +426,37 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-supplier finalized order. Adaptation: "late" is
     ``l_shipdate > o_orderdate + 100 days`` (driver schema has no
     commit/receipt dates). The EXISTS + NOT-EXISTS pair decorrelates to
-    one per-order aggregate — distinct suppliers and distinct LATE
-    suppliers — joined back to the late lines: two shuffles on orderkey
-    total, versus the naive plan's two extra correlated fact joins."""
+    a SINGLE pass over the fact join: aggregate late-line counts per
+    (order, supplier), then derive per-order supplier / late-supplier
+    counts with a window over the already-aggregated frame — the fact
+    join is computed once (the two-consumer formulation recomputes it)
+    and there is no count_distinct Expand."""
+    from pyspark.sql import Window
+
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
         "is_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS")
     )
-    stats = lo.groupBy(F.col("l_orderkey").alias("sk")).agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    per_os = lo.groupBy("l_orderkey", "l_suppkey", "o_orderstatus").agg(
+        F.sum(F.col("is_late").cast("long")).alias("late_lines")
     )
+    w = Window.partitionBy("l_orderkey")
     s = load_table(spark, sf_dir, "supplier")
     return (
-        lo.filter((F.col("o_orderstatus") == "F") & F.col("is_late"))
-        .join(stats, F.col("l_orderkey") == F.col("sk"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        per_os.withColumn("n_supp", F.count("*").over(w))
+        .withColumn(
+            "n_late_supp", F.sum((F.col("late_lines") > 0).cast("long")).over(w)
+        )
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("late_lines") > 0)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("late_lines").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )

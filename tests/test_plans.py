@@ -101,12 +101,13 @@ def test_q19_disjunction_pushes_to_both_sides(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_q21_decorrelation_scans_lineitem_twice(spark):
-    """Q21's EXISTS + NOT-EXISTS pair is decorrelated into one per-order
-    aggregate joined back — so lineitem is scanned exactly twice (late
-    lines + stats), not four times as the naive correlated plan would."""
+def test_q21_decorrelation_scans_lineitem_once(spark):
+    """Q21's EXISTS + NOT-EXISTS pair is decorrelated into a single pass:
+    per-(order,supplier) agg + per-order window — lineitem is scanned
+    exactly once, not four times as the naive correlated plan would (and
+    not twice as a two-consumer stats-join formulation would)."""
     plan = _plan(REGISTRY["q21_waiting_suppliers"].fn(spark, SF_SMOKE))
-    assert plan.count("lineitem.parquet") == 2, plan.count("lineitem.parquet")
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
     assert "CartesianProduct" not in plan
 
 
