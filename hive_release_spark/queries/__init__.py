@@ -45,8 +45,10 @@ DRIVER_WINDOW = [
     "dedup_embedding_cosine",
     "sim_cosine_topk",
     "sim_ann_lsh",
+    # text_langid demoted (text_langid_ngram covers the family) for the
+    # iterative k-means clustering class
     "text_quality",
-    "text_langid",
+    "emb_kmeans",
     "text_langid_ngram",
     "text_fingerprint",
     "text_ngrams_top",
@@ -55,9 +57,10 @@ DRIVER_WINDOW = [
     "split_train_eval",
     "multimodal_meta",
     "multimodal_features",
-    # §2.K streaming batch-twins (no r01 driver row)
+    # §2.K streaming batch-twins (no r01 driver row); stream_sliding
+    # demoted (same family as tumbling) for the stream-stream join
     "stream_tumbling",
-    "stream_sliding",
+    "stream_stream_join",
     "stream_session",
     "stream_dedup_first",
     "stream_static_join",

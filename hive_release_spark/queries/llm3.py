@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
-from hive_release_spark.llm import similarity, text
+from hive_release_spark.llm import clustering, similarity, text
 from hive_release_spark.queries.registry import register
 
 
@@ -176,3 +176,20 @@ def pipeline_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "emb_kmeans",
+    oracle=clustering.kmeans_oracle(k=8, n_iter=3),
+    tags=("llm", "embedding", "clustering", "iterative"),
+)
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 3 iterations) over the embedding corpus —
+    the iterative-algorithm class (corpus clustering for mixture
+    balancing). Assignment is a zero-shuffle map stage (array_min over k
+    literal-centroid distances); each update is one (cluster, dim)
+    hash-agg shuffle; the DuckDB oracle replays the identical iterations
+    (same deterministic init, 6-dp centroid rounding, lowest-cluster
+    tie-break) so even the ASSIGNMENTS are oracle-gated, not rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.kmeans_assign(emb, k=8, n_iter=3).orderBy("vec_id")

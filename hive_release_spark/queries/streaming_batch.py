@@ -12,6 +12,7 @@ oracle outputs are CAST(... AS TIMESTAMP) to truncate ns → µs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
 from hive_release_spark.queries.registry import register
@@ -116,6 +117,40 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-first dedup per (user_id, event_type) — the batch twin of
     ``dropDuplicatesWithinWatermark`` with a deterministic survivor."""
     return P.dedup_keep_first(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.user_id,
+           count(*) AS n_attributed,
+           round(sum(p.value), 2) AS sum_attributed
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL '1 hour'
+    GROUP BY p.user_id
+    ORDER BY p.user_id
+    """,
+    tags=("streaming", "join", "interval"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click→purchase attribution within
+    1h), aggregated per user — batch execution of the streaming plan.
+    The raw-pair stream/batch parity is pinned by
+    ``tests/test_streaming.py::test_stream_stream_join_equals_batch``."""
+    pairs = P.interval_join(load_table(spark, sf_dir, "events"))
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_attributed"),
+            F.round(F.sum("purchase_value"), 2).alias("sum_attributed"),
+        )
+        .orderBy("user_id")
+    )
 
 
 @register(

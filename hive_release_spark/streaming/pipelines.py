@@ -114,6 +114,47 @@ def stream_static_join(events: DataFrame, customers: DataFrame) -> DataFrame:
     )
 
 
+def interval_join(
+    events: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the click
+    by the same user within ``[click.ts, click.ts + horizon]``.
+
+    Works on batch AND streaming frames (``withWatermark`` is a no-op in
+    batch). In streaming, BOTH sides carry a watermark and the join
+    condition bounds event-time distance, so Spark can expire buffered
+    rows — state per side is O(rate × (horizon + watermark)), never
+    unbounded. Both sides shuffle on user_id (one exchange each); at
+    100 TB the horizon keeps the per-key buffered window small."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "purchase_value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming execution helpers
 # ---------------------------------------------------------------------------

@@ -196,3 +196,54 @@ class TestRound3Ops:
         # zero vector: norm 0 -> q8 components are NULL (0/0), never a crash
         assert rows[2].l2_norm == 0.0
         assert all(v is None for v in rows[2].q8)
+
+
+class TestKMeans:
+    def test_partitions_all_points_into_multiple_clusters(self, spark):
+        from hive_release_spark.llm import clustering
+
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        out = clustering.kmeans_assign(emb, k=4, n_iter=2).collect()
+        assert len(out) == emb.count()
+        clusters = {r.cluster for r in out}
+        assert clusters <= set(range(4))
+        assert len(clusters) >= 2  # not degenerate
+
+    def test_deterministic_across_runs(self, spark):
+        """Centroid rounding (6 dp) absorbs float-summation order noise:
+        two independent runs assign identically."""
+        from hive_release_spark.llm import clustering
+
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        a = sorted((r.vec_id, r.cluster) for r in clustering.kmeans_assign(emb, k=8, n_iter=3).collect())
+        b = sorted((r.vec_id, r.cluster) for r in clustering.kmeans_assign(emb, k=8, n_iter=3).collect())
+        assert a == b
+
+    def test_iterations_do_not_increase_sse(self, spark):
+        """Lloyd's invariant: within-cluster SSE is non-increasing over
+        iterations (checked via successive n_iter runs)."""
+        from hive_release_spark.llm import clustering
+
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        pts = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+        def sse(n_iter):
+            assigned = clustering.kmeans_assign(emb, k=8, n_iter=n_iter)
+            joined = pts.join(assigned, "vec_id")
+            # recompute centroid per cluster, then sum of squared dists
+            cent = (
+                joined.select("cluster", F.posexplode("v").alias("pos", "val"))
+                .groupBy("cluster", "pos")
+                .agg(F.avg("val").alias("m"))
+            )
+            d = (
+                joined.select("cluster", F.posexplode("v").alias("pos", "val"))
+                .join(cent, ["cluster", "pos"])
+                .select(((F.col("val") - F.col("m")) ** 2).alias("sq"))
+                .agg(F.sum("sq"))
+                .collect()[0][0]
+            )
+            return d
+
+        s1, s3 = sse(1), sse(3)
+        assert s3 <= s1 + 1e-6

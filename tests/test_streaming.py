@@ -56,3 +56,17 @@ def test_streaming_dedup_within_watermark(spark):
     got = out.select("user_id", "event_type").distinct().count()
     assert out.count() == got  # no duplicate keys in output
     assert got == batch_keys  # every key survived
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """Stream-stream interval join (both sides watermarked, append mode)
+    produces the identical click→purchase pair set as the batch twin."""
+    batch = P.interval_join(_batch_events(spark))
+    stream = P.run_available_now(
+        P.interval_join(P.load_events_stream(spark, SF_SMOKE)),
+        "t_ss_join_test",
+        output_mode="append",
+    )
+    cols = ["user_id", "click_id", "purchase_id", "purchase_value"]
+    assert batch.count() > 0
+    assert _collect_set(batch, cols) == _collect_set(stream, cols)
