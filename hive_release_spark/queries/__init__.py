@@ -15,6 +15,7 @@ from hive_release_spark.queries import (  # noqa: F401,E402
     coverage2,
     llm2,
     llm3,
+    llm4,
     tpch_more,
     tpch_full,
 )
@@ -53,7 +54,6 @@ DRIVER_WINDOW = [
     "text_fingerprint",
     "text_ngrams_top",
     "text_token_bpe_regex",
-    "text_normalize",
     "split_train_eval",
     "multimodal_meta",
     "multimodal_features",
@@ -69,11 +69,9 @@ DRIVER_WINDOW = [
     "q10_returned_items",
     "q18_large_orders",
     "join_merge_hint",
-    "join_shuffle_hash_hint",
     "join_unique",
     "agg_pivot",
     "agg_regr",
-    "agg_histogram_numeric",
     "agg_hll_sketch",
     # §2.D PTF + §2.A/§2.I extension surface (no r01 driver row)
     "ptf_matchpath",
@@ -95,6 +93,13 @@ DRIVER_WINDOW = [
     "q13_customer_distribution",
     "pipeline_dedup_quality",
     "text_repetition_score",
+    # r2 corpus-assembly additions (new shapes: broadcast-decontamination,
+    # window-cumsum packing, weighted explode mixing); text_normalize,
+    # join_shuffle_hash_hint and agg_histogram_numeric demoted — their
+    # families keep other in-window representatives
+    "decontaminate_ngram",
+    "pack_sequences",
+    "domain_mix_resample",
 ]
 
 

@@ -1,0 +1,176 @@
+"""Corpus-assembly pipeline queries (SURVEY.md §2.L, round 4 of coverage):
+benchmark decontamination, sequence packing, weighted domain mixing,
+deterministic shuffle-sharding, and stratified sampling — the stages
+between a cleaned corpus and the tokenizer at 100 TB.
+
+Every query here is oracle-gated: the determinism primitives (md5 hex,
+Knuth multiplicative hash mod 1000, integer cumsums) evaluate identically
+in Spark and DuckDB by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_release_spark.catalog import load_table
+from hive_release_spark.llm import pipeline
+from hive_release_spark.queries.registry import register
+
+# Shared fixture knobs (embedded into both engines' plans).
+_DECON_N = 3  # production runs 8-13 grams; the synthetic corpus is random
+# text, so 3-grams are the smallest unit with cross-doc collisions (the
+# fixture's contamination signal) — the plan shape is n-independent.
+_PACK_BUDGET = 512
+_PACK_SHARDS = 8
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 0.25, "src2": 1.5, "src3": 0.0}
+_SHUF_SHARDS = 16
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 1.0, "zh": 0.125}
+
+
+@register(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                         generate_series(1, len(w)-{_DECON_N}+1),
+                         i -> array_to_string(w[i:i+{_DECON_N}-1], ' ')))) AS g
+              FROM toks WHERE len(w) >= {_DECON_N}),
+    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 41 = 0),
+    hits AS (SELECT t.doc_id, count(DISTINCT t.g) AS n_hit_grams
+             FROM grams t JOIN ev USING (g)
+             WHERE t.doc_id % 41 <> 0 GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+           coalesce(h.n_hit_grams, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 41 <> 0
+    ORDER BY d.doc_id
+    """,
+    tags=("llm", "pipeline", "decontamination"),
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/Llama n-gram protocol): the eval
+    slice (doc_id % 41 = 0 here; a real pipeline reads the benchmark
+    suites) collapses to a broadcast gram-hash set; training docs sharing
+    any gram are flagged with their hit count. The 100 TB side never
+    shuffles — map-side broadcast join, then one groupBy on the tiny hit
+    set."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 41 == 0)
+    train = docs.filter(F.col("doc_id") % 41 != 0)
+    return pipeline.decontaminate(train, eval_df, n=_DECON_N).orderBy("doc_id")
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH base AS (SELECT doc_id,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                         CAST(doc_id % {_PACK_SHARDS} AS INTEGER) AS shard
+                  FROM documents)
+    SELECT doc_id, shard,
+           CAST(floor(coalesce(sum(n_tokens) OVER w, 0) / {_PACK_BUDGET}) AS BIGINT)
+               AS pack_id,
+           n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER w, 0) AS BIGINT) AS tokens_before
+    FROM base
+    WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ORDER BY doc_id
+    """,
+    tags=("llm", "pipeline", "packing", "window"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into {_PACK_BUDGET}-token packs, {_PACK_SHARDS}
+    independent shards: streaming-concat assignment (a doc joins the pack
+    where its first token lands). One shard shuffle + per-shard window
+    cumsum — no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.pack_sequences(
+        docs, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    ).orderBy("doc_id")
+
+
+@register(
+    "domain_mix_resample",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, source AS domain,
+             CASE source
+               WHEN 'src0' THEN 2 + CASE WHEN (doc_id * 2654435761) % 1000 < 500 THEN 1 ELSE 0 END
+               WHEN 'src1' THEN 0 + CASE WHEN (doc_id * 2654435761) % 1000 < 250 THEN 1 ELSE 0 END
+               WHEN 'src2' THEN 1 + CASE WHEN (doc_id * 2654435761) % 1000 < 500 THEN 1 ELSE 0 END
+               WHEN 'src3' THEN 0
+               ELSE 1
+             END AS n_copies
+      FROM documents)
+    SELECT doc_id, domain, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+    FROM n WHERE n_copies >= 1
+    ORDER BY doc_id, copy_idx
+    """,
+    tags=("llm", "pipeline", "mixing"),
+)
+def domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain mixing: src0 upsampled 2.5× (2 copies + a
+    deterministic half get a 3rd), src1 kept at 25%, src2 at 1.5×, src3
+    dropped, everything else passed through. Fractions come from a Knuth
+    multiplicative hash of doc_id — exact integer arithmetic, replayable,
+    zero shuffles (map-side CASE + explode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.resample_by_weight(docs, _MIX_WEIGHTS).orderBy("doc_id", "copy_idx")
+
+
+@register(
+    "shuffle_shard_assign",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+    sharded AS (
+      SELECT doc_id, h,
+             CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1))
+                 % {_SHUF_SHARDS} AS INTEGER) AS shard
+      FROM base)
+    SELECT doc_id, shard, h AS sort_key,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INTEGER)
+               AS pos
+    FROM sharded
+    ORDER BY doc_id
+    """,
+    tags=("llm", "pipeline", "shuffle", "window"),
+)
+def shuffle_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data serving: md5 sort
+    key, hex-prefix shard (map-side, no global sort), per-shard rank.
+    Same seed → byte-identical order (resumable loaders). The only
+    shuffle is the per-shard window sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.shuffle_shards(docs, n_shards=_SHUF_SHARDS, seed="s42").orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < {pipeline.sample_thresholds_sql(_SAMPLE_RATES)}
+    ORDER BY doc_id
+    """,
+    tags=("llm", "pipeline", "sampling"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep rates (en 50%,
+    de 25%, fr 100%, zh 12.5%) via md5-hex threshold comparison — seeded,
+    nested (a doc kept at rate r stays kept at any higher rate), and a
+    pure scan-side filter: zero shuffles at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        pipeline.stratified_sample(docs, _SAMPLE_RATES, seed="v1")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
