@@ -43,6 +43,8 @@ HEADLINE = (
     "q13_customer_distribution",  # outer join + double agg
     "q21_waiting_suppliers",   # decorrelated EXISTS/NOT-EXISTS, fact reuse
     "pipeline_dedup_quality",  # dedup + quality-gate pipeline slice
+    "decontaminate_ngram",     # broadcast gram-set probe over the corpus
+    "pack_sequences",          # per-shard window cumsum packing
 )
 
 

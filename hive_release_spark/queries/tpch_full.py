@@ -15,13 +15,19 @@ are what these queries exist to cover.
 Scale notes: dimension sides (region/nation/supplier, filtered part)
 are broadcast; customer uses size-conditional ``maybe_broadcast``; the
 only fact-fact shuffles are lineitem⋈orders on orderkey. Scalar
-thresholds are computed as 1-row aggregates and cross-joined broadcast,
-never collected to the driver.
+thresholds over a per-group aggregate (Q11/Q15/Q20) and correlated
+MIN/AVG (Q2/Q17) are computed as WINDOW functions over the single
+aggregated/semi-reduced frame — one corpus scan, never two (DataFrame
+branch reuse does NOT dedupe the lineage: Spark re-executes the whole
+scan per consumer, and exchange reuse doesn't fire across a broadcast
+boundary with differing column pruning — measured 2× lineitem scans
+before this formulation). The global windows run on already-aggregated
+per-group frames (≤ #suppliers/#parts rows), never on the corpus.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
@@ -252,20 +258,20 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: quarterly revenue per supplier (the REVENUE
     view), pick the max-revenue supplier via scalar subquery. The max is
-    a 1-row aggregate cross-joined broadcast against the per-supplier
-    frame (never collected); equality is on the unrounded double (both
-    engines min/max-select the same accumulated value), rounded only for
-    output."""
+    a GLOBAL WINDOW over the per-supplier frame — one lineitem scan,
+    single-partition exchange of ≤ #suppliers rows (never collected);
+    equality is on the unrounded double (both engines min/max-select
+    the same accumulated value), rounded only for output."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
     )
-    top = revenue.agg(F.max("total_revenue").alias("mx"))
     s = load_table(spark, sf_dir, "supplier")
     return (
-        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("mx"))
+        revenue.withColumn("mx", F.max("total_revenue").over(Window.partitionBy()))
+        .filter(F.col("total_revenue") == F.col("mx"))
         .join(s, F.col("supplier_no") == s.s_suppkey)
         .select(
             "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
@@ -332,21 +338,21 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from small-quantity orders of one brand,
     where "small" is correlated — under 20% of THAT part's average
-    quantity. Decorrelated: per-part averages over a brand-semi-reduced
-    lineitem, broadcast back. Quantities are integral doubles, so the
-    avg threshold is exact arithmetic in both engines (no FP-boundary
-    flakiness)."""
+    quantity. Decorrelated: per-part average as a WINDOW over the
+    brand-semi-reduced lineitem — ONE corpus scan + one partkey
+    exchange of the reduced rows (the agg-and-join-back form scans
+    lineitem twice; branch reuse doesn't dedupe lineage). Quantities
+    are integral doubles, so the avg threshold is exact arithmetic in
+    both engines (no FP-boundary flakiness)."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
     li = load_table(spark, sf_dir, "lineitem").join(
         F.broadcast(p.select("p_partkey")),
         F.col("l_partkey") == F.col("p_partkey"),
         "left_semi",
     )
-    avgs = li.groupBy(F.col("l_partkey").alias("ak")).agg(
-        F.avg("l_quantity").alias("avg_qty")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        li.join(F.broadcast(avgs), F.col("l_partkey") == F.col("ak"))
+        li.withColumn("avg_qty", F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
@@ -534,7 +540,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier-part relation. Adaptation: no partsupp, so the relation is
     derived from lineitem (unit_cost = min extendedprice/quantity per
     part-supplier pair). The correlated MIN decorrelates to a per-part
-    aggregate joined back on (partkey, unit_cost) — equality on an
+    WINDOW MIN over the aggregated supplier-part frame — one lineitem
+    scan (the agg-and-join-back form scanned it twice) and the window
+    exchange carries only (partkey, suppkey) rows. Equality on an
     unaccumulated double is exact (min SELECTS a value, both engines
     pick the identical bit pattern)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -553,16 +561,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     )
     ps_eu = ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
-    min_pp = ps_eu.groupBy(F.col("l_partkey").alias("mk")).agg(
-        F.min("unit_cost").alias("min_cost")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
         ps_eu.join(F.broadcast(p), ps_eu.l_partkey == p.p_partkey)
-        .join(
-            min_pp,
-            (F.col("l_partkey") == F.col("mk"))
-            & (F.col("unit_cost") == F.col("min_cost")),
-        )
+        .withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
         .select(
             "s_acctbal",
             "s_name",
@@ -598,8 +601,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation group) exceeds a fraction of the TOTAL value — HAVING against
     a scalar subquery over the same aggregate. Adaptation: value =
     extendedprice*quantity from lineitem (no partsupp availqty/cost).
-    The per-part aggregate is computed once; the total reuses it as a
-    1-row broadcast, not a second scan."""
+    The cutoff (fraction of the total) is a GLOBAL WINDOW over the
+    per-part aggregate — one lineitem scan; the single-partition window
+    exchange carries ≤ #parts skinny rows, never the corpus."""
     n = load_table(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4")
     )
@@ -614,9 +618,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
     )
-    total = val.agg((F.sum("value") * 0.001).alias("cutoff"))
     return (
-        val.crossJoin(F.broadcast(total))
+        val.withColumn("cutoff", F.sum("value").over(Window.partitionBy()) * 0.001)
         .filter(F.col("value") > F.col("cutoff"))
         .select("partkey", F.round("value", 2).alias("value"))
         .orderBy(F.col("value").desc(), "partkey")
@@ -656,8 +659,10 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold. Adaptation: threshold is half the average per-supplier
     shipped quantity of 'small%' parts in 1997 (no partsupp availqty).
     Quantities are integral doubles → exact sums → no FP boundary. The
-    per-supplier aggregate is computed ONCE and reused for both the
-    HAVING input and its average (the SQL's two scans collapse)."""
+    threshold (avg of the per-supplier sums) is a GLOBAL WINDOW over the
+    per-supplier frame — one lineitem scan; the single-partition window
+    exchange carries ≤ #suppliers skinny rows, never the corpus (the
+    1-row-agg cross-join form re-scanned lineitem for each consumer)."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
@@ -667,9 +672,8 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("gk"))
         .agg(F.sum("l_quantity").alias("q"))
     )
-    thresh = per_s.agg((F.avg("q") * 0.5).alias("cutoff"))
     keep = (
-        per_s.crossJoin(F.broadcast(thresh))
+        per_s.withColumn("cutoff", F.avg("q").over(Window.partitionBy()) * 0.5)
         .filter(F.col("q") > F.col("cutoff"))
         .select("gk")
     )

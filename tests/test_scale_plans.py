@@ -170,3 +170,26 @@ def test_maybe_broadcast_parses_byte_confs():
     assert _parse_bytes("1GB") == 1024**3
     assert _parse_bytes("-1") == -1
     assert _parse_bytes("0") == 0
+
+
+def test_scalar_threshold_queries_scan_lineitem_once(spark):
+    """Q2/Q11/Q15/Q17/Q20 decorrelate their scalar/correlated thresholds
+    as window functions over the single aggregated (or semi-reduced)
+    frame. The agg-and-join-back form re-scans lineitem per consumer
+    (branch reuse does NOT dedupe lineage; measured 2× corpus scans) —
+    at 100 TB that doubles the dominant cost, so one parquet scan of
+    lineitem is pinned here."""
+    import re
+
+    from hive_release_spark.queries import REGISTRY
+
+    for name in (
+        "q2_min_cost_supplier",
+        "q11_important_parts",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q20_excess_suppliers",
+    ):
+        plan = _plan(REGISTRY[name].fn(spark, SF_SMOKE), mode="simple")
+        n = len(re.findall(r"FileScan parquet.*lineitem", plan))
+        assert n == 1, f"{name}: {n} lineitem scans\n{plan}"
