@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from hive_release_spark.llm.dedup import _exploded_shingles
+from hive_release_spark.llm.dedup import _doc_shingles, _exploded_shingles
 from hive_release_spark.llm.text import token_count
 
 HEX = "0123456789abcdef"
@@ -38,26 +38,39 @@ def decontaminate(
 
     Scale shape: the eval side (benchmarks, ~MBs even for every public
     eval suite) collapses to a DISTINCT gram-hash set and is broadcast —
-    the 100 TB training corpus is never shuffled; its grams stream
-    through a map-side broadcast hash join and only the tiny hit set
-    (doc_id, s_h) reaches the one groupBy shuffle.  Gram matching is on
-    xxhash64 keys (fixed-width, ~3× less shuffle IO than raw strings);
-    64-bit collisions are negligible at corpus scale.
+    the 100 TB training corpus is scanned ONCE and never shuffled before
+    the final per-doc count.  The train side keeps explode_outer's NULL
+    row for gram-less docs, so every training doc survives the broadcast
+    LEFT join and the single partial-agged groupBy — no separate
+    doc_id-list scan + join-back (that form scanned the corpus twice).
+    Gram matching is on xxhash64 keys (fixed-width, ~3× less shuffle IO
+    than raw strings); 64-bit collisions are negligible at corpus scale.
+    Per-doc shingles are already array_distinct, so counting hit rows IS
+    the distinct-gram hit count.
     """
-    eval_grams = _exploded_shingles(eval_df, n, id_col, text_col).select("s_h").distinct()
-    hits = (
-        _exploded_shingles(train, n, id_col, text_col)
-        .join(F.broadcast(eval_grams), "s_h")
-        .groupBy("doc_id")
-        .agg(F.count_distinct("s_h").alias("n_hit_grams"))
+    eval_grams = (
+        _exploded_shingles(eval_df, n, id_col, text_col)
+        .select("s_h")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    tr = _doc_shingles(train, n, id_col, text_col).select(
+        "doc_id", F.explode_outer("sh").alias("s")
     )
     return (
-        train.select(F.col(id_col).alias("doc_id"))
-        .join(hits, "doc_id", "left")
+        # xxhash64(NULL) returns the SEED, not NULL — guard so a
+        # gram-less doc's placeholder row can never equi-match a real gram
+        tr.select(
+            "doc_id",
+            F.when(F.col("s").isNotNull(), F.xxhash64("s")).alias("s_h"),
+        )
+        .join(F.broadcast(eval_grams), "s_h", "left")
+        .groupBy("doc_id")
+        .agg(F.count("__hit").alias("n_hit_grams"))
         .select(
             "doc_id",
-            F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
-            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+            "n_hit_grams",
+            (F.col("n_hit_grams") > 0).alias("contaminated"),
         )
     )
 

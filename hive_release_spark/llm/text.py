@@ -49,10 +49,11 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(canon)
 
 
-def bigrams(text: Column | str) -> Column:
-    """Hive ``ngrams(sentences(...), 2, k)`` analogue: the bigram array,
-    built with higher-order functions (no UDF)."""
-    w = tokens(text)
+def bigrams_of(w: Column) -> Column:
+    """Bigram array from a token-array column. Pass a MATERIALIZED array
+    attribute where possible — ``w`` is referenced thrice per element, so
+    an inline ``split(...)`` gets re-evaluated per element (the repo-wide
+    expression-reuse trap)."""
     grams = F.transform(
         F.sequence(F.lit(0), F.size(w) - 2),
         lambda i: F.concat(F.element_at(w, i + 1), F.lit(" "), F.element_at(w, i + 2)),
@@ -65,13 +66,23 @@ def bigrams(text: Column | str) -> Column:
     )
 
 
+def bigrams(text: Column | str) -> Column:
+    """Hive ``ngrams(sentences(...), 2, k)`` analogue: the bigram array,
+    built with higher-order functions (no UDF). Prefer ``bigrams_of`` on
+    a materialized token-array attribute in multi-stage pipelines."""
+    return bigrams_of(tokens(text))
+
+
 def top_ngrams(df: DataFrame, text_col: str = "text", n_out: int = 30) -> DataFrame:
     """Corpus-level top-k bigram frequencies (Hive GenericUDAFnGrams
     parity): explode → count → top-k. Scales as a word-count."""
-    # bigram array materialized + explode_outer: an inner explode would get
-    # an InferFiltersFromGenerate size-filter pushed into the scan with the
+    # token array materialized in its own projection (expression-reuse
+    # trap), then explode_outer: an inner explode would get an
+    # InferFiltersFromGenerate size-filter pushed into the scan with the
     # full split-inlined bigram expression (per-element re-evaluation)
-    grams = df.select(bigrams(F.col(text_col)).alias("ngrams"))
+    grams = df.select(tokens(F.col(text_col)).alias("w")).select(
+        bigrams_of(F.col("w")).alias("ngrams")
+    )
     return (
         grams.select(F.explode_outer("ngrams").alias("ngram"))
         .filter(F.col("ngram").isNotNull())
@@ -95,7 +106,14 @@ def tfidf_top_terms(
     Shape: explode → groupBy (doc, term) for tf [shuffle 1]; groupBy term
     for df [shuffle 2, vocabulary-sized]; df-table joins back broadcast
     (vocab ≪ corpus); final per-doc window rank [shuffle 3 on doc_id].
-    All JVM expressions; ties broken by term for determinism."""
+    All JVM expressions; ties broken by term for determinism.
+
+    The tf frame is PERSISTED (MEMORY_AND_DISK) across its two consumers
+    (docfreq build side, scored probe side) — without it Spark re-executes
+    the scan→explode→count lineage per consumer, reading the corpus twice
+    (same fix as the MinHash base frame; released by the ContextCleaner
+    when the result is garbage-collected)."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     terms = (
@@ -103,7 +121,11 @@ def tfidf_top_terms(
         .select("doc_id", F.explode_outer("w").alias("term"))
         .filter(F.col("term").isNotNull())
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.count()  # one scalar; the lit keeps idf a pure expression
     scored = tf.join(F.broadcast(docfreq), "term").select(
@@ -193,29 +215,37 @@ def repetition_features(
     than two tokens have a NULL share (no bigrams), mirroring a
     LEFT-joined SQL formulation.
 
-    Shape: one explode → (doc, gram) count [shuffle on doc_id+gram] →
-    per-doc max/sum [shuffle on doc_id, partial-agg combined]; the
-    token ratio is a scan-side expression. Ratios are exact rational
-    divisions (int/int), bit-identical across engines — left unrounded.
+    Shape: ONE corpus scan — the token ratio (a scan-side expression)
+    rides the gram explode instead of a second scan + join-back (branch
+    reuse doesn't dedupe lineage; the join form re-read the corpus for
+    the ratio side). explode_outer keeps a NULL-gram row for docs with
+    <2 tokens, so they survive both aggs with a NULL share — identical
+    to the LEFT-joined SQL. Then (doc, gram) count [shuffle 1] → per-doc
+    max/sum [shuffle 2, partial-agg combined]; the constant-per-doc
+    ratio is carried with min(). Ratios are exact rational divisions
+    (int/int), bit-identical across engines — left unrounded.
     """
     base = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w"))
-    ratio = base.select(
+    feat = base.select(
         "doc_id",
-        (F.size(F.array_distinct("w")) / F.size("w")).alias("distinct_token_ratio"),
+        (F.size(F.array_distinct("w")) / F.size("w")).alias("r"),
+        bigrams_of(F.col("w")).alias("g"),
     )
-    grams = df.select(
-        F.col(id_col).alias("doc_id"), bigrams(F.col(text_col)).alias("g")
-    )
-    share = (
-        grams.select("doc_id", F.explode_outer("g").alias("gram"))
-        .filter(F.col("gram").isNotNull())
-        .groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg((F.max("c") / F.sum("c")).alias("top_bigram_share"))
-    )
+    gram = F.col("gram")
     return (
-        ratio.join(share, "doc_id", "left")
+        feat.select("doc_id", "r", F.explode_outer("g").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"), F.min("r").alias("r"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("r").alias("distinct_token_ratio"),
+            # the NULL-gram placeholder only ever appears alone (empty
+            # bigram array), so excluding it leaves NULL max/sum → NULL share
+            (
+                F.max(F.when(gram.isNotNull(), F.col("c")))
+                / F.sum(F.when(gram.isNotNull(), F.col("c")))
+            ).alias("top_bigram_share"),
+        )
         .withColumn(
             "is_repetitive",
             (F.col("top_bigram_share") > 0.2) | (F.col("distinct_token_ratio") < 0.3),

@@ -159,20 +159,30 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end ingest pipeline slice: exact-dedup (hash groupBy,
     deterministic min-id survivor) → quality gate (token/char minimums)
-    → training-set projection. One shuffle for the dedup; the quality
-    filter rides the survivor scan."""
+    → training-set projection. ONE corpus scan and one partial-agged
+    shuffle: the survivor row is picked as min(struct(doc_id, ...)) —
+    struct comparison orders by doc_id first, so the min-id survivor's
+    own columns ride along (the min-id + semi-join-back form scanned the
+    corpus twice AND shuffled the full doc_id key set a second time).
+    The shuffle carries (md5, skinny struct), never the text."""
     docs = load_table(spark, sf_dir, "documents")
-    keep = (
-        docs.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    surv = (
+        docs.select(
+            F.md5("text").alias("h"),
+            F.struct(
+                "doc_id",
+                "lang",
+                "source",
+                text.token_count("text").alias("n_tokens"),
+                "n_chars",
+            ).alias("s"),
+        )
+        .groupBy("h")
+        .agg(F.min("s").alias("s"))
+        .select("s.doc_id", "s.lang", "s.source", "s.n_tokens", "s.n_chars")
     )
     return (
-        docs.join(keep, "doc_id", "left_semi")
-        .select(
-            "doc_id", "lang", "source", text.token_count("text").alias("n_tokens"), "n_chars"
-        )
-        .filter((F.col("n_tokens") >= 5) & (F.col("n_chars") >= 20))
+        surv.filter((F.col("n_tokens") >= 5) & (F.col("n_chars") >= 20))
         .drop("n_chars")
         .orderBy("doc_id")
     )

@@ -110,7 +110,12 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: large-quantity orders via IN (GROUP BY ...
-    HAVING) subquery → semi join on the aggregated key set."""
+    HAVING). The SQL's literal plan joins lineitem back and re-sums, but
+    the output sum IS the HAVING aggregate — so the per-order aggregate
+    is computed once and lineitem is scanned ONCE; the orderkey join
+    then carries only per-order rows, not line items (the join-back form
+    scanned and shuffled the full fact twice). Semi-join coverage lives
+    in q4/join_left_semi."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -118,20 +123,16 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("q"))
         .filter(F.col("q") > 150)
-        .select("l_orderkey")
     )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(big.withColumnRenamed("l_orderkey", "bk"), o.o_orderkey == F.col("bk"), "left_semi")
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .select(
             "c_custkey",
             "o_orderkey",
             "o_orderdate",
             F.round(F.col("o_totalprice"), 2).alias("total"),
-            "sum_qty",
+            F.round(F.col("q"), 2).alias("sum_qty"),
         )
         .orderBy(F.col("total").desc(), F.col("o_orderkey"))
         .limit(25)

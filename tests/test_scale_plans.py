@@ -193,3 +193,39 @@ def test_scalar_threshold_queries_scan_lineitem_once(spark):
         plan = _plan(REGISTRY[name].fn(spark, SF_SMOKE), mode="simple")
         n = len(re.findall(r"FileScan parquet.*lineitem", plan))
         assert n == 1, f"{name}: {n} lineitem scans\n{plan}"
+
+
+def _table_scan_counts(plan: str) -> dict:
+    import collections
+    import re
+
+    c: dict = collections.Counter()
+    for line in plan.splitlines():
+        if "FileScan parquet" in line:
+            m = re.search(r"(\w+)\.parquet", line)
+            if m:
+                c[m.group(1)] += 1
+    return dict(c)
+
+
+def test_corpus_operators_scan_documents_once(spark):
+    """The corpus-pipeline operators read documents exactly once per
+    logical role — the scan is the dominant cost at 100 TB, so a second
+    lineage execution (branch reuse does not dedupe it) doubles the job.
+    decontaminate's floor is 2 (eval + train are disjoint roles of the
+    same table); tfidf persists its tf frame, so consumers must show
+    InMemoryTableScan rather than a second FileScan lineage."""
+    from hive_release_spark.queries import REGISTRY
+
+    for name, want in (
+        ("q18_large_orders", {"lineitem": 1, "orders": 1, "customer": 1}),
+        ("text_repetition_score", {"documents": 1}),
+        ("pipeline_dedup_quality", {"documents": 1}),
+        ("decontaminate_ngram", {"documents": 2}),
+        ("text_ngrams_top", {"documents": 1}),
+    ):
+        plan = _plan(REGISTRY[name].fn(spark, SF_SMOKE), mode="simple")
+        got = _table_scan_counts(plan)
+        assert got == want, f"{name}: {got}\n{plan}"
+    tfidf = _plan(REGISTRY["text_tfidf_top_terms"].fn(spark, SF_SMOKE), mode="simple")
+    assert tfidf.count("InMemoryTableScan") == 2, tfidf
