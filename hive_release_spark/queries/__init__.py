@@ -87,7 +87,10 @@ DRIVER_WINDOW = [
     # end-to-end LLM pipeline slice (families already in-window get
     # their strongest shape a driver row; duplicates of an in-window
     # family — arrow twin, live-stream twin — were demoted to make room)
-    "dedup_connected_components",
+    # pipeline_neardedup_corpus runs pairs → connected components →
+    # survivor filter end-to-end; its oracle extends the CC recursive
+    # CTE, so it subsumes dedup_connected_components' evidence in one row
+    "pipeline_neardedup_corpus",
     "text_tfidf_top_terms",
     "q21_waiting_suppliers",
     "q13_customer_distribution",

@@ -174,3 +174,77 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "pipeline_neardedup_corpus",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        WITH sh AS (
+          SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        ),
+        ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) * 1.0 / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    losers AS (
+      SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) <> a
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           len(string_split(d.text, ' ')) AS n_tokens
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    ORDER BY d.doc_id
+    """,
+    tags=("llm", "pipeline", "dedup", "neardup", "iterative"),
+)
+def pipeline_neardedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-dedup: Jaccard >= 0.5 pair graph -> connected
+    components -> drop every cluster member except the min-id survivor ->
+    project the training corpus. The full answer to "remove near-dups
+    from 100 TB", not just the pair list.
+
+    Scale shape: the pair/label path reduces the corpus to skinny frames
+    immediately (postings-list pair emission, then min-label rounds over
+    nodes that HAVE a near-dup only); the final pass re-scans the corpus
+    once and anti-joins the loser set — losers are only near-dup cluster
+    members, usually orders of magnitude smaller than the corpus, so the
+    size-conditional hint broadcasts them (and degrades to a shuffled
+    anti join on a pathologically duplicate-heavy corpus). Two corpus
+    scans total is the floor for "global graph, then filter" without
+    persisting 100 TB."""
+    from hive_release_spark.llm import dedup as dedup_mod
+    from hive_release_spark.llm import text as text_mod
+    from hive_release_spark.operators.hints import maybe_broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_mod.jaccard_pairs(docs, n=3, threshold=0.5)
+    losers = (
+        dedup_mod.connected_components(pairs)
+        .filter(~F.col("is_survivor"))
+        .select("doc_id")
+    )
+    return (
+        docs.join(maybe_broadcast(losers), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            text_mod.token_count("text").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
