@@ -128,7 +128,11 @@ def tfidf_top_terms(
     )
     docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.count()  # one scalar; the lit keeps idf a pure expression
-    scored = tf.join(F.broadcast(docfreq), "term").select(
+    # vocabulary-sized: usually broadcastable, but noisy web-scale corpora
+    # can blow the vocab past the threshold — size-conditional hint
+    from hive_release_spark.operators.hints import maybe_broadcast
+
+    scored = tf.join(maybe_broadcast(docfreq), "term").select(
         "doc_id",
         "term",
         F.round(

@@ -12,9 +12,14 @@ adaptation. The SHAPES (correlated MIN, outer-join distribution,
 scalar-subquery HAVING, disjunctive pushdown, double-anti-correlation)
 are what these queries exist to cover.
 
-Scale notes: dimension sides (region/nation/supplier, filtered part)
-are broadcast; customer uses size-conditional ``maybe_broadcast``; the
-only fact-fact shuffles are lineitem⋈orders on orderkey. Scalar
+Scale notes: fixed-cardinality dims (region = 5 rows, nation = 25) are
+hard-broadcast — safe at ANY scale factor; every SF-growing side
+(supplier, filtered part, customer, and frames derived from them) uses
+size-conditional ``maybe_broadcast``, which drops the hint once
+Catalyst's size estimate crosses the session broadcast threshold, so
+the same code degrades to a shuffle join at 100 TB instead of OOMing
+the driver. The only fact-fact shuffles are lineitem⋈orders on
+orderkey. Scalar
 thresholds over a per-group aggregate (Q11/Q15/Q20) and correlated
 MIN/AVG (Q2/Q17) are computed as WINDOW functions over the single
 aggregated/semi-reduced frame — one corpus scan, never two (DataFrame
@@ -79,7 +84,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load_table(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(maybe_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .filter(
@@ -135,7 +140,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("n_nationkey").alias("cnk"))
     c = (
         load_table(spark, sf_dir, "customer")
-        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("cnk"))
+        .join(maybe_broadcast(cust_nations), F.col("c_nationkey") == F.col("cnk"))
         .select("c_custkey")
     )
     s = (
@@ -150,8 +155,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     target = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
@@ -194,8 +199,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
@@ -313,8 +318,8 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        li.join(maybe_broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(maybe_broadcast(p), F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
@@ -346,7 +351,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (no FP-boundary flakiness)."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
     li = load_table(spark, sf_dir, "lineitem").join(
-        F.broadcast(p.select("p_partkey")),
+        maybe_broadcast(p.select("p_partkey")),
         F.col("l_partkey") == F.col("p_partkey"),
         "left_semi",
     )
@@ -394,7 +399,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#14") & sz.between(1, 15) & (q >= 20) & (q <= 30))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -460,7 +465,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_supp") >= 2)
             & (F.col("n_late_supp") == 1)
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(maybe_broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.sum("late_lines").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -560,10 +565,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     )
-    ps_eu = ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+    ps_eu = ps.join(maybe_broadcast(eu), ps.l_suppkey == eu.s_suppkey)
     w = Window.partitionBy("l_partkey")
     return (
-        ps_eu.join(F.broadcast(p), ps_eu.l_partkey == p.p_partkey)
+        ps_eu.join(maybe_broadcast(p), ps_eu.l_partkey == p.p_partkey)
         .withColumn("min_cost", F.min("unit_cost").over(w))
         .filter(F.col("unit_cost") == F.col("min_cost"))
         .select(
@@ -614,7 +619,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     val = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(maybe_broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
     )
@@ -668,7 +673,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
     per_s = (
-        li.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("l_suppkey").alias("gk"))
         .agg(F.sum("l_quantity").alias("q"))
     )
@@ -680,7 +685,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     return (
-        s.join(F.broadcast(keep), s.s_suppkey == F.col("gk"), "left_semi")
+        s.join(maybe_broadcast(keep), s.s_suppkey == F.col("gk"), "left_semi")
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", "n_name")
         .orderBy("s_name")

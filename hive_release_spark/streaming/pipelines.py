@@ -104,11 +104,16 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
 
 def stream_static_join(events: DataFrame, customers: DataFrame) -> DataFrame:
-    """Stream ⋈ static-dim broadcast join (events.user_id lives in the
-    customer key space — FIXTURES.md): revenue-by-segment enrichment."""
+    """Stream ⋈ static-dim join (events.user_id lives in the customer
+    key space — FIXTURES.md): revenue-by-segment enrichment. The static
+    side takes the size-conditional broadcast hint — customer grows with
+    the deployment, and an over-threshold static side should shuffle-join
+    per micro-batch rather than OOM the driver."""
+    from hive_release_spark.operators.hints import maybe_broadcast
+
     dim = customers.select("c_custkey", "c_mktsegment")
     return (
-        events.join(F.broadcast(dim), events.user_id == dim.c_custkey)
+        events.join(maybe_broadcast(dim), events.user_id == dim.c_custkey)
         .groupBy("c_mktsegment", "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
