@@ -18,6 +18,7 @@ from hive_release_spark.queries import (  # noqa: F401,E402
     llm4,
     tpch_more,
     tpch_full,
+    analytics,
 )
 
 
