@@ -42,8 +42,16 @@ from hive_release_spark.queries.registry import register
     tags=("analytics", "events", "funnel", "hof"),
 )
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel view → click → purchase: a user converts a step
-    only with an event STRICTLY AFTER their previous step's first event.
+    """Ordered funnel view → click → purchase over the events table —
+    see :func:`funnel` for semantics and the scale shape."""
+    return funnel(load_table(spark, sf_dir, "events"))
+
+
+def funnel(
+    events: DataFrame, steps: tuple[str, str, str] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered funnel: a user converts a step only with an event
+    STRICTLY AFTER their previous step's first event.
 
     The SQL idiom is three self-joins (the oracle); here the event
     stream collapses to one sorted per-user array and each step is a
@@ -54,10 +62,9 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     repo-wide expression-reuse trap). ``F.get`` (0-based) returns NULL
     on an empty filter result under ANSI too — ``element_at`` would
     throw on the driver's default session."""
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select("user_id", "ts", "event_type")
-        .filter(F.col("event_type").isin("view", "click", "purchase"))
+    e1, e2, e3 = steps
+    ev = events.select("user_id", "ts", "event_type").filter(
+        F.col("event_type").isin(*steps)
     )
     seq = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("seq")
@@ -65,7 +72,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = seq.select(
         "user_id",
         "seq",
-        F.get(F.filter("seq", lambda s: s["event_type"] == "view"), 0)["ts"].alias(
+        F.get(F.filter("seq", lambda s: s["event_type"] == e1), 0)["ts"].alias(
             "t1"
         ),
     )
@@ -76,7 +83,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get(
             F.filter(
                 "seq",
-                lambda s: (s["event_type"] == "click") & (s["ts"] > F.col("t1")),
+                lambda s: (s["event_type"] == e2) & (s["ts"] > F.col("t1")),
             ),
             0,
         )["ts"].alias("t2"),
@@ -88,7 +95,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get(
             F.filter(
                 "seq",
-                lambda s: (s["event_type"] == "purchase") & (s["ts"] > F.col("t2")),
+                lambda s: (s["event_type"] == e3) & (s["ts"] > F.col("t2")),
             ),
             0,
         )["ts"].alias("t3"),

@@ -1,0 +1,85 @@
+"""Semantics pins for the event-analytics operators: the strictly-after
+funnel ordering and the cohort-week arithmetic on synthetic fixtures the
+random testdata can't pin explicitly (the oracle gate covers the
+fixture corpus; these cover the corner users)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from hive_release_spark.queries.analytics import funnel, retention_cohorts
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+
+def test_funnel_strictly_after_ordering(spark):
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: clean view → click → purchase: converts every step
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # u2: click BEFORE the first view — click step must not count,
+        # so the later purchase can't count either
+        (2, t(0), "click"), (2, t(1), "view"), (2, t(2), "purchase"),
+        # u3: view only
+        (3, t(0), "view"),
+        # u4: purchase precedes the click — purchase step must not count
+        (4, t(0), "view"), (4, t(1), "purchase"), (4, t(2), "click"),
+        # u5: only non-funnel events — excluded from users_total
+        (5, t(0), "error"),
+        # u6: click at the SAME instant as the view — strictly-after
+        # excludes it
+        (6, t(0), "view"), (6, t(0), "click"),
+    ]
+    out = funnel(_ev(spark, rows)).collect()[0].asDict()
+    assert out == {
+        "users_total": 5,
+        "n_view": 5,
+        "n_click_after_view": 2,  # u1, u4
+        "n_purchase_after_click": 1,  # u1
+    }
+
+
+def test_funnel_second_click_after_view_counts(spark):
+    """A pre-view click doesn't poison the step: the user's LATER click
+    (after the first view) still converts — per-event search, not
+    first-click-only."""
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, t(0), "click"), (1, t(1), "view"),
+        (1, t(2), "click"), (1, t(3), "purchase"),
+    ]
+    out = funnel(_ev(spark, rows)).collect()[0].asDict()
+    assert out["n_click_after_view"] == 1
+    assert out["n_purchase_after_click"] == 1
+
+
+def test_retention_cohort_weeks(spark, tmp_path):
+    # 2024-01-01 is a Monday → weeks are [Jan 1), [Jan 8), [Jan 15) ...
+    rows = [
+        (1, datetime(2024, 1, 2), "view"),    # cohort wk0
+        (1, datetime(2024, 1, 16), "view"),   # active wk2
+        (2, datetime(2024, 1, 7), "click"),   # cohort wk0 (Sunday of wk0)
+        (3, datetime(2024, 1, 8), "view"),    # cohort wk1
+    ]
+    df = _ev(spark, rows)
+    path = tmp_path / "events.parquet"
+    df.write.mode("overwrite").parquet(str(path))
+    # retention_cohorts loads via the catalog; write a mini sf_dir.
+    # The catalog expects ts as nanos-long for events — easier to call
+    # the aggregation body directly on the frame via a monkey-ish shim:
+    from unittest import mock
+
+    with mock.patch(
+        "hive_release_spark.queries.analytics.load_table", return_value=df
+    ):
+        out = {
+            (r.cohort.isoformat(), r.week_n): r.active_users
+            for r in retention_cohorts(spark, str(tmp_path)).collect()
+        }
+    assert out == {
+        ("2024-01-01", 0): 2,  # u1, u2 in cohort week 0
+        ("2024-01-01", 2): 1,  # u1 returns in week 2
+        ("2024-01-08", 0): 1,  # u3 cohort week 1, active week 0
+    }
