@@ -45,6 +45,8 @@ HEADLINE = (
     "pipeline_dedup_quality",  # dedup + quality-gate pipeline slice
     "decontaminate_ngram",     # broadcast gram-set probe over the corpus
     "pack_sequences",          # per-shard window cumsum packing
+    "funnel_conversion",       # per-user sorted-array HOF funnel
+    "retention_cohorts",       # cohort triangle, collect_set explode
 )
 
 
