@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from hive_release_spark.llm.dedup import _doc_shingles, _exploded_shingles
+from hive_release_spark.llm.dedup import _doc_shingles, _exploded_shingles, shingles
 from hive_release_spark.llm.text import token_count
 
 HEX = "0123456789abcdef"
@@ -229,3 +229,55 @@ def sample_thresholds_sql(rates: dict[str, float], default_rate: float = 0.0) ->
         for s, r in sorted(rates.items())
     )
     return f"CASE lang {arms} ELSE '{format(min(int(default_rate * 16**8), 16**8 - 1), '08x')}' END"
+
+
+def source_overlap(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources, the
+    number of DISTINCT word n-grams occurring in both — the "how much of
+    dataset A leaked into dataset B" report a corpus curator reads before
+    mixing sources.
+
+    Scale shape: ONE corpus scan → distinct (gram-hash, source) — the
+    distinct collapses each source's gram multiset map-side — then a
+    postings-list pair expansion per gram (same shape as jaccard_pairs:
+    groupBy gram, sorted source set, inline i<j pairs) and a tiny
+    (source_a, source_b) count. No self-join of the gram table; with k
+    sources the per-gram pair array is ≤ k(k-1)/2."""
+    # token array materialized in its own projection (expression-reuse
+    # trap), explode_outer + isNotNull (InferFiltersFromGenerate dodge)
+    w = F.split(F.col(text_col), " ")
+    gs = (
+        docs.select(F.col(group_col).alias("src"), w.alias("w"))
+        .select("src", shingles(F.col("w"), n).alias("sh"))
+        .select("src", F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .select("src", F.xxhash64("s").alias("s_h"))
+        .distinct()
+    )
+    postings = gs.groupBy("s_h").agg(F.sort_array(F.collect_set("src")).alias("srcs"))
+    pair_arrays = postings.filter(F.size("srcs") > 1).select(
+        F.flatten(
+            F.transform(
+                F.col("srcs"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("srcs"), i + 2, F.size(F.col("srcs"))),
+                    lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+                ),
+            )
+        ).alias("ps")
+    )
+    return (
+        pair_arrays.select(F.explode_outer("ps").alias("p"))
+        .filter(F.col("p").isNotNull())
+        .groupBy(
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared_grams"))
+        .orderBy("source_a", "source_b")
+    )

@@ -277,3 +277,49 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         }
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    cutoff: float = 0.999,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer vocabulary construction: keep the most frequent terms
+    until they cover ``cutoff`` of total token mass (the frequency-based
+    vocab cut every word-level tokenizer starts from). A term is kept
+    while the mass STRICTLY BEFORE it (freq-desc, term tie-break) is
+    under the cutoff — so the term crossing the boundary is included.
+
+    Scale shape: explode → one partial-agged term count [vocab-sized
+    output ≪ corpus] → global window cumsum over the VOCAB frame only
+    (the single-partition exchange carries (term, freq) pairs, never the
+    corpus — same justification as the TPC-H scalar-threshold windows).
+    Returns (term, freq, rank)."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(tokens(F.col(text_col)).alias("w"))
+        .select(F.explode_outer("w").alias("term"))
+        .filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    order = Window.orderBy(F.col("freq").desc(), "term")
+    before = (
+        F.coalesce(
+            F.sum("freq").over(order.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+    )
+    total = F.sum("freq").over(Window.partitionBy())
+    return (
+        counts.select(
+            "term",
+            "freq",
+            F.row_number().over(order).alias("rank"),
+            (before / total).alias("before_share"),
+        )
+        .filter(F.col("before_share") < cutoff)
+        .select("term", "freq", "rank")
+        .orderBy("rank")
+    )

@@ -248,3 +248,59 @@ def pipeline_neardedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "vocab_coverage_cutoff",
+    oracle="""
+    WITH tf AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    counts AS (SELECT term, count(*) AS freq FROM tf GROUP BY term),
+    ranked AS (
+      SELECT term, CAST(freq AS BIGINT) AS freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, term) AS INTEGER) AS rank,
+             coalesce(sum(freq) OVER (ORDER BY freq DESC, term
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS before_mass,
+             sum(freq) OVER () AS total
+      FROM counts)
+    SELECT term, freq, rank
+    FROM ranked
+    WHERE before_mass * 1.0 / total < 0.9
+    ORDER BY rank
+    """,
+    tags=("llm", "pipeline", "vocab", "window"),
+)
+def vocab_coverage_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary cut: most-frequent terms covering 90% of
+    token mass (strictly-before semantics include the boundary term).
+    One corpus scan → partial-agged term count → global window cumsum
+    over the VOCAB frame only (see llm/text.vocab_coverage)."""
+    from hive_release_spark.llm.text import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, cutoff=0.9)
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+    WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+    grams AS (SELECT DISTINCT source,
+                     unnest(list_distinct(list_transform(
+                         generate_series(1, len(w)-2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+              FROM toks WHERE len(w) >= 3)
+    SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared_grams
+    FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("llm", "pipeline", "contamination", "postings"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination report: distinct shared 3-grams per
+    source pair — read before mixing datasets. Postings-list pair
+    expansion (no gram-table self-join); the SQL self-join lives in the
+    oracle. See llm/pipeline.source_overlap."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.source_overlap(docs, n=3)
