@@ -332,12 +332,50 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.pack_assets(docs).select("asset_id", "n_bytes", "checksum", "modality")
 
 
-@register("multimodal_features", tags=("llm", "multimodal", "no_oracle"))
+def _hexpair(k: int) -> str:
+    """DuckDB SQL for byte k (0-indexed) of a sha256 hex digest column h."""
+    return (
+        f"((strpos('0123456789abcdef', substr(h, {2 * k + 1}, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr(h, {2 * k + 2}, 1)) - 1))"
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=f"""
+    WITH a AS (SELECT doc_id AS asset_id, sha256(text) AS h,
+                      ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1]
+                          AS modality
+               FROM documents),
+    b AS (SELECT asset_id, modality,
+                 {_hexpair(0)} AS d0, {_hexpair(1)} AS d1, {_hexpair(2)} AS d2,
+                 {_hexpair(3)} AS d3, {_hexpair(4)} AS d4, {_hexpair(5)} AS d5,
+                 {_hexpair(6)} AS d6
+          FROM a)
+    SELECT asset_id, modality,
+           CAST(64 + d0 % 192 AS INTEGER) AS width,
+           CAST(64 + d1 % 192 AS INTEGER) AS height,
+           CAST(1 + d2 % 32 AS INTEGER) AS n_frames,
+           round((((d3 * 256 + d4) * 256 + d5) * 256 + d6) / 4294967296.0, 6)
+               AS feat_norm
+    FROM b
+    ORDER BY asset_id
+    """,
+    tags=("llm", "multimodal", "arrow"),
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract via mapInPandas (deterministic fake codec —
-    the Arrow plumbing is the real artifact; see llm/multimodal.py)."""
+    """Decode/feature-extract via mapInPandas — the Arrow plumbing
+    (schema, batch iteration, partition preservation) is the real
+    artifact; the codec is a deterministic sha256-derived stand-in (see
+    llm/multimodal._fake_decode), which makes even the Python path
+    ORACLE-GATED: DuckDB replays the digest arithmetic from sha256 hex
+    (strpos hex-pair decode). No round()-tie risk: feat_norm = d/2^32
+    has a power-of-two denominator, so its decimal expansion can never
+    end in a 5 at the rounding digit."""
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.extract_features(multimodal.pack_assets(docs))
+    return multimodal.extract_features(multimodal.pack_assets(docs)).orderBy(
+        "asset_id"
+    )
 
 
 @register(
