@@ -223,6 +223,10 @@ def test_corpus_operators_scan_documents_once(spark):
         ("pipeline_dedup_quality", {"documents": 1}),
         ("decontaminate_ngram", {"documents": 2}),
         ("text_ngrams_top", {"documents": 1}),
+        ("funnel_conversion", {"events": 1}),
+        ("retention_cohorts", {"events": 1}),
+        ("vocab_coverage_cutoff", {"documents": 1}),
+        ("source_overlap_matrix", {"documents": 1}),
     ):
         plan = _plan(REGISTRY[name].fn(spark, SF_SMOKE), mode="simple")
         got = _table_scan_counts(plan)
