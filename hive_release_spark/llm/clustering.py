@@ -115,3 +115,94 @@ def kmeans_oracle(k: int = 8, n_iter: int = 3) -> str:
     )
     sql.append("SELECT vec_id, cluster FROM fin ORDER BY vec_id")
     return "\n".join(sql)
+
+
+def pca_project(
+    emb: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed PCA projection — the dimension-reduction step an
+    embedding pipeline runs before ANN indexing or clustering.
+
+    Spark-first shape (MLlib RowMatrix.computePrincipalComponents
+    pattern):
+
+    1. Per-Arrow-batch partial moments via ``mapInPandas``: each batch
+       contributes its numpy ``XᵀX`` Gram block, column sums, and row
+       count — a 100 TB corpus reduces map-side to (d²+d+1)-size
+       partials, BLAS-computed, before any exchange.
+    2. One (i, j) hash-agg shuffle merges partials; the d×d covariance
+       (d = 64 → 4 161 cells) is collected to the DRIVER — bounded by
+       dimension, never by corpus size (same contract as the k-means
+       centroid loop).
+    3. numpy ``eigh`` on the driver yields the top-k components, which
+       are embedded back as LITERAL arrays; the projection itself is a
+       zero-shuffle JVM map stage (``aggregate(zip_with(...))`` dot
+       products), so the second corpus pass never touches Python.
+
+    Rows-only by design: float summation order makes the last ulp of
+    the covariance — and the eigenvector signs — engine-specific, so
+    there is no cross-engine oracle; correctness is pinned by the
+    numpy-parity test (subspace match vs exact PCA on the collected
+    corpus) in tests/test_clustering_pca.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = len(emb.select(vec_col).first()[0])  # 1-row driver fetch, bounded
+
+    def partial_moments(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["v"].values).astype("float64")
+            g = X.T @ X
+            s = X.sum(axis=0)
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([ii.ravel(), np.arange(d), [-1]]),
+                    "j": np.concatenate([jj.ravel(), np.full(d, -1), [-1]]),
+                    "val": np.concatenate([g.ravel(), s, [float(len(X))]]),
+                }
+            )
+
+    moments = (
+        emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .mapInPandas(partial_moments, schema="i INT, j INT, val DOUBLE")
+        .groupBy("i", "j")
+        .agg(F.sum("val").alias("val"))
+        .collect()  # ≤ d² + d + 1 rows — dimension-bounded, documented
+    )
+    gram = np.zeros((d, d))
+    mean = np.zeros(d)
+    n = 0.0
+    for r in moments:
+        if r.i == -1:
+            n = r.val
+        elif r.j == -1:
+            mean[r.i] = r.val
+        else:
+            gram[r.i, r.j] = r.val
+    mean /= n
+    cov = gram / n - np.outer(mean, mean)
+    eigval, eigvec = np.linalg.eigh(cov)  # ascending
+    comps = eigvec[:, ::-1][:, :k]  # d × k, top-k by variance
+    # deterministic sign: make the largest-|coeff| entry positive
+    for c in range(k):
+        j = int(np.abs(comps[:, c]).argmax())
+        if comps[j, c] < 0:
+            comps[:, c] = -comps[:, c]
+
+    x = F.col(vec_col).cast("array<double>")
+    proj_cols = []
+    for c in range(k):
+        w = F.array(*[F.lit(float(v)) for v in comps[:, c]])
+        dot = F.aggregate(
+            F.zip_with(x, w, lambda a, b: a * b), F.lit(0.0), lambda s, v: s + v
+        )
+        offset = float(mean @ comps[:, c])
+        proj_cols.append(F.round(dot - F.lit(offset), 6).alias(f"pc{c}"))
+    return emb.select(F.col(id_col), *proj_cols)

@@ -203,3 +203,14 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break) so even the ASSIGNMENTS are oracle-gated, not rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
     return clustering.kmeans_assign(emb, k=8, n_iter=3).orderBy("vec_id")
+
+
+@register("emb_pca_project", tags=("llm", "embedding", "pca", "no_oracle"))
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA to 8 components (Arrow partial Gram reduce →
+    driver eigensolve → literal-matrix JVM projection). Rows-only by
+    design — float-sum order makes eigenvector ulps engine-specific;
+    correctness is the numpy-subspace-parity test (see
+    llm/clustering.pca_project)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.pca_project(emb, k=8).orderBy("vec_id")
