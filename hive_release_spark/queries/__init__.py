@@ -79,7 +79,9 @@ DRIVER_WINDOW = [
     "ptf_apply_in_pandas_zscore",
     "script_transform",
     "udtf_python",
-    "udtf_stack",
+    # udtf_stack demoted (family keeps udtf_python) so the r2 event-
+    # analytics family gets its driver row: the HOF ordered funnel
+    "funnel_conversion",
     # §2.E sampling + §2.H function extras (no r01 driver row)
     "sample_fraction",
     "fn_str_to_map",
