@@ -148,3 +148,55 @@ def test_jaccard_max_df_output_is_subset_of_exact(spark, sizes):
         for r in jaccard_pairs(docs, n=3, threshold=0.5, max_df=3).collect()
     }
     assert capped <= exact, (capped - exact)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 4),  # user_id
+            st.integers(0, 40),  # minute offset (collisions likely)
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SMALL)
+def test_funnel_matches_python_model(spark, rows):
+    """The HOF funnel must agree with a direct python reference on
+    arbitrary event sets — including duplicate timestamps, out-of-order
+    steps, and users with no funnel events at all."""
+    from datetime import datetime
+
+    from hive_release_spark.queries.analytics import funnel
+
+    data = [(u, datetime(2024, 1, 1, 0, m), e) for u, m, e in rows]
+    df = spark.createDataFrame(data, "user_id long, ts timestamp, event_type string")
+    got = funnel(df).collect()[0].asDict()
+
+    by_user: dict = {}
+    for u, ts, e in data:
+        if e in ("view", "click", "purchase"):
+            by_user.setdefault(u, []).append((ts, e))
+    n1 = n2 = n3 = 0
+    for evs in by_user.values():
+        t1 = min((ts for ts, e in evs if e == "view"), default=None)
+        n1 += t1 is not None
+        t2 = (
+            min((ts for ts, e in evs if e == "click" and ts > t1), default=None)
+            if t1 is not None
+            else None
+        )
+        n2 += t2 is not None
+        t3 = (
+            min((ts for ts, e in evs if e == "purchase" and ts > t2), default=None)
+            if t2 is not None
+            else None
+        )
+        n3 += t3 is not None
+    assert got == {
+        "users_total": len(by_user),
+        "n_view": n1,
+        "n_click_after_view": n2,
+        "n_purchase_after_click": n3,
+    }
