@@ -323,3 +323,50 @@ def vocab_coverage(
         .select("term", "freq", "rank")
         .orderBy("rank")
     )
+
+
+def encode_word_ids(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus → token-id sequences against a (term, rank) vocabulary —
+    the materialization step between vocabulary construction and
+    sequence packing. Out-of-vocab tokens encode as 0 (UNK); ids are the
+    vocab ranks (1-based), so the vocab frame from ``vocab_coverage``
+    plugs in directly.
+
+    Scale shape: ONE corpus scan → posexplode → broadcast LEFT join
+    against the vocab (size-conditional hint; a 100k-term vocab is KBs)
+    → one partial-agged doc_id groupBy re-assembling the sequence
+    (sort_array over (pos, id) structs restores token order under any
+    partitioning). All JVM expressions — the encode itself never leaves
+    codegen."""
+    from hive_release_spark.operators.hints import maybe_broadcast
+
+    v = vocab.select(F.col("term"), F.col("rank").alias("tok_id"))
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w"))
+        .select("doc_id", F.posexplode_outer("w").alias("pos", "term"))
+        .filter(F.col("term").isNotNull())
+    )
+    return (
+        toks.join(maybe_broadcast(v), "term", "left")
+        .select(
+            "doc_id",
+            F.struct("pos", F.coalesce("tok_id", F.lit(0)).alias("id")).alias("pi"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list("pi")), lambda x: x["id"].cast("int")
+            ).alias("ids"),
+        )
+        .select(
+            "doc_id",
+            "ids",
+            F.size("ids").alias("n_tokens"),
+            F.size(F.filter("ids", lambda i: i == 0)).alias("n_unk"),
+        )
+    )

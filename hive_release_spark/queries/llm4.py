@@ -304,3 +304,44 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle. See llm/pipeline.source_overlap."""
     docs = load_table(spark, sf_dir, "documents")
     return pipeline.source_overlap(docs, n=3)
+
+
+@register(
+    "tokenize_word_ids",
+    oracle="""
+    WITH tf AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    counts AS (SELECT term, count(*) AS freq FROM tf GROUP BY term),
+    ranked AS (
+      SELECT term,
+             CAST(row_number() OVER (ORDER BY freq DESC, term) AS INTEGER) AS rank,
+             coalesce(sum(freq) OVER (ORDER BY freq DESC, term
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS before_mass,
+             sum(freq) OVER () AS total
+      FROM counts),
+    vocab AS (SELECT term, rank FROM ranked WHERE before_mass * 1.0 / total < 0.9),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    pos AS (SELECT doc_id, i AS pos, w[i] AS term
+            FROM toks, unnest(generate_series(1, len(w))) AS t(i)),
+    enc AS (SELECT p.doc_id, p.pos, CAST(coalesce(v.rank, 0) AS INTEGER) AS id
+            FROM pos p LEFT JOIN vocab v ON p.term = v.term)
+    SELECT doc_id,
+           array_agg(id ORDER BY pos) AS ids,
+           CAST(count(*) AS INTEGER) AS n_tokens,
+           CAST(count(*) FILTER (id = 0) AS INTEGER) AS n_unk
+    FROM enc
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("llm", "pipeline", "tokenize"),
+)
+def tokenize_word_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → token-id sequences against the 90%-coverage vocabulary
+    (vocab ranks as ids, 0 = UNK) — the step between vocab construction
+    and sequence packing. Broadcast vocab join, one doc_id groupBy; see
+    llm/text.encode_word_ids."""
+    from hive_release_spark.llm.text import encode_word_ids, vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = vocab_coverage(docs, cutoff=0.9)
+    return encode_word_ids(docs, vocab).orderBy("doc_id")
