@@ -12,8 +12,13 @@ contract.
 
 Semantics guarantees:
 - readers see either the old or the new table (directory swap), never a mix;
-- no isolation between concurrent writers (Hive used ZK/DB locks —
-  out of scope, SURVEY.md §2.J);
+- concurrent writers are DETECTED, not serialized: the rewrite
+  fingerprints the table's file listing when it reads and re-checks it
+  after the staged write — a conflicting commit in between raises
+  ``ConcurrentWriteError`` and leaves the winner's table intact
+  (optimistic first-writer-wins; Hive serialized with ZK/DB locks —
+  out of scope, SURVEY.md §2.J — and a residual check-to-rename race
+  window remains, as in any lockless design);
 - MERGE raises on multiple source matches per target row (Hive/SQL
   cardinality_violation semantics).
 """
@@ -28,12 +33,34 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this rewrite's read and swap."""
+
+
+def _version_token(path: str) -> tuple:
+    """Fingerprint of the table directory: sorted (relpath, size,
+    mtime_ns) of every data file. Any committed rewrite changes it."""
+    entries = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            entries.append((os.path.relpath(p, path), st.st_size, st.st_mtime_ns))
+    return tuple(sorted(entries))
+
+
 def _rewrite(spark: SparkSession, path: str, transform) -> None:
-    """Read → transform → staged write → atomic-ish directory swap."""
+    """Read → transform → staged write → conflict check → directory swap."""
+    token = _version_token(path)
     df = spark.read.parquet(path)
     out = transform(df)
     staged = f"{path}.__staged_{uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").parquet(staged)
+    if _version_token(path) != token:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"table {path} changed during rewrite; retry against the new version"
+        )
     old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(staged, path)
@@ -62,14 +89,30 @@ def _rewrite_partitions(
     df = spark.read.parquet(path)
     affected = df.filter(partition_filter)
     parts = affected.select(*partition_cols).distinct().collect()
+    rels = [
+        os.path.join(*(_partition_dirname(c, row[c]) for c in partition_cols))
+        for row in parts
+    ]
+    # conflict detection is scoped to the AFFECTED partitions — a
+    # concurrent writer in a different partition is not a conflict
+    token = tuple(
+        _version_token(d) if os.path.exists(d) else None
+        for d in (os.path.join(path, rel) for rel in rels)
+    )
     out = transform(affected)
     staged = f"{path}.__staged_{uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").partitionBy(*partition_cols).parquet(staged)
+    recheck = tuple(
+        _version_token(d) if os.path.exists(d) else None
+        for d in (os.path.join(path, rel) for rel in rels)
+    )
+    if recheck != token:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"affected partitions of {path} changed during rewrite; retry"
+        )
     try:
-        for row in parts:
-            rel = os.path.join(
-                *(_partition_dirname(c, row[c]) for c in partition_cols)
-            )
+        for rel in rels:
             old_dir = os.path.join(path, rel)
             new_dir = os.path.join(staged, rel)
             if os.path.exists(old_dir):

@@ -198,3 +198,65 @@ def test_partition_scoped_update_and_full_partition_delete(spark, tmp_path):
     )
     assert sorted(r.id for r in spark.read.parquet(path).collect()) == [1, 2]
     assert not os.path.exists(os.path.join(path, "grp=b"))
+
+
+def test_concurrent_write_detected(spark, table):
+    """A writer that commits between another rewrite's read and swap must
+    be detected — the rewrite aborts with ConcurrentWriteError and the
+    interloper's committed table survives untouched."""
+    import os
+
+    def conflicting_transform(df):
+        # simulate a concurrent commit landing mid-rewrite
+        extra = os.path.join(table, "part-interloper.parquet")
+        spark.createDataFrame(
+            [(99, "z", 99.0)], "id BIGINT, name STRING, val DOUBLE"
+        ).coalesce(1).write.mode("overwrite").parquet(extra + ".tmp")
+        os.rename(
+            next(
+                os.path.join(extra + ".tmp", f)
+                for f in os.listdir(extra + ".tmp")
+                if f.endswith(".parquet")
+            ),
+            extra,
+        )
+        return df.filter(F.col("id") != 1)
+
+    with pytest.raises(dml.ConcurrentWriteError):
+        dml._rewrite(spark, table, conflicting_transform)
+    ids = sorted(r.id for r in spark.read.parquet(table).collect())
+    assert ids == [1, 2, 3, 4, 99]  # loser's delete NOT applied; winner kept
+
+
+def test_partition_conflict_scoped_to_affected(spark, tmp_path):
+    """A concurrent commit in an UNAFFECTED partition is not a conflict
+    for a partition-scoped rewrite — only the affected partitions'
+    fingerprints gate the swap."""
+    import os
+    import time
+
+    path = str(tmp_path / "pt")
+    spark.createDataFrame(
+        [(1, "p1", 1.0), (2, "p2", 2.0)], "id BIGINT, day STRING, val DOUBLE"
+    ).write.partitionBy("day").parquet(path)
+
+    def transform_touching_other_partition(df):
+        # concurrent commit lands in day=p2 mid-rewrite of day=p1
+        p2_file = next(
+            os.path.join(path, "day=p2", f)
+            for f in os.listdir(os.path.join(path, "day=p2"))
+            if f.endswith(".parquet")
+        )
+        time.sleep(0.01)  # ensure a distinct mtime_ns granule
+        os.utime(p2_file)
+        return df.filter(F.col("id") != 1)
+
+    dml._rewrite_partitions(
+        spark,
+        path,
+        transform_touching_other_partition,
+        partition_filter=F.col("day") == "p1",
+        partition_cols=["day"],
+    )  # must NOT raise: the touched partition is outside the rewrite scope
+    got = sorted((r.id, r.day) for r in spark.read.parquet(path).collect())
+    assert got == [(2, "p2")]
