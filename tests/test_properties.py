@@ -200,3 +200,87 @@ def test_funnel_matches_python_model(spark, rows):
         "n_click_after_view": n2,
         "n_purchase_after_click": n3,
     }
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 4), st.integers(0, 27)),  # user, day offset
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SMALL)
+def test_retention_matches_python_model(spark, rows):
+    """Cohort triangle vs a direct python model: Monday-week truncation,
+    min-week cohorts, distinct active weeks."""
+    from datetime import date, datetime, timedelta
+
+    from unittest import mock
+
+    from hive_release_spark.queries import analytics
+
+    base = date(2024, 1, 1)  # a Monday
+    data = [
+        (u, datetime(2024, 1, 1) + timedelta(days=d), "view") for u, d in rows
+    ]
+    df = spark.createDataFrame(data, "user_id long, ts timestamp, event_type string")
+    with mock.patch.object(analytics, "load_table", return_value=df):
+        got = {
+            (r.cohort, r.week_n): r.active_users
+            for r in analytics.retention_cohorts(spark, "unused").collect()
+        }
+
+    weeks: dict = {}
+    for u, ts, _ in data:
+        wk = base + timedelta(weeks=(ts.date() - base).days // 7)
+        weeks.setdefault(u, set()).add(wk)
+    want: dict = {}
+    for wks in weeks.values():
+        cohort = min(wks)
+        for wk in wks:
+            key = (cohort, (wk - cohort).days // 7)
+            want[key] = want.get(key, 0) + 1
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=20).map(
+            lambda s: " ".join(s.split()) or "a"
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SMALL)
+def test_tokenize_roundtrip_property(spark, texts):
+    """Every non-UNK id decodes back to the original token, position by
+    position, and n_unk counts exactly the out-of-vocab positions."""
+    from hive_release_spark.llm.text import encode_word_ids, tokens as _tok
+    from pyspark.sql import functions as F2
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    # vocab = every token of the EVEN docs, ranked alphabetically
+    vocab_terms = sorted(
+        {w for i, t in enumerate(texts) if i % 2 == 0 for w in t.split(" ")}
+    )
+    vocab = spark.createDataFrame(
+        [(t, r + 1) for r, t in enumerate(vocab_terms)], "term string, rank int"
+    )
+    out = {r.doc_id: r for r in encode_word_ids(docs, vocab).collect()}
+    id2term = {r + 1: t for r, t in enumerate(vocab_terms)}
+    for i, t in enumerate(texts):
+        words = t.split(" ")
+        row = out[i]
+        assert row.n_tokens == len(words)
+        assert len(row.ids) == len(words)
+        n_unk = 0
+        for w, tid in zip(words, row.ids):
+            if tid == 0:
+                n_unk += 1
+                assert w not in id2term.values() or w not in vocab_terms
+            else:
+                assert id2term[tid] == w
+        assert row.n_unk == n_unk
