@@ -233,3 +233,36 @@ def test_corpus_operators_scan_documents_once(spark):
         assert got == want, f"{name}: {got}\n{plan}"
     tfidf = _plan(REGISTRY["text_tfidf_top_terms"].fn(spark, SF_SMOKE), mode="simple")
     assert tfidf.count("InMemoryTableScan") == 2, tfidf
+
+
+def test_runtime_bloom_filter_join_activates(spark):
+    """Spark's runtime bloom-filter join (the Hive bloom-filter RUNTIME
+    role, COVERAGE §2.C) injects a might_contain pre-filter on the fact
+    scan, built from the filtered dim side. The 10 GB application-side
+    threshold means it only triggers at scale — lower it to prove the
+    mechanism is live in this session's config, so the claim isn't
+    resting on a conf flag alone."""
+    from hive_release_spark.catalog import load_table
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    thr = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    old_thr = spark.conf.get(thr)
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(thr, "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        o = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = _plan(j, mode="simple")
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        spark.conf.set(thr, old_thr)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
