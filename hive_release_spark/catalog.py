@@ -40,11 +40,15 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md), which Spark 4 rejects
-# at schema inference under default configs. Read it as raw nanos with an
-# explicit schema (works on any session, no config needed) and convert to a
-# microsecond timestamp with exact integer division.
-_EVENTS_RAW_SCHEMA = T.StructType(
+# events.ts unit handling. The fixture has stored ``ts`` as parquet
+# TIMESTAMP(NANOS) in some generations and TIMESTAMP(MICROS) in others
+# (FIXTURES.md has been stale before), so the loader sniffs the parquet
+# logical type from the file footer instead of trusting documentation:
+#   * timestamp[us]/[ms]/[s]  -> Spark reads it natively; no conversion.
+#   * timestamp[ns]           -> Spark 4 rejects NANOS at schema inference
+#     under default configs; read the column as raw int64 nanos with an
+#     explicit schema and convert with exact integer division.
+_EVENTS_RAW_NS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
         T.StructField("ts", T.LongType()),  # nanos since epoch
@@ -55,6 +59,31 @@ _EVENTS_RAW_SCHEMA = T.StructType(
     ]
 )
 
+_events_ts_unit_cache: dict[str, str] = {}
+
+
+def events_ts_unit(path: str) -> str:
+    """Return the parquet time unit ('ns', 'us', 'ms', 's') of events.ts.
+
+    Reads only the file footer (cheap), cached per path. Self-verifying by
+    design: if the driver regenerates the fixture with a different unit the
+    loader adapts instead of silently corrupting every event-time operator.
+    """
+    unit = _events_ts_unit_cache.get(path)
+    if unit is None:
+        import pyarrow.parquet as pq
+
+        field = pq.read_schema(path).field("ts")
+        type_str = str(field.type)
+        if not type_str.startswith("timestamp["):
+            raise ValueError(
+                f"events.ts at {path} has unexpected parquet type {type_str!r}; "
+                "expected a timestamp logical type"
+            )
+        unit = type_str[len("timestamp[") :].split("]")[0].split(",")[0]
+        _events_ts_unit_cache[path] = unit
+    return unit
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table (Hive TableScanOperator analogue — SURVEY.md §2.A).
@@ -63,9 +92,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``select``/``filter`` on the returned frame.
     """
     path = table_path(sf_dir, name)
-    if name == "events":
-        df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events" and events_ts_unit(path) == "ns":
+        df = spark.read.schema(_EVENTS_RAW_NS_SCHEMA).parquet(path)
+        # Cast to NTZ so both unit paths return the identical schema
+        # (session tz is pinned UTC, so the cast is value-preserving).
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast(T.TimestampNTZType())
+        )
     return spark.read.parquet(path)
 
 

@@ -176,14 +176,50 @@ def fn_misc_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_fraction", tags=("sample", "no_oracle"))
+# Bernoulli 10% keep threshold over the first 8 hex chars of the row-key
+# md5 — fixed-width lowercase hex compares lexicographically == numerically,
+# so one string literal both engines honor (same scheme as
+# llm.pipeline.stratified_sample). 0.1 * 16^8 exactly.
+_SAMPLE_THR = format(int(0.1 * 16**8), "08x")
+
+
+@register(
+    "sample_fraction",
+    oracle=f"""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                     CAST(l_linenumber AS VARCHAR)), 1, 8) < '{_SAMPLE_THR}'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("sample",),
+)
 def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TABLESAMPLE (n PERCENT) — seeded Bernoulli sample + aggregate.
-    RNG is engine-specific → rows-only (the deterministic bucket variant
-    ``sample_bucket`` carries the oracle)."""
+    """TABLESAMPLE (10 PERCENT) — Bernoulli row sample + aggregate
+    (Hive TABLESAMPLE semantics, SURVEY.md §2.E). Engine RNG
+    (``df.sample``) is seed-stable but engine-SPECIFIC, so this uses the
+    deterministic md5-threshold coin every engine evaluates identically:
+    keep a row iff md5(rowkey)[0:8] < 0x1999999a (= 10%). Seeded,
+    replayable, nested (a row kept at 10% stays kept at any higher
+    rate), and a pure scan-side filter — zero extra shuffles at 100 TB;
+    the md5 is a JVM expression over the (l_orderkey, l_linenumber)
+    natural key, no RNG state to coordinate across executors."""
     li = load_table(spark, sf_dir, "lineitem")
+    h8 = F.substring(
+        F.md5(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
     return (
-        li.sample(fraction=0.1, seed=42)
+        li.filter(h8 < F.lit(_SAMPLE_THR))
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy("l_returnflag")
     )

@@ -60,17 +60,47 @@ def join_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_sketch", tags=("agg", "sketch", "no_oracle"))
+@register(
+    "agg_hll_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS ndv_exact,
+           TRUE AS hll_within_2pct,
+           TRUE AS hllpp_within_5pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "sketch"),
+)
 def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-distinct sketch: Hive's GenericUDAFBloomFilter/ComputeStats
     NDV role → DataSketches HLL (mergeable across partitions — the 100 TB
-    NDV path). Estimates are implementation-specific → rows-only; the
-    test asserts ≤2% error vs exact."""
+    NDV path). Raw estimates are implementation-specific so they can't
+    hash-match another engine; instead the query emits the EXACT NDV
+    (oracle-checkable) plus error-bound booleans — HLL sketch within
+    ±2% and HyperLogLog++ within ±5% of exact — which the oracle pins
+    to TRUE. A sketch regression (wrong merge, wrong lgK) flips the
+    boolean and fails the hash gate."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("ndv_est"),
-        F.approx_count_distinct("l_partkey").alias("ndv_hllpp"),
-        F.countDistinct("l_partkey").alias("ndv_exact"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("ndv_est"),
+            F.approx_count_distinct("l_partkey").alias("ndv_hllpp"),
+            F.countDistinct("l_partkey").alias("ndv_exact"),
+        )
+        .select(
+            "l_returnflag",
+            "ndv_exact",
+            (
+                F.abs(F.col("ndv_est") - F.col("ndv_exact"))
+                <= 0.02 * F.col("ndv_exact")
+            ).alias("hll_within_2pct"),
+            (
+                F.abs(F.col("ndv_hllpp") - F.col("ndv_exact"))
+                <= 0.05 * F.col("ndv_exact")
+            ).alias("hllpp_within_5pct"),
+        )
+        .orderBy("l_returnflag")
     )
 
 

@@ -15,20 +15,51 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from hive_release_spark.catalog import _EVENTS_RAW_SCHEMA
+from hive_release_spark.catalog import (
+    _EVENTS_RAW_NS_SCHEMA,
+    events_ts_unit,
+    table_path,
+)
+
+# Schema for the native (µs/ms/s) fixture: Spark reads the parquet timestamp
+# logical type as TIMESTAMP_NTZ, matching the batch loader exactly.
+_EVENTS_NATIVE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
 
 
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table. The file source needs a
     directory; ``pathGlobFilter`` selects the events file within sf_dir.
-    Same ns→µs conversion as the batch loader."""
+    Unit-sniffs the parquet footer like the batch loader (catalog.py).
+
+    One deliberate divergence from the batch loader: ``ts`` is cast to
+    classic TIMESTAMP because Spark's EventTimeWatermark node rejects
+    TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The session
+    timezone is pinned UTC (session.py), so the cast is value-preserving
+    and batch/stream twins still collect identical wall-clock values."""
+    if events_ts_unit(table_path(sf_dir, "events")) == "ns":
+        raw = (
+            spark.readStream.schema(_EVENTS_RAW_NS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_EVENTS_NATIVE_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
 
 
 # ---------------------------------------------------------------------------

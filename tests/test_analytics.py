@@ -55,6 +55,34 @@ def test_funnel_second_click_after_view_counts(spark):
     assert out["n_purchase_after_click"] == 1
 
 
+def test_funnel_simultaneous_event_ties(spark):
+    """Real-µs fixtures make same-instant events possible (r2 verdict #5):
+    the strictly-after rule must agree with the SQL oracle on ties at EVERY
+    step, and a tie must not shadow a genuinely-later event of the same
+    type."""
+    t = lambda m, us=0: datetime(2024, 1, 1, 0, m, 0, us)  # noqa: E731
+    rows = [
+        # u1: purchase at the same µs as the qualifying click — purchase
+        # step excluded (strictly after)
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(1), "purchase"),
+        # u2: tie-click at view instant PLUS a later click — the later
+        # click converts, and the purchase tied to THAT click does not
+        (2, t(0), "view"), (2, t(0), "click"),
+        (2, t(2), "click"), (2, t(2), "purchase"),
+        # u3: all three at the same instant — only the view counts
+        (3, t(0), "view"), (3, t(0), "click"), (3, t(0), "purchase"),
+        # u4: tie then strictly-later at the µs granularity
+        (4, t(0), "view"), (4, t(0, 1), "click"), (4, t(0, 2), "purchase"),
+    ]
+    out = funnel(_ev(spark, rows)).collect()[0].asDict()
+    assert out == {
+        "users_total": 4,
+        "n_view": 4,
+        "n_click_after_view": 3,  # u1, u2 (the later click), u4
+        "n_purchase_after_click": 1,  # u4 only
+    }
+
+
 def test_retention_cohort_weeks(spark, tmp_path):
     # 2024-01-01 is a Monday → weeks are [Jan 1), [Jan 8), [Jan 15) ...
     rows = [
