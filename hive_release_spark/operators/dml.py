@@ -74,6 +74,25 @@ def _partition_dirname(col: str, value) -> str:
     return f"{col}={value}"
 
 
+def _staged_partition_rels(staged: str, partition_cols: list[str]) -> list[str]:
+    """Relative ``col=value[/col=value...]`` paths actually present in a
+    staged partitioned write (leaf partition directories only)."""
+    rels: list[str] = []
+
+    def walk(d: str, depth: int, rel: str) -> None:
+        if depth == len(partition_cols):
+            rels.append(rel)
+            return
+        prefix = partition_cols[depth] + "="
+        for name in sorted(os.listdir(d)):
+            p = os.path.join(d, name)
+            if os.path.isdir(p) and name.startswith(prefix):
+                walk(p, depth + 1, os.path.join(rel, name) if rel else name)
+
+    walk(staged, 0, "")
+    return rels
+
+
 def _rewrite_partitions(
     spark: SparkSession,
     path: str,
@@ -85,7 +104,13 @@ def _rewrite_partitions(
     matching ``partition_filter`` are read, rewritten, and swapped; every
     other partition directory is untouched (identical files and mtimes).
     Catalyst prunes the scan to the affected partitions, so at 100 TB a
-    DELETE on one day touches one day's files, not the table."""
+    DELETE on one day touches one day's files, not the table.
+
+    The transform may also EMIT rows in partitions the target had no rows
+    for (MERGE inserts into a fresh day): those staged directories are
+    renamed in as new partitions, with a commit-time existence check so a
+    concurrent writer creating the same partition is a detected conflict,
+    not a silent replace."""
     df = spark.read.parquet(path)
     affected = df.filter(partition_filter)
     parts = affected.select(*partition_cols).distinct().collect()
@@ -102,17 +127,20 @@ def _rewrite_partitions(
     out = transform(affected)
     staged = f"{path}.__staged_{uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").partitionBy(*partition_cols).parquet(staged)
+    new_rels = [r for r in _staged_partition_rels(staged, partition_cols) if r not in set(rels)]
     recheck = tuple(
         _version_token(d) if os.path.exists(d) else None
         for d in (os.path.join(path, rel) for rel in rels)
     )
-    if recheck != token:
+    if recheck != token or any(
+        os.path.exists(os.path.join(path, rel)) for rel in new_rels
+    ):
         shutil.rmtree(staged, ignore_errors=True)
         raise ConcurrentWriteError(
             f"affected partitions of {path} changed during rewrite; retry"
         )
     try:
-        for rel in rels:
+        for rel in rels + new_rels:
             old_dir = os.path.join(path, rel)
             new_dir = os.path.join(staged, rel)
             if os.path.exists(old_dir):
@@ -147,6 +175,15 @@ def update_table(
     if partition_filter is not None:
         if not partition_cols:
             raise ValueError("partition_filter requires partition_cols")
+        moved = set(assignments) & set(partition_cols)
+        if moved:
+            # reassigning a partition column moves rows into partitions the
+            # scoped rewrite may not own — a full-table rewrite is the
+            # correct (and honest) path for that
+            raise ValueError(
+                f"partition-scoped UPDATE cannot reassign partition columns {sorted(moved)}; "
+                "use a full-table update_table(partition_filter=None)"
+            )
         _rewrite_partitions(spark, path, tr, partition_filter, partition_cols)
     else:
         _rewrite(spark, path, tr)
@@ -178,6 +215,8 @@ def merge_into(
     matched_update: dict[str, Column] | None = None,
     not_matched_insert: bool = True,
     matched_delete: Column | None = None,
+    partition_filter: Column | None = None,
+    partition_cols: list[str] | None = None,
 ) -> None:
     """MERGE INTO target USING source ON keys
     [WHEN MATCHED AND cond THEN DELETE] [WHEN MATCHED THEN UPDATE SET ...]
@@ -190,8 +229,32 @@ def merge_into(
     side before the join, never the nullness of data columns — a nullable
     data column that is NULL on a matched row must not flip the row into the
     insert branch (silent corruption otherwise).
+
+    With ``partition_filter`` (a predicate over ``partition_cols``, which
+    every source row must satisfy — enforced), the copy-on-write rewrite is
+    scoped to the matching partitions: a 100 TB MERGE of one day's CDC batch
+    reads and rewrites one day, not the table. Inserts landing in partitions
+    the target has no rows for become new partition directories; partitions
+    outside the filter keep identical files and mtimes.
     """
     src_cols = source.columns
+    if partition_filter is not None:
+        if not partition_cols:
+            raise ValueError("partition_filter requires partition_cols")
+        missing = [c for c in partition_cols if c not in src_cols]
+        if missing:
+            raise ValueError(
+                f"partition-scoped MERGE source lacks partition columns {missing}"
+            )
+        # every source row must fall inside the scoped partitions, else its
+        # update/insert would silently target an unread partition
+        stray = source.filter(
+            ~F.coalesce(partition_filter, F.lit(False))
+        ).limit(1)
+        if stray.count() > 0:
+            raise ValueError(
+                "partition-scoped MERGE: source rows fall outside partition_filter"
+            )
 
     def tr(df: DataFrame) -> DataFrame:
         for sentinel in ("__tgt_m", "__src_m"):
@@ -231,7 +294,10 @@ def merge_into(
             out_cols.append(col.alias(c))
         return joined.select(*out_cols)
 
-    _rewrite(spark, target_path, tr)
+    if partition_filter is not None:
+        _rewrite_partitions(spark, target_path, tr, partition_filter, partition_cols)
+    else:
+        _rewrite(spark, target_path, tr)
 
 
 def insert_into(spark: SparkSession, path: str, rows: DataFrame) -> None:

@@ -23,89 +23,90 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 
 
 # The driver's correctness gate records only the FIRST 50 entries of
-# ``queries()`` (dict order).  Round 1 recorded registration order, which
-# left every LLM/streaming/TPC-H-extra query without a driver row.  The
-# window below is chosen so those 47 previously-unrecorded queries come
-# first, topped up with one core representative per SURVEY §2 subsection
-# (§2.A scan: scan_filter_project, agg: q1; §2.B outer join:
-# join_full_outer; §2.D frames: window_rows_frame; §2.F: setop_intersect_all;
-# §2.E top-k stays covered by sim_cosine_topk)
-# so CORRECTNESS_r02 has a green row in every family.  Everything outside
-# the window is still verified locally by tools/check.py.
+# ``queries()`` (dict order).  The window rotates each round so every
+# registry entry accumulates a driver-recorded row over time (r1: core
+# relational; r2: LLM/streaming/TPC-H-extras).  Everything outside the
+# window is still verified locally by tools/check.py (137/137 oracle-pass
+# at the r3 rotation).
+#
+# Round-3 selection (VERDICT r2 "Next round" #3):
+#   * the 7 event-time queries red in r2 (catalog ts-unit bug, fixed this
+#     round) stay IN-window so the repair is driver-witnessed red→green;
+#   * every never-driver-recorded oracle-gated query gets a slot — the 14
+#     TPC-H shapes landed late in r2 plus 19 function/LLM/pipeline entries;
+#   * the 5 queries newly CONVERTED from rows-only to oracle-gated this
+#     round (deterministic md5 sampling, exact+error-bound sketch
+#     contracts, fully-replayed IVF) are in-window → 0 no_oracle rows;
+#   * funnel_conversion (tie-semantics hardened against real-µs
+#     timestamps) keeps a fresh row;
+#   * one representative per §2 family whose members are all outside the
+#     rotation keeps every subsection driver-current (scan/outer/setop/
+#     topk/ptf/script/multimodal — pinned by test_entry_contract).
+# Rotated out (driver-green in r1+r2, unchanged since): q1 (entry() is
+# smoke-checked every round anyway), the §2.L dedup block, the r2 TPC-H
+# six, and three twins whose stronger siblings hold driver rows
+# (text_langid / sim_cosine_topk_arrow / emb_normalize_quantize — all
+# still tools/check-verified locally).
+# Rows-only entries (dedup_simhash, sim_ann_lsh, fn_misc_surface,
+# fn_datetime_misc, emb_pca_project) sit outside the window: their
+# evidence is property tests (recall/subset/numpy-parity), not hashes.
 DRIVER_WINDOW = [
-    # flagship + core reps (already driver-green in r01; keep fresh rows)
-    "q1_pricing_summary",
-    "scan_filter_project",
-    "join_full_outer",
-    "window_rows_frame",
-    "setop_intersect_all",
-    # §2.L dedup / similarity / text / multimodal (no r01 driver row)
-    "dedup_exact",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "sim_cosine_topk",
-    "sim_ann_lsh",
-    # text_langid demoted (text_langid_ngram covers the family) for the
-    # iterative k-means clustering class
-    "text_quality",
-    "emb_kmeans",
-    "text_langid_ngram",
-    "text_fingerprint",
-    "text_ngrams_top",
-    "text_token_bpe_regex",
-    "split_train_eval",
-    "multimodal_meta",
-    "multimodal_features",
-    # §2.K streaming batch-twins (no r01 driver row); stream_sliding
-    # demoted (same family as tumbling) for the stream-stream join
+    # §2.K + analytics: red in r2, repaired by the catalog ts-unit fix
     "stream_tumbling",
-    "stream_stream_join",
+    "stream_sliding",
+    "stream_tumbling_live",
     "stream_session",
     "stream_dedup_first",
-    "stream_static_join",
-    # §2.B/§2.C extras (no r01 driver row)
-    "q4_order_priority",
-    "q10_returned_items",
-    "q18_large_orders",
-    "join_merge_hint",
-    "join_unique",
-    "agg_pivot",
-    "agg_regr",
-    "agg_hll_sketch",
-    # §2.D PTF + §2.A/§2.I extension surface (no r01 driver row)
-    "ptf_matchpath",
-    "ptf_apply_in_pandas_zscore",
-    "script_transform",
-    "udtf_python",
-    # udtf_stack demoted (family keeps udtf_python) so the r2 event-
-    # analytics family gets its driver row: the HOF ordered funnel
+    "stream_stream_join",
+    "retention_cohorts",
     "funnel_conversion",
-    # §2.E sampling + §2.H function extras (no r01 driver row)
+    # §2.B TPC-H shapes landed in r2 after the window cutoff
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_shipmode_priority",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q22_dormant_customers",
+    # never-driver-recorded oracle-gated entries (functions, joins, text,
+    # embeddings, corpus pipeline)
+    "udtf_stack",
+    "dedup_connected_components",
+    "emb_label_centroids",
+    "join_shuffle_hash_hint",
+    "fn_parse_url",
+    "text_context_ngrams",
+    "fn_string2",
+    "fn_numeric_repr",
+    "text_normalize",
+    "text_pii_scrub",
+    "corpus_token_stats",
+    "shuffle_shard_assign",
+    "sample_stratified",
+    "vocab_coverage_cutoff",
+    "source_overlap_matrix",
+    "tokenize_word_ids",
+    # converted rows-only → oracle-gated this round
     "sample_fraction",
-    "fn_str_to_map",
-    # r2 additions (oracle-gated): near-dup clustering + TF-IDF, the
-    # decorrelated-NOT-EXISTS and outer-join TPC-H shapes, and the
-    # end-to-end LLM pipeline slice (families already in-window get
-    # their strongest shape a driver row; duplicates of an in-window
-    # family — arrow twin, live-stream twin — were demoted to make room)
-    # pipeline_neardedup_corpus runs pairs → connected components →
-    # survivor filter end-to-end; its oracle extends the CC recursive
-    # CTE, so it subsumes dedup_connected_components' evidence in one row
-    "pipeline_neardedup_corpus",
-    "text_tfidf_top_terms",
-    "q21_waiting_suppliers",
-    "q13_customer_distribution",
-    "pipeline_dedup_quality",
-    "text_repetition_score",
-    # r2 corpus-assembly additions (new shapes: broadcast-decontamination,
-    # window-cumsum packing, weighted explode mixing); text_normalize,
-    # join_shuffle_hash_hint and agg_histogram_numeric demoted — their
-    # families keep other in-window representatives
-    "decontaminate_ngram",
-    "pack_sequences",
-    "domain_mix_resample",
+    "agg_hll_sketch",
+    "agg_bloom_filter",
+    "agg_histogram_numeric",
+    "sim_ann_ivf",
+    # per-family representatives keeping every §2 subsection driver-current
+    "scan_filter_project",
+    "join_full_outer",
+    "setop_intersect_all",
+    "topk_orders",
+    "ptf_matchpath",
+    "script_transform",
+    "multimodal_meta",
 ]
 
 

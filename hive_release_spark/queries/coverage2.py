@@ -222,15 +222,31 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_bloom_filter", tags=("agg", "sketch", "bloom", "no_oracle"))
+@register(
+    "agg_bloom_filter",
+    oracle="""
+    WITH t AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderpriority = '1-URGENT')
+    SELECT (SELECT count(*) FROM customer) AS n_cust,
+           (SELECT count(*) FROM customer c
+            JOIN t ON c.c_custkey = t.o_custkey) AS n_true,
+           0 AS n_missed,
+           TRUE AS fpp_ok
+    """,
+    tags=("agg", "sketch", "bloom"),
+)
 def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive bloom_filter/in_bloom_filter UDAF+UDF pair (SURVEY.md §2.C,
     GenericUDAFBloomFilter): build a filter over the urgent-order customer
     keys, probe every customer. Expression-composed (xxhash64 double
     hashing + bit_or words) — deterministic, JVM-side, map-side partial
-    agg. Sketch membership is engine-specific → rows-only; the exact
-    no-false-negative / fpp-bound properties are pinned in
-    tests/test_sketches.py."""
+    agg. Raw membership bits are engine-specific, so the query emits the
+    sketch's CONTRACT instead: exact true-member count (oracle-checkable),
+    n_missed — true members the filter said no to, pinned to 0 because a
+    bloom filter has NO false negatives — and an observed-fpp bound the
+    oracle pins TRUE (configured fpp 0.03, asserted ≤ 0.1 headroom).
+    A hashing/merge regression flips n_missed or the boolean and fails
+    the hash gate; per-bit properties stay in tests/test_sketches.py."""
     from hive_release_spark.functions.hive import bloom_filter_build, in_bloom_filter
 
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -238,9 +254,25 @@ def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = load_table(spark, sf_dir, "customer")
     bf = bloom_filter_build(orders, "o_custkey", expected_entries=2000, fpp=0.03)
-    return cust.select(
-        "c_custkey", in_bloom_filter(F.col("c_custkey"), bf).alias("maybe")
-    ).agg(
+    truth = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    probed = cust.join(
+        truth.withColumn("is_true", F.lit(True)), "c_custkey", "left"
+    ).select(
+        "c_custkey",
+        F.coalesce("is_true", F.lit(False)).alias("is_true"),
+        in_bloom_filter(F.col("c_custkey"), bf).alias("maybe"),
+    )
+    agg = probed.agg(
         F.count("*").alias("n_cust"),
-        F.sum(F.col("maybe").cast("long")).alias("n_maybe"),
+        F.sum(F.col("is_true").cast("long")).alias("n_true"),
+        F.sum((F.col("is_true") & ~F.col("maybe")).cast("long")).alias("n_missed"),
+        F.sum((~F.col("is_true") & F.col("maybe")).cast("long")).alias("n_fp"),
+    )
+    return agg.select(
+        "n_cust",
+        "n_true",
+        "n_missed",
+        (
+            F.col("n_fp") <= 0.1 * (F.col("n_cust") - F.col("n_true"))
+        ).alias("fpp_ok"),
     )

@@ -195,21 +195,49 @@ def fn_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_histogram_numeric", tags=("agg", "sketch", "no_oracle"))
+@register(
+    "agg_histogram_numeric",
+    oracle="""
+    SELECT l_returnflag,
+           10 AS n_bins,
+           count(*) AS n_rows,
+           TRUE AS mass_ok,
+           TRUE AS bounds_ok,
+           TRUE AS sorted_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "sketch"),
+)
 def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """histogram_numeric (GenericUDAFHistogramNumeric parity): streaming
-    bin-merge sketch — bin placement is engine-specific, so rows-only
-    (Spark's implementation IS the Hive algorithm)."""
+    """histogram_numeric (GenericUDAFHistogramNumeric parity — Spark's
+    implementation IS the Hive streaming bin-merge algorithm). Exact bin
+    placement depends on merge order, so the query emits the sketch's
+    INVARIANTS, all oracle-pinned: 10 bins per group, total bin mass ==
+    exact row count (merges only ever sum y's), every centroid inside
+    the group's [min, max] price range, and centroids strictly
+    ascending. A merge/placement regression flips a boolean and fails
+    the hash gate."""
     li = load_table(spark, sf_dir, "lineitem")
     h = li.groupBy("l_returnflag").agg(
-        F.expr("histogram_numeric(l_extendedprice, 10)").alias("hist")
+        F.expr("histogram_numeric(l_extendedprice, 10)").alias("hist"),
+        F.count("*").alias("n_rows"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
     )
+    xs = F.transform("hist", lambda b: b["x"])
     return h.select(
         "l_returnflag",
-        F.posexplode("hist").alias("bin", "bucket"),
-    ).select(
-        "l_returnflag",
-        "bin",
-        F.round(F.col("bucket.x"), 2).alias("x"),
-        F.col("bucket.y").cast("long").alias("y"),
-    )
+        F.size("hist").alias("n_bins"),
+        "n_rows",
+        (
+            F.abs(
+                F.aggregate("hist", F.lit(0.0), lambda acc, b: acc + b["y"])
+                - F.col("n_rows")
+            )
+            < 0.5
+        ).alias("mass_ok"),
+        (
+            (F.array_min(xs) >= F.col("lo")) & (F.array_max(xs) <= F.col("hi"))
+        ).alias("bounds_ok"),
+        (xs == F.array_sort(xs)).alias("sorted_ok"),
+    ).orderBy("l_returnflag")

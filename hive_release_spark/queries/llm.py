@@ -162,12 +162,59 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucket_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
 
 
-@register("sim_ann_ivf", tags=("llm", "similarity", "ann", "no_oracle"))
+@register(
+    "sim_ann_ivf",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    params AS (SELECT greatest(1, count(*) // 16) AS stride FROM e),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+      FROM e, params WHERE vec_id % stride = 0
+      ORDER BY vec_id LIMIT 16
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell DESC) AS rn
+        FROM e CROSS JOIN cents c) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cell DESC) AS rn
+        FROM q CROSS JOIN cents c) WHERE rn <= 6
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    sims AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_cosine_similarity(q.qv, e.v) AS sim
+      FROM cand JOIN q ON q.query_id = cand.query_id
+                JOIN e ON e.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims) WHERE rank <= 5
+    """,
+    tags=("llm", "similarity", "ann"),
+)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN top-5: corpus partitioned into Voronoi
     cells around deterministic stride-sampled centroids, queries probe
-    the nearest cells only — the inverted-file scale path alongside the
-    LSH variant (approximate; recall pinned in tests)."""
+    the 6 nearest cells only — the inverted-file scale path alongside
+    the LSH variant. Unlike hash-based ANN, every step (stride-sampled
+    centroids, argmax cell assignment with larger-cell tie-break,
+    descending probe order, exact re-rank) is deterministic arithmetic
+    DuckDB can replay — so the whole inverted-file pipeline is
+    oracle-gated end-to-end, not just recall-bounded."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
         emb.filter(F.col("vec_id") < 20), emb, k=5, n_cells=16, n_probe=6

@@ -260,3 +260,81 @@ def test_partition_conflict_scoped_to_affected(spark, tmp_path):
     )  # must NOT raise: the touched partition is outside the rewrite scope
     got = sorted((r.id, r.day) for r in spark.read.parquet(path).collect())
     assert got == [(2, "p2")]
+
+
+def test_partition_scoped_merge_untouched_partition_and_new_partition(spark, tmp_path):
+    """VERDICT r2 #6: MERGE with partition_filter rewrites only the scoped
+    partitions (unaffected partitions keep byte-identical files + mtimes),
+    updates matched rows, and inserts rows into a partition the target had
+    no rows for (new directory appears)."""
+    import os
+
+    path = str(tmp_path / "merge_part_t")
+    spark.createDataFrame(
+        [("2026-01-01", 1, 10.0), ("2026-01-01", 2, 20.0),
+         ("2026-01-02", 3, 30.0), ("2026-01-02", 4, 40.0)],
+        "dt STRING, id BIGINT, val DOUBLE",
+    ).write.partitionBy("dt").parquet(path)
+
+    def snapshot(day):
+        d = os.path.join(path, f"dt={day}")
+        return {
+            f: (os.path.getmtime(os.path.join(d, f)), open(os.path.join(d, f), "rb").read())
+            for f in sorted(os.listdir(d)) if not f.startswith(".")
+        }
+
+    before_day2 = snapshot("2026-01-02")
+    source = spark.createDataFrame(
+        [("2026-01-01", 1, 99.0),      # matched update in scoped partition
+         ("2026-01-01", 7, 70.0),      # insert into existing scoped partition
+         ("2026-01-03", 8, 80.0)],     # insert into brand-new partition
+        "dt STRING, id BIGINT, val DOUBLE",
+    )
+    dml.merge_into(
+        spark, path, source, on=["id"],
+        matched_update={"val": F.col("src.val")},
+        partition_filter=F.col("dt").isin("2026-01-01", "2026-01-03"),
+        partition_cols=["dt"],
+    )
+    got = sorted((str(r.dt), r.id, r.val) for r in spark.read.parquet(path).collect())
+    assert got == [
+        ("2026-01-01", 1, 99.0), ("2026-01-01", 2, 20.0), ("2026-01-01", 7, 70.0),
+        ("2026-01-02", 3, 30.0), ("2026-01-02", 4, 40.0),
+        ("2026-01-03", 8, 80.0),
+    ]
+    assert snapshot("2026-01-02") == before_day2
+    assert os.path.isdir(os.path.join(path, "dt=2026-01-03"))
+
+
+def test_partition_scoped_merge_rejects_out_of_scope_source(spark, tmp_path):
+    """A source row outside partition_filter would update/insert a partition
+    the scoped rewrite never read — must raise, not silently drop."""
+    path = str(tmp_path / "merge_scope_t")
+    spark.createDataFrame(
+        [("2026-01-01", 1, 10.0), ("2026-01-02", 2, 20.0)],
+        "dt STRING, id BIGINT, val DOUBLE",
+    ).write.partitionBy("dt").parquet(path)
+    source = spark.createDataFrame(
+        [("2026-01-02", 2, 99.0)], "dt STRING, id BIGINT, val DOUBLE"
+    )
+    with pytest.raises(ValueError, match="outside partition_filter"):
+        dml.merge_into(
+            spark, path, source, on=["id"],
+            matched_update={"val": F.col("src.val")},
+            partition_filter=F.col("dt") == "2026-01-01",
+            partition_cols=["dt"],
+        )
+
+
+def test_partition_scoped_update_rejects_partition_col_reassignment(spark, tmp_path):
+    """Reassigning a partition column would move rows into partitions the
+    scoped rewrite doesn't own — must raise up front."""
+    path = str(tmp_path / "upd_guard_t")
+    spark.createDataFrame(
+        [("a", 1, 10.0)], "grp STRING, id BIGINT, val DOUBLE"
+    ).write.partitionBy("grp").parquet(path)
+    with pytest.raises(ValueError, match="cannot reassign partition columns"):
+        dml.update_table(
+            spark, path, {"grp": F.lit("b")}, F.col("id") == 1,
+            partition_filter=F.col("grp") == "a", partition_cols=["grp"],
+        )
