@@ -468,3 +468,77 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def span_chunk_dedup(
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicate-SPAN removal: cut every document into
+    non-overlapping ``k``-token chunks, keep only the corpus-wide FIRST
+    occurrence of each chunk (ordered by (doc_id, chunk_idx)), and
+    reassemble documents from their surviving chunks.
+
+    This is the scalable approximation of exact-substring dedup
+    (Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    Better" builds a suffix array; C4 removed repeated three-sentence
+    spans): chunk-hash granularity trades boundary-straddling duplicates
+    for a fully distributed shuffle-join shape. Repeats WITHIN a
+    document collapse too (only its first copy survives).
+
+    Scale shape (100 TB): one corpus scan explodes chunks map-side;
+    winner election is ONE hash-partitioned groupBy on the 8-byte
+    xxhash64 chunk key (~3x less shuffle IO than raw span strings;
+    64-bit collisions negligible at corpus scale, same trade as
+    ``decontaminate``); survivors join back on the same key (no second
+    scan) and reassemble with a doc_id-partitioned sort_array groupBy.
+    Three key-partitioned shuffles total, no self-join, no global sort,
+    per-doc state bounded by document length.
+    """
+    w = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col).alias("doc_id"), w.alias("w")).select(
+        "doc_id", "w", F.ceil(F.size("w") / F.lit(k)).cast("int").alias("n_chunks")
+    )
+    chunks = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_chunks") - 1),
+                lambda i: F.array_join(F.slice("w", i * k + 1, k), " "),
+            )
+        ).alias("idx", "chunk"),
+    ).select("doc_id", "idx", F.xxhash64("chunk").alias("h"), "chunk")
+    winners = chunks.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("win")
+    )
+    kept = (
+        chunks.join(winners, "h")
+        .filter(
+            (F.col("doc_id") == F.col("win.doc_id")) & (F.col("idx") == F.col("win.idx"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_chunks")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).cast("long").alias(
+                "n_dropped"
+            ),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )

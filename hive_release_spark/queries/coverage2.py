@@ -163,12 +163,48 @@ def fn_numeric_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("fn_datetime_misc", tags=("functions", "datetime", "no_oracle"))
+@register(
+    "fn_datetime_misc",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_orderdate AS ts FROM orders
+               WHERE o_orderkey % 50 = 0),
+    ref AS (SELECT TIMESTAMP '1998-01-01 00:00:00' AS r)
+    SELECT o_orderkey,
+           round(
+             (date_part('year', r) - date_part('year', ts)) * 12
+             + (date_part('month', r) - date_part('month', ts))
+             + CASE WHEN day(r) = day(ts)
+                      OR (r = last_day(r::DATE) + (r - r::DATE::TIMESTAMP)
+                          AND ts = last_day(ts::DATE) + (ts - ts::DATE::TIMESTAMP)
+                          AND day(r) = day(last_day(r::DATE))
+                          AND day(ts) = day(last_day(ts::DATE)))
+                    THEN 0.0
+                    ELSE ((day(r) - day(ts)) * 86400.0
+                          + epoch(r - r::DATE::TIMESTAMP)
+                          - epoch(ts - ts::DATE::TIMESTAMP))
+                         / (31.0 * 86400.0)
+               END, 4) AS mb,
+           (ts::DATE + CAST(CASE WHEN (1 - isodow(ts) + 7) % 7 = 0 THEN 7
+                            ELSE (1 - isodow(ts) + 7) % 7 END AS INTEGER)) AS next_mon,
+           timezone('America/Los_Angeles', timezone('UTC', ts)) AS la_time,
+           timezone('UTC', timezone('Asia/Tokyo', ts)) AS from_jst,
+           ts + INTERVAL 1 MONTH + INTERVAL 2 DAY AS plus_1m2d,
+           strftime(ts, '%Y/%m/%d %a') AS fmt,
+           CAST(dayofyear(ts) AS BIGINT) AS doy,
+           CAST(floor(epoch(ts)) AS BIGINT) AS unix_s
+    FROM o, ref
+    """,
+    tags=("functions", "datetime"),
+)
 def fn_datetime_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only sweep of date/time functions DuckDB can't mirror 1:1:
-    months_between (31-day fraction convention), next_day (weekday-name
-    arg), from/to_utc_timestamp (tz-shift semantics), make_interval,
-    interval arithmetic, date_format patterns (SURVEY.md §2.H)."""
+    """Date/time functions with Hive-specific conventions (SURVEY.md
+    §2.H): months_between (31-day fraction, integer when days-of-month
+    match or both are month-ends), next_day (strictly-after weekday),
+    from/to_utc_timestamp (tz-database wall-clock shifts — DuckDB's ICU
+    ``timezone()`` mirrors them), make_interval arithmetic (month
+    addition clamps to month end in both engines), date_format
+    patterns, dayofyear, to_unix_timestamp. The oracle re-derives each
+    convention from DuckDB primitives — previously rows-only."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
     ts = F.col("o_orderdate")
     return o.select(
@@ -181,7 +217,7 @@ def fn_datetime_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_utc_timestamp(ts.cast("timestamp"), "Asia/Tokyo").alias("from_jst"),
         (ts + F.make_interval(F.lit(0), F.lit(1), F.lit(0), F.lit(2))).alias("plus_1m2d"),
         F.date_format(ts, "yyyy/MM/dd EEE").alias("fmt"),
-        F.dayofyear(ts).alias("doy"),
+        F.dayofyear(ts).cast("long").alias("doy"),
         F.to_unix_timestamp(ts.cast("timestamp")).alias("unix_s"),
     )
 

@@ -94,6 +94,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.5)
 
 
+@register(
+    "dedup_span_chunks",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    nch AS (SELECT doc_id, w, CAST(ceil(len(w) / 10.0) AS INT) AS nc FROM t),
+    ch AS (SELECT doc_id, i AS idx,
+                  array_to_string(w[(i*10+1):least((i+1)*10, len(w))], ' ') AS chunk
+           FROM nch, LATERAL unnest(generate_series(0, nc - 1)) AS u(i)),
+    win AS (SELECT doc_id, idx FROM (
+        SELECT doc_id, idx,
+               row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+        FROM ch) WHERE rn = 1),
+    kept AS (SELECT ch.doc_id, ch.idx, ch.chunk
+             FROM ch JOIN win USING (doc_id, idx)),
+    agg AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(chunk, ' ' ORDER BY idx) AS text_dedup
+            FROM kept GROUP BY doc_id)
+    SELECT n.doc_id, n.nc AS n_chunks,
+           CAST(n.nc - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
+           COALESCE(a.text_dedup, '') AS text_dedup
+    FROM nch n LEFT JOIN agg a USING (doc_id)
+    ORDER BY n.doc_id
+    """,
+    tags=("llm", "dedup", "span"),
+)
+def dedup_span_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span removal (C4 / Lee-et-al exact-substring
+    family, chunk-hash approximation): 10-token chunks, corpus-wide
+    first occurrence survives, documents reassembled from surviving
+    chunks. Fully deterministic → oracle-gated end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.span_chunk_dedup(docs, k=10).orderBy("doc_id")
+
+
 @register("dedup_simhash", tags=("llm", "dedup", "neardup", "no_oracle"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (hamming ≤ 6) via 16-bit band buckets."""

@@ -132,3 +132,35 @@ def test_events_range_survives_load(spark):
     assert row["lo"].year >= 2000, f"events.ts collapsed to {row['lo']}"
     assert (row["hi"] - row["lo"]).days >= 7
     assert row["hours"] >= 60
+
+
+def test_loader_ns_fallback_path(spark, tmp_path):
+    """The ns arm of the unit sniffer must actually work, not just exist:
+    write a TIMESTAMP(NANOS) events file and verify load_table converts it
+    to the same wall-clock values (and the same NTZ-compatible reading) a
+    µs file yields."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    sf = str(tmp_path)
+    us = pa.array([1704067200_000_000, 1704070800_123_456], pa.timestamp("us"))
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": us.cast(pa.timestamp("ns")),
+            "user_id": pa.array([10, 11], pa.int64()),
+            "event_type": pa.array(["view", "click"]),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq_mod.write_table(table, f"{sf}/events.parquet")
+
+    from hive_release_spark.catalog import events_ts_unit, load_table
+
+    assert events_ts_unit(f"{sf}/events.parquet") == "ns"
+    rows = load_table(spark, sf, "events").orderBy("event_id").collect()
+    assert [r.ts.isoformat() for r in rows] == [
+        "2024-01-01T00:00:00",
+        "2024-01-01T01:00:00.123456",
+    ]

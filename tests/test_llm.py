@@ -247,3 +247,30 @@ class TestKMeans:
 
         s1, s3 = sse(1), sse(3)
         assert s3 <= s1 + 1e-6
+
+
+def test_span_chunk_dedup_semantics(spark):
+    """First corpus occurrence of a duplicated span survives (ordered by
+    (doc_id, idx)); later cross-doc AND within-doc copies drop; unique
+    chunks always survive; a doc whose every chunk is a duplicate
+    reassembles to the empty string."""
+    from hive_release_spark.llm.dedup import span_chunk_dedup
+
+    dup = "a b c"  # one 3-token chunk with k=3
+    rows = [
+        (1, f"{dup} x y z {dup}"),        # chunks: dup, "x y z", dup(within-doc copy)
+        (2, f"{dup} p q"),                # dup (cross-doc copy), "p q" (short tail)
+        (3, "x y z"),                     # cross-doc copy of doc 1's chunk 1
+        (4, dup),                         # fully duplicated doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dropped, r.text_dedup)
+        for r in span_chunk_dedup(df, k=3).collect()
+    }
+    assert got == {
+        1: (3, 1, "a b c x y z"),  # within-doc second copy dropped
+        2: (2, 1, "p q"),          # cross-doc copy dropped, short tail kept
+        3: (1, 1, ""),             # doc 1 owns "x y z" first
+        4: (1, 1, ""),             # fully duplicated -> empty
+    }

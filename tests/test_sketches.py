@@ -10,11 +10,14 @@ from tests.conftest import SF_ORACLE
 
 
 def test_hll_estimate_close_to_exact(spark):
+    """The query now emits the error bound AS oracle-pinned booleans
+    (r3 conversion); assert they hold and the exact NDV is sane."""
     rows = REGISTRY["agg_hll_sketch"].fn(spark, SF_ORACLE).collect()
     assert rows
     for r in rows:
-        err = abs(r.ndv_est - r.ndv_exact) / r.ndv_exact
-        assert err < 0.02, (r.l_returnflag, r.ndv_est, r.ndv_exact)
+        assert r.hll_within_2pct, (r.l_returnflag, r.ndv_exact)
+        assert r.hllpp_within_5pct, (r.l_returnflag, r.ndv_exact)
+        assert r.ndv_exact > 0
 
 
 class TestBloomFilter:
