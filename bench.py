@@ -33,6 +33,7 @@ HEADLINE = (
     "fn_math",                 # expression-heavy scan
     "udtf_explode_wordcount",  # explode + agg
     "dedup_jaccard_pairs",     # inverted-index self-join
+    "dedup_span_chunks",       # chunk-hash span dedup, persisted chunk frame
     "sim_cosine_topk",         # vector ops + window rank
     "dedup_minhash_lsh",       # signature + banded join
     "q18_large_orders",        # double agg + semi-join (join-heavy shape)
@@ -47,6 +48,7 @@ HEADLINE = (
     "pack_sequences",          # per-shard window cumsum packing
     "funnel_conversion",       # per-user sorted-array HOF funnel
     "retention_cohorts",       # cohort triangle, collect_set explode
+    "join_asof_orders",        # as-of join: tagged union + carry-forward window
 )
 
 

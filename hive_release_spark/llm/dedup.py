@@ -488,57 +488,70 @@ def span_chunk_dedup(
     for a fully distributed shuffle-join shape. Repeats WITHIN a
     document collapse too (only its first copy survives).
 
-    Scale shape (100 TB): one corpus scan explodes chunks map-side;
-    winner election is ONE hash-partitioned groupBy on the 8-byte
+    Scale shape (100 TB): ONE corpus text scan explodes chunks map-side;
+    winner election is a hash-partitioned groupBy on the 8-byte
     xxhash64 chunk key (~3x less shuffle IO than raw span strings;
     64-bit collisions negligible at corpus scale, same trade as
-    ``decontaminate``); survivors join back on the same key (no second
-    scan) and reassemble with a doc_id-partitioned sort_array groupBy.
-    Three key-partitioned shuffles total, no self-join, no global sort,
-    per-doc state bounded by document length.
+    ``decontaminate``); the chunk rows join the winner set on the same
+    key, each chunk is TAGGED keep/drop, and a single doc_id groupBy
+    reassembles the text while counting total and kept chunks — so
+    n_chunks never needs a second text scan or a join back to the
+    corpus (a prior formulation did exactly that; this one is
+    plan-pinned to a single documents scan). Two key-partitioned
+    shuffles + the winner join, no self-join, no global sort, per-doc
+    state bounded by document length.
+
+    The chunk frame feeds BOTH the winner election and the probe side of
+    the join, so it is persisted (MEMORY_AND_DISK) — without the persist
+    Spark re-executes the scan+explode lineage per consumer and the
+    100 TB corpus is read twice (the same 1-vs-3-reads trade
+    ``minhash_lsh_pairs`` documents). Skewed hot chunks (boilerplate
+    spans repeated across the corpus) partial-agg away in the winner
+    election and AQE skew-splits the probe join — the window-rank
+    alternative would funnel every copy of a hot span through one
+    task's sort.
     """
+    from pyspark import StorageLevel
+
     w = F.split(F.col(text_col), " ")
     base = docs.select(F.col(id_col).alias("doc_id"), w.alias("w")).select(
-        "doc_id", "w", F.ceil(F.size("w") / F.lit(k)).cast("int").alias("n_chunks")
+        "doc_id", "w", F.ceil(F.size("w") / F.lit(k)).cast("int").alias("nc")
     )
-    chunks = base.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("n_chunks") - 1),
-                lambda i: F.array_join(F.slice("w", i * k + 1, k), " "),
-            )
-        ).alias("idx", "chunk"),
-    ).select("doc_id", "idx", F.xxhash64("chunk").alias("h"), "chunk")
+    chunks = (
+        base.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("nc") - 1),
+                    lambda i: F.array_join(F.slice("w", i * k + 1, k), " "),
+                )
+            ).alias("idx", "chunk"),
+        )
+        .select("doc_id", "idx", F.xxhash64("chunk").alias("h"), "chunk")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     winners = chunks.groupBy("h").agg(
         F.min(F.struct("doc_id", "idx")).alias("win")
     )
-    kept = (
-        chunks.join(winners, "h")
-        .filter(
+    tagged = chunks.join(winners, "h").select(
+        "doc_id",
+        "idx",
+        "chunk",
+        (
             (F.col("doc_id") == F.col("win.doc_id")) & (F.col("idx") == F.col("win.idx"))
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
-                    lambda s: s["chunk"],
-                ),
-                " ",
-            ).alias("text_dedup"),
-        )
+        ).alias("keep"),
     )
-    return (
-        base.select("doc_id", "n_chunks")
-        .join(kept, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_chunks",
-            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).cast("long").alias(
-                "n_dropped"
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_chunks"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("idx", "chunk", "keep"))),
+                    lambda s: s["keep"],
+                ),
+                lambda s: s["chunk"],
             ),
-            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
-        )
+            " ",
+        ).alias("text_dedup"),
     )

@@ -19,6 +19,7 @@ from hive_release_spark.queries import (  # noqa: F401,E402
     tpch_more,
     tpch_full,
     analytics,
+    timeseries,
 )
 
 

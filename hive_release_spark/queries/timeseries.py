@@ -1,0 +1,119 @@
+"""Time-series operators beyond the Hive surface: AS-OF join and
+multi-resolution rollup (the hypertable / continuous-aggregate pattern).
+
+Both are operators the reference engine's users reach for a specialized
+system to get (kdb/QuestDB as-of joins, TimescaleDB continuous
+aggregates); here they are Spark-native shapes over the events table.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hive_release_spark.catalog import load_table
+from hive_release_spark.operators.asof import asof_join
+from hive_release_spark.queries.registry import register
+
+
+@register(
+    "join_asof_orders",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1)
+    SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.o_totalprice
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    ORDER BY e.event_id
+    """,
+    tags=("join", "asof", "timeseries"),
+)
+def join_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each event matched to the user's most recent order
+    at-or-before the event time (the feature-store / backtest
+    primitive). Spark lacks the operator; ``operators.asof.asof_join``
+    is the union + carry-forward formulation — one key-partitioned
+    exchange of both sides, no range explosion. DuckDB's native
+    ``ASOF LEFT JOIN`` is the oracle, so the custom operator is gated
+    against a first-class reference implementation. The right side is
+    pre-deduped to one order per (custkey, orderdate) — max orderkey —
+    in BOTH engines, making ties deterministic."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    orders_d = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderdate",
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    return asof_join(
+        events,
+        orders_d,
+        on="user_id",
+        left_t="ts",
+        right_t="o_orderdate",
+        right_payload=["o_orderkey", "o_totalprice"],
+    ).orderBy("event_id")
+
+
+@register(
+    "rollup_multires",
+    oracle="""
+    SELECT 'day' AS grain,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'month' AS grain,
+           CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 2, 3
+    ORDER BY grain, bucket, event_type
+    """,
+    tags=("agg", "rollup", "timeseries"),
+)
+def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (hypertable continuous-aggregate
+    pattern): hour buckets aggregate the raw stream ONCE; day and month
+    levels RE-AGGREGATE the next-finer level instead of re-scanning the
+    corpus. The oracle computes every level directly from raw events —
+    proving re-aggregation is lossless for the additive measures
+    (count, sum). Scale shape: the 100 TB scan happens exactly once
+    (hourly frame persisted — plan shows InMemoryTableScan for both
+    coarser levels); day aggregates #hours × #types rows, month
+    aggregates #days × #types — corpus-size-independent."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    day = hourly.groupBy(
+        F.date_trunc("day", "h").alias("bucket"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.round(F.sum("sv"), 2).alias("sum_value"))
+    month = hourly.groupBy(
+        F.date_trunc("month", "h").alias("bucket"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.round(F.sum("sv"), 2).alias("sum_value"))
+    return (
+        day.select(F.lit("day").alias("grain"), "bucket", "event_type", "n", "sum_value")
+        .unionByName(
+            month.select(
+                F.lit("month").alias("grain"), "bucket", "event_type", "n", "sum_value"
+            )
+        )
+        .orderBy("grain", "bucket", "event_type")
+    )

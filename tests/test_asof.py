@@ -1,0 +1,62 @@
+"""AS-OF join semantics pins (operators/asof.py): at-or-before matching,
+carry-forward across multiple rights, unmatched-left NULLs, key
+isolation. The fixture-corpus behavior is oracle-gated (DuckDB native
+ASOF LEFT JOIN, query `join_asof_orders`); these cover the corner rows."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from hive_release_spark.operators.asof import asof_join
+
+
+def _t(m):
+    return datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _t(0), 100),   # before any right row -> NULLs
+            (1, _t(5), 101),   # exactly at right t=5 -> matches it (at-or-before)
+            (1, _t(7), 102),   # between rights at 5 and 10 -> carries t=5
+            (1, _t(30), 103),  # after the last right -> carries t=10
+            (2, _t(6), 200),   # key 2 never sees key 1's rows
+        ],
+        "k BIGINT, t TIMESTAMP, ev BIGINT",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _t(5), "a"),
+            (1, _t(10), "b"),
+            (2, _t(1), "z"),
+        ],
+        "k BIGINT, t TIMESTAMP, tag STRING",
+    )
+    out = {
+        r.ev: r.tag
+        for r in asof_join(
+            left, right, on="k", left_t="t", right_t="t", right_payload=["tag"]
+        ).collect()
+    }
+    assert out == {100: None, 101: "a", 102: "a", 103: "b", 200: "z"}
+
+
+def test_asof_join_output_cardinality_is_left(spark):
+    """Left-outer semantics: |output| == |left| regardless of how many
+    right rows precede each left row."""
+    left = spark.createDataFrame(
+        [(1, _t(i), i) for i in range(10)], "k BIGINT, t TIMESTAMP, ev BIGINT"
+    )
+    right = spark.createDataFrame(
+        [(1, _t(i), f"r{i}") for i in range(0, 10, 2)],
+        "k BIGINT, t TIMESTAMP, tag STRING",
+    )
+    got = asof_join(left, right, on="k", left_t="t", right_t="t")
+    assert got.count() == 10
+    # every left row at minute i >= 0 matches r(2*floor(i/2))
+    assert {r.ev: r.tag for r in got.collect()} == {
+        i: f"r{i - (i % 2)}" for i in range(10)
+    }

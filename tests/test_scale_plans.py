@@ -233,6 +233,11 @@ def test_corpus_operators_scan_documents_once(spark):
         assert got == want, f"{name}: {got}\n{plan}"
     tfidf = _plan(REGISTRY["text_tfidf_top_terms"].fn(spark, SF_SMOKE), mode="simple")
     assert tfidf.count("InMemoryTableScan") == 2, tfidf
+    # span dedup: winner election + probe side must both read the
+    # persisted chunk frame (the FileScan lines under each
+    # InMemoryRelation are the cache DEFINITION, not a second execution)
+    span = _plan(REGISTRY["dedup_span_chunks"].fn(spark, SF_SMOKE), mode="simple")
+    assert span.count("InMemoryTableScan") == 2, span
 
 
 def test_runtime_bloom_filter_join_activates(spark):
