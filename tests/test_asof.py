@@ -60,3 +60,44 @@ def test_asof_join_output_cardinality_is_left(spark):
     assert {r.ev: r.tag for r in got.collect()} == {
         i: f"r{i - (i % 2)}" for i in range(10)
     }
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Independent-reference parity: pandas merge_asof (by=key,
+    direction='backward', allow_exact_matches=True) implements the same
+    contract — drive both over a deterministic pseudo-random series and
+    compare row-for-row."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    left_rows = [
+        (rng.randrange(5), _t(rng.randrange(60)), i) for i in range(200)
+    ]
+    right_rows = []
+    seen = set()
+    for j in range(80):
+        k, m = rng.randrange(5), rng.randrange(60)
+        if (k, m) in seen:  # unique (key, t) like the deduped query side
+            continue
+        seen.add((k, m))
+        right_rows.append((k, _t(m), f"tag{j}"))
+
+    left = spark.createDataFrame(left_rows, "k BIGINT, t TIMESTAMP, ev BIGINT")
+    right = spark.createDataFrame(right_rows, "k BIGINT, t TIMESTAMP, tag STRING")
+    got = {
+        r.ev: r.tag
+        for r in asof_join(
+            left, right, on="k", left_t="t", right_t="t", right_payload=["tag"]
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["k", "t", "ev"]).sort_values("t")
+    rp = pd.DataFrame(right_rows, columns=["k", "t", "tag"]).sort_values("t")
+    ref = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+    want = {
+        int(row.ev): (None if pd.isna(row.tag) else row.tag)
+        for row in ref.itertuples()
+    }
+    assert got == want
