@@ -271,3 +271,18 @@ def test_runtime_bloom_filter_join_activates(spark):
     finally:
         spark.conf.set(thr, old_thr)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
+def test_asof_join_plan_is_single_key_exchange(spark):
+    """The as-of join must be the union + carry-forward window — ONE hash
+    exchange on the join key for the unioned stream (plus the small
+    right-side dedup exchange), never a non-equi range join
+    (CartesianProduct / BroadcastNestedLoopJoin explode per key)."""
+    from hive_release_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["join_asof_orders"].fn(spark, SF_SMOKE), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_hash_ex = plan.count("Exchange hashpartitioning")
+    assert n_hash_ex == 2, f"expected union-window + dedup exchanges, got {n_hash_ex}\n{plan}"
+    assert "WindowGroupLimit" in plan  # right-side dedup pushes top-1 below its shuffle
