@@ -49,8 +49,14 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 # (text_langid / sim_cosine_topk_arrow / emb_normalize_quantize — all
 # still tools/check-verified locally).
 # Rows-only entries (dedup_simhash, sim_ann_lsh, fn_misc_surface,
-# fn_datetime_misc, emb_pca_project) sit outside the window: their
-# evidence is property tests (recall/subset/numpy-parity), not hashes.
+# emb_pca_project) sit outside the window: their evidence is property
+# tests (recall/subset/numpy-parity), not hashes.
+#
+# r4 rotation candidates (oracle-gated, not yet driver-recorded):
+# dedup_span_chunks, join_asof_orders, rollup_multires, join_salted_skew,
+# fn_datetime_misc (all landed after the r3 window froze), plus the three
+# twins rotated out this round (text_langid, sim_cosine_topk_arrow,
+# emb_normalize_quantize).
 DRIVER_WINDOW = [
     # §2.K + analytics: red in r2, repaired by the catalog ts-unit fix
     "stream_tumbling",

@@ -67,6 +67,42 @@ def join_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_salted_skew",
+    oracle="""
+    SELECT s.s_name,
+           count(*) AS n,
+           round(sum(l.l_quantity), 2) AS qty
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY s.s_name
+    """,
+    tags=("join", "skew", "salted"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compile-time skew-salted join (`operators/skew.salted_join`,
+    Hive's SkewJoinOptimizer analogue): the fact side's hot supplier
+    keys scatter across 8 deterministic salts, the dim side replicates
+    8x, the join runs on (key, salt). The oracle is the PLAIN join —
+    proving the salting is semantically invisible. AQE's runtime skew
+    split (also on) is the zero-code path; this is the operator users
+    reach for when the skew is known up front and they want the scatter
+    in the plan, not left to runtime heuristics."""
+    from hive_release_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    )
+    return (
+        salted_join(li, supp, on="l_suppkey", n_salts=8)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy("s_name")
+    )
+
+
+@register(
     "rollup_multires",
     oracle="""
     SELECT 'day' AS grain,
