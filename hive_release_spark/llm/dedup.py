@@ -505,11 +505,12 @@ def span_chunk_dedup(
     the join, so it is persisted (MEMORY_AND_DISK) — without the persist
     Spark re-executes the scan+explode lineage per consumer and the
     100 TB corpus is read twice (the same 1-vs-3-reads trade
-    ``minhash_lsh_pairs`` documents). Skewed hot chunks (boilerplate
-    spans repeated across the corpus) partial-agg away in the winner
-    election and AQE skew-splits the probe join — the window-rank
-    alternative would funnel every copy of a hot span through one
-    task's sort.
+    ``minhash_lsh_pairs`` documents; released by Spark's ContextCleaner
+    when the result frame is garbage-collected). Skewed hot chunks
+    (boilerplate spans repeated across the corpus) partial-agg away in
+    the winner election and AQE skew-splits the probe join — the
+    window-rank alternative would funnel every copy of a hot span
+    through one task's sort.
     """
     from pyspark import StorageLevel
 

@@ -48,63 +48,59 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def funnel(
-    events: DataFrame, steps: tuple[str, str, str] = ("view", "click", "purchase")
+    events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")
 ) -> DataFrame:
-    """Ordered funnel: a user converts a step only with an event
-    STRICTLY AFTER their previous step's first event.
+    """Ordered N-step funnel: a user converts step i only with an event
+    STRICTLY AFTER their step i-1 first-conversion event.
 
-    The SQL idiom is three self-joins (the oracle); here the event
-    stream collapses to one sorted per-user array and each step is a
-    higher-order ``filter`` + ``get`` over it — ONE scan, ONE shuffle
-    (user_id groupBy, partial agg), then a 4-counter global reduce.
-    Step timestamps are materialized in successive selects so each
-    lambda captures an attribute, not a re-evaluated expression (the
-    repo-wide expression-reuse trap). ``F.get`` (0-based) returns NULL
-    on an empty filter result under ANSI too — ``element_at`` would
-    throw on the driver's default session."""
-    e1, e2, e3 = steps
+    The SQL idiom is one self-join per step (the oracle); here the
+    event stream collapses to one sorted per-user array and each step
+    is a higher-order ``filter`` + ``get`` over it — ONE scan, ONE
+    shuffle (user_id groupBy, partial agg), then an (N+1)-counter
+    global reduce regardless of funnel depth. Step timestamps are
+    materialized in successive selects so each lambda captures an
+    attribute, not a re-evaluated expression (the repo-wide
+    expression-reuse trap). ``F.get`` (0-based) returns NULL on an
+    empty filter result under ANSI too — ``element_at`` would throw on
+    the driver's default session.
+
+    Output: ``users_total``, then one count per step named ``n_<step>``
+    for the first and ``n_<step>_after_<prev>`` for the rest (the
+    3-step default keeps its historical column names)."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
     ev = events.select("user_id", "ts", "event_type").filter(
         F.col("event_type").isin(*steps)
     )
-    seq = ev.groupBy("user_id").agg(
+    cur = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("seq")
     )
-    s1 = seq.select(
-        "user_id",
-        "seq",
-        F.get(F.filter("seq", lambda s: s["event_type"] == e1), 0)["ts"].alias(
-            "t1"
-        ),
-    )
-    s2 = s1.select(
-        "user_id",
-        "seq",
-        "t1",
-        F.get(
-            F.filter(
-                "seq",
-                lambda s: (s["event_type"] == e2) & (s["ts"] > F.col("t1")),
-            ),
-            0,
-        )["ts"].alias("t2"),
-    )
-    s3 = s2.select(
-        "user_id",
-        "t1",
-        "t2",
-        F.get(
-            F.filter(
-                "seq",
-                lambda s: (s["event_type"] == e3) & (s["ts"] > F.col("t2")),
-            ),
-            0,
-        )["ts"].alias("t3"),
-    )
-    return s3.agg(
+    # closure factories, not default-arg lambdas: PySpark derives the
+    # higher-order-function arity from the Python signature, so a
+    # `lambda s, st=step:` form would read as a 3-arg lambda
+    def _first(st):
+        return lambda s: s["event_type"] == st
+
+    def _after(st, prev):
+        return lambda s: (s["event_type"] == st) & (s["ts"] > prev)
+
+    t_cols: list[str] = []
+    for i, step in enumerate(steps):
+        t_col = f"t{i + 1}"
+        cond = _first(step) if i == 0 else _after(step, F.col(t_cols[-1]))
+        cur = cur.select(
+            "user_id",
+            "seq",
+            *t_cols,
+            F.get(F.filter("seq", cond), 0)["ts"].alias(t_col),
+        )
+        t_cols.append(t_col)
+    names = [f"n_{steps[0]}"] + [
+        f"n_{s}_after_{p}" for p, s in zip(steps, steps[1:])
+    ]
+    return cur.agg(
         F.count("*").alias("users_total"),
-        F.count("t1").alias("n_view"),
-        F.count("t2").alias("n_click_after_view"),
-        F.count("t3").alias("n_purchase_after_click"),
+        *[F.count(t).alias(n) for t, n in zip(t_cols, names)],
     )
 
 

@@ -111,3 +111,27 @@ def test_retention_cohort_weeks(spark, tmp_path):
         ("2024-01-01", 2): 1,  # u1 returns in week 2
         ("2024-01-08", 0): 1,  # u3 cohort week 1, active week 0
     }
+
+
+def test_funnel_generalizes_to_n_steps(spark):
+    """The funnel is depth-generic: a 4-step funnel chains the
+    strictly-after rule and derives its column names from the steps."""
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1 completes all four steps in order
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "cart"), (1, t(3), "purchase"),
+        # u2 stalls after cart
+        (2, t(0), "view"), (2, t(1), "click"), (2, t(2), "cart"),
+        # u3's purchase precedes the cart — purchase must not count
+        (3, t(0), "view"), (3, t(1), "click"), (3, t(2), "purchase"), (3, t(3), "cart"),
+    ]
+    out = funnel(
+        _ev(spark, rows), steps=("view", "click", "cart", "purchase")
+    ).collect()[0].asDict()
+    assert out == {
+        "users_total": 3,
+        "n_view": 3,
+        "n_click_after_view": 3,
+        "n_cart_after_click": 3,
+        "n_purchase_after_cart": 1,  # u1 only
+    }
