@@ -164,6 +164,56 @@ def fn_numeric_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_decimal_arith",
+    oracle="""
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS p,
+             CAST(l_quantity      AS DECIMAL(12,2)) AS q
+      FROM lineitem WHERE l_orderkey % 100 = 0)
+    SELECT l_orderkey, l_linenumber,
+           CAST(p + q AS VARCHAR)                    AS add_s,
+           CAST(p - q AS VARCHAR)                    AS sub_s,
+           CAST(p * q AS VARCHAR)                    AS mul_s,
+           (CAST(p * 100 AS BIGINT) * 1000000)
+             // CAST(q * 100 AS BIGINT)              AS div_micro,
+           CAST(floor(p) AS VARCHAR)                 AS floor_s
+    FROM t ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("functions", "decimal"),
+)
+def fn_decimal_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL arithmetic + promotion (SURVEY.md §1.2 DECIMAL(38) /
+    §7.6 watch-list #6): money-typed +,-,×,÷ and floor over
+    the fixture columns, every result CAST TO STRING so the declared
+    scale is part of the comparison — '35.8750' (×: s1+s2) vs '13.75'
+    (+: max scale) must surface exactly, proving the engines' promotion
+    and HALF_UP-for-positive rounding agree, not just their doubles.
+    Division is expressed as Hive's ``div`` over cent-scaled BIGINTs
+    (exact integer floor division in both engines) because fractional
+    decimal division is a nest of engine deltas: result scale (Spark
+    max(6, s1+p2+1) vs DuckDB's rule), scale-reducing CAST rounding
+    (Spark HALF_UP vs DuckDB HALF_EVEN), and DuckDB routing DECIMAL //
+    through DOUBLE — all documented here rather than papered over."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (p + q).cast("string").alias("add_s"),
+        (p - q).cast("string").alias("sub_s"),
+        (p * q).cast("string").alias("mul_s"),
+        F.expr(
+            "(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            " * 1000000) div "
+            "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("div_micro"),
+        F.floor(p).cast("string").alias("floor_s"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
     "fn_datetime_misc",
     oracle="""
     WITH o AS (SELECT o_orderkey, o_orderdate AS ts FROM orders
