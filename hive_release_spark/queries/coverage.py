@@ -176,6 +176,55 @@ def fn_misc_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sort_null_ordering",
+    oracle="""
+    WITH b AS (SELECT c_custkey,
+                      CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+               FROM customer),
+    r AS (SELECT c_custkey, bal,
+                 row_number() OVER (ORDER BY bal ASC NULLS FIRST, c_custkey) AS rn_asc,
+                 row_number() OVER (ORDER BY bal DESC NULLS LAST, c_custkey) AS rn_desc
+          FROM b)
+    SELECT rn_asc, rn_desc, c_custkey, bal FROM r
+    WHERE rn_asc <= 50 OR rn_desc <= 50
+    ORDER BY c_custkey
+    """,
+    tags=("sort", "nulls"),
+)
+def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL ordering contract (SURVEY.md §7.6 watch-list #5): Hive and
+    Spark both default to NULLS FIRST for ASC and NULLS LAST for DESC —
+    this query materializes both orders as row_number ranks over a
+    deterministically NULLed column, using SPARK'S DEFAULTS (no
+    explicit null-ordering flags), while the oracle must spell
+    NULLS FIRST/LAST out because DuckDB's default is the opposite
+    (NULLS LAST ASC). A silent default change in either engine flips
+    ranks and fails the hash. Semantics-pin query: the global window is
+    the point; the rank filter keeps the output top-k-sized."""
+    from pyspark.sql import Window as W
+
+    b = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit(None))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    r = b.select(
+        "c_custkey",
+        "bal",
+        F.row_number().over(W.orderBy(F.col("bal").asc(), "c_custkey")).alias("rn_asc"),
+        F.row_number()
+        .over(W.orderBy(F.col("bal").desc(), "c_custkey"))
+        .alias("rn_desc"),
+    )
+    return (
+        r.filter((F.col("rn_asc") <= 50) | (F.col("rn_desc") <= 50))
+        .select("rn_asc", "rn_desc", "c_custkey", "bal")
+        .orderBy("c_custkey")
+    )
+
+
 # Bernoulli 10% keep threshold over the first 8 hex chars of the row-key
 # md5 — fixed-width lowercase hex compares lexicographically == numerically,
 # so one string literal both engines honor (same scheme as

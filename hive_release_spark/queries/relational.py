@@ -257,7 +257,11 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(quantile_cont(l_quantity, 0.5), 4)          AS qty_p50,
            round(quantile_cont(l_extendedprice, 0.25), 4)    AS price_p25,
            round(quantile_cont(l_extendedprice, 0.95), 4)    AS price_p95,
-           round(median(l_discount), 4)                      AS disc_median
+           round(median(l_discount), 4)                      AS disc_median,
+           array_to_string(list_transform(
+             quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+             x -> CAST(CAST(round(x, 4) AS DECIMAL(18,4)) AS VARCHAR)), ',')
+                                                             AS qty_quartiles
     FROM lineitem
     GROUP BY l_linestatus
     """,
@@ -265,14 +269,22 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile (Hive GenericUDAFPercentile*; interpolated —
-    matches DuckDB quantile_cont). percentile_approx is intentionally NOT
-    oracle-gated (sketch-based, non-deterministic across engines)."""
+    matches DuckDB quantile_cont), including Hive's ARRAY-of-percentiles
+    form (SURVEY.md §7.6 watch-list #4): ``percentile(col, array(...))``
+    returns one array per group, rendered through DECIMAL(18,4) so the
+    string is format-stable in both engines. percentile_approx is
+    intentionally NOT oracle-gated (sketch-based, non-deterministic
+    across engines)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_linestatus").agg(
         F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("qty_p50"),
         F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("price_p25"),
         F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("price_p95"),
         F.round(F.expr("percentile(l_discount, 0.5)"), 4).alias("disc_median"),
+        F.expr(
+            "array_join(transform(percentile(l_quantity, array(0.25D, 0.5D, 0.75D)),"
+            " x -> cast(cast(round(x, 4) as decimal(18,4)) as string)), ',')"
+        ).alias("qty_quartiles"),
     )
 
 
