@@ -143,6 +143,41 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_range_interval",
+    oracle="""
+    SELECT event_id,
+           count(*) OVER w AS n_last_hour,
+           round(sum(value) OVER w, 2) AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    tags=("window", "frame_range", "interval", "timeseries"),
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-interval RANGE frame (Hive ValueBoundaryScanner's timestamp
+    scanner — SURVEY.md §2.D): per-user trailing-1-hour running
+    count/sum over event time. This is the per-ROW sliding aggregate
+    (every event sees its own trailing window) that ``window()``'s
+    fixed bucket grid can't express — the other half of §2.K's sliding
+    windows. One exchange on user_id; frame state is bounded by one
+    hour of one user's events at any scale."""
+    # the Python Window DSL's rangeBetween is numeric-only; the interval
+    # frame goes through SQL expressions (no temp-view side effects)
+    events = load_table(spark, sf_dir, "events")
+    over = (
+        "OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    )
+    return events.select(
+        "event_id",
+        F.expr(f"count(*) {over}").alias("n_last_hour"),
+        F.expr(f"round(sum(value) {over}, 2)").alias("sum_last_hour"),
+    ).orderBy("event_id")
+
+
+@register(
     "window_first_last",
     oracle="""
     SELECT s_suppkey,
