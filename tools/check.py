@@ -17,7 +17,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from hive_release_spark import testing  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+# Override with SPARK_GRAFT_CHECK_SF=/root/testdata/sf0.001 to sweep the
+# whole gate at another scale (tiny-data edge cases, scale-consistency).
+import os  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01")
 
 
 def main() -> int:
