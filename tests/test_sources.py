@@ -101,3 +101,26 @@ def test_avro_gated(spark):
             df = spark.range(5)
             formats.write_table(df, p, fmt="avro")
             assert formats.read_table(spark, p, fmt="avro").count() == 5
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """Schema evolution across file generations (Hive ALTER TABLE ADD
+    COLUMNS over existing partitions — SURVEY.md §2.J/§2.G): old files
+    lack the new column; a mergeSchema read unions the schemas and
+    back-fills NULL, which is exactly Hive's missing-column read
+    semantics. At 100 TB this is the norm, not the edge case."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.range(0, 3).select(F.col("id"), F.lit("old").alias("v")).write.parquet(p)
+    spark.range(3, 5).select(
+        F.col("id"), F.lit("new").alias("v"), (F.col("id") * 10).alias("extra")
+    ).write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "v", "extra"}
+    rows = {r.id: (r.v, r.extra) for r in merged.collect()}
+    assert rows == {
+        0: ("old", None), 1: ("old", None), 2: ("old", None),
+        3: ("new", 30), 4: ("new", 40),
+    }
