@@ -57,6 +57,12 @@ def asof_join(
         right_payload = [c for c in right.columns if c not in (on, right_t)]
 
     lcols = [c for c in left.columns]
+    clash = set(lcols) & set(right_payload)
+    if clash:
+        raise ValueError(
+            f"asof_join output would duplicate columns {sorted(clash)}; "
+            "rename or restrict right_payload"
+        )
     l_tag = left.select(
         F.col(on).alias("__k"),
         F.col(left_t).alias("__t"),

@@ -101,3 +101,12 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         for row in ref.itertuples()
     }
     assert got == want
+
+
+def test_asof_join_rejects_colliding_payload_columns(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, _t(0), "x")], "k BIGINT, t TIMESTAMP, tag STRING")
+    right = spark.createDataFrame([(1, _t(0), "y")], "k BIGINT, t TIMESTAMP, tag STRING")
+    with pytest.raises(ValueError, match="duplicate columns"):
+        asof_join(left, right, on="k", left_t="t", right_t="t", right_payload=["tag"])
