@@ -100,6 +100,45 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_session_dynamic",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, value, event_id,
+             ts + CASE WHEN event_type = 'purchase' THEN INTERVAL '12 hours'
+                       ELSE INTERVAL '6 hours' END AS te
+      FROM events),
+    m AS (
+      SELECT user_id, ts, value, te,
+             max(te) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM e),
+    f AS (SELECT *, CASE WHEN prev_max IS NULL OR ts >= prev_max
+                         THEN 1 ELSE 0 END AS new_s FROM m),
+    s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, te
+                                     ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+    SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(te) AS TIMESTAMP) AS session_end,
+           user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session_window", "dynamic_gap"),
+)
+def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows: purchases extend the session 12h,
+    everything else 6h (``session_window`` with a per-row gap
+    expression). Session assembly is interval MERGING, not prev-event
+    chaining — the oracle is the running-max island rewrite: a new
+    session starts when an event's ts reaches the max end of every
+    window before it, and the session end is max(ts+gap) over the
+    fused set. A lag-based fixed-gap oracle would be WRONG here (a
+    long-gap event can bridge across a short-gap event's window)."""
+    return P.session_agg_dynamic(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "stream_dedup_first",
     oracle="""
     SELECT user_id, event_type,

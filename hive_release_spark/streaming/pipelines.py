@@ -109,6 +109,36 @@ def session_agg(events: DataFrame, gap: str = "6 hours") -> DataFrame:
     )
 
 
+def session_agg_dynamic(
+    events: DataFrame,
+    gaps: dict[str, str] | None = None,
+    default_gap: str = "6 hours",
+) -> DataFrame:
+    """Dynamic-gap session windows: each EVENT extends the session by its
+    own event-type-specific gap (a purchase keeps the session alive
+    longer than a passive view) — Spark ``session_window`` with a gap
+    EXPRESSION instead of a constant. Session semantics are interval
+    merging: windows [ts, ts+gap) overlapping transitively fuse; end =
+    max(ts+gap) over the fused set. Works batch AND streaming (the gap
+    expression is per-row state either way)."""
+    if gaps is None:
+        gaps = {"purchase": "12 hours"}
+    gap = F.lit(default_gap)
+    for etype, g in sorted(gaps.items()):
+        gap = F.when(F.col("event_type") == etype, F.lit(g)).otherwise(gap)
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def dedup_keep_first(events: DataFrame) -> DataFrame:
     """First event per (user_id, event_type) — deterministic keep-first
     dedup. Batch form: window rank (deterministic tie-break on event_id).

@@ -70,3 +70,32 @@ def test_stream_stream_join_equals_batch(spark):
     cols = ["user_id", "click_id", "purchase_id", "purchase_value"]
     assert batch.count() > 0
     assert _collect_set(batch, cols) == _collect_set(stream, cols)
+
+
+def test_dynamic_gap_sessions_merge_intervals_not_chains(spark):
+    """Dynamic-gap sessions are interval MERGES: a long-gap purchase can
+    bridge past a short-gap view's own window. purchase@0h (12h gap),
+    view@7h (6h gap): the view starts inside [0,12h) so they fuse with
+    end = 13h (max of ends); view@14h starts after 13h -> new session.
+    Per-event chaining (each event vs its predecessor only) would give
+    the same grouping here but the WRONG end (13h vs a chain's 20h is
+    the distinction the assertion pins)."""
+    from datetime import datetime
+
+    t = lambda h: datetime(2024, 1, 1, h)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, t(0), "purchase", 10.0),
+            (1, t(7), "view", 1.0),
+            (1, t(14), "view", 2.0),
+        ],
+        "user_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE",
+    )
+    rows = sorted(
+        (r.session_start.hour, r.session_end.hour, r.n_events)
+        for r in P.session_agg_dynamic(df).collect()
+    )
+    assert rows == [
+        (0, 13, 2),   # purchase window [0,12) fused with view [7,13) -> end 13
+        (14, 20, 1),  # view@14h alone, 6h gap
+    ]
