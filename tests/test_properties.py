@@ -284,3 +284,41 @@ def test_tokenize_roundtrip_property(spark, texts):
             else:
                 assert id2term[tid] == w
         assert row.n_unk == n_unk
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SMALL)
+def test_span_chunk_dedup_matches_python_model(spark, texts):
+    """span_chunk_dedup against a direct Python model on arbitrary tiny
+    corpora: the kept chunks are exactly the first occurrence of every
+    distinct chunk (ordered by doc_id, idx), docs reassemble from their
+    winners in position order, and per-doc counts are consistent."""
+    from hive_release_spark.llm.dedup import span_chunk_dedup
+
+    k = 3
+    docs = list(enumerate(texts))
+    # python model
+    seen: set[str] = set()
+    want = {}
+    for doc_id, text in docs:
+        w = text.split(" ")
+        chunks = [" ".join(w[i : i + k]) for i in range(0, len(w), k)]
+        kept = []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        want[doc_id] = (len(chunks), len(chunks) - len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dropped, r.text_dedup)
+        for r in span_chunk_dedup(df, k=k).collect()
+    }
+    assert got == want
