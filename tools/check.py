@@ -29,10 +29,14 @@ def main() -> int:
     import __spark_entry__ as mod
     from hive_release_spark.session import get_session
 
+    # SPARK_GRAFT_CHECK_PARITY=1 sweeps the gate under the Hive-parity
+    # session (ANSI off, wrap-around int arithmetic) — every query must
+    # pass under BOTH settings (the default mirrors the driver's ANSI-on
+    # standalone session).
     spark = get_session(
         master="local[8]",
         shuffle_partitions=8,
-        hive_parity=False,
+        hive_parity=os.environ.get("SPARK_GRAFT_CHECK_PARITY") == "1",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
