@@ -99,3 +99,39 @@ def test_dynamic_gap_sessions_merge_intervals_not_chains(spark):
         (0, 13, 2),   # purchase window [0,12) fused with view [7,13) -> end 13
         (14, 20, 1),  # view@14h alone, 6h gap
     ]
+
+
+def test_file_stream_processes_incrementally_with_foreach_batch(spark, tmp_path):
+    """The file source is an INCREMENTAL reader, not a disguised batch:
+    with maxFilesPerTrigger=1 an availableNow run must deliver one
+    micro-batch per file through foreachBatch, and the union of batches
+    must equal the full dataset (no loss, no duplication)."""
+    src = str(tmp_path / "src")
+    for i in range(3):
+        spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    seen: list[tuple[int, int]] = []  # (batch_id, row_count)
+    ids: list[int] = []
+
+    def sink(batch_df, batch_id):
+        rows = batch_df.collect()
+        seen.append((batch_id, len(rows)))
+        ids.extend(r.id for r in rows)
+
+    q = (
+        spark.readStream.schema("id LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    assert len(seen) == 3, seen  # one micro-batch per file
+    assert all(n == 10 for _, n in seen)
+    assert sorted(ids) == list(range(30))
