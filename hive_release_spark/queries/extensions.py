@@ -43,6 +43,39 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2)      AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    ORDER BY l_returnflag, measure
+    """,
+    tags=("agg", "unpivot"),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — the PIVOT complement (wide measures → long
+    (measure, value) rows), Spark's ``unpivot``. Map-side expand of the
+    already-aggregated frame: no extra shuffle beyond the agg, output
+    rows = groups × measures at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).orderBy("l_returnflag", "measure")
+
+
 _SUPP_JOIN_ORACLE = """
 SELECT s.s_name, count(*) AS n, round(sum(l.l_quantity), 2) AS sum_qty
 FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
