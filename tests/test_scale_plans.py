@@ -238,6 +238,10 @@ def test_corpus_operators_scan_documents_once(spark):
     # InMemoryRelation are the cache DEFINITION, not a second execution)
     span = _plan(REGISTRY["dedup_span_chunks"].fn(spark, SF_SMOKE), mode="simple")
     assert span.count("InMemoryTableScan") == 2, span
+    # multi-res rollup: day AND month levels re-aggregate the persisted
+    # hourly frame — the raw events scan must not execute twice
+    roll = _plan(REGISTRY["rollup_multires"].fn(spark, SF_SMOKE), mode="simple")
+    assert roll.count("InMemoryTableScan") == 2, roll
 
 
 def test_runtime_bloom_filter_join_activates(spark):
