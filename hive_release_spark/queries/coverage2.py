@@ -105,6 +105,40 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_hll_union",
+    oracle="""
+    SELECT count(DISTINCT l_partkey) AS ndv_exact_global,
+           TRUE AS union_within_2pct
+    FROM lineitem
+    """,
+    tags=("agg", "sketch", "mergeable"),
+)
+def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY — the property that makes sketches the 100 TB
+    NDV path: per-group HLL sketches built independently (one per
+    l_returnflag, i.e. per 'partition' of the data) union into a global
+    sketch whose estimate must stay within ±2% of the exact global NDV.
+    This is exactly how a 1000-executor cluster computes NDV: partial
+    sketches map-side, one tiny merge — never a global distinct. The
+    oracle pins the exact global count and the error-bound boolean."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("ndv_union")
+    )
+    exact = li.agg(F.countDistinct("l_partkey").alias("ndv_exact_global"))
+    return exact.crossJoin(merged).select(
+        "ndv_exact_global",
+        (
+            F.abs(F.col("ndv_union") - F.col("ndv_exact_global"))
+            <= 0.02 * F.col("ndv_exact_global")
+        ).alias("union_within_2pct"),
+    )
+
+
+@register(
     "agg_regr",
     oracle="""
     SELECT l_linestatus,
