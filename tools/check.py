@@ -33,9 +33,12 @@ def main() -> int:
     # session (ANSI off, wrap-around int arithmetic) — every query must
     # pass under BOTH settings (the default mirrors the driver's ANSI-on
     # standalone session).
+    # SPARK_GRAFT_CHECK_PARTITIONS sweeps the gate at another shuffle
+    # partitioning (e.g. a prime like 13) — results must be identical
+    # under ANY partitioning (the README determinism claim).
     spark = get_session(
         master="local[8]",
-        shuffle_partitions=8,
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CHECK_PARTITIONS", "8")),
         hive_parity=os.environ.get("SPARK_GRAFT_CHECK_PARITY") == "1",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
