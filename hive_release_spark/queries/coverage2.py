@@ -366,14 +366,24 @@ def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom filter has NO false negatives — and an observed-fpp bound the
     oracle pins TRUE (configured fpp 0.03, asserted ≤ 0.1 headroom).
     A hashing/merge regression flips n_missed or the boolean and fails
-    the hash gate; per-bit properties stay in tests/test_sketches.py."""
+    the hash gate; per-bit properties stay in tests/test_sketches.py.
+
+    The filter is sized from the ACTUAL distinct build-side count (one
+    cheap agg on the small side — in production, ANALYZE column stats
+    provide this for free): a hardcoded expected_entries silently
+    overloads at the next scale factor and blows the fpp bound — caught
+    by the sf0.1 gate sweep, which is exactly the 100 TB failure mode
+    (a filter sized for yesterday's data probed against today's)."""
     from hive_release_spark.functions.hive import bloom_filter_build, in_bloom_filter
 
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
     cust = load_table(spark, sf_dir, "customer")
-    bf = bloom_filter_build(orders, "o_custkey", expected_entries=2000, fpp=0.03)
+    n_build = orders.select("o_custkey").distinct().count()
+    bf = bloom_filter_build(
+        orders, "o_custkey", expected_entries=max(64, n_build), fpp=0.03
+    )
     truth = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
     probed = cust.join(
         truth.withColumn("is_true", F.lit(True)), "c_custkey", "left"
