@@ -371,6 +371,33 @@ def udtf_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udtf_explode_map",
+    oracle="""
+    SELECT p_partkey, 'brand' AS k, p_brand AS v FROM part WHERE p_partkey % 9 = 0
+    UNION ALL
+    SELECT p_partkey, 'type', p_type FROM part WHERE p_partkey % 9 = 0
+    ORDER BY p_partkey, k
+    """,
+    tags=("udtf", "lateral_view", "map"),
+)
+def udtf_explode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode over a MAP column (Hive GenericUDTFExplode's
+    map arm — one (key, value) row per entry, the classic wide-attrs →
+    EAV unpivot Hive users run on map<string,string> columns). The map
+    is built with map() from row attributes; map explode preserves
+    entry order (map() literal order), pinned by the oracle's per-key
+    rows."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 9 == 0)
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return (
+        p.select("p_partkey", F.explode(m).alias("k", "v"))
+        .orderBy("p_partkey", "k")
+    )
+
+
+@register(
     "udtf_stack",
     oracle="""
     SELECT r_regionkey AS k, r_name AS name FROM region
