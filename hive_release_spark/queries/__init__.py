@@ -56,8 +56,9 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 # landed after the r3 window froze): dedup_span_chunks, join_asof_orders,
 # rollup_multires, join_salted_skew, fn_datetime_misc, fn_decimal_arith,
 # sort_null_ordering, window_range_interval, stream_session_dynamic,
-# agg_unpivot, agg_hll_union — plus the three twins rotated out this
-# round (text_langid, sim_cosine_topk_arrow, emb_normalize_quantize).
+# agg_unpivot, agg_hll_union, udtf_explode_map — plus the three twins
+# rotated out this round (text_langid, sim_cosine_topk_arrow,
+# emb_normalize_quantize).
 DRIVER_WINDOW = [
     # §2.K + analytics: red in r2, repaired by the catalog ts-unit fix
     "stream_tumbling",
