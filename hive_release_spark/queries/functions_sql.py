@@ -398,6 +398,31 @@ def udtf_explode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udtf_inline",
+    oracle="""
+    SELECT r_regionkey, 'lo' AS tier, r_name AS label FROM region
+    UNION ALL
+    SELECT r_regionkey, 'hi', upper(r_name) FROM region
+    ORDER BY r_regionkey, tier DESC
+    """,
+    tags=("udtf", "lateral_view", "inline"),
+)
+def udtf_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inline(array<struct>) — Hive GenericUDTFInline: explode an array
+    of structs into one row per struct with the fields as columns (the
+    third lateral-view arm beside array explode and map explode)."""
+    r = load_table(spark, sf_dir, "region")
+    arr = F.array(
+        F.struct(F.lit("lo").alias("tier"), F.col("r_name").alias("label")),
+        F.struct(F.lit("hi").alias("tier"), F.upper("r_name").alias("label")),
+    )
+    return (
+        r.select("r_regionkey", F.inline(arr))
+        .orderBy("r_regionkey", F.col("tier").desc())
+    )
+
+
+@register(
     "udtf_stack",
     oracle="""
     SELECT r_regionkey AS k, r_name AS name FROM region
