@@ -80,6 +80,17 @@ def events_ts_unit(path: str) -> str:
                 f"events.ts at {path} has unexpected parquet type {type_str!r}; "
                 "expected a timestamp logical type"
             )
+        # Validate the tz flag too, not just the unit: a tz-adjusted
+        # (isAdjustedToUTC=true) fixture would make the batch reader infer
+        # TIMESTAMP_LTZ while the stream schema forces NTZ, silently
+        # breaking the "identical schema on both paths" contract the NTZ
+        # cast below relies on. Fail loudly instead.
+        if getattr(field.type, "tz", None) is not None:
+            raise ValueError(
+                f"events.ts at {path} is tz-adjusted (tz={field.type.tz!r}); "
+                "the loader's batch/stream schema contract requires a "
+                "tz-naive (isAdjustedToUTC=false) timestamp"
+            )
         unit = type_str[len("timestamp[") :].split("]")[0].split(",")[0]
         _events_ts_unit_cache[path] = unit
     return unit

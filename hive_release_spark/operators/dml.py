@@ -246,6 +246,16 @@ def merge_into(
             raise ValueError(
                 f"partition-scoped MERGE source lacks partition columns {missing}"
             )
+        moved = set(matched_update or {}) & set(partition_cols)
+        if moved:
+            # same rule as partition-scoped UPDATE: reassigning a partition
+            # column moves rows into partitions the scoped rewrite may not
+            # own — and if the destination partition exists, the commit's
+            # ConcurrentWriteError("retry") could never be cleared by a retry
+            raise ValueError(
+                f"partition-scoped MERGE cannot reassign partition columns {sorted(moved)}; "
+                "use a full-table merge_into(partition_filter=None)"
+            )
         # every source row must fall inside the scoped partitions, else its
         # update/insert would silently target an unread partition
         stray = source.filter(

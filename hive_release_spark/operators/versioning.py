@@ -58,11 +58,25 @@ def latest_snapshot(table_dir: str) -> int | None:
 
 def snapshot_write(df: DataFrame, table_dir: str) -> int:
     """Write ``df`` as the next immutable snapshot and atomically commit
-    the pointer. Returns the new version number."""
+    the pointer. Returns the new version number.
+
+    Crash-safe in both directions: the next version is computed from
+    max(pointer, highest existing version dir) — so an orphan ``v{n}``
+    left by a crash between the data write and the pointer commit can
+    never collide with a later write — and the data lands in a hidden
+    staging dir that is atomically renamed to ``v{n}``, so readers (and
+    the dir-fallback in :func:`latest_snapshot`) never observe a
+    half-written version."""
     os.makedirs(table_dir, exist_ok=True)
-    version = (latest_snapshot(table_dir) or 0) + 1
+    committed = latest_snapshot(table_dir) or 0
+    dirs = list_snapshots(table_dir)
+    version = max(committed, dirs[-1] if dirs else 0) + 1
     vdir = os.path.join(table_dir, f"v{version}")
-    df.write.mode("error").parquet(vdir)  # never overwrite a version
+    staging = tempfile.mkdtemp(dir=table_dir, prefix="._staging_")
+    stage_target = os.path.join(staging, "data")
+    df.write.mode("error").parquet(stage_target)
+    os.rename(stage_target, vdir)  # atomic publish; never overwrites
+    os.rmdir(staging)
     fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._latest_")
     with os.fdopen(fd, "w") as fh:
         fh.write(str(version))

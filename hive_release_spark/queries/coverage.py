@@ -228,7 +228,9 @@ def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bernoulli 10% keep threshold over the first 8 hex chars of the row-key
 # md5 — fixed-width lowercase hex compares lexicographically == numerically,
 # so one string literal both engines honor (same scheme as
-# llm.pipeline.stratified_sample). 0.1 * 16^8 exactly.
+# llm.pipeline.stratified_sample). int(0.1 * 16^8) = 0x19999999
+# (truncated, not rounded — ~2.3e-8 under a true 10%, harmless and
+# identical on both engines since they interpolate the same literal).
 _SAMPLE_THR = format(int(0.1 * 16**8), "08x")
 
 
@@ -249,7 +251,7 @@ def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Hive TABLESAMPLE semantics, SURVEY.md §2.E). Engine RNG
     (``df.sample``) is seed-stable but engine-SPECIFIC, so this uses the
     deterministic md5-threshold coin every engine evaluates identically:
-    keep a row iff md5(rowkey)[0:8] < 0x1999999a (= 10%). Seeded,
+    keep a row iff md5(rowkey)[0:8] < 0x19999999 (≈ 10%). Seeded,
     replayable, nested (a row kept at 10% stays kept at any higher
     rate), and a pure scan-side filter — zero extra shuffles at 100 TB;
     the md5 is a JVM expression over the (l_orderkey, l_linenumber)

@@ -94,7 +94,8 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_normalize_quantize",
     oracle="""
     SELECT vec_id, round(nrm, 6) AS l2_norm,
-           list_transform(v, x -> CAST(round(x / nrm * 127) AS INTEGER)) AS q8
+           array_to_string(list_transform(v,
+               x -> CAST(round(x / nrm * 127) AS INTEGER)), ' ') AS q8_str
     FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                                               x -> x * x))) AS nrm
@@ -105,9 +106,16 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding L2-normalize + int8 quantize — ANN-index storage prep.
-    Per-row HOF expressions, zero shuffles."""
+    Per-row HOF expressions, zero shuffles. The quantized vector is
+    emitted space-joined (``q8_str``): the driver's pandas canonicalizer
+    cannot sort raw ARRAY columns (tests/test_oracle_types.py); the
+    array-native form stays available via similarity.normalize_quantize."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.normalize_quantize(emb).orderBy("vec_id")
+    return (
+        similarity.normalize_quantize(emb)
+        .select("vec_id", "l2_norm", F.concat_ws(" ", F.col("q8")).alias("q8_str"))
+        .orderBy("vec_id")
+    )
 
 
 @register(

@@ -326,7 +326,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc AS (SELECT p.doc_id, p.pos, CAST(coalesce(v.rank, 0) AS INTEGER) AS id
             FROM pos p LEFT JOIN vocab v ON p.term = v.term)
     SELECT doc_id,
-           array_agg(id ORDER BY pos) AS ids,
+           array_to_string(array_agg(id ORDER BY pos), ' ') AS ids_str,
            CAST(count(*) AS INTEGER) AS n_tokens,
            CAST(count(*) FILTER (id = 0) AS INTEGER) AS n_unk
     FROM enc
@@ -339,9 +339,24 @@ def tokenize_word_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus → token-id sequences against the 90%-coverage vocabulary
     (vocab ranks as ids, 0 = UNK) — the step between vocab construction
     and sequence packing. Broadcast vocab join, one doc_id groupBy; see
-    llm/text.encode_word_ids."""
+    llm/text.encode_word_ids.
+
+    The sequence is emitted as ``ids_str`` (space-joined) rather than a
+    raw ARRAY<INT>: the driver's pandas canonicalizer sorts over ALL
+    output columns and list-valued columns are unhashable (the r3 red
+    row's TypeError). The array-native form stays available via
+    encode_word_ids directly and is pinned by tests/test_llm4.py."""
     from hive_release_spark.llm.text import encode_word_ids, vocab_coverage
 
     docs = load_table(spark, sf_dir, "documents")
     vocab = vocab_coverage(docs, cutoff=0.9)
-    return encode_word_ids(docs, vocab).orderBy("doc_id")
+    return (
+        encode_word_ids(docs, vocab)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("ids")).alias("ids_str"),
+            "n_tokens",
+            "n_unk",
+        )
+        .orderBy("doc_id")
+    )

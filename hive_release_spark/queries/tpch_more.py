@@ -179,10 +179,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipmode_priority",
     oracle="""
     SELECT l.l_returnflag,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
       AND l.l_shipdate <  TIMESTAMP '1998-01-01'
@@ -197,7 +197,10 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     no l_shipmode/l_commitdate/l_receiptdate, so the group key is
     l_returnflag and the date window runs on l_shipdate — the shape
     (join + CASE-sum split) is what the query exists to cover;
-    inter-column residual predicates are covered by join_theta_residual."""
+    inter-column residual predicates are covered by join_theta_residual.
+    The oracle CASTs both sums to BIGINT: DuckDB's uncast integer sum()
+    yields HUGEINT, which pandas (the driver's canonicalizer) renders as
+    float64 and hash-mismatches against Spark's int64 (r3 red row)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")

@@ -338,3 +338,22 @@ def test_partition_scoped_update_rejects_partition_col_reassignment(spark, tmp_p
             spark, path, {"grp": F.lit("b")}, F.col("id") == 1,
             partition_filter=F.col("grp") == "a", partition_cols=["grp"],
         )
+
+
+def test_partition_scoped_merge_rejects_partition_col_reassignment(spark, tmp_path):
+    """Same guard as the scoped UPDATE (ADVICE r3): a matched_update that
+    rewrites a partition column moves rows into partitions outside the
+    rewrite scope, and if the destination partition exists the commit's
+    ConcurrentWriteError('retry') could never be cleared — raise up front."""
+    path = str(tmp_path / "merge_guard_t")
+    spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 2, 20.0)], "grp STRING, id BIGINT, val DOUBLE"
+    ).write.partitionBy("grp").parquet(path)
+    source = spark.createDataFrame([("a", 1, 99.0)], "grp STRING, id BIGINT, val DOUBLE")
+    with pytest.raises(ValueError, match="cannot reassign partition columns"):
+        dml.merge_into(
+            spark, path, source, on=["id"],
+            matched_update={"grp": F.lit("b"), "val": F.col("src.val")},
+            partition_filter=F.col("grp") == "a",
+            partition_cols=["grp"],
+        )

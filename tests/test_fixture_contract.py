@@ -116,6 +116,32 @@ def test_events_ts_unit_is_sniffable(sf_dir):
     assert unit in ("s", "ms", "us", "ns")
 
 
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_events_ts_is_tz_naive(sf_dir):
+    """Pin isAdjustedToUTC=false: a tz-adjusted fixture would make batch
+    reads infer TIMESTAMP_LTZ while the stream schema forces NTZ, breaking
+    the identical-schema contract between the two paths (ADVICE r3)."""
+    field = pq.read_schema(table_path(sf_dir, "events")).field("ts")
+    assert getattr(field.type, "tz", None) is None, (
+        f"events.ts is tz-adjusted ({field.type}); loader contract is NTZ"
+    )
+
+
+def test_tz_adjusted_events_rejected(tmp_path):
+    """The sniffer must REFUSE a tz-adjusted events.ts rather than let the
+    batch/stream schemas silently diverge."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    table = pa.table(
+        {"ts": pa.array([1704067200_000_000], pa.timestamp("us", tz="UTC"))}
+    )
+    path = str(tmp_path / "events.parquet")
+    pq_mod.write_table(table, path)
+    with pytest.raises(ValueError, match="tz-adjusted"):
+        events_ts_unit(path)
+
+
 def test_events_range_survives_load(spark):
     """End-to-end canary for the r2 bug: the loaded events table must span
     the fixture's real multi-day range, not a 1970 collapse. 60 distinct
