@@ -49,6 +49,8 @@ HEADLINE = (
     "funnel_conversion",       # per-user sorted-array HOF funnel
     "retention_cohorts",       # cohort triangle, collect_set explode
     "join_asof_orders",        # as-of join: tagged union + carry-forward window
+    "sim_ann_ivf_bcast",       # IVF ANN, broadcast-centroid shape (new r4)
+    "ds_time_bucket_counts",   # q88-style single-scan multi-bucket agg (new r4)
 )
 
 

@@ -371,10 +371,14 @@ def sort_array_by(arr, field: str, asc: bool = True) -> Column:
 def create_union(tag, *values) -> Column:
     """Hive UNIONTYPE constructor → Spark struct encoding
     struct<tag:int, field0, field1, ...> (SURVEY.md §1.2: this is the
-    same encoding Spark's own Hive reader produces)."""
-    fields = [F.lit("tag"), _c(tag).cast("int")]
+    same encoding Spark's own Hive reader produces). Only the ACTIVE
+    branch carries a value — inactive fields are NULL, exactly as the
+    Hive ObjectInspector materializes a union (a union holds one value,
+    not all of them)."""
+    tag_c = _c(tag).cast("int")
+    fields = [F.lit("tag"), tag_c]
     for i, v in enumerate(values):
-        fields += [F.lit(f"field{i}"), _c(v)]
+        fields += [F.lit(f"field{i}"), F.when(tag_c == i, _c(v))]
     return F.named_struct(*fields)
 
 

@@ -18,6 +18,7 @@ from hive_release_spark.queries import (  # noqa: F401,E402
     llm4,
     tpch_more,
     tpch_full,
+    tpcds,
     analytics,
     timeseries,
 )
@@ -52,62 +53,64 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 # emb_pca_project) sit outside the window: their evidence is property
 # tests (recall/subset/numpy-parity), not hashes.
 #
-# r4 rotation candidates (oracle-gated, not yet driver-recorded; all
-# landed after the r3 window froze): dedup_span_chunks, join_asof_orders,
-# rollup_multires, join_salted_skew, fn_datetime_misc, fn_decimal_arith,
-# sort_null_ordering, window_range_interval, stream_session_dynamic,
-# agg_unpivot, agg_hll_union, udtf_explode_map — plus the three twins
-# rotated out this round (text_langid, sim_cosine_topk_arrow,
-# emb_normalize_quantize).
+# Round-4 selection (VERDICT r3 "Next round" #1/#2/#4):
+#   * the 2 r3-red rows stay IN-window so their repairs are
+#     driver-witnessed red→green: q12_shipmode_priority (oracle sums now
+#     CAST BIGINT — the HUGEINT→float64 hash artifact) and
+#     tokenize_word_ids (ids now emitted as ids_str — the unsortable
+#     ARRAY column);
+#   * every never-driver-recorded entry gets a slot — the 13 oracle-gated
+#     r3 latecomers, the 3 rotated-out twins (emb_normalize_quantize also
+#     carries a contract change: q8 → q8_str), and the 4 rows-only
+#     entries (their weaker rows-only driver record still closes the
+#     "witnessed at least once across r1–r4" goal);
+#   * the 8 new r4 entries (fn_union_type UNIONTYPE round-trip,
+#     sim_ann_ivf_bcast broadcast-centroid IVF, dedup_semantic_cells
+#     SemDeDup, the 5-query ds_* TPC-DS plan-quality family) land
+#     in-window on arrival;
+#   * one representative per §2 family whose members are all outside the
+#     rotation keeps every subsection driver-current (pinned by
+#     test_entry_contract), plus fresh rows for the flagship operators
+#     (q1, streams, dedup family, cosine/ANN, decontamination, packing).
+# Rotated out: the r2/r3 TPC-H block and function/text entries that are
+# driver-green in CORRECTNESS_r03 and unchanged since.
 DRIVER_WINDOW = [
-    # §2.K + analytics: red in r2, repaired by the catalog ts-unit fix
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_tumbling_live",
-    "stream_session",
-    "stream_dedup_first",
-    "stream_stream_join",
-    "retention_cohorts",
-    "funnel_conversion",
-    # §2.B TPC-H shapes landed in r2 after the window cutoff
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
+    # r3-red repairs, driver-witnessed red→green
     "q12_shipmode_priority",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_excess_suppliers",
-    "q22_dormant_customers",
-    # never-driver-recorded oracle-gated entries (functions, joins, text,
-    # embeddings, corpus pipeline)
-    "udtf_stack",
-    "dedup_connected_components",
-    "emb_label_centroids",
-    "join_shuffle_hash_hint",
-    "fn_parse_url",
-    "text_context_ngrams",
-    "fn_string2",
-    "fn_numeric_repr",
-    "text_normalize",
-    "text_pii_scrub",
-    "corpus_token_stats",
-    "shuffle_shard_assign",
-    "sample_stratified",
-    "vocab_coverage_cutoff",
-    "source_overlap_matrix",
     "tokenize_word_ids",
-    # converted rows-only → oracle-gated this round
-    "sample_fraction",
-    "agg_hll_sketch",
-    "agg_bloom_filter",
-    "agg_histogram_numeric",
-    "sim_ann_ivf",
+    # never-driver-recorded oracle-gated (r3 latecomers)
+    "dedup_span_chunks",
+    "join_asof_orders",
+    "rollup_multires",
+    "join_salted_skew",
+    "fn_datetime_misc",
+    "fn_decimal_arith",
+    "sort_null_ordering",
+    "window_range_interval",
+    "stream_session_dynamic",
+    "agg_unpivot",
+    "agg_hll_union",
+    "udtf_explode_map",
+    "udtf_inline",
+    # never-driver-recorded twins (emb_normalize_quantize: new q8_str contract)
+    "text_langid",
+    "sim_cosine_topk_arrow",
+    "emb_normalize_quantize",
+    # new in r4
+    "fn_union_type",
+    "sim_ann_ivf_bcast",
+    "dedup_semantic_cells",
+    "ds_time_bucket_counts",
+    "ds_frequent_buyers",
+    "ds_week_over_week",
+    "ds_topk_per_group",
+    "ds_year_over_year_spend",
+    # never-driver-recorded rows-only entries (property-tested; the
+    # driver records a rows-only row — weaker, but closes the witness gap)
+    "dedup_simhash",
+    "sim_ann_lsh",
+    "fn_misc_surface",
+    "emb_pca_project",
     # per-family representatives keeping every §2 subsection driver-current
     "scan_filter_project",
     "join_full_outer",
@@ -116,6 +119,20 @@ DRIVER_WINDOW = [
     "ptf_matchpath",
     "script_transform",
     "multimodal_meta",
+    "sample_fraction",
+    # flagship operators keeping fresh rows
+    "q1_pricing_summary",
+    "stream_tumbling",
+    "stream_session",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_connected_components",
+    "sim_ann_ivf",
+    "pipeline_neardedup_corpus",
+    "decontaminate_ngram",
+    "pack_sequences",
+    "multimodal_features",
 ]
 
 

@@ -318,6 +318,51 @@ def fn_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fn_union_type",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey % 2 AS INTEGER)                        AS tag,
+           CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END     AS branch_num,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END  AS branch_str,
+           CASE WHEN o_orderkey % 2 = 0
+                THEN concat('0:', round(o_totalprice, 2))
+                ELSE concat('1:', o_orderpriority) END            AS rendered
+    FROM orders WHERE o_orderkey % 25 = 0
+    """,
+    tags=("functions", "uniontype", "complex_types"),
+)
+def fn_union_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIONTYPE round-trip (Hive GenericUDFUnion/ExtractUnion, serde2
+    UnionTypeInfo — SURVEY.md §1.2, §2.H): construct a
+    uniontype<double,string> via create_union (struct<tag,field0,field1>
+    encoding, inactive branch NULL), then extract both branches and a
+    tagged rendering back out through extract_union. The struct itself
+    stays internal — outputs are scalars (driver-canonicalizable)."""
+    from hive_release_spark.functions.hive import create_union, extract_union
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0)
+    u = create_union(
+        F.col("o_orderkey") % 2, F.col("o_totalprice"), F.col("o_orderpriority")
+    )
+    with_u = o.select("o_orderkey", u.alias("u"))
+    full = extract_union(F.col("u"))  # no tag -> the whole struct
+    return with_u.select(
+        "o_orderkey",
+        full.getField("tag").alias("tag"),
+        extract_union(F.col("u"), 0).alias("branch_num"),
+        extract_union(F.col("u"), 1).alias("branch_str"),
+        F.concat(
+            full.getField("tag").cast("string"),
+            F.lit(":"),
+            F.coalesce(
+                F.round(extract_union(F.col("u"), 0), 2).cast("string"),
+                extract_union(F.col("u"), 1),
+            ),
+        ).alias("rendered"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # UDTF / lateral view (explode, posexplode, stack)
 # ---------------------------------------------------------------------------

@@ -153,6 +153,41 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(emb, threshold=0.4)
 
 
+@register(
+    "dedup_semantic_cells",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    params AS (SELECT greatest(1, count(*) // 8) AS stride FROM e),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+      FROM e, params WHERE vec_id % stride = 0
+      ORDER BY vec_id LIMIT 8
+    ),
+    assign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell DESC) AS rn
+        FROM e CROSS JOIN cents c) WHERE rn = 1
+    )
+    SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS sim
+    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    """,
+    tags=("llm", "dedup", "similarity", "neardup"),
+)
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: nearest-centroid cell bucketing +
+    within-cell cosine pairs ≥ 0.4 — the 100 TB companion to the
+    brute-force `dedup_embedding_cosine` (pair candidates bounded by
+    cell sizes, not n²). Deterministic stride centroids → the DuckDB
+    oracle replays assignment and pairing exactly; the recall-vs-brute
+    property is pinned in tests. See similarity.semantic_dedup_pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_pairs(emb, threshold=0.4, n_cells=8)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -196,15 +231,18 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucket_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
 
 
-@register(
-    "sim_ann_ivf",
-    oracle="""
+def _ivf_oracle(n_cells: int, n_probe: int, k: int, nq: int) -> str:
+    """Full DuckDB replay of the IVF pipeline (stride-sampled centroids,
+    argmax assignment with larger-cell tie-break, descending probe order,
+    exact re-rank) — shared by the plan-literal and broadcast-centroid
+    variants, which must produce identical results by construction."""
+    return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    params AS (SELECT greatest(1, count(*) // 16) AS stride FROM e),
+    params AS (SELECT greatest(1, count(*) // {n_cells}) AS stride FROM e),
     cents AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
       FROM e, params WHERE vec_id % stride = 0
-      ORDER BY vec_id LIMIT 16
+      ORDER BY vec_id LIMIT {n_cells}
     ),
     assign AS (
       SELECT vec_id, cell FROM (
@@ -213,13 +251,13 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell DESC) AS rn
         FROM e CROSS JOIN cents c) WHERE rn = 1
     ),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {nq}),
     probes AS (
       SELECT query_id, cell FROM (
         SELECT q.query_id, c.cell,
                row_number() OVER (PARTITION BY q.query_id
                    ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cell DESC) AS rn
-        FROM q CROSS JOIN cents c) WHERE rn <= 6
+        FROM q CROSS JOIN cents c) WHERE rn <= {n_probe}
     ),
     cand AS (
       SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
@@ -236,8 +274,13 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT query_id, neighbor_id, sim,
              row_number() OVER (PARTITION BY query_id
                  ORDER BY sim DESC, neighbor_id) AS rank
-      FROM sims) WHERE rank <= 5
-    """,
+      FROM sims) WHERE rank <= {k}
+    """
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=_ivf_oracle(n_cells=16, n_probe=6, k=5, nq=20),
     tags=("llm", "similarity", "ann"),
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,6 +295,24 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
         emb.filter(F.col("vec_id") < 20), emb, k=5, n_cells=16, n_probe=6
+    )
+
+
+@register(
+    "sim_ann_ivf_bcast",
+    oracle=_ivf_oracle(n_cells=64, n_probe=8, k=5, nq=20),
+    tags=("llm", "similarity", "ann", "broadcast"),
+)
+def sim_ann_ivf_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN via the broadcast-centroid physical shape at a cell count
+    (64) where the plan-literal variant's expression tree already hurts:
+    centroids ride as one packed array<struct> row attached by a 1-row
+    broadcast, so plan size is O(1) in n_cells (the 100 TB path, where
+    n_cells ≈ √N is tens of thousands). Same deterministic pipeline,
+    same full DuckDB replay oracle — see similarity.ivf_topk_bcast."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk_bcast(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, n_cells=64, n_probe=8
     )
 
 

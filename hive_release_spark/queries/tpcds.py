@@ -1,0 +1,241 @@
+"""TPC-DS-shaped plan-quality workloads (SURVEY.md §5.3: the reference's
+suite corpus is TPC-DS/TPC-H style; columns here limited to the driver
+schema — VERDICT r3 "Next round" #8).
+
+The point of this family is PLAN shape, not new operator surface: each
+query has a naive formulation that multiplies fact scans (N subqueries /
+a self-join / a correlated re-read) and a single-scan formulation this
+module pins — the difference between 8× and 1× of a 100 TB scan.
+
+* ``ds_time_bucket_counts`` — TPC-DS q88 shape: 8 time-bucket counts
+  that the spec writes as 8 self-joined subqueries, expressed as ONE
+  scan with conditional aggregation.
+* ``ds_frequent_buyers`` — q73/q34 shape: per-customer order counts
+  with a HAVING band, joined back to the dimension; one fact scan +
+  one broadcast of the (post-HAVING, tiny) aggregate.
+* ``ds_week_over_week`` — q59 shape: week-over-week revenue that the
+  spec writes as a year-offset self-join of the weekly aggregate,
+  expressed as a lag window over ONE aggregated frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hive_release_spark.catalog import load_table
+from hive_release_spark.queries.registry import register
+
+
+@register(
+    "ds_time_bucket_counts",
+    oracle="""
+    SELECT count(CASE WHEN h BETWEEN  0 AND  2 THEN 1 END) AS h00_02,
+           count(CASE WHEN h BETWEEN  3 AND  5 THEN 1 END) AS h03_05,
+           count(CASE WHEN h BETWEEN  6 AND  8 THEN 1 END) AS h06_08,
+           count(CASE WHEN h BETWEEN  9 AND 11 THEN 1 END) AS h09_11,
+           count(CASE WHEN h BETWEEN 12 AND 14 THEN 1 END) AS h12_14,
+           count(CASE WHEN h BETWEEN 15 AND 17 THEN 1 END) AS h15_17,
+           count(CASE WHEN h BETWEEN 18 AND 20 THEN 1 END) AS h18_20,
+           count(CASE WHEN h BETWEEN 21 AND 23 THEN 1 END) AS h21_23
+    FROM (SELECT extract('hour' FROM ts) AS h
+          FROM events WHERE event_type = 'purchase' AND value >= 10)
+    """,
+    tags=("tpcds", "agg", "conditional", "single_scan"),
+)
+def ds_time_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q88 shape: the spec's 8 cross-joined single-bucket
+    subqueries (8 fact scans) collapsed into one scan + 8 conditional
+    counts — the canonical multi-channel scan-reuse rewrite. Plan-pinned
+    to exactly one events scan (tests/test_plans.py)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 10)
+    )
+    h = F.hour("ts")
+
+    def bucket(lo: int, hi: int, alias: str):
+        return F.count(F.when(h.between(lo, hi), 1)).alias(alias)
+
+    return ev.agg(
+        bucket(0, 2, "h00_02"),
+        bucket(3, 5, "h03_05"),
+        bucket(6, 8, "h06_08"),
+        bucket(9, 11, "h09_11"),
+        bucket(12, 14, "h12_14"),
+        bucket(15, 17, "h15_17"),
+        bucket(18, 20, "h18_20"),
+        bucket(21, 23, "h21_23"),
+    )
+
+
+@register(
+    "ds_frequent_buyers",
+    oracle="""
+    WITH freq AS (
+      SELECT o_custkey, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_spend
+      FROM orders GROUP BY o_custkey HAVING count(*) BETWEEN 8 AND 40
+    )
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment, f.n_orders, f.total_spend
+    FROM freq f JOIN customer c ON c.c_custkey = f.o_custkey
+    ORDER BY f.n_orders DESC, c.c_custkey
+    LIMIT 100
+    """,
+    tags=("tpcds", "agg", "having", "join"),
+)
+def ds_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q73/q34 shape: per-customer fact counts banded by HAVING,
+    joined back to the customer dimension for attributes. One orders
+    scan; the post-HAVING aggregate is orders-of-magnitude smaller than
+    the fact, so IT broadcasts into the dimension join (never the
+    reverse — customer scales with SF). Top-k with a unique tie-break."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    freq = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .filter(F.col("n_orders").between(8, 40))
+    )
+    return (
+        c.join(F.broadcast(freq), c.c_custkey == freq.o_custkey)
+        .select("c_custkey", "c_name", "c_mktsegment", "n_orders", "total_spend")
+        .orderBy(F.col("n_orders").desc(), "c_custkey")
+        .limit(100)
+    )
+
+
+@register(
+    "ds_week_over_week",
+    oracle="""
+    WITH weekly AS (
+      SELECT CAST(date_trunc('week', l_shipdate) AS TIMESTAMP) AS week_start,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1
+    )
+    SELECT week_start, revenue,
+           lag(revenue) OVER (ORDER BY week_start) AS prev_revenue,
+           round(revenue / lag(revenue) OVER (ORDER BY week_start), 4) AS wow
+    FROM weekly
+    ORDER BY week_start
+    """,
+    tags=("tpcds", "window", "timeseries"),
+)
+def ds_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q59 shape: week-over-week revenue comparison. The spec
+    formulates this as a self-join of the weekly aggregate against its
+    date-shifted twin (two derivations of the same scan); a lag window
+    over ONE aggregated frame is equivalent and halves the work — and
+    the window runs on ~52 rows/year, not the fact. Plan-pinned to one
+    lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    weekly = (
+        li.groupBy(F.date_trunc("week", "l_shipdate").alias("week_start"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    w = W.orderBy("week_start")
+    return (
+        weekly.withColumn("prev_revenue", F.lag("revenue").over(w))
+        .withColumn("wow", F.round(F.col("revenue") / F.col("prev_revenue"), 4))
+        .orderBy("week_start")
+    )
+
+
+@register(
+    "ds_topk_per_group",
+    oracle="""
+    WITH monthly AS (
+      SELECT l_returnflag, date_trunc('month', l_shipdate) AS month_start,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, CAST(month_start AS TIMESTAMP) AS month_start,
+           revenue, rk
+    FROM (SELECT l_returnflag, month_start, revenue,
+                 row_number() OVER (PARTITION BY l_returnflag
+                     ORDER BY revenue DESC, month_start) AS rk
+          FROM monthly)
+    WHERE rk <= 3
+    ORDER BY l_returnflag, rk
+    """,
+    tags=("tpcds", "window", "topk", "agg"),
+)
+def ds_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q67 shape: best-3 revenue months per return flag — rank
+    over an aggregate, filtered to k. The plan matters: Spark's
+    WindowGroupLimit rewrites rank<=k into a per-partition top-k BEFORE
+    the window exchange (partial limit map-side), so the shuffle carries
+    ≤ k rows per group per partition instead of every aggregated row —
+    plan-pinned in tests/test_plans.py. Unique tie-break (month_start)
+    keeps the row set deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = (
+        li.groupBy(
+            "l_returnflag", F.date_trunc("month", "l_shipdate").alias("month_start")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = W.partitionBy("l_returnflag").orderBy(F.col("revenue").desc(), "month_start")
+    return (
+        monthly.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("l_returnflag", "rk")
+    )
+
+
+@register(
+    "ds_year_over_year_spend",
+    oracle="""
+    SELECT o_custkey,
+           round(sum(CASE WHEN extract('year' FROM o_orderdate) = 1996
+                          THEN o_totalprice ELSE 0 END), 2) AS spend_1996,
+           round(sum(CASE WHEN extract('year' FROM o_orderdate) = 1997
+                          THEN o_totalprice ELSE 0 END), 2) AS spend_1997
+    FROM orders
+    WHERE extract('year' FROM o_orderdate) IN (1996, 1997)
+    GROUP BY o_custkey
+    HAVING sum(CASE WHEN extract('year' FROM o_orderdate) = 1996
+                    THEN o_totalprice ELSE 0 END) > 0
+       AND sum(CASE WHEN extract('year' FROM o_orderdate) = 1997
+                    THEN o_totalprice ELSE 0 END)
+         > sum(CASE WHEN extract('year' FROM o_orderdate) = 1996
+                    THEN o_totalprice ELSE 0 END)
+    ORDER BY o_custkey
+    """,
+    tags=("tpcds", "agg", "conditional", "single_scan"),
+)
+def ds_year_over_year_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q74/q11 shape: customers whose spend grew year-over-year.
+    The spec formulates this as two per-year CTEs self-joined on the
+    customer key — two derivations of the same fact scan plus a join
+    exchange; conditional aggregation computes both years in ONE scan
+    and one groupBy, with the growth predicate as HAVING. Plan-pinned
+    single orders scan."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1996, 1997)
+    )
+    spend = lambda yr: F.round(  # noqa: E731
+        F.sum(F.when(F.year("o_orderdate") == yr, F.col("o_totalprice")).otherwise(0.0)),
+        2,
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(spend(1996).alias("spend_1996"), spend(1997).alias("spend_1997"))
+        .filter((F.col("spend_1996") > 0) & (F.col("spend_1997") > F.col("spend_1996")))
+        .orderBy("o_custkey")
+    )

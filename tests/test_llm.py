@@ -274,3 +274,35 @@ def test_span_chunk_dedup_semantics(spark):
         3: (1, 1, ""),             # doc 1 owns "x y z" first
         4: (1, 1, ""),             # fully duplicated -> empty
     }
+
+
+def test_semantic_dedup_pairs_subset_of_brute_force(spark):
+    """Cell-bucketed semantic pairs must be a subset of the brute-force
+    cosine pair set at the same threshold (bucketing can only DROP
+    cross-cell pairs, never invent or rescore one), with decent recall
+    on this corpus."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs(emb, threshold=0.4).collect()
+    }
+    sem = {
+        (r.id_a, r.id_b)
+        for r in similarity.semantic_dedup_pairs(emb, threshold=0.4, n_cells=8).collect()
+    }
+    assert sem <= brute
+    assert brute, "fixture produced no near-dup pairs; threshold drifted?"
+    assert len(sem) / len(brute) >= 0.3, (len(sem), len(brute))
+
+
+def test_assign_cells_is_total_and_in_range(spark):
+    """Every vector gets exactly one cell label in [0, n_cells)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    assigned = similarity.assign_cells(emb, n_cells=8)
+    assert assigned.count() == n
+    row = assigned.agg(
+        F.min("cell").alias("lo"), F.max("cell").alias("hi"),
+        F.count_distinct("cell").alias("nc"),
+    ).first()
+    assert row.lo >= 0 and row.hi < 8 and row.nc >= 2

@@ -129,3 +129,48 @@ def test_q13_outer_join_double_agg_shape(spark):
     plan = _plan(REGISTRY["q13_customer_distribution"].fn(spark, SF_SMOKE))
     assert "LeftOuter" in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_ds_time_bucket_counts_scans_events_once(spark):
+    """TPC-DS q88 shape: the 8 bucket counts must come from ONE events
+    scan (the spec's formulation is 8 cross-joined subqueries = 8 scans;
+    at 100 TB that difference IS the query's cost)."""
+    plan = _plan(REGISTRY["ds_time_bucket_counts"].fn(spark, SF_SMOKE))
+    assert plan.count("events.parquet") == 1, plan.count("events.parquet")
+    # the purchase/value filters must be pushed to that one scan
+    assert "PushedFilters" in plan
+    assert "EqualTo(event_type,purchase)" in plan, plan[:3000]
+
+
+def test_ds_week_over_week_scans_lineitem_once(spark):
+    """TPC-DS q59 shape: lag-window formulation must scan lineitem once —
+    the spec's self-join of the weekly aggregate would scan (or at best
+    re-derive) it twice."""
+    plan = _plan(REGISTRY["ds_week_over_week"].fn(spark, SF_SMOKE))
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+
+
+def test_ds_frequent_buyers_broadcasts_aggregate_not_dimension(spark):
+    """q73/q34 shape: the post-HAVING per-customer aggregate (tiny) must
+    be the broadcast side; customer (SF-scaling) must not broadcast."""
+    plan = _plan(REGISTRY["ds_frequent_buyers"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("orders.parquet") == 1
+
+
+def test_ds_topk_per_group_uses_window_group_limit(spark):
+    """q67 shape: rank<=k over the monthly aggregate must trigger
+    WindowGroupLimit (partial per-partition top-k BEFORE the window
+    exchange) so the shuffle carries <=k rows per group per partition."""
+    plan = _plan(REGISTRY["ds_topk_per_group"].fn(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan, plan[:3000]
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_ds_year_over_year_scans_orders_once(spark):
+    """q74/q11 shape: both years' spends come from ONE conditional-agg
+    scan, not the spec's two per-year CTEs self-joined (2 scans + a join
+    exchange). The year-IN filter must reach the scan."""
+    plan = _plan(REGISTRY["ds_year_over_year_spend"].fn(spark, SF_SMOKE))
+    assert plan.count("orders.parquet") == 1, plan.count("orders.parquet")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

@@ -290,3 +290,50 @@ def test_asof_join_plan_is_single_key_exchange(spark):
     n_hash_ex = plan.count("Exchange hashpartitioning")
     assert n_hash_ex == 2, f"expected union-window + dedup exchanges, got {n_hash_ex}\n{plan}"
     assert "WindowGroupLimit" in plan  # right-side dedup pushes top-1 below its shuffle
+
+
+def test_ivf_bcast_plan_size_constant_in_n_cells(spark):
+    """VERDICT r3 #4: ivf_topk inlines centroids as plan literals, so its
+    expression tree grows O(n_cells); ivf_topk_bcast carries them as a
+    packed broadcast ROW, so its plan must NOT grow. Pin both facts."""
+    from hive_release_spark.llm.similarity import ivf_topk, ivf_topk_bcast
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+
+    def plan_len(fn, n_cells):
+        return len(_plan(fn(q, emb, k=3, n_cells=n_cells, n_probe=2), "extended"))
+
+    lit8, lit32 = plan_len(ivf_topk, 8), plan_len(ivf_topk, 32)
+    bc8, bc32 = plan_len(ivf_topk_bcast, 8), plan_len(ivf_topk_bcast, 32)
+    assert lit32 > lit8 * 2, "literal variant no longer inlines? update test"
+    assert bc32 < bc8 * 1.2, f"bcast plan grew with n_cells: {bc8} -> {bc32}"
+
+
+def test_ivf_bcast_matches_literal_variant(spark):
+    """Same parameters → bit-identical results between the plan-literal
+    and broadcast-centroid IVF shapes (the refactor contract)."""
+    from hive_release_spark.llm.similarity import ivf_topk, ivf_topk_bcast
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    a = sorted(map(tuple, ivf_topk(q, emb, k=5, n_cells=16, n_probe=4).collect()))
+    b = sorted(map(tuple, ivf_topk_bcast(q, emb, k=5, n_cells=16, n_probe=4).collect()))
+    assert a == b
+
+
+def test_ivf_bcast_corpus_side_has_no_shuffle_before_probe_join(spark):
+    """The corpus must reach cell assignment via a broadcast nested-loop
+    attach (no Exchange): one corpus scan, zero corpus shuffles until the
+    per-query rank window."""
+    from hive_release_spark.llm.similarity import ivf_topk_bcast
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    plan = _plan(ivf_topk_bcast(q, emb, k=3, n_cells=8, n_probe=2))
+    assert "BroadcastNestedLoopJoin" in plan
+    # the only hash exchange allowed is the rank window's query_id partition
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert all(e.startswith("query_id") for e in exchanges), exchanges
