@@ -274,3 +274,63 @@ def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bounds_ok"),
         (xs == F.array_sort(xs)).alias("sorted_ok"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_percentile_approx_contract",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           TRUE AS ordered_ok,
+           TRUE AS rank50_ok,
+           TRUE AS rank90_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "sketch", "percentile"),
+)
+def agg_percentile_approx_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (GenericUDAFPercentileApprox parity — Spark's
+    implementation is the same Greenwald-Khanna quantile sketch family).
+    The returned value is merge-order dependent, so — same discipline as
+    `agg_histogram_numeric` — the query emits the sketch's GUARANTEES,
+    all oracle-pinned booleans: lo ≤ p50 ≤ p90 ≤ hi (monotone across
+    percentiles, inside the data range) and the RANK-ERROR contract (the
+    observed fraction of rows ≤ the approx percentile is within the
+    sketch's accuracy bound of the target rank; tolerance 0.02 covers
+    1/accuracy=1e-4 plus discrete-data slack at every test SF). One
+    lineitem scan: the per-group percentiles ride a window so the
+    fraction check reuses the same pass instead of a join-back."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    w = W.partitionBy("l_returnflag")
+    pct = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.percentile_approx("l_extendedprice", 0.5, 10000).over(w).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).over(w).alias("p90"),
+    )
+    return (
+        pct.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+            F.first("p50").alias("p50"),
+            F.first("p90").alias("p90"),
+            F.avg((F.col("l_extendedprice") <= F.col("p50")).cast("double")).alias("f50"),
+            F.avg((F.col("l_extendedprice") <= F.col("p90")).cast("double")).alias("f90"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            (
+                (F.col("lo") <= F.col("p50"))
+                & (F.col("p50") <= F.col("p90"))
+                & (F.col("p90") <= F.col("hi"))
+            ).alias("ordered_ok"),
+            (F.abs(F.col("f50") - 0.5) <= 0.02).alias("rank50_ok"),
+            (F.abs(F.col("f90") - 0.9) <= 0.02).alias("rank90_ok"),
+        )
+        .orderBy("l_returnflag")
+    )

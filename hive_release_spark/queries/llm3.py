@@ -219,6 +219,60 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver eigensolve → literal-matrix JVM projection). Rows-only by
     design — float-sum order makes eigenvector ulps engine-specific;
     correctness is the numpy-subspace-parity test (see
-    llm/clustering.pca_project)."""
+    llm/clustering.pca_project) plus the oracle-gated invariant twin
+    `emb_pca_contract`."""
     emb = load_table(spark, sf_dir, "embeddings")
     return clustering.pca_project(emb, k=8).orderBy("vec_id")
+
+
+@register(
+    "emb_pca_contract",
+    oracle="""
+    SELECT count(*) AS n_rows, 8 AS k,
+           TRUE AS ordered_ok, TRUE AS means_ok, TRUE AS ortho_ok
+    FROM embeddings
+    """,
+    tags=("llm", "embedding", "pca", "sketch"),
+)
+def emb_pca_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA's mathematical GUARANTEES as an oracle-gated contract (same
+    discipline as the histogram/percentile sketch entries — the
+    projection VALUES are engine-ulp-specific, the INVARIANTS are not):
+    component variances strictly descending (eigh order), projected
+    means ~0 (the projection subtracts the mean offset), and pairwise
+    projected covariances ~0 relative to the component scales
+    (eigenvector orthogonality diagonalizes the covariance). All three
+    verified against the actual projected corpus in ONE scan; a broken
+    centering, sort, or sign step flips a boolean and fails the hash."""
+    k = 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = clustering.pca_project(emb, k=k)
+    aggs = [F.count("*").alias("n_rows")]
+    aggs += [F.avg(f"pc{c}").alias(f"m{c}") for c in range(k)]
+    aggs += [F.var_pop(f"pc{c}").alias(f"v{c}") for c in range(k)]
+    aggs += [
+        F.covar_pop(f"pc{i}", f"pc{j}").alias(f"c{i}_{j}")
+        for i in range(k)
+        for j in range(i + 1, k)
+    ]
+    row = proj.agg(*aggs)
+    ordered = F.lit(True)
+    for c in range(k - 1):
+        ordered = ordered & (F.col(f"v{c}") >= F.col(f"v{c+1}"))
+    means = F.lit(True)
+    for c in range(k):
+        means = means & (F.abs(F.col(f"m{c}")) <= F.sqrt(F.col(f"v{c}")) * 1e-4 + 1e-9)
+    ortho = F.lit(True)
+    for i in range(k):
+        for j in range(i + 1, k):
+            ortho = ortho & (
+                F.abs(F.col(f"c{i}_{j}"))
+                <= F.sqrt(F.col(f"v{i}") * F.col(f"v{j}")) * 1e-4 + 1e-9
+            )
+    return row.select(
+        "n_rows",
+        F.lit(k).alias("k"),
+        ordered.alias("ordered_ok"),
+        means.alias("means_ok"),
+        ortho.alias("ortho_ok"),
+    )

@@ -124,3 +124,42 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
         0: ("old", None), 1: ("old", None), 2: ("old", None),
         3: ("new", 30), 4: ("new", 40),
     }
+
+
+def test_csv_malformed_record_tolerance(spark, tmp_path):
+    """Hive's LazySimpleSerDe never fails a query on a malformed row — it
+    yields NULLs for uncastable fields. Spark's PERMISSIVE mode (default)
+    is the same contract, with the corrupt record preserved in a side
+    column for auditing; DROPMALFORMED implements Hive's 'skip bad rows'
+    ingestion stance. Both arms pinned here."""
+    import pyspark.sql.types as T
+
+    p = str(tmp_path / "dirty.csv")
+    with open(p, "w") as fh:
+        fh.write("1,alpha,10.5\n")
+        fh.write("2,beta,not_a_number\n")   # uncastable third field
+        fh.write("3,gamma,7.25\n")
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ])
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(p)
+    )
+    rows = {r.id: (r.score, r._corrupt_record) for r in permissive.collect()}
+    assert rows[1] == (10.5, None)
+    assert rows[3] == (7.25, None)
+    assert rows[2][0] is None and "not_a_number" in rows[2][1]
+
+    dropped = (
+        spark.read.schema(
+            T.StructType(schema.fields[:3])
+        ).option("mode", "DROPMALFORMED").csv(p)
+    )
+    assert sorted(r.id for r in dropped.collect()) == [1, 3]
