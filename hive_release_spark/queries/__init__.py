@@ -74,6 +74,10 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 #     (q1, streams, dedup family, cosine/ANN, decontamination, packing).
 # Rotated out: the r2/r3 TPC-H block and function/text entries that are
 # driver-green in CORRECTNESS_r03 and unchanged since.
+# r5 rotation candidates (landed after the r4 window froze, locally
+# green): agg_percentile_approx_contract, emb_pca_contract,
+# fn_variant_json, agg_grouping_id, plus any entry red in
+# CORRECTNESS_r04.
 DRIVER_WINDOW = [
     # r3-red repairs, driver-witnessed red→green
     "q12_shipmode_priority",

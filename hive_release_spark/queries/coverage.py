@@ -155,12 +155,21 @@ def fn_misc_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentences, format_number, elt/field/find_in_set, conv/bin/hex,
     factorial, soundex, initcap, crc32, xxhash64, monotonically
     increasing id shape. Determinism: everything derives from table
-    values; the driver records row count + schema."""
+    values; the driver records row count + schema. The sentences()
+    result is flattened to a string — every output column must stay
+    pandas-sortable in case the driver canonicalizes rows-only output
+    too (the tokenize_word_ids r3 lesson, tests/test_oracle_types.py)."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
     return p.select(
         "p_partkey",
         F.expr("xpath_string('<a><b>x</b></a>', 'a/b')").alias("xp"),
-        F.sentences(F.concat(F.col("p_name"), F.lit(". "), F.col("p_type"))).alias("sents"),
+        F.array_join(
+            F.transform(
+                F.sentences(F.concat(F.col("p_name"), F.lit(". "), F.col("p_type"))),
+                lambda s: F.array_join(s, " "),
+            ),
+            " | ",
+        ).alias("sents"),
         F.format_number(F.col("p_retailprice"), 2).alias("fmt"),
         F.expr("elt(2, 'a', p_brand, 'c')").alias("elt2"),
         hive_fns.field(F.col("p_brand"), F.lit("Brand#1"), F.col("p_brand")).alias("fld"),

@@ -194,6 +194,39 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping__id,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY grouping__id, l_returnflag, l_linestatus
+    """,
+    tags=("agg", "grouping_sets", "functions"),
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive's GROUPING__ID virtual column (TOK_GROUPING_SETS grammar,
+    GenericUDFGrouping's bitmask sibling — SURVEY.md §2.C): the per-row
+    bitmask identifying WHICH rollup level produced it, first column as
+    the most-significant bit — the convention Spark's grouping_id() and
+    DuckDB's GROUPING() share (verified by this oracle). The standard
+    consumer pattern is filtering one level out of a cube materialization
+    without re-aggregating."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping_id() AS grouping__id,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY grouping__id, l_returnflag, l_linestatus
+        """
+    )
+
+
+@register(
     "agg_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
