@@ -370,3 +370,62 @@ def encode_word_ids(
             F.size(F.filter("ids", lambda i: i == 0)).alias("n_unk"),
         )
     )
+
+
+def lm_bigram_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality score: train a bigram LM on
+    the corpus itself (one pass), then score every document by its mean
+    add-one-smoothed bigram log-probability — the filter that separates
+    fluent text from boilerplate/gibberish in pretraining pipelines
+    (low score = improbable token transitions).
+
+    P(w2|w1) = (c(w1,w2) + 1) / (h(w1) + V), where c is the bigram
+    count, h(w1) the history count (bigrams starting with w1), and V the
+    corpus vocabulary size. Deterministic arithmetic end-to-end — no RNG,
+    no float-order dependence beyond the per-doc mean — so the whole
+    train+score pipeline is DuckDB-replayable.
+
+    Scale shape: ONE corpus pass explodes bigrams (map-side); the LM is
+    two hash aggregations on (w1,w2)/(w1); scoring joins the bigram
+    stream back to the LM on its natural keys (shuffle join — the LM is
+    corpus-vocabulary-sized, NOT broadcastable at 100 TB) and reduces
+    per doc_id. V rides as a 1-row broadcast attach.
+    """
+    big = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("w"), i + 1).alias("w1"),
+                        F.element_at(F.col("w"), i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    cb = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    ch = big.groupBy("w1").agg(F.count("*").alias("ch"))
+    vocab_n = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    return (
+        big.join(cb, ["w1", "w2"])
+        .join(ch, ["w1"])
+        .crossJoin(F.broadcast(vocab_n))
+        .withColumn("lp", F.log((F.col("cb") + 1) / (F.col("ch") + F.col("v"))))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )

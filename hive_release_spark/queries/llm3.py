@@ -226,6 +226,38 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_lm_score",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    big AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+            FROM toks, unnest(generate_series(1, len(w)-1)) AS t(i)
+            WHERE len(w) >= 2),
+    cb AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+    ch AS (SELECT w1, count(*) AS ch FROM big GROUP BY 1),
+    v AS (SELECT count(DISTINCT tok) AS v
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+    scored AS (
+      SELECT b.doc_id, ln((cb.cb + 1) * 1.0 / (ch.ch + v.v)) AS lp
+      FROM big b JOIN cb USING (w1, w2) JOIN ch USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality", "lm"),
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: self-trained add-one-smoothed
+    bigram LM, every doc scored by mean bigram log-probability — the
+    fluency gate between heuristic quality features and model-based
+    filtering in a pretraining pipeline. Deterministic train+score, so
+    the WHOLE pipeline (counts, smoothing, log-probs) is oracle-replayed,
+    not just sanity-checked. See llm/text.lm_bigram_score for the
+    one-corpus-pass shuffle shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lm_bigram_score(docs).orderBy("doc_id")
+
+
+@register(
     "emb_pca_contract",
     oracle="""
     SELECT count(*) AS n_rows, 8 AS k,
