@@ -51,6 +51,7 @@ HEADLINE = (
     "join_asof_orders",        # as-of join: tagged union + carry-forward window
     "sim_ann_ivf_bcast",       # IVF ANN, broadcast-centroid shape (new r4)
     "ds_time_bucket_counts",   # q88-style single-scan multi-bucket agg (new r4)
+    "text_lm_score",           # bigram-LM train+score, persisted base (new r4)
 )
 
 

@@ -389,12 +389,20 @@ def lm_bigram_score(
     no float-order dependence beyond the per-doc mean — so the whole
     train+score pipeline is DuckDB-replayable.
 
-    Scale shape: ONE corpus pass explodes bigrams (map-side); the LM is
-    two hash aggregations on (w1,w2)/(w1); scoring joins the bigram
-    stream back to the LM on its natural keys (shuffle join — the LM is
-    corpus-vocabulary-sized, NOT broadcastable at 100 TB) and reduces
-    per doc_id. V rides as a 1-row broadcast attach.
+    Scale shape: the bigram frame is built ONCE and PERSISTED
+    (MEMORY_AND_DISK) across its three consumers — bigram counts,
+    history counts, and the scoring probe — without which Spark
+    re-executes the scan→split→explode lineage per consumer and reads
+    the corpus 4× (the tfidf/minhash lesson; plan-pinned in
+    tests/test_plans.py). The LM is two hash aggregations on
+    (w1,w2)/(w1); scoring joins the bigram stream back to the LM on its
+    natural keys (shuffle join — the LM is corpus-vocabulary-sized, NOT
+    broadcastable at 100 TB) and reduces per doc_id. The vocabulary
+    count is the one extra corpus pass (it must see single-token docs
+    the bigram stream drops); V rides as a 1-row broadcast attach.
     """
+    from pyspark import StorageLevel
+
     big = (
         docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w"))
         .filter(F.size("w") >= 2)
@@ -411,6 +419,7 @@ def lm_bigram_score(
             ).alias("b"),
         )
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cb = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
     ch = big.groupBy("w1").agg(F.count("*").alias("ch"))

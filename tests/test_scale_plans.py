@@ -337,3 +337,15 @@ def test_ivf_bcast_corpus_side_has_no_shuffle_before_probe_join(spark):
 
     exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
     assert all(e.startswith("query_id") for e in exchanges), exchanges
+
+
+def test_lm_score_reuses_persisted_bigram_base(spark):
+    """text_lm_score's bigram frame feeds three consumers (bigram counts,
+    history counts, scoring probe); all three must read the persisted
+    base (InMemoryTableScan), not re-execute the scan→split→explode
+    lineage — otherwise the corpus is read 4x (the tfidf lesson)."""
+    from hive_release_spark.queries import REGISTRY
+
+    df = REGISTRY["text_lm_score"].fn(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    assert plan.count("InMemoryTableScan") >= 3, plan
