@@ -76,8 +76,8 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 # driver-green in CORRECTNESS_r03 and unchanged since.
 # r5 rotation candidates (landed after the r4 window froze, locally
 # green): agg_percentile_approx_contract, emb_pca_contract,
-# fn_variant_json, agg_grouping_id, text_lm_score, plus any entry red
-# in CORRECTNESS_r04.
+# fn_variant_json, agg_grouping_id, text_lm_score,
+# pipeline_corpus_build, plus any entry red in CORRECTNESS_r04.
 DRIVER_WINDOW = [
     # r3-red repairs, driver-witnessed red→green
     "q12_shipmode_priority",

@@ -360,3 +360,97 @@ def tokenize_word_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "pipeline_corpus_build",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, source,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS norm
+      FROM documents),
+    feat AS (SELECT doc_id, lang, source, norm,
+                    len(string_split(norm, ' ')) AS n_tok, length(norm) AS n_len
+             FROM base),
+    q AS (SELECT * FROM feat WHERE n_tok >= 10 AND n_len >= 50),
+    surv AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(norm)),
+    kept AS (SELECT f.lang, f.source, f.n_tok
+             FROM surv s JOIN feat f ON f.doc_id = s.doc_id),
+    counts AS (SELECT lang, source, count(*) AS docs_in,
+                      count(CASE WHEN n_tok >= 10 AND n_len >= 50 THEN 1 END) AS docs_q
+               FROM feat GROUP BY 1, 2),
+    k AS (SELECT lang, source, count(*) AS docs_kept,
+                 CAST(sum(n_tok) AS BIGINT) AS tokens_kept
+          FROM kept GROUP BY 1, 2)
+    SELECT c.lang, c.source, c.docs_in, c.docs_q,
+           coalesce(k.docs_kept, CAST(0 AS BIGINT)) AS docs_kept,
+           coalesce(k.tokens_kept, CAST(0 AS BIGINT)) AS tokens_kept
+    FROM counts c LEFT JOIN k USING (lang, source)
+    ORDER BY lang, source
+    """,
+    tags=("llm", "pipeline", "dedup", "quality", "normalize"),
+)
+def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship corpus-build chain — normalize → quality gate → exact
+    dedup → per-(lang, source) yield report, the shape of a real
+    pretraining-data run, fully oracle-replayed end to end.
+
+    Scale shape: ONE corpus scan computes (norm, token/char features) and
+    is PERSISTED across its two consumers (yield counts; the dedup leg).
+    The dedup survivor rides the md5 groupBy as min(struct(doc_id, lang,
+    source, n_tok)) — the pipeline_dedup_quality trick — so there is no
+    join-back to the corpus; everything after the persist touches only
+    skinny aggregate frames, and the final count/kept frames join on the
+    tiny (lang, source) key space (broadcast)."""
+    from pyspark import StorageLevel
+
+    from hive_release_spark.operators.hints import maybe_broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        norm.alias("norm"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "norm",
+        F.size(F.split("norm", " ")).alias("n_tok"),
+        F.length("norm").alias("n_len"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    qual = (F.col("n_tok") >= 10) & (F.col("n_len") >= 50)
+    kept = (
+        feat.filter(qual)
+        .groupBy(F.md5("norm"))
+        .agg(F.min(F.struct("doc_id", "lang", "source", "n_tok")).alias("s"))
+        .select(F.col("s.lang").alias("lang"), F.col("s.source").alias("source"), F.col("s.n_tok").alias("n_tok"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("docs_kept"),
+            F.sum("n_tok").cast("long").alias("tokens_kept"),
+        )
+    )
+    counts = feat.groupBy("lang", "source").agg(
+        F.count("*").alias("docs_in"),
+        F.count(F.when(qual, 1)).alias("docs_q"),
+    )
+    return (
+        counts.join(maybe_broadcast(kept), ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "docs_in",
+            "docs_q",
+            F.coalesce("docs_kept", F.lit(0).cast("long")).alias("docs_kept"),
+            F.coalesce("tokens_kept", F.lit(0).cast("long")).alias("tokens_kept"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -349,3 +349,15 @@ def test_lm_score_reuses_persisted_bigram_base(spark):
     df = REGISTRY["text_lm_score"].fn(spark, SF_SMOKE)
     plan = _plan(df, "simple")
     assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+def test_corpus_build_reuses_persisted_feature_base(spark):
+    """pipeline_corpus_build's feature frame feeds the yield counts AND
+    the dedup leg; both must read the persisted base (InMemoryTableScan)
+    so the corpus is scanned once, and the survivor must ride the md5
+    groupBy (min-struct) with no join back to the corpus."""
+    from hive_release_spark.queries import REGISTRY
+
+    df = REGISTRY["pipeline_corpus_build"].fn(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    assert plan.count("InMemoryTableScan") >= 2, plan
