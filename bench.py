@@ -52,6 +52,7 @@ HEADLINE = (
     "sim_ann_ivf_bcast",       # IVF ANN, broadcast-centroid shape (new r4)
     "ds_time_bucket_counts",   # q88-style single-scan multi-bucket agg (new r4)
     "text_lm_score",           # bigram-LM train+score, persisted base (new r4)
+    "pipeline_corpus_build",   # normalize→quality→dedup→report chain (new r4)
 )
 
 

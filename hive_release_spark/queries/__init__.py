@@ -76,8 +76,9 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 # driver-green in CORRECTNESS_r03 and unchanged since.
 # r5 rotation candidates (landed after the r4 window froze, locally
 # green): agg_percentile_approx_contract, emb_pca_contract,
-# fn_variant_json, agg_grouping_id, text_lm_score,
-# pipeline_corpus_build, plus any entry red in CORRECTNESS_r04.
+# fn_variant_json, agg_grouping_id, plus the twins rotated out for the
+# r4 flagships (pipeline_neardedup_corpus, decontaminate_ngram — both
+# r2-driver-green and unchanged), plus any entry red in CORRECTNESS_r04.
 DRIVER_WINDOW = [
     # r3-red repairs, driver-witnessed red→green
     "q12_shipmode_priority",
@@ -133,8 +134,8 @@ DRIVER_WINDOW = [
     "dedup_minhash_lsh",
     "dedup_connected_components",
     "sim_ann_ivf",
-    "pipeline_neardedup_corpus",
-    "decontaminate_ngram",
+    "pipeline_corpus_build",
+    "text_lm_score",
     "pack_sequences",
     "multimodal_features",
 ]
