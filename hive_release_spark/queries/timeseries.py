@@ -153,3 +153,61 @@ def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grain", "bucket", "event_type")
     )
+
+
+@register(
+    "join_range_bucketed",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+           count(v.event_id) AS n_views,
+           CAST(coalesce(sum(v.event_id), 0) AS BIGINT) AS view_id_sum
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    GROUP BY 1, 2, 3
+    ORDER BY purchase_id
+    """,
+    tags=("timeseries", "join", "range_join", "interval"),
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join, bucketed: views within the hour before
+    each purchase by the same user — the attribution query every event
+    store runs. The naive plan is an equi join on user_id whose range
+    predicate is a post-join RESIDUAL over every same-user pair
+    (quadratic in per-user activity); `range_join_bucketed` quantizes
+    time into window-sized buckets and joins on (user, bucket), so
+    candidates are only same-user ADJACENT-bucket pairs — each produced
+    exactly once (the probe side has one home bucket). Batch twin of the
+    watermarked stream-stream interval join. LEFT semantics (purchases
+    with zero views survive) recovered by re-attaching the purchase set
+    to the aggregated inner-join matches — cheaper than a bucketed outer
+    join because the re-attach joins the (already tiny) aggregate."""
+    from hive_release_spark.operators.rangejoin import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("vts")
+    )
+    matches = range_join_bucketed(
+        purchases, views, key="user_id", left_ts="ts", right_ts="vts",
+        window_seconds=3600,
+    )
+    per_purchase = matches.groupBy("purchase_id").agg(
+        F.count("view_id").alias("n_views"),
+        F.sum("view_id").alias("view_id_sum"),
+    )
+    return (
+        purchases.join(per_purchase, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            "ts",
+            F.coalesce("n_views", F.lit(0)).alias("n_views"),
+            F.coalesce("view_id_sum", F.lit(0).cast("long")).alias("view_id_sum"),
+        )
+        .orderBy("purchase_id")
+    )

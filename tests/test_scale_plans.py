@@ -361,3 +361,44 @@ def test_corpus_build_reuses_persisted_feature_base(spark):
     df = REGISTRY["pipeline_corpus_build"].fn(spark, SF_SMOKE)
     plan = _plan(df, "simple")
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_range_join_bucketed_equals_naive_theta(spark):
+    """The bucketed range join must produce exactly the pairs the naive
+    equi+residual formulation produces — bucketing only prunes
+    candidates, never pairs — and each pair exactly once (the probe side
+    has a single home bucket, so no distinct step exists to hide dupes)."""
+    from hive_release_spark.operators.rangejoin import range_join_bucketed
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"), "user_id", F.col("ts").alias("vts")
+    )
+    bucketed = range_join_bucketed(
+        p, v, key="user_id", left_ts="ts", right_ts="vts", window_seconds=3600
+    ).select("pid", "vid")
+    naive = p.join(v, "user_id").filter(
+        (F.col("vts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("vts") <= F.col("ts"))
+    ).select("pid", "vid")
+    b = sorted(map(tuple, bucketed.collect()))
+    n = sorted(map(tuple, naive.collect()))
+    assert b == n and len(b) == len(set(b))
+
+
+def test_range_join_bucketed_rejects_sub_window_buckets(spark):
+    """Finer-than-window buckets explode more rows without pruning — the
+    operator must refuse them."""
+    import pytest
+
+    from hive_release_spark.operators.rangejoin import range_join_bucketed
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(1)
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        range_join_bucketed(
+            ev, ev, key="user_id", left_ts="ts", right_ts="ts",
+            window_seconds=3600, bucket_seconds=60,
+        )
