@@ -306,3 +306,31 @@ def test_assign_cells_is_total_and_in_range(spark):
         F.count_distinct("cell").alias("nc"),
     ).first()
     assert row.lo >= 0 and row.hi < 8 and row.nc >= 2
+
+
+def test_new_operators_handle_empty_inputs(spark):
+    """Empty-frame behavior of the r4 operators: no crashes, empty (or
+    structurally sound) outputs — the corner a 100 TB partition-pruned
+    run hits whenever a filter eliminates everything."""
+    from pyspark.sql import types as T
+
+    from hive_release_spark.llm import text as text_mod
+    from hive_release_spark.operators.rangejoin import range_join_bucketed
+
+    empty_docs = spark.createDataFrame([], "doc_id BIGINT, text STRING")
+    assert text_mod.lm_bigram_score(empty_docs).count() == 0
+
+    emb_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    empty_emb = spark.createDataFrame([], emb_schema)
+    # stride-sampled centroids from an empty corpus -> no cells, no pairs
+    assert similarity.semantic_dedup_pairs(empty_emb, threshold=0.5).count() == 0
+
+    empty_ev = spark.createDataFrame([], "event_id BIGINT, user_id BIGINT, ts TIMESTAMP_NTZ")
+    joined = range_join_bucketed(
+        empty_ev, empty_ev.withColumnRenamed("ts", "vts"),
+        key="user_id", left_ts="ts", right_ts="vts", window_seconds=60,
+    )
+    assert joined.count() == 0
