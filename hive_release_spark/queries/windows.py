@@ -234,3 +234,54 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice").over(w), 2).alias("cust_total"),
         F.count("*").over(w).alias("cust_n"),
     )
+
+
+@register(
+    "window_ignore_nulls",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey, o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS p
+      FROM orders WHERE o_custkey < 40)
+    SELECT o_custkey, o_orderkey, p,
+           first_value(p IGNORE NULLS) OVER w AS first_nn,
+           last_value(p IGNORE NULLS) OVER w AS carry_fwd,
+           lag(p, 1 IGNORE NULLS) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderkey) AS prev_nn
+    FROM base
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "ignore_nulls"),
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS windowing (Hive GenericUDAFFirstValue/LastValue/
+    LagLead all accept the ignore-nulls flag — SURVEY.md §2.D): the
+    carry-forward / last-known-value idiom over a sparsely-populated
+    column. last_value IGNORE NULLS over an unbounded-preceding frame IS
+    the gap-fill primitive the AS-OF join builds on (operators/asof.py
+    uses exactly this)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 40)
+    base = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
+            F.col("o_totalprice")
+        ).alias("p"),
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        "p",
+        F.first("p", ignorenulls=True).over(w).alias("first_nn"),
+        F.last("p", ignorenulls=True).over(w).alias("carry_fwd"),
+        F.expr(
+            "lag(p, 1) IGNORE NULLS OVER (PARTITION BY o_custkey ORDER BY o_orderkey)"
+        ).alias("prev_nn"),
+    ).orderBy("o_custkey", "o_orderkey")
