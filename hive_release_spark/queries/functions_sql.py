@@ -354,6 +354,72 @@ def fn_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_gap_tier",
+    oracle="""
+    WITH arr AS (
+      SELECT l_orderkey,
+             array_agg(struct_pack(ln := l_linenumber, qty := l_quantity)
+                       ORDER BY l_quantity DESC, l_linenumber) AS a
+      FROM lineitem WHERE l_orderkey % 500 = 0 GROUP BY l_orderkey),
+    srt AS (
+      SELECT l_orderkey,
+             array_to_string(list_transform(a,
+                 x -> CAST(x.ln AS VARCHAR) || ':' || CAST(x.qty AS VARCHAR)),
+                 ',') AS by_qty_desc
+      FROM arr),
+    rep AS (
+      SELECT l_orderkey, CAST(unnest(generate_series(1, CAST(l_orderkey % 3 AS INTEGER) + 1)) AS INTEGER) AS i
+      FROM (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey % 500 = 0))
+    SELECT s.l_orderkey, s.by_qty_desc, count(r.i) AS n_copies
+    FROM srt s JOIN rep r USING (l_orderkey)
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+    tags=("functions", "udtf", "complex_types"),
+)
+def fn_gap_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.H gap-tier functions as one oracle-gated pipeline
+    (previously pytest-only): `sort_array_by` (Hive GenericUDFSortArrayByField
+    — array<struct> sorted by a field, descending arm, deterministic
+    tie-break on the unique linenumber rides in the struct order) and
+    `replicate_rows` (Hive UDTFReplicateRows — each row emitted n
+    times, here counted back). Output stringified (driver canon rule)."""
+    from hive_release_spark.functions.hive import replicate_rows, sort_array_by
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 500 == 0)
+    arr = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_quantity").alias("qty"), F.col("l_linenumber").alias("ln")
+            )
+        ).alias("a0")
+    )
+    # sort by qty DESC with ln ascending tie-break: sort ascending on ln
+    # first (stable comparator chain), then by qty descending
+    srt = arr.select(
+        "l_orderkey",
+        F.array_join(
+            F.transform(
+                sort_array_by(sort_array_by(F.col("a0"), "ln"), "qty", asc=False),
+                lambda x: F.concat(
+                    x["ln"].cast("string"), F.lit(":"), x["qty"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("by_qty_desc"),
+    )
+    rep = li.select("l_orderkey").distinct().select(
+        "l_orderkey",
+        replicate_rows((F.col("l_orderkey") % 3) + 1, F.col("l_orderkey")).alias("r"),
+    )
+    counted = rep.groupBy("l_orderkey").agg(F.count("*").alias("n_copies"))
+    return (
+        srt.join(counted, "l_orderkey")
+        .select("l_orderkey", "by_qty_desc", "n_copies")
+        .orderBy("l_orderkey")
+    )
+
+
+@register(
     "fn_union_type",
     oracle="""
     SELECT o_orderkey,
