@@ -79,3 +79,72 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload", "modality").mapInPandas(
         decode_batches, schema=FEATURE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = (
+    "asset_id BIGINT, out_w INT, out_h INT, resized BINARY, resized_checksum STRING"
+)
+
+
+def resize_images(assets: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Image resize over Arrow batches — the Spark-side plumbing (binary
+    in, binary out, batch iteration, image-modality pruning pushed to the
+    scan) is real; the codec is a deterministic digest stand-in (no PIL
+    in this container). Replace ``_fake_resize`` — and only it — with
+    ``PIL.Image.resize`` for real media; the schema, partitioning, and
+    batch shape do not change."""
+
+    def _fake_resize(payload: bytes) -> bytes:
+        return hashlib.sha256(payload + f":{target_w}x{target_h}".encode()).digest()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [_fake_resize(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "out_w": target_w,
+                    "out_h": target_h,
+                    "resized": out,
+                    "resized_checksum": [
+                        hashlib.sha256(o).hexdigest() for o in out
+                    ],
+                }
+            )
+
+    return (
+        assets.filter(F.col("modality") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(batches, schema=RESIZE_SCHEMA)
+    )
+
+
+FRAME_SCHEMA = "asset_id BIGINT, frame_idx INT, frame_checksum STRING"
+
+
+def sample_frames(assets: DataFrame, every_n: int = 4) -> DataFrame:
+    """Video frame sampling over Arrow batches — the 1→N mapInPandas
+    shape (one input asset yields ceil(n_frames / every_n) frame rows).
+    n_frames comes from the deterministic fake decoder; the per-frame
+    checksum digests (payload, frame_idx), exactly what a real
+    ffmpeg-extract step would persist per frame. Swap the two digest
+    lines for ffmpeg to go real."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {"asset_id": [], "frame_idx": [], "frame_checksum": []}
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                n_frames = _fake_decode(p)[2]
+                for i in range(0, n_frames, every_n):
+                    rows["asset_id"].append(aid)
+                    rows["frame_idx"].append(i)
+                    rows["frame_checksum"].append(
+                        hashlib.sha256(p + f":{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return (
+        assets.filter(F.col("modality") == "video")
+        .select("asset_id", "payload")
+        .mapInPandas(batches, schema=FRAME_SCHEMA)
+    )

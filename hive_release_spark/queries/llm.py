@@ -521,6 +521,38 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH a AS (SELECT doc_id AS asset_id, text, sha256(text) AS h
+               FROM documents WHERE doc_id % 3 = 2),
+    b AS (SELECT asset_id, text,
+                 CAST(1 + {_hexpair(2)} % 32 AS INTEGER) AS n_frames
+          FROM a),
+    f AS (SELECT asset_id, text,
+                 CAST(unnest(generate_series(0, n_frames - 1, 4)) AS INTEGER)
+                     AS frame_idx
+          FROM b)
+    SELECT asset_id, frame_idx,
+           sha256(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_checksum
+    FROM f ORDER BY asset_id, frame_idx
+    """,
+    tags=("llm", "multimodal", "arrow", "udtf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (every 4th frame) through the 1→N
+    mapInPandas shape — one asset row yields ceil(n_frames/4) frame
+    rows, the explode-like Arrow plumbing a real ffmpeg extract uses.
+    The fake decoder's digest arithmetic makes even this Python path
+    oracle-gated: DuckDB replays n_frames from the sha256 hex and the
+    per-frame checksums from (payload, idx). Video-modality pruning
+    happens before the Python stage (scan-side filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(multimodal.pack_assets(docs), every_n=4).orderBy(
+        "asset_id", "frame_idx"
+    )
+
+
+@register(
     "dedup_connected_components",
     oracle="""
     WITH RECURSIVE pairs AS (

@@ -334,3 +334,40 @@ def test_new_operators_handle_empty_inputs(spark):
         key="user_id", left_ts="ts", right_ts="vts", window_seconds=60,
     )
     assert joined.count() == 0
+
+
+def test_resize_images_plumbing(spark):
+    """Resize stub: image-modality rows only, binary output payload,
+    deterministic (same input -> same resized bytes/checksum), and the
+    declared 224x224 target dims on every row."""
+    import hashlib
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 60)
+    assets = multimodal.pack_assets(docs)
+    n_images = assets.filter(F.col("modality") == "image").count()
+    out = multimodal.resize_images(assets, target_w=224, target_h=224)
+    rows = out.collect()
+    assert len(rows) == n_images > 0
+    assert all(r.out_w == 224 and r.out_h == 224 for r in rows)
+    for r in rows[:5]:
+        assert isinstance(r.resized, (bytes, bytearray)) and len(r.resized) == 32
+        assert hashlib.sha256(bytes(r.resized)).hexdigest() == r.resized_checksum
+    again = {r.asset_id: r.resized_checksum for r in out.collect()}
+    assert again == {r.asset_id: r.resized_checksum for r in rows}
+
+
+def test_sample_frames_counts_match_decoder(spark):
+    """Frame sampling emits ceil(n_frames / every_n) rows per video asset
+    (the 1->N mapInPandas contract), indices 0, n, 2n, ..."""
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 60)
+    assets = multimodal.pack_assets(docs)
+    feats = {r.asset_id: r.n_frames for r in multimodal.extract_features(assets).collect()}
+    videos = {r.asset_id for r in assets.filter(F.col("modality") == "video").collect()}
+    out = multimodal.sample_frames(assets, every_n=4)
+    by_asset: dict[int, list[int]] = {}
+    for r in out.collect():
+        by_asset.setdefault(r.asset_id, []).append(r.frame_idx)
+    assert set(by_asset) == videos
+    for aid, idxs in by_asset.items():
+        nf = feats[aid]
+        assert sorted(idxs) == list(range(0, nf, 4))
