@@ -475,3 +475,84 @@ def normalize_quantize(
         F.round(nrm, 6).alias("l2_norm"),
         F.transform(v, lambda x: F.round(x / nrm * 127).cast("int")).alias("q8"),
     )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 8,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (the vector-database compression path):
+    split each d-dim vector into ``n_subspaces`` slices, quantize every
+    slice to its nearest (stride-sampled, deterministic) centroid slice,
+    and score candidates by ADC — the sum of per-subspace dot products
+    between the QUERY slice and the CODEBOOK slice the neighbor's code
+    points at. The corpus is represented by n_subspaces small ints per
+    vector (codes), not floats: at 100 TB the scan that scores
+    candidates reads ~1/32nd of the bytes a full-precision re-rank
+    would, which is the entire point of PQ.
+
+    Scale shape: codebook = the packed 1-row broadcast (shared with IVF);
+    encoding is a zero-shuffle map pass; scoring joins the (tiny) query
+    set in by broadcast and ranks per query. Deterministic end-to-end —
+    stride centroids, struct-ordered argmax (larger cell wins ties),
+    fixed ascending-subspace summation — so DuckDB replays codes AND ADC
+    scores exactly.
+    """
+    from functools import reduce
+
+    d = len(corpus.select(vec_col).first()[0])  # bounded 1-row fetch
+    if d % n_subspaces:
+        raise ValueError(f"dim {d} not divisible by {n_subspaces} subspaces")
+    w = d // n_subspaces
+    packed = _packed_centroids(corpus, n_cells, id_col, vec_col)
+
+    def sub(vec: Column, s: int) -> Column:
+        return F.slice(vec, s * w + 1, w)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
+    ).crossJoin(F.broadcast(packed))
+    def _subspace_sims(s: int):
+        # one-arg lambda factory (a two-arg lambda would receive the
+        # array INDEX as its second argument, clobbering s)
+        return lambda cc: F.struct(
+            dot(sub(F.col("cv"), s), sub(cc["cv"], s)).alias("sim"),
+            cc["cell"].alias("cell"),
+        )
+
+    code_cols = [
+        F.array_max(F.transform(F.col("cents"), _subspace_sims(s)))["cell"].alias(
+            f"code_{s}"
+        )
+        for s in range(n_subspaces)
+    ]
+    codes = c.select("neighbor_id", *code_cols)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")
+    ).crossJoin(F.broadcast(packed))
+    cand = codes.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    )
+    def _code_match(s: int):
+        # one-arg lambda factory: a two-arg lambda would make F.filter
+        # pass the ARRAY INDEX as the second argument, clobbering s
+        return lambda cc: cc["cell"] == F.col(f"code_{s}")
+
+    parts = []
+    for s in range(n_subspaces):
+        cent_cv = F.element_at(F.filter("cents", _code_match(s)), 1)["cv"]
+        parts.append(dot(sub(F.col("qv"), s), sub(cent_cv, s)))
+    adc = reduce(lambda a, b: a + b, parts)  # fixed ascending-s order
+    sims = cand.withColumn("sim", adc)
+    rank_w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )

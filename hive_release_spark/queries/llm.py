@@ -521,6 +521,70 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ann_pq",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    params AS (SELECT greatest(1, count(*) // 16) AS stride FROM e),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+      FROM e, params WHERE vec_id % stride = 0
+      ORDER BY vec_id LIMIT 16
+    ),
+    subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+    scored AS (
+      SELECT e.vec_id, subs.s, c.cell,
+             list_dot_product(e.v[subs.s*8+1 : subs.s*8+8],
+                              c.cv[subs.s*8+1 : subs.s*8+8]) AS sim
+      FROM e CROSS JOIN subs CROSS JOIN cents c),
+    codes AS (
+      SELECT vec_id, s, cell FROM (
+        SELECT vec_id, s, cell,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY sim DESC, cell DESC) AS rn
+        FROM scored) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+    parts AS (
+      SELECT q.query_id, cd.vec_id AS neighbor_id, cd.s,
+             list_dot_product(q.qv[cd.s*8+1 : cd.s*8+8],
+                              c.cv[cd.s*8+1 : cd.s*8+8]) AS p
+      FROM q CROSS JOIN codes cd JOIN cents c ON c.cell = cd.cell
+      WHERE q.query_id <> cd.vec_id),
+    adc AS (
+      SELECT query_id, neighbor_id,
+             max(CASE WHEN s = 0 THEN p END) AS d0,
+             max(CASE WHEN s = 1 THEN p END) AS d1,
+             max(CASE WHEN s = 2 THEN p END) AS d2,
+             max(CASE WHEN s = 3 THEN p END) AS d3,
+             max(CASE WHEN s = 4 THEN p END) AS d4,
+             max(CASE WHEN s = 5 THEN p END) AS d5,
+             max(CASE WHEN s = 6 THEN p END) AS d6,
+             max(CASE WHEN s = 7 THEN p END) AS d7
+      FROM parts GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (
+      SELECT query_id, neighbor_id,
+             (((((((d0 + d1) + d2) + d3) + d4) + d5) + d6) + d7) AS sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY
+                 (((((((d0 + d1) + d2) + d3) + d4) + d5) + d6) + d7) DESC,
+                 neighbor_id) AS rank
+      FROM adc) WHERE rank <= 5
+    """,
+    tags=("llm", "similarity", "ann", "quantize"),
+)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-5: 8 subspaces of 8 dims, 16-entry
+    shared codebook (stride-sampled — same deterministic contract as
+    IVF), ADC scoring with fixed ascending-subspace summation. Each
+    corpus vector is stored as 8 small ints, the compression every
+    vector database ships; the oracle replays codes AND ADC scores
+    exactly (the summation order is pinned as an explicit paren chain
+    in both engines). See similarity.pq_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, n_subspaces=8, n_cells=16
+    )
+
+
+@register(
     "multimodal_frame_sample",
     oracle=f"""
     WITH a AS (SELECT doc_id AS asset_id, text, sha256(text) AS h

@@ -371,3 +371,26 @@ def test_sample_frames_counts_match_decoder(spark):
     for aid, idxs in by_asset.items():
         nf = feats[aid]
         assert sorted(idxs) == list(range(0, nf, 4))
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    """PQ is lossy by design, and UNCLUSTERED random embeddings are its
+    worst case (ADC error ~ the signal itself), so the recall bar here
+    is deliberately low: >= 0.1, an order of magnitude above the ~0.01
+    chance overlap of picking 5 of ~500. Real-data codebooks cluster and
+    recall climbs; CORRECTNESS comes from the exact ADC-replay oracle,
+    not this bound. Structural contract: 5 ranked rows per query, no
+    self-matches."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(q, emb, k=5)
+    pq = similarity.pq_topk(q, emb, k=5, n_subspaces=8, n_cells=16)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    p_rows = pq.collect()
+    p = {(r.query_id, r.neighbor_id) for r in p_rows}
+    assert all(r.query_id != r.neighbor_id for r in p_rows)
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in p_rows)
+    assert set(per_q.values()) == {5}
+    assert len(e & p) / len(e) >= 0.1, len(e & p) / len(e)
