@@ -10,7 +10,7 @@ Python in the hot path; the only shuffles are the stated aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
@@ -255,6 +255,47 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-corpus-pass shuffle shape."""
     docs = load_table(spark, sf_dir, "documents")
     return text.lm_bigram_score(docs).orderBy("doc_id")
+
+
+@register(
+    "corpus_zipf_fit",
+    oracle="""
+    WITH tf AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    freq AS (SELECT term, count(*) AS f FROM tf GROUP BY term),
+    ranked AS (SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r FROM freq)
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           round(regr_slope(ln(f), ln(r)), 4) AS zipf_slope,
+           round(regr_r2(ln(f), ln(r)), 4) AS fit_r2
+    FROM ranked
+    """,
+    tags=("llm", "stats", "agg", "text"),
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS slope and R² of
+    ln(freq) against ln(rank) — the one-number sanity check that a text
+    corpus is natural-language-shaped (slope ≈ -1) rather than
+    boilerplate or noise; pipelines run it per source before mixing.
+    The regression runs on the VOCAB frame (term, freq, rank), never
+    the corpus — same scale posture as vocab_coverage_cutoff; ranks get
+    a unique (freq desc, term) tie-break so both engines see identical
+    points."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("f"))
+    )
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(W.orderBy(F.col("f").desc(), F.col("term")))
+        .alias("r"),
+    )
+    return ranked.agg(
+        F.count("*").alias("vocab_size"),
+        F.round(F.regr_slope(F.log("f"), F.log("r")), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("f"), F.log("r")), 4).alias("fit_r2"),
+    )
 
 
 @register(
