@@ -556,3 +556,106 @@ def span_chunk_dedup(
             " ",
         ).alias("text_dedup"),
     )
+
+
+def prefix_candidate_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """(candidates, doc_sets) for the prefix-filtered similarity join.
+
+    Canonical order = (global shingle document-frequency ASC, hash) —
+    rarest shingles first, so prefixes carry the most selective tokens.
+    A doc of set size m contributes only its first m - ceil(t*m) + 1
+    ordered shingles to the inverted index; the prefix-filtering theorem
+    (Bayardo all-pairs / SSJoin) guarantees any pair with Jaccard >= t
+    still collides in some prefix posting (overlap O >= ceil(t*m) on
+    BOTH sides, so skipping the whole prefix would cap O at
+    ceil(t*m) - 1). candidates = distinct (doc_a < doc_b) prefix
+    collisions; doc_sets = (doc_id, n_sh, all_h sorted hash array) for
+    the exact verification step."""
+    ex = _exploded_shingles(docs, n, id_col, text_col)
+    dfreq = ex.groupBy("s_h").agg(F.count("*").alias("df"))
+    exr = ex.join(dfreq, "s_h")
+    per_doc = exr.groupBy("doc_id").agg(
+        F.first("n_sh").alias("n_sh"),
+        F.sort_array(F.collect_list(F.struct("df", "s_h"))).alias("ordered"),
+    )
+    p_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).cast("int")
+    pref = per_doc.select(
+        "doc_id",
+        "n_sh",
+        F.transform(F.slice("ordered", F.lit(1), p_len), lambda x: x["s_h"]).alias(
+            "pref"
+        ),
+        F.sort_array(F.transform("ordered", lambda x: x["s_h"])).alias("all_h"),
+    )
+    doc_sets = pref.select("doc_id", "n_sh", "all_h")
+    postings = (
+        pref.select("doc_id", F.explode("pref").alias("s_h"))
+        .groupBy("s_h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_arrays = postings.select(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        ).alias("ps")
+    )
+    candidates = (
+        pair_arrays.select(F.explode_outer("ps").alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    return candidates, doc_sets
+
+
+def jaccard_pairs_prefix(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact all-pairs Jaccard >= threshold via PREFIX FILTERING — the
+    canonical set-similarity-join optimization over the plain postings
+    index: identical output to :func:`jaccard_pairs` (the filter is
+    provably lossless), but pair emission runs only on each document's
+    rarest (1-t)·m + 1 shingles, so hot-shingle postings (stopword-like
+    grams that dominate the plain index's pair count) mostly vanish —
+    they are at the FREQUENT end of the canonical order and fall outside
+    every prefix. Verification computes exact Jaccard from the sorted
+    hash sets (array_intersect), no second corpus scan: the doc-set
+    frame comes out of the same pipeline."""
+    candidates, doc_sets = prefix_candidate_pairs(docs, n, threshold, id_col, text_col)
+    a = doc_sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_sh").alias("na"),
+        F.col("all_h").alias("ha"),
+    )
+    b = doc_sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_sh").alias("nb"),
+        F.col("all_h").alias("hb"),
+    )
+    inter = F.size(F.array_intersect("ha", "hb"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

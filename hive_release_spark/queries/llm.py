@@ -63,6 +63,36 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, n=3, threshold=0.5)
 
 
+@register(
+    "dedup_jaccard_prefix",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(count(*) * 1.0 / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6)
+             AS jaccard
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) * 1.0 / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.5
+    """,
+    tags=("llm", "dedup", "neardup", "prefix_filter"),
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs (≥ 0.5) via PREFIX FILTERING — same oracle as
+    `dedup_jaccard_pairs` because the filter is provably LOSSLESS
+    (Bayardo all-pairs bound): only each doc's rarest (1-t)·m+1 shingles
+    enter the inverted index, so the hot-shingle postings that dominate
+    the plain index's pair count never emit pairs. The oracle equality
+    IS the completeness proof run on real data. See
+    llm/dedup.jaccard_pairs_prefix."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs_prefix(docs, n=3, threshold=0.5)
+
+
 _JACCARD_ORACLE = """
     WITH sh AS (
       SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),

@@ -394,3 +394,31 @@ def test_pq_topk_recall_vs_exact(spark):
     per_q = Counter(r.query_id for r in p_rows)
     assert set(per_q.values()) == {5}
     assert len(e & p) / len(e) >= 0.1, len(e & p) / len(e)
+
+
+def test_prefix_filter_is_lossless_and_prunes(spark):
+    """Prefix filtering must (a) return the EXACT pair set of the plain
+    postings join — the Bayardo bound is lossless — and (b) generate
+    strictly fewer candidate pairs than the plain index's postings pair
+    count (the whole point: hot shingles fall outside every prefix)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = sorted(map(tuple, dedup.jaccard_pairs(docs, n=3, threshold=0.5).collect()))
+    pref = sorted(
+        map(tuple, dedup.jaccard_pairs_prefix(docs, n=3, threshold=0.5).collect())
+    )
+    assert exact == pref and exact
+
+    cand, _ = dedup.prefix_candidate_pairs(docs, 3, 0.5)
+    n_pref_cand = cand.count()
+    # plain postings candidate count = sum over shingles of d*(d-1)/2
+    from hive_release_spark.llm.dedup import _exploded_shingles
+
+    ex = _exploded_shingles(docs, 3, "doc_id", "text")
+    plain = (
+        ex.groupBy("s_h").agg(F.count("*").alias("d"))
+        .filter(F.col("d") > 1)
+        .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n"))
+        .first()
+        .n
+    )
+    assert n_pref_cand < plain, (n_pref_cand, plain)
