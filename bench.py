@@ -53,6 +53,8 @@ HEADLINE = (
     "ds_time_bucket_counts",   # q88-style single-scan multi-bucket agg (new r4)
     "text_lm_score",           # bigram-LM train+score, persisted base (new r4)
     "pipeline_corpus_build",   # normalize→quality→dedup→report chain (new r4)
+    "dedup_jaccard_prefix",    # prefix-filtered exact Jaccard (vs plain postings)
+    "sim_ann_pq",              # product-quantization ADC ANN (new r4)
 )
 
 

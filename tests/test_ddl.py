@@ -110,3 +110,49 @@ def test_alter_table_add_columns_and_rename(spark, tmp_path):
         assert spark.table("alter_db.t2").count() == 1
     finally:
         spark.sql("DROP DATABASE IF EXISTS alter_db CASCADE")
+
+
+def test_materialized_view_incremental_refresh(spark, tmp_path):
+    """Incremental REBUILD: after appending one day to the base, a
+    partition-scoped refresh of that day must (a) make the MV equal the
+    full recompute and (b) leave every other MV partition's files
+    untouched — the nightly-refresh-touches-one-day contract."""
+    import glob
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS mvi_db")
+    try:
+        base = "mvi_db.base_events"
+        mv = "mvi_db.mv_daily"
+        spark.createDataFrame(
+            [("2026-01-01", 1, 10.0), ("2026-01-01", 2, 5.0), ("2026-01-02", 3, 7.0)],
+            "dt STRING, id BIGINT, val DOUBLE",
+        ).write.saveAsTable(base)
+        ddl.create_partitioned_materialized_view(
+            spark,
+            mv,
+            f"SELECT round(sum(val), 2) AS total, count(*) AS n, dt FROM {base} GROUP BY dt",
+            partition_col="dt",
+        )
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {mv}")
+            .filter("col_name = 'Location'")
+            .first()["data_type"]
+        ).replace("file:", "")
+        day1 = glob.glob(os.path.join(loc, "dt=2026-01-01", "part-*"))
+        before = {f: os.path.getmtime(f) for f in day1}
+        assert before
+
+        # late data lands in day 2 only
+        spark.createDataFrame(
+            [("2026-01-02", 4, 3.0)], "dt STRING, id BIGINT, val DOUBLE"
+        ).write.mode("append").saveAsTable(base)
+        ddl.refresh_materialized_view_incremental(spark, mv, ["2026-01-02"])
+
+        got = {
+            r.dt: (r.total, r.n) for r in spark.table(mv).collect()
+        }
+        assert got == {"2026-01-01": (15.0, 2), "2026-01-02": (10.0, 2)}
+        after = {f: os.path.getmtime(f) for f in glob.glob(os.path.join(loc, "dt=2026-01-01", "part-*"))}
+        assert after == before, "untouched day-1 partition was rewritten"
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS mvi_db CASCADE")
