@@ -78,7 +78,8 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 # green): agg_percentile_approx_contract, emb_pca_contract,
 # fn_variant_json, agg_grouping_id, join_range_bucketed,
 # window_ignore_nulls, fn_gap_tier, multimodal_frame_sample,
-# sim_ann_pq, corpus_zipf_fit, dedup_jaccard_prefix, plus the
+# sim_ann_pq, corpus_zipf_fit, dedup_jaccard_prefix, dq_checks, plus
+# the
 # twins rotated out for the
 # r4 flagships (pipeline_neardedup_corpus, decontaminate_ngram — both
 # r2-driver-green and unchanged), plus any entry red in CORRECTNESS_r04.

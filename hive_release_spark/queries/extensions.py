@@ -277,6 +277,44 @@ def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_checks",
+    oracle="""
+    SELECT (SELECT count(*) FROM orders) AS n_rows,
+           (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS null_o_custkey,
+           (SELECT count(*) FROM orders WHERE o_orderdate IS NULL) AS null_o_orderdate,
+           (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+                                  GROUP BY o_orderkey HAVING count(*) > 1)) AS dup_keys,
+           (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM
+               (SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+                HAVING count(*) > 1)) AS dup_excess_rows,
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS orphans_o_custkey
+    """,
+    tags=("quality", "agg", "join", "constraints"),
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint VALIDATION (dbt-test / Deequ shape) for the
+    informational constraints Hive 2.3 records but never checks
+    (PrimaryKeyInfo/ForeignKeyInfo/NotNullConstraint — SURVEY.md §2.J):
+    one-row violation report over orders — PK duplication, NOT NULL
+    counts, FK orphans against customer (LEFT ANTI, broadcast-eligible
+    dimension). The fixture is clean, so the oracle pins exact zeros;
+    injected-violation detection is pinned in tests/test_quality.py."""
+    from hive_release_spark.operators.quality import dq_summary
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return dq_summary(
+        o,
+        pk=["o_orderkey"],
+        not_null=["o_custkey", "o_orderdate"],
+        fks=[("o_custkey", c, "c_custkey")],
+    )
+
+
+@register(
     "agg_percentile_approx_contract",
     oracle="""
     SELECT l_returnflag,
