@@ -217,10 +217,16 @@ def merge_into(
     matched_delete: Column | None = None,
     partition_filter: Column | None = None,
     partition_cols: list[str] | None = None,
+    evolve_schema: bool = False,
 ) -> None:
     """MERGE INTO target USING source ON keys
     [WHEN MATCHED AND cond THEN DELETE] [WHEN MATCHED THEN UPDATE SET ...]
     [WHEN NOT MATCHED THEN INSERT].
+
+    ``evolve_schema=True`` is the lakehouse mergeSchema contract: source
+    columns absent from the target are ADDED (typed NULL on existing
+    rows) instead of silently dropped; inserted rows carry their source
+    values, matched rows take them only through ``matched_update``.
 
     Implemented as a full outer join rewrite; update/delete expressions may
     reference both sides via aliases (``F.col("src.x")``, ``F.col("tgt.x")``).
@@ -274,6 +280,11 @@ def merge_into(
         dup = source.groupBy(*on).count().filter(F.col("count") > 1).limit(1)
         if dup.count() > 0:
             raise ValueError("MERGE cardinality violation: source has duplicate keys")
+        if evolve_schema:
+            src_types = {f.name: f.dataType for f in source.schema.fields}
+            for c in source.columns:
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None).cast(src_types[c]))
         tgt = df.withColumn("__tgt_m", F.lit(1)).alias("tgt")
         src = source.withColumn("__src_m", F.lit(1)).alias("src")
         joined = tgt.join(src, on, "full_outer")

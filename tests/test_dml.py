@@ -357,3 +357,33 @@ def test_partition_scoped_merge_rejects_partition_col_reassignment(spark, tmp_pa
             partition_filter=F.col("grp") == "a",
             partition_cols=["grp"],
         )
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """evolve_schema=True adds source-only columns to the target (typed
+    NULL on pre-existing rows, source values on inserts, matched rows
+    only via matched_update); evolve_schema=False keeps today's silent-
+    drop behavior so existing callers are unchanged."""
+    path = str(tmp_path / "evolve_t")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id BIGINT, val DOUBLE"
+    ).write.parquet(path)
+    source = spark.createDataFrame(
+        [(2, 99.0, "gold"), (3, 30.0, "silver")], "id BIGINT, val DOUBLE, tier STRING"
+    )
+    dml.merge_into(
+        spark, path, source, on=["id"],
+        matched_update={"val": F.col("src.val"), "tier": F.col("src.tier")},
+        evolve_schema=True,
+    )
+    got = {r.id: (r.val, r.tier) for r in spark.read.parquet(path).collect()}
+    assert got == {1: (10.0, None), 2: (99.0, "gold"), 3: (30.0, "silver")}
+
+    # without evolution the extra column is dropped, not an error
+    path2 = str(tmp_path / "no_evolve_t")
+    spark.createDataFrame([(1, 10.0)], "id BIGINT, val DOUBLE").write.parquet(path2)
+    dml.merge_into(
+        spark, path2, source.filter(F.col("id") == 3), on=["id"],
+        matched_update={"val": F.col("src.val")},
+    )
+    assert set(spark.read.parquet(path2).columns) == {"id", "val"}
