@@ -10,7 +10,7 @@ in Spark and DuckDB by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
@@ -453,4 +453,37 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("tokens_kept", F.lit(0).cast("long")).alias("tokens_kept"),
         )
         .orderBy("lang", "source")
+    )
+
+
+@register(
+    "sample_reservoir_group",
+    oracle="""
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY md5('rsv1:' || CAST(doc_id AS VARCHAR)), doc_id)
+                 AS INTEGER) AS rk
+      FROM documents)
+    WHERE rk <= 5
+    ORDER BY lang, rk
+    """,
+    tags=("llm", "sample", "window", "pipeline"),
+)
+def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group reservoir sample (k=5 docs per language)
+    — the eval-set construction primitive: a uniform-without-replacement
+    draw that is seeded and replayable across engines/runs, unlike
+    engine RNG reservoirs. The md5 of (seed, doc_id) is the uniform
+    variate; rank-within-group ≤ k is the reservoir. One window
+    exchange on the group key; WindowGroupLimit pushes the top-k
+    map-side so the shuffle carries ≤ k rows per group per partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("rsv1:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("lang", "rk")
     )
