@@ -74,15 +74,10 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 #     (q1, streams, dedup family, cosine/ANN, decontamination, packing).
 # Rotated out: the r2/r3 TPC-H block and function/text entries that are
 # driver-green in CORRECTNESS_r03 and unchanged since.
-# r5 rotation candidates (landed after the r4 window froze, locally
-# green): agg_percentile_approx_contract, emb_pca_contract,
-# fn_variant_json, agg_grouping_id, join_range_bucketed,
-# window_ignore_nulls, fn_gap_tier, multimodal_frame_sample,
-# sim_ann_pq, corpus_zipf_fit, dedup_jaccard_prefix, dq_checks, plus
-# the
-# twins rotated out for the
-# r4 flagships (pipeline_neardedup_corpus, decontaminate_ngram — both
-# r2-driver-green and unchanged), plus any entry red in CORRECTNESS_r04.
+# r5 rotation candidates (locally green, not in the r4 window):
+# agg_percentile_approx_contract and emb_pca_contract (the two
+# post-freeze entries that did not fit), plus any entry red in
+# CORRECTNESS_r04.
 DRIVER_WINDOW = [
     # r3-red repairs, driver-witnessed red→green
     "q12_shipmode_priority",
@@ -121,27 +116,32 @@ DRIVER_WINDOW = [
     "fn_misc_surface",
     "emb_pca_project",
     # per-family representatives keeping every §2 subsection driver-current
+    # (scan/outer/setop/ptf/script have no other in-window member)
     "scan_filter_project",
     "join_full_outer",
     "setop_intersect_all",
-    "topk_orders",
     "ptf_matchpath",
     "script_transform",
-    "multimodal_meta",
-    "sample_fraction",
-    # flagship operators keeping fresh rows
-    "q1_pricing_summary",
-    "stream_tumbling",
     "stream_session",
-    "dedup_exact",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_lsh",
-    "dedup_connected_components",
     "sim_ann_ivf",
+    # r4 additions that landed after the first freeze — maximizing
+    # never-witnessed coverage; their families' old reps (q1, the dedup
+    # block, multimodal_meta/features, pack_sequences, sample_fraction,
+    # topk_orders, stream_tumbling) are all driver-green in r1–r3 and
+    # unchanged, and q1 is smoke-checked by entry() every round anyway
     "pipeline_corpus_build",
     "text_lm_score",
-    "pack_sequences",
-    "multimodal_features",
+    "sim_ann_pq",
+    "dedup_jaccard_prefix",
+    "dq_checks",
+    "join_range_bucketed",
+    "fn_variant_json",
+    "agg_grouping_id",
+    "window_ignore_nulls",
+    "corpus_zipf_fit",
+    "sample_reservoir_group",
+    "multimodal_frame_sample",
+    "fn_gap_tier",
 ]
 
 
