@@ -349,3 +349,113 @@ def emb_pca_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         means.alias("means_ok"),
         ortho.alias("ortho_ok"),
     )
+
+
+@register(
+    "text_pmi_top_pairs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    big AS (SELECT w[i] AS w1, w[i+1] AS w2
+            FROM toks, unnest(generate_series(1, len(w)-1)) AS t(i)
+            WHERE len(w) >= 2),
+    n AS (SELECT count(*) AS n_big FROM big),
+    cb AS (SELECT w1, w2, count(*) AS c_xy FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c_x FROM big GROUP BY 1),
+    c2 AS (SELECT w2, count(*) AS c_y FROM big GROUP BY 1)
+    SELECT w1, w2, c_xy,
+           round(ln(c_xy * 1.0 * n.n_big / (c1.c_x * 1.0 * c2.c_y)), 6) AS pmi
+    FROM cb JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+    WHERE c_xy >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+    tags=("llm", "text", "stats", "collocation"),
+)
+def text_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information —
+    PMI(x,y) = ln(c_xy·N / (c_x·c_y)) over adjacent token pairs with a
+    minimum-count floor (PMI is noise without one): the classic
+    phrase-detection / tokenizer-merge-candidate statistic. Same
+    exploded-bigram base shape as text_lm_score; the PMI join runs on
+    bigram/unigram count frames (vocabulary-sized), the corpus is
+    scanned for counting only."""
+    docs = load_table(spark, sf_dir, "documents")
+    big = (
+        docs.select(F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("w"), i + 1).alias("w1"),
+                        F.element_at(F.col("w"), i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    from pyspark import StorageLevel
+
+    big = big.persist(StorageLevel.MEMORY_AND_DISK)
+    n_big = big.count()  # scalar; materializes the persisted base too
+    cb = big.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c_x"))
+    c2 = big.groupBy("w2").agg(F.count("*").alias("c_y"))
+    return (
+        cb.join(c1, "w1")
+        .join(c2, "w2")
+        .filter(F.col("c_xy") >= 5)
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(F.col("c_xy") * F.lit(float(n_big)) / (F.col("c_x") * 1.0 * F.col("c_y"))),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+@register(
+    "dedup_graph_degrees",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) * 1.0 / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.5
+    ),
+    deg AS (SELECT doc_id, count(*) AS degree FROM (
+              SELECT doc_a AS doc_id FROM pairs
+              UNION ALL SELECT doc_b FROM pairs) GROUP BY doc_id)
+    SELECT degree, count(*) AS n_docs
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+    tags=("llm", "dedup", "neardup", "stats"),
+)
+def dedup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup similarity graph — the
+    triage report read BEFORE running connected components: a heavy tail
+    here means template/boilerplate clusters (and a skewed CC workload).
+    Built from the same postings-join pair set as dedup_jaccard_pairs;
+    the degree agg and histogram run on the (tiny) pair/degree frames."""
+    from hive_release_spark.llm import dedup as dedup_mod
+
+    pairs = dedup_mod.jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_docs")).orderBy("degree")
