@@ -84,24 +84,43 @@ def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rows_frame",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           sum(l_quantity) OVER (PARTITION BY l_suppkey
-                                 ORDER BY l_shipdate, l_orderkey, l_linenumber
-                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS qty_3row,
-           count(*) OVER (PARTITION BY l_suppkey
-                          ORDER BY l_shipdate, l_orderkey, l_linenumber
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n,
-           round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
-                          ORDER BY l_shipdate, l_orderkey, l_linenumber
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_price
+           sum(l_quantity) OVER w3 AS qty_3row,
+           count(*) OVER wu AS running_n,
+           round(sum(l_extendedprice) OVER wu, 2) AS running_price
     FROM lineitem
+    WINDOW w3 AS (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+                           l_quantity, l_extendedprice
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           wu AS (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+                           l_quantity, l_extendedprice
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
     tags=("window", "frame_rows"),
 )
 def window_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROWS frames: sliding 3-row sum + running totals (Hive WindowFrameDef
-    ROWS boundaries)."""
+    ROWS boundaries).
+
+    Determinism: the driver fixture's lineitem is NOT unique on
+    (l_orderkey, l_linenumber) — at sf0.1 one pair of rows even ties on
+    the full (suppkey, shipdate, orderkey, linenumber) key with
+    different quantities, which made the 3-row frame sum flip between
+    runs (caught by the r4 end-of-round sweep, intermittent 66-vs-69).
+    The ORDER BY therefore extends to l_partkey and, decisively, the
+    summed measures themselves (l_quantity, l_extendedprice): any rows
+    still tying under the full key carry equal measures, so every frame
+    SUM is tie-order-invariant by construction."""
     li = load_table(spark, sf_dir, "lineitem")
-    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    order = [
+        F.col("l_shipdate"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_partkey"),
+        F.col("l_quantity"),
+        F.col("l_extendedprice"),
+    ]
     w = W.partitionBy("l_suppkey").orderBy(*order)
     return li.select(
         "l_orderkey",

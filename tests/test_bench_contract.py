@@ -1,37 +1,16 @@
-"""Driver-contract guard for bench.py: must print exactly one JSON line
-with the agreed keys. Runs the real script in a subprocess at sf0.001
-(small but end-to-end — a broken bench costs a whole driver round)."""
+"""bench.py contract: every headline name resolves in the registry and
+the set stays free of rows-only entries (a bench query must be one the
+correctness gate also covers)."""
 
 from __future__ import annotations
 
-import json
-import os
-import subprocess
-import sys
-from pathlib import Path
 
-REPO = Path(__file__).resolve().parent.parent
+def test_headline_names_resolve_and_are_oracled():
+    from bench import HEADLINE
+    from hive_release_spark.queries import REGISTRY
 
-
-def test_bench_prints_one_json_line():
-    env = dict(os.environ)
-    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
-    env["SPARK_GRAFT_CPUS"] = "4"
-    out = subprocess.run(
-        [sys.executable, str(REPO / "bench.py")],
-        capture_output=True,
-        text=True,
-        timeout=420,
-        cwd=str(REPO),
-        env=env,
-    )
-    assert out.returncode == 0, out.stderr[-2000:]
-    lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
-    assert len(lines) == 1, f"expected one JSON line, got: {lines}"
-    payload = json.loads(lines[0])
-    assert payload["unit"] == "sec"
-    assert payload["sf"] == 0.001
-    assert payload["value"] > 0
-    assert set(payload) >= {"metric", "value", "unit", "queries", "sf"}
-    assert len(payload["queries"]) >= 12  # r02: headline set widened (VERDICT #10)
-    assert all(v >= 0 for v in payload["queries"].values())
+    missing = [n for n in HEADLINE if n not in REGISTRY]
+    assert not missing, missing
+    unoracled = [n for n in HEADLINE if REGISTRY[n].oracle is None]
+    assert not unoracled, unoracled
+    assert len(set(HEADLINE)) == len(HEADLINE)
