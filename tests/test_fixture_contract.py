@@ -190,3 +190,30 @@ def test_loader_ns_fallback_path(spark, tmp_path):
         "2024-01-01T00:00:00",
         "2024-01-01T01:00:00.123456",
     ]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_lineitem_key_nonuniqueness_is_known(sf_dir):
+    """Two facts every lineitem window/top-k author must know (r4
+    post-mortem — the intermittent ROWS-frame flip):
+
+    1. (l_orderkey, l_linenumber) is NOT unique in this fixture — any
+       ORDER BY ending there has real ties; and
+    2. there are NO full-row duplicates — so a sort key extended with
+       the measure columns makes frame aggregates tie-order-invariant.
+
+    If (1) ever flips to unique, simpler tie-breaks become safe (drop
+    this pin consciously); if (2) ever fails, the invariance argument in
+    window_rows_frame needs a rethink."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        p = f"{sf_dir}/lineitem.parquet"
+        full_dups = con.sql(
+            f"SELECT count(*) FROM (SELECT * FROM read_parquet('{p}') "
+            "GROUP BY ALL HAVING count(*) > 1)"
+        ).fetchone()[0]
+        assert full_dups == 0, "lineitem grew full-row duplicates"
+    finally:
+        con.close()
