@@ -584,3 +584,40 @@ def udtf_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return region.selectExpr(
         "stack(2, r_regionkey, r_name, CAST(r_regionkey + 100 AS INT), upper(r_name)) AS (k, name)"
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT p_partkey,
+           p_partkey & 255            AS band,
+           p_partkey | 4096           AS bor,
+           xor(p_partkey, 1365)       AS bxor,
+           ~p_partkey                 AS bnot,
+           p_partkey << 3             AS shl,
+           p_partkey >> 2             AS shr,
+           CAST(bit_count(p_partkey) AS INTEGER) AS popcnt
+    FROM part WHERE p_partkey % 40 = 0
+    ORDER BY p_partkey
+    """,
+    tags=("functions", "bitwise"),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator family (Hive UDFOPBitAnd/Or/Xor/Not,
+    GenericUDFOPBitShiftLeft/Right, UDFBitCount — the TOK_BITWISE* tier
+    of SURVEY.md §2.H): &, |, ^, ~, shifts, popcount over int64 keys.
+    Exact integer ops — bit-identical across engines by definition; the
+    one representational trap is bit_count (Spark INT vs DuckDB TINYINT
+    kinds agree after CAST)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 40 == 0)
+    k = F.col("p_partkey")
+    return p.select(
+        "p_partkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.lit(1365)).alias("bxor"),
+        F.bitwise_not(k).alias("bnot"),
+        F.shiftleft(k, 3).alias("shl"),
+        F.shiftright(k, 2).alias("shr"),
+        F.bit_count(k).alias("popcnt"),
+    ).orderBy("p_partkey")
