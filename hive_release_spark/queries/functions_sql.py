@@ -621,3 +621,56 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 2).alias("shr"),
         F.bit_count(k).alias("popcnt"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "fn_array_surface",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey,
+             c_nationkey % 3                        AS k3,
+             [c_nationkey % 5, c_nationkey % 3, 7]  AS a1,
+             [c_nationkey % 3, 2, 7]                AS a2
+      FROM customer WHERE c_custkey % 40 = 0)
+    SELECT c_custkey,
+           coalesce(array_to_string(list_sort(list_distinct(list_concat(a1, a2))), ','), '') AS union_s,
+           coalesce(array_to_string(list_sort(list_distinct(
+               list_filter(a1, x -> list_contains(a2, x)))), ','), '')         AS intersect_s,
+           coalesce(array_to_string(list_sort(list_distinct(
+               list_filter(a1, x -> NOT list_contains(a2, x)))), ','), '')     AS except_s,
+           CAST(list_position(a1, k3) AS BIGINT)                  AS pos_first,
+           coalesce(array_to_string(list_sort(list_filter(a1, x -> x <> 7)), ','), '') AS removed_s,
+           coalesce(array_to_string(list_sort(flatten([a1, a2])), ','), '')    AS flat_s
+    FROM t ORDER BY c_custkey
+    """,
+    tags=("functions", "complex_types", "array"),
+)
+def fn_array_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-algebra family (Hive/Spark array_union / array_intersect /
+    array_except / array_position / array_remove / flatten — SURVEY.md
+    §2.H complex-type tier beyond fn_complex_types' constructors).
+    Set-valued outputs are SORTED then stringified: Spark's set ops
+    preserve first-occurrence order while DuckDB's list_distinct does
+    not guarantee one, so order is canonicalized out of the comparison
+    (the VALUES are the contract; per-element order is engine-internal
+    here)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 40 == 0)
+    t = c.select(
+        "c_custkey",
+        (F.col("c_nationkey") % 3).alias("k3"),
+        F.array(F.col("c_nationkey") % 5, F.col("c_nationkey") % 3, F.lit(7)).alias("a1"),
+        F.array(F.col("c_nationkey") % 3, F.lit(2), F.lit(7)).alias("a2"),
+    )
+
+    def s(col):
+        return F.array_join(F.array_sort(col), ",")
+
+    return t.select(
+        "c_custkey",
+        s(F.array_union("a1", "a2")).alias("union_s"),
+        s(F.array_intersect("a1", "a2")).alias("intersect_s"),
+        s(F.array_except("a1", "a2")).alias("except_s"),
+        F.array_position("a1", F.col("k3")).alias("pos_first"),
+        s(F.array_remove("a1", 7)).alias("removed_s"),
+        s(F.flatten(F.array("a1", "a2"))).alias("flat_s"),
+    ).orderBy("c_custkey")
