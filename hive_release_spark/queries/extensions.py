@@ -372,3 +372,92 @@ def agg_percentile_approx_contract(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_count_min_contract",
+    oracle="""
+    WITH keys AS (SELECT l_suppkey, count(*) AS exact_n
+                  FROM lineitem WHERE l_suppkey % 10 = 3 GROUP BY l_suppkey)
+    SELECT l_suppkey, exact_n, TRUE AS never_under, TRUE AS bound_ok
+    FROM keys ORDER BY l_suppkey
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_count_min_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Spark's count_min_sketch / Hive's DataSketches
+    era frequency sketch) under the same guarantee-pinning discipline as
+    the histogram/percentile/HLL entries: the sketch is BUILT
+    distributed (that is the 100 TB work — one pass, mergeable
+    partials); the probe side estimates a BOUNDED key set (the %10
+    sample of suppliers) through the driver-side estimator object, the
+    same k-bounded pattern as the bloom-filter probe. Pinned
+    guarantees, both oracle-gated booleans: CMS never underestimates,
+    and with eps=0.005/seed=42 every estimate stays within a 5x-slack
+    additive bound of exact (violation probability is negligible at
+    that slack). A hash or merge regression flips a boolean."""
+    li = load_table(spark, sf_dir, "lineitem")
+    eps = 0.005
+    built = li.agg(
+        F.expr("count_min_sketch(l_suppkey, 0.005d, 0.99d, 42)").alias("s"),
+        F.count("*").alias("n_total"),
+    ).first()
+    # deserialize through the engine's own sketch class (the SQL surface
+    # exposes only the binary; PySpark 4 dropped stat.countMinSketch)
+    bis = spark._jvm.java.io.ByteArrayInputStream(bytes(built.s))
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    exact = (
+        li.filter(F.col("l_suppkey") % 10 == 3)
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("exact_n"))
+        .collect()
+    )  # bounded: ~1/10th of the supplier KEY SPACE, never fact rows
+    slack = int(5 * eps * built.n_total)
+    rows = [
+        (
+            int(r.l_suppkey),
+            int(r.exact_n),
+            cms.estimateCount(int(r.l_suppkey)) >= r.exact_n,
+            cms.estimateCount(int(r.l_suppkey)) <= r.exact_n + slack,
+        )
+        for r in exact
+    ]
+    return spark.createDataFrame(
+        rows, "l_suppkey BIGINT, exact_n BIGINT, never_under BOOLEAN, bound_ok BOOLEAN"
+    ).orderBy("l_suppkey")
+
+
+@register(
+    "ds_cross_channel_customers",
+    oracle="""
+    WITH all3 AS (
+      SELECT user_id FROM events WHERE event_type = 'view'
+      INTERSECT SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase')
+    SELECT e.user_id,
+           count(CASE WHEN event_type = 'view' THEN 1 END)     AS n_view,
+           count(CASE WHEN event_type = 'click' THEN 1 END)    AS n_click,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase
+    FROM events e JOIN all3 USING (user_id)
+    GROUP BY e.user_id ORDER BY e.user_id
+    """,
+    tags=("tpcds", "setop", "agg", "single_scan"),
+)
+def ds_cross_channel_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q38 shape: users active in ALL THREE channels. The spec
+    writes an INTERSECT chain — three scans plus two set-op exchanges;
+    one conditional-agg scan with a HAVING over the per-channel counts
+    is equivalent (the ORACLE is the INTERSECT formulation, so the
+    rewrite's equivalence is verified, not assumed). Plan-pinned single
+    events scan."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def n(t):
+        return F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+
+    return (
+        ev.groupBy("user_id")
+        .agg(n("view"), n("click"), n("purchase"))
+        .filter((F.col("n_view") > 0) & (F.col("n_click") > 0) & (F.col("n_purchase") > 0))
+        .orderBy("user_id")
+    )

@@ -174,3 +174,11 @@ def test_ds_year_over_year_scans_orders_once(spark):
     plan = _plan(REGISTRY["ds_year_over_year_spend"].fn(spark, SF_SMOKE))
     assert plan.count("orders.parquet") == 1, plan.count("orders.parquet")
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_ds_cross_channel_scans_events_once(spark):
+    """q38 shape: the INTERSECT chain's three scans collapse into one
+    conditional-agg pass (the oracle IS the INTERSECT formulation, so
+    the rewrite equivalence is oracle-verified)."""
+    plan = _plan(REGISTRY["ds_cross_channel_customers"].fn(spark, SF_SMOKE))
+    assert plan.count("events.parquet") == 1, plan.count("events.parquet")
