@@ -741,3 +741,67 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.label_centroids(emb)
     return out.select("label", (F.col("pos") + 1).alias("pos"), "c")
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+           WHERE len(shingles) > 0)
+    SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+           round(count(*) * 1.0 / any_value(a.n_sh), 6) AS containment
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+    WHERE a.n_sh <= b.n_sh AND (a.n_sh < b.n_sh OR a.doc_id < b.doc_id)
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) * 1.0 / any_value(a.n_sh) >= 0.8
+    ORDER BY doc_small, doc_big
+    """,
+    tags=("llm", "dedup", "neardup", "containment"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup pairs: |A∩B| / |A| ≥ 0.8 with A the smaller
+    shingle set — catches a document EMBEDDED in a larger one (quotes,
+    concatenated crawls, boilerplate wrappers), which symmetric Jaccard
+    dilutes below threshold as the size gap grows. Same postings-list
+    inverted index as dedup_jaccard_pairs (one shingle groupBy, pair
+    emission from postings, no self-join); the asymmetric score just
+    normalizes by the smaller side, with (size, id) ordering making each
+    unordered pair appear exactly once."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = dedup._exploded_shingles(docs, 3, "doc_id", "text")
+    postings = ex.groupBy("s_h").agg(
+        F.sort_array(F.collect_list(F.struct("n_sh", "doc_id"))).alias("docs")
+    )
+    pair_arrays = postings.filter(F.size("docs") > 1).select(
+        F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc_small"),
+                        y["doc_id"].alias("doc_big"),
+                        x["n_sh"].alias("n_small"),
+                    ),
+                ),
+            )
+        ).alias("ps")
+    )
+    pairs = pair_arrays.select(F.explode_outer("ps").alias("p")).filter(
+        F.col("p").isNotNull()
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.doc_small").alias("doc_small"), F.col("p.doc_big").alias("doc_big")
+        )
+        .agg(F.count("*").alias("common"), F.first("p.n_small").alias("n_small"))
+        .withColumn("containment", F.round(F.col("common") / F.col("n_small"), 6))
+        .filter(F.col("common") / F.col("n_small") >= 0.8)
+        .select("doc_small", "doc_big", "containment")
+        .orderBy("doc_small", "doc_big")
+    )
