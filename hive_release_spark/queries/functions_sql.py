@@ -674,3 +674,103 @@ def fn_array_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         s(F.array_remove("a1", 7)).alias("removed_s"),
         s(F.flatten(F.array("a1", "a2"))).alias("flat_s"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "fn_map_surface",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey,
+             map(['size', 'bucket'],
+                 [CAST(p_size AS BIGINT), CAST(p_partkey % 7 AS BIGINT)]) AS m
+      FROM part WHERE p_partkey % 40 = 0)
+    SELECT p_partkey,
+           array_to_string(list_sort(map_keys(m)), ',')               AS keys_s,
+           CAST(list_sum(map_values(m)) AS BIGINT)                    AS vals_sum,
+           CAST(cardinality(m) AS INTEGER)                            AS n_entries,
+           CAST(m['size'][1] AS BIGINT)                               AS size_v,
+           CASE WHEN list_contains(map_keys(m), 'bucket') THEN 1 ELSE 0 END AS has_bucket
+    FROM t ORDER BY p_partkey
+    """,
+    tags=("functions", "map", "complex_types"),
+)
+def fn_map_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type family (Hive GenericUDFMap/MapKeys/MapValues/Size,
+    serde2 MapTypeInfo — SURVEY.md §1.2, §2.H): construct, key/value
+    extraction, cardinality, membership. Key LISTS are sorted+joined
+    (map iteration order is engine-internal); the value SUM is
+    order-free by construction."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 40 == 0)
+    m = F.create_map(
+        F.lit("size"), F.col("p_size").cast("long"),
+        F.lit("bucket"), (F.col("p_partkey") % 7).cast("long"),
+    )
+    t = p.select("p_partkey", m.alias("m"))
+    return t.select(
+        "p_partkey",
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_s"),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("vals_sum"),
+        F.size("m").alias("n_entries"),
+        F.element_at("m", "size").alias("size_v"),
+        F.array_contains(F.map_keys("m"), "bucket").cast("int").alias("has_bucket"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "agg_bool_family",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_discount <= 0.1)  AS all_small_disc,
+           bool_or(l_quantity >= 49)    AS any_big_qty,
+           CAST(count(CASE WHEN l_tax > l_discount THEN 1 END) AS BIGINT) AS n_tax_gt
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "functions", "boolean"),
+)
+def agg_bool_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family (every/any/some — Hive's
+    GenericUDAFEvery/Any surface, ANSI bool_and/bool_or): predicate
+    aggregation per group, the shape behind data-quality HAVING gates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.every(F.col("l_discount") <= 0.1).alias("all_small_disc"),
+            F.some(F.col("l_quantity") >= 49).alias("any_big_qty"),
+            F.count(F.when(F.col("l_tax") > F.col("l_discount"), 1)).alias("n_tax_gt"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "fn_trig",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(sin(l_discount)), 4)                    AS s_sin,
+           round(sum(cos(l_discount)), 4)                    AS s_cos,
+           round(sum(atan2(l_discount, l_tax + 0.01)), 4)    AS s_atan2,
+           round(sum(degrees(l_discount)), 4)                AS s_deg,
+           round(sum(radians(l_quantity)), 4)                AS s_rad
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("functions", "math", "trig"),
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric family (UDFSin/Cos/Atan2, UDFDegrees/UDFRadians —
+    SURVEY.md §2.H math tier). Aggregated then rounded, same discipline
+    as fn_math: JVM Math and libm may differ in the last ulp per row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(F.sin("l_discount")), 4).alias("s_sin"),
+            F.round(F.sum(F.cos("l_discount")), 4).alias("s_cos"),
+            F.round(F.sum(F.atan2(F.col("l_discount"), F.col("l_tax") + 0.01)), 4).alias("s_atan2"),
+            F.round(F.sum(F.degrees("l_discount")), 4).alias("s_deg"),
+            F.round(F.sum(F.radians("l_quantity")), 4).alias("s_rad"),
+        )
+        .orderBy("l_returnflag")
+    )
