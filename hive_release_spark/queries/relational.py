@@ -486,3 +486,45 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = _key_sets(spark, sf_dir)
     return a.exceptAll(b).groupBy("k").agg(F.count("*").alias("n"))
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey AS ck
+      FROM orders)
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, ck) AS priciest_order,
+           arg_min(o_orderkey, ck) AS cheapest_order,
+           round(max(o_totalprice), 2) AS max_price,
+           round(min(o_totalprice), 2) AS min_price
+    FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("agg", "functions", "min_max_by"),
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (Hive's GenericUDAFMaxByValue lineage, ANSI
+    arg_max/arg_min): the row-attribute-of-the-extreme aggregate that
+    otherwise costs a window + filter. Ties on the price are broken
+    INSIDE the comparison key (cents-scaled price composed with the
+    order key into one exact BIGINT — both engines compare the same
+    integer), because engine tie behavior for plain arg_max is
+    unspecified."""
+    o = load_table(spark, sf_dir, "orders")
+    ck = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(10000000)
+        + F.col("o_orderkey")
+    )
+    t = o.select("o_orderpriority", "o_orderkey", "o_totalprice", ck.alias("ck"))
+    return (
+        t.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", F.col("ck")).alias("priciest_order"),
+            F.min_by("o_orderkey", F.col("ck")).alias("cheapest_order"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
