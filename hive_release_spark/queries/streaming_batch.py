@@ -193,6 +193,40 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_left_join",
+    oracle="""
+    SELECT p.user_id,
+           count(*) AS n_pairs,
+           count(c.event_id) AS n_attributed,
+           count(*) - count(c.event_id) AS n_orphans
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+    GROUP BY p.user_id ORDER BY p.user_id
+    """,
+    tags=("streaming", "join", "interval", "outer"),
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — attribution that also
+    counts unattributed purchases (null-padded pairs). Batch execution
+    of the streaming plan; the streaming run's watermark-closed-region
+    parity is pinned by test_streaming.py (outer results can only emit
+    once the watermark passes the join bound — Spark's documented outer
+    interval-join semantics)."""
+    pairs = P.interval_join_left(load_table(spark, sf_dir, "events"))
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count("click_id").alias("n_attributed"),
+            (F.count("*") - F.count("click_id")).alias("n_orphans"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "stream_static_join",
     oracle="""
     SELECT c.c_mktsegment, e.event_type,

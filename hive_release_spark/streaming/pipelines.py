@@ -221,6 +221,51 @@ def interval_join(
     )
 
 
+def interval_join_left(
+    events: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase survives,
+    padded with NULL click columns when no same-user click preceded it
+    within the horizon — the attribution query that must also COUNT the
+    unattributed conversions.
+
+    Streaming semantics differ from the inner join in one important way:
+    null-padded rows can only be EMITTED once the watermark passes the
+    join bound (before that a matching click could still arrive), so an
+    availableNow run withholds the null results for purchases inside the
+    final (horizon + watermark) tail. The batch/stream parity test
+    therefore compares the watermark-CLOSED region only — exactly the
+    guarantee Spark documents for outer interval joins."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("click_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    ).select(
+        "user_id", "purchase_id", "purchase_ts", "purchase_value", "click_id", "click_ts"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming execution helpers
 # ---------------------------------------------------------------------------
