@@ -14,7 +14,7 @@ alternative.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
@@ -147,4 +147,49 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("active_users"))
         .orderBy("cohort", "week_n")
+    )
+
+
+@register(
+    "events_gap_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             date_diff('second',
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 ts) AS gap_s
+      FROM events)
+    SELECT user_id,
+           count(gap_s) AS n_gaps,
+           CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(sum(gap_s) AS BIGINT) AS total_gap_s
+    FROM gaps GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("timeseries", "window", "stats"),
+)
+def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics — the liveness/engagement
+    profile behind session-gap tuning (the session window's gap
+    parameter should sit between the intra-session and inter-session
+    gap modes this reports). One lag window per user (unique
+    (ts, event_id) ordering), then a per-user aggregate; integer-second
+    gaps are exact in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+            F.sum("gap_s").cast("long").alias("total_gap_s"),
+        )
+        .orderBy("user_id")
     )

@@ -459,3 +459,34 @@ def dedup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count("*").alias("n_docs")).orderBy("degree")
+
+
+@register(
+    "corpus_length_histogram",
+    oracle="""
+    SELECT CAST(len(string_split(text, ' ')) // 16 AS BIGINT) AS bucket,
+           CAST(len(string_split(text, ' ')) // 16 * 16 AS BIGINT) AS bucket_lo,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY 1, 2 ORDER BY bucket
+    """,
+    tags=("llm", "stats", "agg", "text"),
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (16-token buckets) — the sequence-length
+    planning input: pack budgets, truncation rates, and padding waste
+    all read off this distribution before a tokenization run is sized.
+    Scan-side bucket arithmetic, one tiny-keyspace aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    return (
+        docs.select(
+            F.floor(n / 16).cast("long").alias("bucket"),
+            (F.floor(n / 16) * 16).cast("long").alias("bucket_lo"),
+            n.alias("n_tok"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").cast("long").alias("total_tokens"))
+        .orderBy("bucket")
+    )
