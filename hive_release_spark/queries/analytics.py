@@ -193,3 +193,63 @@ def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), TIMESTAMP '1998-08-01') AS recency_d,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey, recency_d, frequency, monetary,
+             ntile(4) OVER (ORDER BY recency_d, o_custkey)          AS r_inv,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey)     AS f_inv,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey)      AS m_inv
+      FROM base)
+    SELECT CAST(5 - r_inv AS INTEGER) AS r_score,
+           CAST(5 - f_inv AS INTEGER) AS f_score,
+           CAST(5 - m_inv AS INTEGER) AS m_score,
+           count(*) AS n_customers,
+           round(sum(monetary), 2) AS segment_value
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY r_score DESC, f_score DESC, m_score DESC
+    """,
+    tags=("timeseries", "window", "agg", "segmentation"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles) — the
+    canonical customer-analytics workload: per-customer aggregates, three
+    ntile windows over the CUSTOMER frame (never the fact; the windows
+    run on one row per customer), quartile codes 4=best, and a segment
+    rollup. Determinism: every ntile ORDER BY carries the unique
+    customer key as tie-break, and the reference date is fixed — both
+    engines bucket identically by construction."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit("1998-08-01"), F.max("o_orderdate")).alias("recency_d"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = base.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4).over(W.orderBy("recency_d", "o_custkey")).alias("r_inv"),
+        F.ntile(4).over(W.orderBy(F.col("frequency").desc(), "o_custkey")).alias("f_inv"),
+        F.ntile(4).over(W.orderBy(F.col("monetary").desc(), "o_custkey")).alias("m_inv"),
+    )
+    return (
+        scored.select(
+            (F.lit(5) - F.col("r_inv")).cast("int").alias("r_score"),
+            (F.lit(5) - F.col("f_inv")).cast("int").alias("f_score"),
+            (F.lit(5) - F.col("m_inv")).cast("int").alias("m_score"),
+            "monetary",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").alias("n_customers"), F.round(F.sum("monetary"), 2).alias("segment_value"))
+        .orderBy(F.col("r_score").desc(), F.col("f_score").desc(), F.col("m_score").desc())
+    )
