@@ -253,3 +253,78 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"), F.round(F.sum("monetary"), 2).alias("segment_value"))
         .orderBy(F.col("r_score").desc(), F.col("f_score").desc(), F.col("m_score").desc())
     )
+
+
+@register(
+    "basket_part_affinity",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey % 50 AS grp
+                   FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    freq AS (SELECT grp, count(*) AS c FROM items GROUP BY grp),
+    pairs AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b, count(*) AS c_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.grp < b.grp
+      GROUP BY 1, 2 HAVING count(*) >= 20)
+    SELECT p.grp_a, p.grp_b, p.c_ab,
+           round(p.c_ab * 1.0 * n.n_orders / (fa.c * 1.0 * fb.c), 6) AS lift
+    FROM pairs p
+    JOIN freq fa ON fa.grp = p.grp_a
+    JOIN freq fb ON fb.grp = p.grp_b
+    CROSS JOIN n
+    ORDER BY grp_a, grp_b
+    """,
+    tags=("agg", "join", "basket", "stats"),
+)
+def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part-group pairs co-occurring in the same
+    order, with lift = P(ab)·N / (P(a)·P(b)) — the association-rule
+    workload. Scale shape mirrors the dedup postings design: pair
+    emission happens INSIDE each order's (tiny — ≤7 lines) item set via
+    a collected-list HOF, never an items⋈items self-join of the fact
+    (the SQL self-join lives only in the oracle); the lift join runs on
+    the group-frequency frame (50 keys, broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 50).alias("grp")
+    ).distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    freq = items.groupBy("grp").agg(F.count("*").alias("c"))
+    baskets = items.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("grp")).alias("gs")
+    )
+    pair_arrays = baskets.filter(F.size("gs") > 1).select(
+        F.flatten(
+            F.transform(
+                F.col("gs"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("gs"), i + 2, F.size(F.col("gs"))),
+                    lambda y: F.struct(x.alias("grp_a"), y.alias("grp_b")),
+                ),
+            )
+        ).alias("ps")
+    )
+    pairs = (
+        pair_arrays.select(F.explode_outer("ps").alias("p"))
+        .filter(F.col("p").isNotNull())
+        .groupBy(F.col("p.grp_a").alias("grp_a"), F.col("p.grp_b").alias("grp_b"))
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 20)
+    )
+    fa = freq.select(F.col("grp").alias("grp_a"), F.col("c").alias("ca"))
+    fb = freq.select(F.col("grp").alias("grp_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(fa), "grp_a")
+        .join(F.broadcast(fb), "grp_b")
+        .select(
+            "grp_a",
+            "grp_b",
+            "c_ab",
+            F.round(
+                F.col("c_ab") * F.lit(float(n_orders)) / (F.col("ca") * 1.0 * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("grp_a", "grp_b")
+    )
