@@ -328,3 +328,74 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp_a", "grp_b")
     )
+
+
+@register(
+    "events_daily_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+      FROM events GROUP BY 1),
+    stats AS (SELECT avg(n * 1.0) AS mu, stddev_samp(n * 1.0) AS sd FROM daily)
+    SELECT day, n, round((n - mu) / sd, 4) AS z,
+           abs(n - mu) > 2 * sd AS is_anomaly
+    FROM daily CROSS JOIN stats
+    ORDER BY day
+    """,
+    tags=("timeseries", "stats", "agg"),
+)
+def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly flags: each day's event count z-scored
+    against the corpus-wide mean/stddev — the monitoring query every
+    ingestion pipeline runs. The stats frame is ONE row attached by
+    broadcast (the threshold-attach pattern); the daily frame is
+    date-cardinality, never the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    stats = daily.agg(
+        F.avg(F.col("n") * 1.0).alias("mu"), F.stddev_samp(F.col("n") * 1.0).alias("sd")
+    )
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            "day",
+            "n",
+            F.round((F.col("n") - F.col("mu")) / F.col("sd"), 4).alias("z"),
+            (F.abs(F.col("n") - F.col("mu")) > 2 * F.col("sd")).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "orders_status_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderstatus,
+             lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS prev_status
+      FROM orders)
+    SELECT prev_status, o_orderstatus AS next_status, count(*) AS n
+    FROM seq WHERE prev_status IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("timeseries", "window", "agg"),
+)
+def orders_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status-transition (Markov) counts over each customer's order
+    sequence — the lifecycle-analysis shape (churn modeling, process
+    mining). One lag window per customer with a unique (date, orderkey)
+    ordering, then a tiny-keyspace transition aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_orderstatus", F.lag("o_orderstatus").over(w).alias("prev_status")
+    )
+    return (
+        seq.filter(F.col("prev_status").isNotNull())
+        .groupBy("prev_status", F.col("o_orderstatus").alias("next_status"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("prev_status", "next_status")
+    )
