@@ -399,3 +399,128 @@ def orders_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("prev_status", "next_status")
     )
+
+
+@register(
+    "supplier_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem GROUP BY l_suppkey),
+    ranked AS (
+      SELECT l_suppkey, revenue,
+             CAST(row_number() OVER (ORDER BY revenue DESC, l_suppkey) AS INTEGER) AS rk,
+             sum(revenue) OVER (ORDER BY revenue DESC, l_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+             sum(revenue) OVER () AS total_rev
+      FROM rev)
+    SELECT rk, l_suppkey, revenue,
+           round(cum_rev / total_rev, 6) AS cum_share
+    FROM ranked WHERE cum_rev / total_rev <= 0.5 OR rk <= 3
+    ORDER BY rk
+    """,
+    tags=("window", "agg", "stats", "topk"),
+)
+def supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / concentration analysis: the smallest supplier set covering
+    half of revenue (plus a top-3 floor) via a cumulative-share window.
+    Same scale posture as vocab_coverage_cutoff: the cumsum runs on the
+    per-supplier aggregate (supplier-cardinality), never the fact; ties
+    broken by the unique supplier key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    wo = W.orderBy(F.col("revenue").desc(), "l_suppkey")
+    ranked = rev.select(
+        "l_suppkey",
+        "revenue",
+        F.row_number().over(wo).alias("rk"),
+        F.sum("revenue").over(wo.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum_rev"),
+        F.sum("revenue").over(W.partitionBy()).alias("total_rev"),
+    )
+    return (
+        ranked.filter(
+            (F.col("cum_rev") / F.col("total_rev") <= 0.5) | (F.col("rk") <= 3)
+        )
+        .select(
+            "rk",
+            "l_suppkey",
+            "revenue",
+            F.round(F.col("cum_rev") / F.col("total_rev"), 6).alias("cum_share"),
+        )
+        .orderBy("rk")
+    )
+
+
+@register(
+    "orders_backlog_curve",
+    oracle="""
+    WITH deltas AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day, count(*) AS d
+      FROM orders GROUP BY 1
+      UNION ALL
+      SELECT CAST(date_trunc('day', o_orderdate + INTERVAL 30 DAY) AS TIMESTAMP),
+             -count(*)
+      FROM orders GROUP BY 1),
+    merged AS (SELECT day, CAST(sum(d) AS BIGINT) AS delta FROM deltas GROUP BY day)
+    SELECT day, delta,
+           CAST(sum(delta) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders
+    FROM merged ORDER BY day
+    """,
+    tags=("timeseries", "window", "interval", "agg"),
+)
+def orders_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting (orders 'open' for 30 days) via the
+    DELTA-STREAM rewrite: +1 at each start day, -1 at each end day, one
+    running sum — the classic interval-stabbing query WITHOUT the naive
+    per-day × orders range join (quadratic) or a calendar cross join.
+    The running sum operates on the date-cardinality delta frame; at
+    100 TB the fact is read once and reduced map-side to two rows per
+    day."""
+    o = load_table(spark, sf_dir, "orders")
+    starts = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.count("*").alias("d")
+    )
+    ends = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("day")
+    ).agg((-F.count("*")).alias("d"))
+    merged = (
+        starts.unionAll(ends).groupBy("day").agg(F.sum("d").cast("long").alias("delta"))
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return merged.select(
+        "day", "delta", F.sum("delta").over(w).cast("long").alias("open_orders")
+    ).orderBy("day")
+
+
+@register(
+    "events_hourly_seasonality",
+    oracle="""
+    SELECT CAST(extract('hour' FROM ts) AS BIGINT) AS hour_of_day,
+           CAST(extract('isodow' FROM ts) AS BIGINT) AS iso_dow,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("timeseries", "agg", "stats"),
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week seasonality grid for purchases — the
+    load-shaping profile behind capacity planning and anomaly baselines.
+    Scan-side datetime extraction, one 168-key aggregation. ISO weekday
+    numbering is pinned on both engines (Spark's dayofweek is
+    Sunday-1, so the query derives ISO from date_format 'u')."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return (
+        ev.groupBy(
+            F.hour("ts").cast("long").alias("hour_of_day"),
+            ((F.dayofweek("ts") + 5) % 7 + 1).cast("long").alias("iso_dow"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("hour_of_day", "iso_dow")
+    )
