@@ -82,7 +82,8 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 # agg_min_max_by, stream_stream_left_join, corpus_length_histogram,
 # events_gap_stats, customer_rfm_segments, basket_part_affinity,
 # events_daily_anomaly, orders_status_transitions, supplier_pareto,
-# orders_backlog_curve, events_hourly_seasonality, plus any entry red
+# orders_backlog_curve, events_hourly_seasonality,
+# orders_priority_mix_shift, events_user_lifecycle, plus any entry red
 # in CORRECTNESS_r04.
 DRIVER_WINDOW = [
     # r3-red repairs, driver-witnessed red→green

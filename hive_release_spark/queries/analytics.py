@@ -524,3 +524,78 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
         .orderBy("hour_of_day", "iso_dow")
     )
+
+
+@register(
+    "orders_priority_mix_shift",
+    oracle="""
+    WITH yearly AS (
+      SELECT CAST(extract('year' FROM o_orderdate) AS BIGINT) AS yr,
+             o_orderpriority, count(*) AS n
+      FROM orders GROUP BY 1, 2),
+    shares AS (
+      SELECT yr, o_orderpriority, n,
+             n * 1.0 / sum(n) OVER (PARTITION BY yr) AS raw_share
+      FROM yearly)
+    SELECT yr, o_orderpriority, n,
+           round(raw_share, 6) AS share,
+           round(raw_share - lag(raw_share)
+                 OVER (PARTITION BY o_orderpriority ORDER BY yr), 6) AS share_delta
+    FROM shares
+    ORDER BY yr, o_orderpriority
+    """,
+    tags=("window", "agg", "timeseries", "stats"),
+)
+def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-shift analysis: each priority class's share of yearly volume
+    and its year-over-year delta — the composition-drift report behind
+    'did demand change or just its mix'. Two windows over the
+    (year × priority) aggregate frame (≤ 5 classes × years), never the
+    fact."""
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"), "o_orderpriority"
+    ).agg(F.count("*").alias("n"))
+    share = F.col("n") * 1.0 / F.sum("n").over(W.partitionBy("yr"))
+    wlag = W.partitionBy("o_orderpriority").orderBy("yr")
+    return yearly.select(
+        "yr",
+        "o_orderpriority",
+        "n",
+        F.round(share, 6).alias("share"),
+        F.round(share - F.lag(share).over(wlag), 6).alias("share_delta"),
+    ).orderBy("yr", "o_orderpriority")
+
+
+@register(
+    "events_user_lifecycle",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS active_days,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS span_s,
+           min(event_id) AS first_event_id,
+           max(event_id) AS last_event_id
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("timeseries", "agg", "stats"),
+)
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifecycle summary: activity span, distinct active days,
+    event volume — the cohort-health scaffold retention analyses hang
+    off. One partial-agged groupBy on the user key; span arithmetic is
+    exact integer seconds in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct(F.date_trunc("day", "ts")).alias("active_days"),
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).cast("long").alias("span_s"),
+            F.min("event_id").alias("first_event_id"),
+            F.max("event_id").alias("last_event_id"),
+        )
+        .orderBy("user_id")
+    )
