@@ -83,8 +83,9 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 # events_gap_stats, customer_rfm_segments, basket_part_affinity,
 # events_daily_anomaly, orders_status_transitions, supplier_pareto,
 # orders_backlog_curve, events_hourly_seasonality,
-# orders_priority_mix_shift, events_user_lifecycle, plus any entry red
-# in CORRECTNESS_r04.
+# orders_priority_mix_shift, events_user_lifecycle,
+# region_nation_share, part_type_hhi, plus any entry red in
+# CORRECTNESS_r04.
 DRIVER_WINDOW = [
     # r3-red repairs, driver-witnessed red→green
     "q12_shipmode_priority",

@@ -599,3 +599,90 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "region_nation_share",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2)
+    SELECT region, nation, revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY region), 6)
+               AS share_of_region,
+           round(revenue / sum(revenue) OVER (), 6) AS share_of_total
+    FROM rev ORDER BY region, nation
+    """,
+    tags=("window", "agg", "join", "broadcast"),
+)
+def region_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-within-parent hierarchy report (nation revenue as a share
+    of its region and of the total) — the drill-down idiom every OLAP
+    dashboard renders. Fact joins broadcast dims; both share windows
+    run on the nation-cardinality aggregate frame."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    return rev.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(
+            F.col("revenue") / F.sum("revenue").over(W.partitionBy("region")), 6
+        ).alias("share_of_region"),
+        F.round(F.col("revenue") / F.sum("revenue").over(W.partitionBy()), 6).alias(
+            "share_of_total"
+        ),
+    ).orderBy("region", "nation")
+
+
+@register(
+    "part_type_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_type, p.p_brand,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS r
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2),
+    shares AS (
+      SELECT p_type, r / sum(r) OVER (PARTITION BY p_type) AS s FROM rev)
+    SELECT p_type,
+           CAST(count(*) AS BIGINT) AS n_brands,
+           round(sum(s * s), 6) AS hhi
+    FROM shares GROUP BY p_type ORDER BY p_type
+    """,
+    tags=("window", "agg", "stats"),
+)
+def part_type_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per part type: the sum
+    of squared brand revenue shares — monopoly-vs-fragmented market
+    structure in one number (1/n_brands = uniform, 1.0 = single brand).
+    The share window and HHI aggregation run on the (type × brand)
+    frame; the fact is read once into that aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type", "p_brand")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+    )
+    s = F.col("r") / F.sum("r").over(W.partitionBy("p_type"))
+    shares = rev.select("p_type", s.alias("s"))
+    return (
+        shares.groupBy("p_type")
+        .agg(F.count("*").alias("n_brands"), F.round(F.sum(F.col("s") * F.col("s")), 6).alias("hhi"))
+        .orderBy("p_type")
+    )
