@@ -20,6 +20,7 @@ from hive_release_spark.queries import (  # noqa: F401,E402
     tpch_full,
     tpcds,
     analytics,
+    analytics3,
     timeseries,
 )
 

@@ -1,0 +1,301 @@
+"""Warehouse-classic analytics round 2: rolling distinct actives,
+SCD-2 state history (gaps-and-islands), interval merge/coverage, and
+deterministic weighted sampling (A-ES).
+
+Each entry is the single-scan / bounded-shuffle formulation of a shape
+Hive users run today as multi-join SQL (the joins live in the oracles).
+
+Scale notes per entry live on the functions; the common rules: windows
+ride high-cardinality keys (user_id / custkey) with unique tie-breaks,
+range self-joins are replaced by bounded explodes, and sampling keys
+are md5-derived so any partitioning yields the same sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hive_release_spark.catalog import load_table
+from hive_release_spark.queries.registry import register
+
+
+@register(
+    "events_rolling_active_users",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT d.day AS day, count(DISTINCT u.user_id) AS active_7d
+    FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("analytics", "events", "window", "distinct"),
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (the DAU/WAU board
+    metric).
+
+    COUNT(DISTINCT) over a sliding date range doesn't decompose into a
+    running window, so the SQL idiom (the oracle) is a range self-join
+    — |days| x |user-days| probe pairs. Here each distinct (user, day)
+    row instead EXPLODES into its <=7 observation days (a bounded
+    map-side fan-out: 7x a frame that is already collapsed to distinct
+    user-days, not 7x the raw stream), a broadcast semi-join against
+    the tiny real-day list drops the phantom tail days, and one
+    count-distinct agg finishes. Shuffles: distinct user-day collapse +
+    the final day agg — both partial-agged; no self-join at any scale.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = ev.select("day").distinct()
+    contrib = ev.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    return (
+        contrib.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "user_state_scd2",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
+               WHERE user_id % 7 = 0),
+    m AS (SELECT user_id, event_id, ts, event_type,
+                 CASE WHEN lag(event_type) OVER w IS NULL
+                        OR lag(event_type) OVER w <> event_type
+                      THEN 1 ELSE 0 END AS chg
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    r AS (SELECT user_id, ts, event_type,
+                 sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS version
+          FROM m),
+    p AS (SELECT user_id, version, min(event_type) AS state,
+                 min(ts) AS valid_from, count(*) AS n_events
+          FROM r GROUP BY 1, 2)
+    SELECT user_id, CAST(version AS INTEGER) AS version, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to,
+           n_events
+    FROM p ORDER BY user_id, version
+    """,
+    tags=("analytics", "events", "window", "scd"),
+)
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 state history from an event log: collapse consecutive
+    runs of the same per-user state into versioned validity intervals
+    (valid_from inclusive, valid_to = next version's start, NULL while
+    current) — the slowly-changing-dimension build every Hive ETL runs,
+    via the gaps-and-islands idiom (lag-change flag + running sum)
+    rather than the self-join formulation.
+
+    One user_id exchange feeds BOTH windows and the run aggregate (the
+    run key (user_id, version) is a refinement of the window
+    partitioning), then valid_to is a lead over the already-collapsed
+    run frame — per-user rows there = #state changes, not #events.
+    The user_id % 7 cohort filter is pushed to the scan (bounds driver
+    output; the operator itself is corpus-wide). Unique (ts, event_id)
+    ordering makes run numbering identical in both engines.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 7 == 0)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    marked = ev.withColumn(
+        "chg",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
+    )
+    runs = marked.withColumn(
+        "version",
+        F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    per = runs.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    wv = W.partitionBy("user_id").orderBy("version")
+    return per.select(
+        "user_id",
+        F.col("version").cast("int").alias("version"),
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_events",
+    ).orderBy("user_id", "version")
+
+
+@register(
+    "customer_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT o.o_custkey,
+             CAST(o.o_orderdate AS DATE) AS start_d,
+             CAST(max(l.l_shipdate) AS DATE) AS end_d
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey % 10 = 0
+      GROUP BY 1, 2, o.o_orderkey),
+    m AS (SELECT o_custkey, start_d, end_d,
+                 max(end_d) OVER (PARTITION BY o_custkey
+                                  ORDER BY start_d, end_d
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS prev_end
+          FROM iv),
+    f AS (SELECT o_custkey, start_d, end_d,
+                 CASE WHEN prev_end IS NULL OR start_d > prev_end
+                      THEN 1 ELSE 0 END AS new_island
+          FROM m),
+    isl AS (SELECT o_custkey, start_d, end_d,
+                   sum(new_island) OVER (PARTITION BY o_custkey
+                                         ORDER BY start_d, end_d
+                                         ROWS UNBOUNDED PRECEDING) AS island
+            FROM f),
+    merged AS (SELECT o_custkey, island,
+                      min(start_d) AS m_start, max(end_d) AS m_end,
+                      count(*) AS n_raw
+               FROM isl GROUP BY 1, 2)
+    SELECT o_custkey,
+           CAST(sum(n_raw) AS BIGINT) AS n_intervals,
+           count(*) AS n_merged,
+           CAST(sum(date_diff('day', m_start, m_end) + 1) AS BIGINT)
+               AS covered_days
+    FROM merged GROUP BY 1 ORDER BY o_custkey
+    """,
+    tags=("analytics", "window", "intervals"),
+)
+def customer_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping activity intervals per customer and report
+    coverage — the union-of-intervals primitive behind SLA/uptime
+    accounting and "days with an order in flight". Each order spans
+    [orderdate, max shipdate]; overlapping spans merge via the running
+    prev-max-end island idiom.
+
+    Shuffle shape: per-order end date is ONE l_orderkey agg (partial
+    map-side), the orders join rides the same orderkey, then one
+    custkey exchange feeds the island window, the island collapse, and
+    the final per-customer rollup (each groupBy key refines the window
+    partitioning). No interval self-join — the quadratic-per-customer
+    overlap test the naive formulation runs never materializes. Island
+    NUMBERS depend on tie order between identical (start, end) rows,
+    but identical intervals always land in the same island, so the
+    merged frame (and everything emitted) is tie-invariant. The cohort
+    filter (custkey % 10) prunes the orders scan.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("end_d"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 0)
+        .select("o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("start_d"))
+    )
+    iv = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_custkey", "start_d", "end_d"
+    )
+    w = W.partitionBy("o_custkey").orderBy("start_d", "end_d")
+    m = iv.withColumn(
+        "prev_end", F.max("end_d").over(w.rowsBetween(W.unboundedPreceding, -1))
+    )
+    f = m.withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_end").isNull() | (F.col("start_d") > F.col("prev_end")), 1
+        ).otherwise(0),
+    )
+    isl = f.withColumn(
+        "island", F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    merged = isl.groupBy("o_custkey", "island").agg(
+        F.min("start_d").alias("m_start"),
+        F.max("end_d").alias("m_end"),
+        F.count("*").alias("n_raw"),
+    )
+    return (
+        merged.groupBy("o_custkey")
+        .agg(
+            F.sum("n_raw").alias("n_intervals"),
+            F.count("*").alias("n_merged"),
+            F.sum(F.datediff("m_end", "m_start") + 1).alias("covered_days"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def _md5_u32(expr: str) -> str:
+    """DuckDB SQL: first 4 md5 bytes of ``expr`` as a 0..2^32-1 integer
+    (strpos hex decode — the repo's established oracle idiom)."""
+    h = f"md5({expr})"
+    digit = "(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+    parts = [digit.format(h=h, i=i + 1) for i in range(8)]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = f"({acc} * 16 + {p})"
+    return acc
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars,
+             ln(({_md5_u32("CAST(doc_id AS VARCHAR)")} + 1) / 4294967296.0)
+                 / n_chars AS k
+      FROM documents),
+    ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id)
+                 AS rk
+      FROM keyed)
+    SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id, n_chars
+    FROM ranked WHERE rk <= 5 ORDER BY lang, rk
+    """,
+    tags=("sampling", "llm", "deterministic"),
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement, top-5 per
+    language — the A-ES / exponential-keys algorithm (Efraimidis &
+    Spirakis): each row draws u ~ U(0,1] from its md5 and ranks by
+    ln(u)/weight (equivalent to u^(1/w); one max-key pass replaces
+    sequential weighted draws). Weight here = n_chars, so longer docs
+    are proportionally likelier — the "sample tokens, not documents"
+    correction a curriculum sampler needs.
+
+    Scale: the key is a scan-side expression (seeded by doc_id, so ANY
+    partitioning draws the same sample); selection is one rank window
+    per language partition with WindowGroupLimit pushing the top-5
+    partial before the exchange. Key collisions would need two md5
+    draws within ~1 ulp after the weight divide — never in practice,
+    and the doc_id tie-break keeps even that deterministic.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**8))
+    keyed = d.withColumn("k", F.ln(u) / F.col("n_chars"))
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.desc("k"), "doc_id")
+    )
+    return (
+        keyed.withColumn("rk", rk)
+        .filter(F.col("rk") <= 5)
+        .select("lang", F.col("rk").cast("int").alias("rk"), "doc_id", "n_chars")
+        .orderBy("lang", "rk")
+    )
