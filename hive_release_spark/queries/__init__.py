@@ -21,6 +21,7 @@ from hive_release_spark.queries import (  # noqa: F401,E402
     tpcds,
     analytics,
     analytics3,
+    graphs,
     timeseries,
 )
 

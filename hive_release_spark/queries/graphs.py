@@ -1,0 +1,117 @@
+"""Graph analytics over the Jaccard >= 0.5 near-dup pair graph:
+PageRank (the iterative-join algorithm class) and triangle/clustering
+statistics. Same edge derivation as ``dedup_connected_components`` —
+the oracles re-derive the pair set in SQL and unroll the iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_release_spark.catalog import load_table
+from hive_release_spark.llm import dedup, graph
+from hive_release_spark.queries.registry import register
+
+# The Jaccard >= 0.5 trigram pair set, identical to the
+# dedup_connected_components oracle's derivation.
+_PAIRS_CTE = """
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) * 1.0 / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.5
+    )
+"""
+
+
+def _pr_iterations(k: int) -> str:
+    """Unrolled PageRank rounds: s{i} = incoming mass, p{i} = new rank."""
+    out = []
+    prev = "p0"
+    for i in range(1, k + 1):
+        out.append(
+            f"""
+    s{i} AS (SELECT e.b AS a, sum({prev}.p / deg.d) AS s
+          FROM edges e JOIN {prev} ON e.a = {prev}.a
+                       JOIN deg ON e.a = deg.a
+          GROUP BY e.b),
+    p{i} AS (SELECT s{i}.a, 0.15 / nn.n + 0.85 * s{i}.s AS p
+          FROM s{i} CROSS JOIN nn)"""
+        )
+        prev = f"p{i}"
+    return ",".join(out)
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    deg AS (SELECT a, count(*) AS d FROM edges GROUP BY a),
+    nn AS (SELECT count(*) AS n FROM deg),
+    p0 AS (SELECT a, 1.0 / nn.n AS p FROM deg CROSS JOIN nn),
+    {_pr_iterations(3)}
+    SELECT p3.a AS doc_id, CAST(deg.d AS BIGINT) AS degree,
+           round(p3.p, 6) AS pagerank
+    FROM p3 JOIN deg ON p3.a = deg.a
+    ORDER BY doc_id
+    """,
+    tags=("llm", "graph", "iterative", "neardup"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup graph — ranks the "hub" documents a
+    template cluster revolves around (the doc to inspect before mass-
+    dropping a cluster). 3 synchronous rounds, alpha=0.85, uniform
+    start; see llm/graph.pagerank for the per-round join shape and the
+    one-scalar driver-state contract. Oracle: the same rounds unrolled
+    as SQL CTEs. FP note: only the final rank is rounded (6 dp); the
+    symmetric graph has no dangling mass, so both engines sum the same
+    finite term sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.5)
+    return graph.pagerank(pairs, alpha=0.85, iters=3)
+
+
+@register(
+    "graph_triangles",
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM pairs p1
+      JOIN pairs p2 ON p2.doc_a = p1.doc_b
+      JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+    sd AS (
+      SELECT a, count(*) AS d FROM (
+        SELECT doc_a AS a FROM pairs UNION ALL SELECT doc_b FROM pairs)
+      GROUP BY a),
+    st AS (
+      SELECT count(*) AS n_nodes,
+             CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+             CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
+      FROM sd)
+    SELECT n_nodes, n_edges, n_triangles,
+           CASE WHEN n_wedges = 0 THEN 0.0
+                ELSE round(3.0 * n_triangles / n_wedges, 6)
+           END AS clustering_coeff
+    FROM st CROSS JOIN tri
+    """,
+    tags=("llm", "graph", "neardup"),
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the near-dup
+    graph — the "is this corpus template-heavy" diagnostic (high
+    clustering = boilerplate families, low = chance collisions). The
+    ordered 3-cycle join matches each triangle exactly once; see
+    llm/graph.triangle_stats. The deliberate crossJoin attaches two
+    1-row aggregate frames (repo's threshold-attach pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.5)
+    return graph.triangle_stats(pairs)
