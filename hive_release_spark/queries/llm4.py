@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
-from hive_release_spark.llm import pipeline
+from hive_release_spark.llm import dedup, pipeline
 from hive_release_spark.queries.registry import register
 
 # Shared fixture knobs (embedded into both engines' plans).
@@ -486,4 +486,62 @@ def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 5)
         .orderBy("lang", "rk")
+    )
+
+
+@register(
+    "decontaminate_fuzzy",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(count(*) * 1.0 /
+                   (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS j
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) * 1.0 /
+             (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.5),
+    crossed AS (
+      SELECT CASE WHEN doc_a % 41 = 0 THEN doc_b ELSE doc_a END AS doc_id,
+             j
+      FROM pairs
+      WHERE (doc_a % 41 = 0) <> (doc_b % 41 = 0))
+    SELECT doc_id, count(*) AS n_eval_matches, max(j) AS max_jaccard
+    FROM crossed GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "pipeline", "decontamination", "neardup"),
+)
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination (the Llama-2 / GPT-4 protocol
+    step beyond exact n-gram hits): training docs NEAR-DUPLICATE to an
+    eval doc (Jaccard >= 0.5) are flagged even when no verbatim gram
+    survives light paraphrasing. Candidates come from the SAME
+    MinHash-LSH banding pass as ``dedup_minhash_lsh`` — eval and train
+    ride one corpus scan with the boundary applied to the verified
+    pair set (an XOR filter), so fuzzy decontamination costs ONE extra
+    skinny-frame filter on top of the dedup pipeline a corpus build
+    already runs, not a second train x eval join. Oracle: exact-Jaccard
+    cross pairs (same banding-miss argument as dedup_minhash_lsh: the
+    fixture's near-dups sit at J~0.9 where 8x4 banding misses ~2e-4 of
+    pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.5)
+    a_eval = F.col("doc_a") % 41 == 0
+    b_eval = F.col("doc_b") % 41 == 0
+    crossed = pairs.filter(a_eval != b_eval).select(
+        F.when(a_eval, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_id"),
+        "jaccard",
+    )
+    return (
+        crossed.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_eval_matches"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("doc_id")
     )
