@@ -303,9 +303,15 @@ def _packed_centroids(
         .limit(n_cells)
         .withColumn("cell", F.row_number().over(W.orderBy("cid")) - 1)
     )
+    # materialize the single packed row once: every consumer crossJoins
+    # it broadcast (codes side, query side, probe side), and without the
+    # checkpoint each broadcast re-derives the scan -> sample -> window
+    # lineage — at 100 TB that is one corpus read per consumer instead
+    # of one total. Driver/executor state is the n_cells x d doubles the
+    # contract already bounds (k-means-centroid rule).
     return cent_rows.agg(
         F.collect_list(F.struct(F.col("cell"), F.col("cv"))).alias("cents")
-    )
+    ).localCheckpoint(eager=True)
 
 
 def _cell_sims(vec: Column) -> Column:
@@ -533,21 +539,44 @@ def pq_topk(
     ]
     codes = c.select("neighbor_id", *code_cols)
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")
-    ).crossJoin(F.broadcast(packed))
+    # ADC lookup tables, the published PQ trick: sim(query, code) only
+    # depends on (query, subspace, cell), so the n_queries x n_subspaces
+    # x n_cells dot products are computed ONCE on the broadcast query
+    # frame and the per-candidate scan does 8 array lookups instead of 8
+    # width-w dot products (~w x less work on the 100 TB side). LUT s is
+    # sorted by cell (unique), so element_at(lut_s, code_s + 1) is the
+    # cell's value; the summands and their ascending-s order are
+    # IDENTICAL to the direct formulation, so scores stay bit-equal and
+    # the DuckDB replay oracle is unchanged.
+    def _lut_entry(s: int):
+        # one-arg lambda factory: a two-arg lambda would make F.transform
+        # pass the ARRAY INDEX as the second argument, clobbering s
+        return lambda cc: F.struct(
+            cc["cell"].alias("cell"),
+            dot(sub(F.col("qv"), s), sub(cc["cv"], s)).alias("v"),
+        )
+
+    lut_cols = [
+        F.transform(
+            F.array_sort(F.transform(F.col("cents"), _lut_entry(s))),
+            lambda x: x["v"],
+        ).alias(f"lut_{s}")
+        for s in range(n_subspaces)
+    ]
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")
+        )
+        .crossJoin(F.broadcast(packed))
+        .select("query_id", *lut_cols)
+    )
     cand = codes.join(
         F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
     )
-    def _code_match(s: int):
-        # one-arg lambda factory: a two-arg lambda would make F.filter
-        # pass the ARRAY INDEX as the second argument, clobbering s
-        return lambda cc: cc["cell"] == F.col(f"code_{s}")
-
-    parts = []
-    for s in range(n_subspaces):
-        cent_cv = F.element_at(F.filter("cents", _code_match(s)), 1)["cv"]
-        parts.append(dot(sub(F.col("qv"), s), sub(cent_cv, s)))
+    parts = [
+        F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
+        for s in range(n_subspaces)
+    ]
     adc = reduce(lambda a, b: a + b, parts)  # fixed ascending-s order
     sims = cand.withColumn("sim", adc)
     rank_w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
