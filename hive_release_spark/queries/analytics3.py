@@ -299,3 +299,48 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.col("rk").cast("int").alias("rk"), "doc_id", "n_chars")
         .orderBy("lang", "rk")
     )
+
+
+@register(
+    "orders_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders)
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(sum(o_totalprice), 2) AS bucket_value
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("analytics", "window", "histogram"),
+)
+def orders_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH (equal-count) histogram of order values: decile
+    boundaries + per-bucket stats — the complement of Hive's equi-width
+    ``histogram_numeric`` (agg_histogram_numeric) and the shape behind
+    "what does a p90 order look like". Exact ntile needs a global
+    order; the o_orderkey tie-break makes bucket membership identical
+    in both engines even at repeated prices. At 100 TB swap the exact
+    window for approxQuantile boundaries + a scan-side bucket lookup
+    (the z-order writer in operators/layout.py already uses that
+    pattern); this entry keeps the exact, oracle-matched surface.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        "o_totalprice",
+        F.ntile(10).over(W.orderBy("o_totalprice", "o_orderkey")).alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.sum("o_totalprice"), 2).alias("bucket_value"),
+        )
+        .select(F.col("bucket").cast("int").alias("bucket"), "n_orders", "lo", "hi", "bucket_value")
+        .orderBy("bucket")
+    )

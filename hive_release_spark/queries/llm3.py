@@ -490,3 +490,65 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").cast("long").alias("total_tokens"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "sim_hard_negatives",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label AS neighbor_label,
+             list_cosine_similarity(q.v, c.v) AS sim
+      FROM e q JOIN e c ON q.label <> c.label
+      WHERE q.vec_id < 20
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, neighbor_label, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, neighbor_label, round(sim, 6) AS sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    tags=("llm", "similarity", "topk", "training"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-5 most-similar vectors with a DIFFERENT label — the
+    near-miss examples that give a contrastive/embedding objective its
+    gradient signal (random negatives are trivially separable). Same
+    broadcast-queries / corpus-never-shuffles shape as sim_cosine_topk;
+    the label-mismatch predicate rides the broadcast join condition, so
+    same-label candidates are dropped before any similarity is scored.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        similarity.as_double_vec("embedding").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        similarity.as_double_vec("embedding").alias("cv"),
+    )
+    sims = (
+        c.join(F.broadcast(q), F.col("query_label") != F.col("neighbor_label"))
+        .withColumn("sim", similarity.cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "neighbor_label", "sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("sim", 6).alias("sim"),
+            "rank",
+        )
+    )
