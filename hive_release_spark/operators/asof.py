@@ -95,3 +95,87 @@ def asof_join(
         *[F.col("__match")[c].alias(c) for c in right_payload],
     )
     return out
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_t: str,
+    right_t: str,
+    tolerance_s: int,
+    right_payload: list[str] | None = None,
+) -> DataFrame:
+    """NEAREST as-of LEFT join: every ``left`` row gains the payload of
+    the right row (same ``on`` key) whose timestamp is CLOSEST in either
+    direction, within ``tolerance_s`` seconds; NULLs when nothing is in
+    range. Equal distances resolve to the at-or-before row (pandas
+    ``merge_asof(direction='nearest')`` semantics).
+
+    Same union + one-key-exchange shape as :func:`asof_join` — the sort
+    that carries the latest-preceding right row forward ALSO yields the
+    earliest-following one (a first() over the mirrored frame), so
+    "nearest" costs the same single shuffle as "backward": two window
+    passes over one per-key sort, no range join, no second exchange.
+    Right rows must be unique per (key, t) — same pre-dedup contract as
+    asof_join.
+    """
+    if right_payload is None:
+        right_payload = [c for c in right.columns if c not in (on, right_t)]
+    lcols = list(left.columns)
+    clash = set(lcols) & set(right_payload)
+    if clash:
+        raise ValueError(
+            f"asof_join_nearest output would duplicate columns {sorted(clash)}; "
+            "rename or restrict right_payload"
+        )
+    r_struct = F.struct(
+        F.col(right_t).alias("__rt"), F.struct(*right_payload).alias("p")
+    )
+    l_tag = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_t).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*lcols).alias("__l"),
+        F.lit(None)
+        .cast(right.select(r_struct.alias("s")).schema["s"].dataType)
+        .alias("__r"),
+    )
+    r_tag = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_t).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None)
+        .cast(left.select(F.struct(*lcols).alias("s")).schema["s"].dataType)
+        .alias("__l"),
+        r_struct.alias("__r"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    order = W.partitionBy("__k").orderBy("__t", "__is_left")
+    prev_w = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    next_w = order.rowsBetween(W.currentRow, W.unboundedFollowing)
+    # rights sort before lefts at equal __t, so an exact-t right lands in
+    # the PREV window (distance 0) and never in NEXT — no double match
+    both = unioned.select(
+        "*",
+        F.last("__r", ignorenulls=True).over(prev_w).alias("__prev"),
+        F.first("__r", ignorenulls=True).over(next_w).alias("__next"),
+    ).filter(F.col("__is_left") == 1)
+    # unix_timestamp, not CAST AS LONG: the NTZ->BIGINT cast is rejected
+    # (session tz pinned UTC, so the epoch arithmetic is value-exact)
+    t = F.unix_timestamp(F.col("__t"))
+    d_prev = t - F.unix_timestamp(F.col("__prev.__rt"))
+    d_next = F.unix_timestamp(F.col("__next.__rt")) - t
+    prev_ok = F.col("__prev").isNotNull() & (d_prev <= tolerance_s)
+    next_ok = F.col("__next").isNotNull() & (d_next <= tolerance_s)
+    # equal distance -> the at-or-before row wins (<=, not <)
+    match = (
+        F.when(prev_ok & next_ok, F.when(d_prev <= d_next, F.col("__prev.p")).otherwise(F.col("__next.p")))
+        .when(prev_ok, F.col("__prev.p"))
+        .when(next_ok, F.col("__next.p"))
+    )
+    out = both.withColumn("__match", match)
+    return out.select(
+        *[F.col("__l")[c].alias(c) for c in lcols],
+        *[F.col("__match")[c].alias(c) for c in right_payload],
+    )

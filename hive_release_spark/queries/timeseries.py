@@ -211,3 +211,62 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1),
+    c AS (
+      SELECT e.event_id, r.o_orderkey, r.o_totalprice,
+             row_number() OVER (PARTITION BY e.event_id
+               ORDER BY abs(epoch(e.ts) - epoch(r.o_orderdate)),
+                        CASE WHEN r.o_orderdate <= e.ts THEN 0 ELSE 1 END,
+                        r.o_orderkey) AS rn
+      FROM events e JOIN r ON e.user_id = r.o_custkey
+       AND abs(epoch(e.ts) - epoch(r.o_orderdate)) <= 2592000)
+    SELECT e.event_id, e.user_id, e.ts, b.o_orderkey, b.o_totalprice
+    FROM events e LEFT JOIN (SELECT * FROM c WHERE rn = 1) b USING (event_id)
+    ORDER BY e.event_id
+    """,
+    tags=("join", "asof", "timeseries"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join with a 30-day tolerance: each event
+    matched to the user's CLOSEST order in either direction (pandas
+    ``merge_asof(direction='nearest')``), ties resolved to the
+    at-or-before row. One key exchange + two window passes over a
+    single per-key sort — see operators/asof.asof_join_nearest; the
+    oracle is the quadratic range-join + argmin formulation this
+    operator exists to avoid (fine at oracle scale, a scale-killer at
+    100 TB). Right side pre-deduped per (custkey, orderdate) in both
+    engines."""
+    from hive_release_spark.operators.asof import asof_join_nearest
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    orders_d = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderdate",
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    return asof_join_nearest(
+        events,
+        orders_d,
+        on="user_id",
+        left_t="ts",
+        right_t="o_orderdate",
+        tolerance_s=2592000,
+        right_payload=["o_orderkey", "o_totalprice"],
+    ).orderBy("event_id")

@@ -304,3 +304,68 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lag(p, 1) IGNORE NULLS OVER (PARTITION BY o_custkey ORDER BY o_orderkey)"
         ).alias("prev_nn"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_groups_frame",
+    oracle="""
+    WITH d AS (
+      SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity, l_extendedprice,
+             dense_rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity) AS g
+      FROM lineitem WHERE l_suppkey % 100 = 0)
+    SELECT a.l_orderkey, a.l_linenumber, a.l_suppkey, a.l_quantity,
+           round((SELECT sum(b.l_extendedprice) FROM d b
+                  WHERE b.l_suppkey = a.l_suppkey
+                    AND b.g BETWEEN a.g - 2 AND a.g), 2) AS grp_sum,
+           CAST((SELECT count(*) FROM d b
+                 WHERE b.l_suppkey = a.l_suppkey
+                   AND b.g BETWEEN a.g - 2 AND a.g) AS BIGINT) AS grp_rows
+    FROM d a
+    ORDER BY a.l_orderkey, a.l_linenumber
+    """,
+    tags=("window", "frames", "groups"),
+)
+def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS frames — the third SQL:2011 frame unit (peer groups of the
+    ORDER BY value), which Spark does not implement (ROWS and RANGE
+    only). Emulated losslessly: dense_rank collapses peers to a group
+    index, the frame aggregate runs as a ROWS frame over the ONE-row-
+    per-group partial frame (where ROWS == GROUPS by construction), and
+    a join on (partition, group index) fans the result back to the
+    detail rows. DuckDB doesn't implement GROUPS either, so the oracle
+    is the INDEPENDENT formulation: a correlated range aggregate over
+    the dense_rank index (sum over rows whose group index is within 2)
+    — the definitionally-direct quadratic shape this emulation avoids.
+
+    Scale: peers collapse via a partial-agged groupBy on the SAME
+    (suppkey, quantity) key the window sorts on; the running frame then
+    operates on the group-cardinality frame, never the detail rows, and
+    the fan-back join is key-partitioned. Shuffles: one exchange on
+    suppkey reused by the groupBy/window/join chain."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") % 100 == 0)
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity", "l_extendedprice")
+    )
+    grp = li.groupBy("l_suppkey", "l_quantity").agg(
+        F.sum("l_extendedprice").alias("g_sum"), F.count("*").alias("g_rows")
+    )
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_quantity")
+        .rowsBetween(-2, W.currentRow)
+    )
+    framed = grp.select(
+        "l_suppkey",
+        "l_quantity",
+        F.round(F.sum("g_sum").over(w), 2).alias("grp_sum"),
+        F.sum("g_rows").over(w).alias("grp_rows"),
+    )
+    return (
+        li.join(framed, ["l_suppkey", "l_quantity"])
+        .select(
+            "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity",
+            "grp_sum", "grp_rows",
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

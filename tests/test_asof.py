@@ -110,3 +110,67 @@ def test_asof_join_rejects_colliding_payload_columns(spark):
     right = spark.createDataFrame([(1, _t(0), "y")], "k BIGINT, t TIMESTAMP, tag STRING")
     with pytest.raises(ValueError, match="duplicate columns"):
         asof_join(left, right, on="k", left_t="t", right_t="t", right_payload=["tag"])
+
+
+def test_asof_join_nearest_semantics(spark):
+    from hive_release_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [
+            (1, _t(0), 100),   # right at t=1 is 60s after -> within tol
+            (1, _t(6), 101),   # rights at 5 (60s back) and 10 (240s fwd) -> prev
+            (1, _t(9), 102),   # rights at 5 (240s) and 10 (60s) -> next
+            (1, _t(40), 103),  # nearest right is 30min away -> beyond tol, NULL
+            (2, _t(3), 200),   # equal distance to 1 and 5 -> at-or-before wins
+        ],
+        "k BIGINT, t TIMESTAMP, ev BIGINT",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _t(1), "r1"),
+            (1, _t(5), "r5"),
+            (1, _t(10), "r10"),
+            (2, _t(1), "z1"),
+            (2, _t(5), "z5"),
+        ],
+        "k BIGINT, t TIMESTAMP, tag STRING",
+    )
+    out = {
+        r.ev: r.tag
+        for r in asof_join_nearest(
+            left,
+            right.withColumnRenamed("t", "rt"),
+            on="k",
+            left_t="t",
+            right_t="rt",
+            tolerance_s=600,
+            right_payload=["tag"],
+        ).collect()
+    }
+    assert out == {100: "r1", 101: "r5", 102: "r10", 103: None, 200: "z1"}
+
+
+def test_asof_join_nearest_matches_pandas(spark):
+    import pandas as pd
+
+    from hive_release_spark.operators.asof import asof_join_nearest
+
+    left_rows = [(k, _t(m), k * 1000 + m) for k in (1, 2) for m in range(0, 50, 3)]
+    right_rows = [(k, _t(m), f"r{k}_{m}") for k in (1, 2) for m in (2, 11, 29)]
+    left = spark.createDataFrame(left_rows, "k BIGINT, t TIMESTAMP, ev BIGINT")
+    right = spark.createDataFrame(right_rows, "k BIGINT, rt TIMESTAMP, tag STRING")
+    got = (
+        asof_join_nearest(
+            left, right, on="k", left_t="t", right_t="rt",
+            tolerance_s=300, right_payload=["tag"],
+        )
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    lp = pd.DataFrame(left_rows, columns=["k", "t", "ev"]).sort_values("t")
+    rp = pd.DataFrame(right_rows, columns=["k", "rt", "tag"]).sort_values("rt")
+    exp = pd.merge_asof(
+        lp, rp, left_on="t", right_on="rt", by="k",
+        direction="nearest", tolerance=pd.Timedelta(seconds=300),
+    ).sort_values(["k", "t"])
+    assert list(got["tag"].fillna("-")) == list(exp["tag"].fillna("-"))
