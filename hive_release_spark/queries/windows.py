@@ -328,44 +328,36 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPS frames — the third SQL:2011 frame unit (peer groups of the
     ORDER BY value), which Spark does not implement (ROWS and RANGE
-    only). Emulated losslessly: dense_rank collapses peers to a group
-    index, the frame aggregate runs as a ROWS frame over the ONE-row-
-    per-group partial frame (where ROWS == GROUPS by construction), and
-    a join on (partition, group index) fans the result back to the
-    detail rows. DuckDB doesn't implement GROUPS either, so the oracle
-    is the INDEPENDENT formulation: a correlated range aggregate over
-    the dense_rank index (sum over rows whose group index is within 2)
-    — the definitionally-direct quadratic shape this emulation avoids.
+    only). Emulated losslessly in TWO window passes over ONE exchange:
+    dense_rank assigns each peer group a consecutive index g, and a
+    RANGE frame over g ([g-2, g]) is then *definitionally* GROUPS
+    BETWEEN 2 PRECEDING AND CURRENT ROW — peers share g, so the value
+    frame on the index IS the group frame on the rows. No peer-collapse
+    groupBy, no fan-back join. DuckDB doesn't implement GROUPS either,
+    so the oracle is the INDEPENDENT formulation: a correlated range
+    aggregate over the dense_rank index — the definitionally-direct
+    quadratic shape this emulation avoids.
 
-    Scale: peers collapse via a partial-agged groupBy on the SAME
-    (suppkey, quantity) key the window sorts on; the running frame then
-    operates on the group-cardinality frame, never the detail rows, and
-    the fan-back join is key-partitioned. Shuffles: one exchange on
-    suppkey reused by the groupBy/window/join chain."""
+    Scale: both windows ride the same suppkey partitioning and
+    (quantity/g) sort — one exchange + one sort total; the frame
+    aggregate is a running codegen window, never a self-join."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_suppkey") % 100 == 0)
         .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity", "l_extendedprice")
     )
-    grp = li.groupBy("l_suppkey", "l_quantity").agg(
-        F.sum("l_extendedprice").alias("g_sum"), F.count("*").alias("g_rows")
-    )
-    w = (
+    wq = W.partitionBy("l_suppkey").orderBy("l_quantity")
+    ranked = li.withColumn("g", F.dense_rank().over(wq))
+    wg = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_quantity")
-        .rowsBetween(-2, W.currentRow)
+        .orderBy("g")
+        .rangeBetween(-2, W.currentRow)
     )
-    framed = grp.select(
+    return ranked.select(
+        "l_orderkey",
+        "l_linenumber",
         "l_suppkey",
         "l_quantity",
-        F.round(F.sum("g_sum").over(w), 2).alias("grp_sum"),
-        F.sum("g_rows").over(w).alias("grp_rows"),
-    )
-    return (
-        li.join(framed, ["l_suppkey", "l_quantity"])
-        .select(
-            "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity",
-            "grp_sum", "grp_rows",
-        )
-        .orderBy("l_orderkey", "l_linenumber")
-    )
+        F.round(F.sum("l_extendedprice").over(wg), 2).alias("grp_sum"),
+        F.count("*").over(wg).alias("grp_rows"),
+    ).orderBy("l_orderkey", "l_linenumber")
