@@ -344,3 +344,76 @@ def orders_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bucket").cast("int").alias("bucket"), "n_orders", "lo", "hi", "bucket_value")
         .orderBy("bucket")
     )
+
+
+@register(
+    "events_sessionize_ids",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN date_diff('second',
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                      ts) > 1800
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WHERE user_id % 11 = 0),
+    s AS (SELECT user_id, event_id, ts, value,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_n
+          FROM g)
+    SELECT user_id, CAST(session_n AS INTEGER) AS session_n,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
+               AS duration_s,
+           round(sum(value), 2) AS session_value
+    FROM s GROUP BY 1, 2 ORDER BY user_id, session_n
+    """,
+    tags=("analytics", "events", "session", "window"),
+)
+def events_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with explicit session IDS — the assignment
+    twin of the session-window AGGREGATES (`stream_session`): every
+    event gets a per-user session number (30-min inactivity gap), then
+    per-session stats. Same gaps-and-islands machinery as
+    `user_state_scd2`, keyed on time gaps instead of state changes;
+    one user_id exchange feeds the gap window, the running sum, and
+    the session aggregate (each key refines the partitioning). The
+    per-user session numbering is the join key downstream funnel /
+    attribution queries need, which the windowed aggregate alone
+    cannot provide. Cohort filter (user_id % 11) bounds driver output.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 11 == 0)
+        .select("user_id", "event_id", "ts", "value")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    g = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    s = g.withColumn(
+        "session_n", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        s.groupBy("user_id", "session_n")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).alias("duration_s"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_n").cast("int").alias("session_n"),
+            "n_events",
+            "session_start",
+            "duration_s",
+            "session_value",
+        )
+        .orderBy("user_id", "session_n")
+    )

@@ -406,3 +406,63 @@ def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_fp") <= 0.1 * (F.col("n_cust") - F.col("n_true"))
         ).alias("fpp_ok"),
     )
+
+
+@register(
+    "agg_hll_intersect_estimate",
+    oracle="""
+    WITH a AS (SELECT DISTINCT l_partkey FROM lineitem
+               WHERE l_returnflag = 'N'),
+    b AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+    SELECT (SELECT count(*) FROM a) AS ndv_a,
+           (SELECT count(*) FROM b) AS ndv_b,
+           (SELECT count(*) FROM a JOIN b USING (l_partkey))
+               AS intersect_exact,
+           TRUE AS estimate_within_5pct_of_union
+    """,
+    tags=("agg", "sketch", "setops"),
+)
+def agg_hll_intersect_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-INTERSECTION cardinality from mergeable sketches via
+    inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), all three
+    terms from HLL sketches (the union by sketch merge, never a
+    re-scan). This is the theta-sketch use case expressed with the
+    sketches Spark ships: two audience segments' overlap at 100 TB
+    costs two partial-agged sketch builds + one tiny merge — no
+    distinct-join. Inclusion-exclusion amplifies relative error (the
+    documented trade vs. real theta sketches), so the oracle pins the
+    exact terms and a ±5%-of-union error bound on the estimate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "N")
+    b = li.filter(F.col("l_returnflag") == "R")
+    sk = (
+        a.agg(F.hll_sketch_agg("l_partkey").alias("sk_a"))
+        .crossJoin(b.agg(F.hll_sketch_agg("l_partkey").alias("sk_b")))
+        .select(
+            F.hll_sketch_estimate("sk_a").alias("est_a"),
+            F.hll_sketch_estimate("sk_b").alias("est_b"),
+            F.hll_sketch_estimate(
+                F.hll_union("sk_a", "sk_b")
+            ).alias("est_u"),
+        )
+    )
+    exact = (
+        a.select("l_partkey")
+        .distinct()
+        .join(b.select("l_partkey").distinct(), "l_partkey")
+        .agg(F.count("*").alias("intersect_exact"))
+        .crossJoin(a.agg(F.countDistinct("l_partkey").alias("ndv_a")))
+        .crossJoin(b.agg(F.countDistinct("l_partkey").alias("ndv_b")))
+    )
+    return exact.crossJoin(sk).select(
+        "ndv_a",
+        "ndv_b",
+        "intersect_exact",
+        (
+            F.abs(
+                (F.col("est_a") + F.col("est_b") - F.col("est_u"))
+                - F.col("intersect_exact")
+            )
+            <= 0.05 * F.col("est_u")
+        ).alias("estimate_within_5pct_of_union"),
+    )
