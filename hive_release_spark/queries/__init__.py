@@ -87,7 +87,13 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 # orders_backlog_curve, events_hourly_seasonality,
 # orders_priority_mix_shift, events_user_lifecycle,
 # region_nation_share, part_type_hhi, plus any entry red in
-# CORRECTNESS_r04.
+# CORRECTNESS_r04, plus the post-freeze r4 additions (all locally green
+# on the sf0.001/0.01 + parity + partitions sweeps):
+# events_rolling_active_users, user_state_scd2,
+# customer_interval_coverage, sample_weighted, graph_pagerank,
+# graph_triangles, decontaminate_fuzzy, sim_hard_negatives,
+# orders_equidepth_histogram, join_asof_nearest, window_groups_frame,
+# agg_hll_intersect_estimate, events_sessionize_ids.
 DRIVER_WINDOW = [
     # r3-red repairs, driver-witnessed red→green
     "q12_shipmode_priority",
