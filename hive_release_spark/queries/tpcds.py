@@ -239,3 +239,64 @@ def ds_year_over_year_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("spend_1996") > 0) & (F.col("spend_1997") > F.col("spend_1996")))
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "ds_channel_rollup",
+    oracle="""
+    WITH u AS (
+      SELECT 'orders' AS channel,
+             strftime(o_orderdate, '%Y-%m') AS mon,
+             o_totalprice AS amount
+      FROM orders
+      UNION ALL
+      SELECT 'returns' AS channel,
+             strftime(l_shipdate, '%Y-%m') AS mon,
+             l_extendedprice AS amount
+      FROM lineitem WHERE l_returnflag = 'R')
+    SELECT channel, mon,
+           count(*) AS n_rows, round(sum(amount), 2) AS amount
+    FROM u GROUP BY GROUPING SETS ((channel, mon), (channel), ())
+    ORDER BY channel NULLS FIRST, mon NULLS FIRST
+    """,
+    tags=("tpcds", "setops", "grouping_sets", "rollup"),
+)
+def ds_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q5/q77 shape: per-channel revenue rolled up across a
+    UNION of heterogeneous fact sources (here: order intake vs returned
+    line items), with grouping sets producing the per-(channel, month),
+    per-channel, and grand-total levels in ONE pass. The spec idiom
+    computes each channel's rollup separately and unions the
+    aggregates; this form unions the (pruned, pre-projected) detail
+    streams and lets a single Expand + partial agg serve every level —
+    each fact is scanned once, and the union adds no shuffle (it is a
+    physical concatenation). Both scans carry their filters/projections
+    down (returns channel prunes on l_returnflag at the parquet scan).
+    The month key is a string: a DATE-typed NULL rollup key reaches the
+    driver's pandas canon as NaT while DuckDB's reaches it as None —
+    same value, different representation (the r3 lesson class).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.lit("orders").alias("channel"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("mon"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    r = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            F.lit("returns").alias("channel"),
+            F.date_format("l_shipdate", "yyyy-MM").alias("mon"),
+            F.col("l_extendedprice").alias("amount"),
+        )
+    )
+    return (
+        o.unionByName(r)
+        .groupingSets(
+            [["channel", "mon"], ["channel"], []], "channel", "mon"
+        )
+        .agg(F.count("*").alias("n_rows"), F.round(F.sum("amount"), 2).alias("amount"))
+        .orderBy(
+            F.col("channel").asc_nulls_first(), F.col("mon").asc_nulls_first()
+        )
+    )
