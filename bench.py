@@ -55,6 +55,8 @@ HEADLINE = (
     "pipeline_corpus_build",   # normalize→quality→dedup→report chain (new r4)
     "dedup_jaccard_prefix",    # prefix-filtered exact Jaccard (vs plain postings)
     "sim_ann_pq",              # product-quantization ADC ANN (new r4)
+    "graph_pagerank",          # iterative-join class: 3 Pregel rounds (new r4)
+    "events_rolling_active_users",  # sliding COUNT(DISTINCT): explode-vs-range-join (new r4)
 )
 
 

@@ -111,3 +111,38 @@ def test_sample_weighted_prefers_heavy_docs(spark):
         sample_weighted(spark, SF_SMOKE).agg(F.avg("n_chars")).collect()[0][0]
     )
     assert sample_mean > corpus_mean
+
+
+def test_groups_frame_single_data_exchange(spark):
+    """The GROUPS emulation must share ONE suppkey exchange between the
+    dense_rank and frame windows (the output sort exchange aside) — no
+    peer-collapse groupBy, no fan-back join."""
+    from hive_release_spark.queries.windows import window_groups_frame
+
+    plan = _plan(window_groups_frame(spark, SF_SMOKE), "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_channel_rollup_scans_each_fact_once(spark):
+    """q5/q77 shape: one Expand serves every grouping-sets level; each
+    fact file appears exactly once in the plan."""
+    from hive_release_spark.queries.tpcds import ds_channel_rollup
+
+    plan = _plan(ds_channel_rollup(spark, SF_SMOKE), "simple")
+    assert plan.count("orders.parquet") == 1
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("Expand") == 1
+
+
+def test_asof_nearest_single_key_exchange(spark):
+    """Nearest must cost the same single key exchange as backward —
+    the second direction is a window pass, not a second shuffle."""
+    from hive_release_spark.queries.timeseries import join_asof_nearest
+
+    plan = _plan(join_asof_nearest(spark, SF_SMOKE), "simple")
+    assert "Join" not in plan  # union + windows, no join operator
+    assert "CartesianProduct" not in plan
+    # union-window exchange + the right-side (custkey, orderdate) dedup
+    # exchange — exactly the backward variant's footprint
+    assert plan.count("Exchange hashpartitioning") == 2
