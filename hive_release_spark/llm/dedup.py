@@ -577,7 +577,17 @@ def prefix_candidate_pairs(
     ceil(t*m) - 1). candidates = distinct (doc_a < doc_b) prefix
     collisions; doc_sets = (doc_id, n_sh, all_h sorted hash array) for
     the exact verification step."""
-    ex = _exploded_shingles(docs, n, id_col, text_col)
+    from pyspark import StorageLevel
+
+    # ONE corpus scan: the exploded shingle frame feeds both the
+    # document-frequency build and the df-attach join, and the ordered
+    # per-doc frame feeds both the prefix postings and the verification
+    # doc sets — without the persists each consumer re-runs the
+    # scan -> tokenize -> shingle lineage (the MinHash-base rule,
+    # SCALE.md deliberate-persist inventory).
+    ex = _exploded_shingles(docs, n, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     dfreq = ex.groupBy("s_h").agg(F.count("*").alias("df"))
     exr = ex.join(dfreq, "s_h")
     per_doc = exr.groupBy("doc_id").agg(
@@ -594,7 +604,7 @@ def prefix_candidate_pairs(
             "pref"
         ),
         F.sort_array(F.transform("ordered", lambda x: x["s_h"])).alias("all_h"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     doc_sets = pref.select("doc_id", "n_sh", "all_h")
     postings = (
         pref.select("doc_id", F.explode("pref").alias("s_h"))
