@@ -461,3 +461,63 @@ def ds_cross_channel_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_view") > 0) & (F.col("n_click") > 0) & (F.col("n_purchase") > 0))
         .orderBy("user_id")
     )
+
+
+@register(
+    "sql_recursive_calendar",
+    oracle="""
+    WITH RECURSIVE days(day) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT day + 1 FROM days WHERE day < DATE '1995-01-31'
+    ),
+    per_day AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             count(*) AS n, round(sum(o_totalprice), 2) AS v
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1995-02-01'
+      GROUP BY 1)
+    SELECT d.day AS day,
+           coalesce(p.n, 0) AS n_orders,
+           coalesce(p.v, 0.0) AS order_value
+    FROM days d LEFT JOIN per_day p USING (day)
+    ORDER BY d.day
+    """,
+    tags=("sql", "recursive", "calendar"),
+)
+def sql_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE — the SQL:1999 recursion surface Spark gained in
+    4.0 (and Hive 2.3 lacks entirely): a recursive date spine
+    zero-fills calendar gaps in a daily aggregate, the reporting idiom
+    behind every "no orders that day is a 0, not a missing row" chart.
+    Bounded, acyclic recursion (31 steps — each recursion step is a
+    driver-scheduled iteration, so spines belong in the tens, not
+    thousands: generate long spines with ``sequence()`` instead; Spark's recursive CTEs allow
+    UNION ALL only, so cyclic closures stay with the min-label operator
+    `dedup_connected_components`). Run through ``spark.sql`` verbatim
+    modulo the two dialects' date-arithmetic spellings; at scale the
+    spine is dim-sized and broadcast into the left join while the fact
+    aggregate is one partial-agged shuffle."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        WITH RECURSIVE days(day) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT date_add(day, 1) FROM days WHERE day < DATE '1995-01-31'
+        ),
+        per_day AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 count(*) AS n, round(sum(o_totalprice), 2) AS v
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1995-02-01'
+          GROUP BY 1)
+        SELECT /*+ BROADCAST(d) */ d.day AS day,
+               coalesce(p.n, 0) AS n_orders,
+               coalesce(p.v, 0.0) AS order_value
+        FROM days d LEFT JOIN per_day p USING (day)
+        ORDER BY d.day
+        """
+    )
