@@ -521,3 +521,111 @@ def sql_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.day
         """
     )
+
+
+@register(
+    "fn_sql_macro",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS disc_total,
+           round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2)
+               AS charged_total
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("functions", "extension", "macro", "sql_udf"),
+)
+def fn_sql_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive ``CREATE TEMPORARY MACRO`` parity through Spark 4 SQL UDFs
+    (CREATE TEMPORARY FUNCTION ... RETURNS ... RETURN expr): named,
+    reusable scalar expressions defined in PURE SQL — no Python, no
+    JAR, and the body inlines into the plan, so whole-stage codegen
+    treats it exactly like the written-out expression (zero call
+    overhead, pushdown-transparent). The two macros reproduce the q1
+    money expressions; the oracle writes the bodies inline, which is
+    precisely the semantics a macro must preserve."""
+    register_views(spark, sf_dir, ("lineitem",))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN disc_price(p, d) * (1.0 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(sum(disc_price(l_extendedprice, l_discount)), 2)
+                   AS disc_total,
+               round(sum(charged(l_extendedprice, l_discount, l_tax)), 2)
+                   AS charged_total
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("sql", "extension", "pipe"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's ``|>`` operators, the linear
+    FROM-first form): parses to the IDENTICAL logical plan as the
+    nested-clause spelling, so every Catalyst optimization (pushdown,
+    partial agg) applies unchanged — the oracle is that standard
+    spelling."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS total
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "sql_lateral_alias",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1.0 - l_discount) AS net,
+           net * (1.0 + l_tax) AS charged,
+           charged - net AS tax_paid
+    FROM lineitem
+    WHERE l_quantity >= 49
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("sql", "extension", "lateral_alias"),
+)
+def sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases: later SELECT items reference earlier
+    aliases (``net`` -> ``charged`` -> ``tax_paid``) instead of
+    re-spelling the expression — resolved at analysis time into the
+    expanded expressions, so the physical plan is identical to the
+    written-out form (row-level money arithmetic stays un-rounded:
+    raw IEEE doubles are bit-identical across engines; the repo
+    round-rule applies only to aggregates). DuckDB resolves the same
+    syntax natively, making the oracle nearly verbatim."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1.0 - l_discount) AS net,
+               net * (1.0 + l_tax) AS charged,
+               charged - net AS tax_paid
+        FROM lineitem
+        WHERE l_quantity >= 49
+        ORDER BY l_orderkey, l_linenumber
+        """
+    )
