@@ -417,3 +417,61 @@ def events_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_n")
     )
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS view_id, user_id, ts FROM events
+          WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, p.ts, v.view_id,
+           CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS lag_s,
+           round(p.value, 2) AS credited_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY p.event_id
+    """,
+    tags=("analytics", "events", "attribution", "asof"),
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credits the user's most
+    recent preceding view — the marketing-analytics primitive, and
+    exactly an AS-OF join of the purchase stream onto the view stream
+    (operators/asof.py: union + carry-forward, one user_id exchange, no
+    range explosion). The SQL idiom is a correlated argmax per
+    purchase; DuckDB's native ASOF LEFT JOIN is the oracle. View ids
+    ride the carried payload so downstream budget attribution can join
+    campaign dimensions on them. (event_id, ts) are unique per user in
+    the fixture — pinned by test_fixture_contract — so the match is
+    deterministic."""
+    from hive_release_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    out = asof_join(
+        p,
+        v,
+        on="user_id",
+        left_t="ts",
+        right_t="view_ts",
+        right_payload=["view_id", "view_ts"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "view_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp("view_ts")
+        ).cast("long").alias("lag_s"),
+        F.round("value", 2).alias("credited_value"),
+    ).orderBy("event_id")

@@ -552,3 +552,70 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register(
+    "emb_matryoshka_recall",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    fr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id)
+                   AS rk
+        FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 20) WHERE rk <= 5),
+    tr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v[1:16], c.v[1:16]) DESC,
+                          c.vec_id) AS rk
+        FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 20) WHERE rk <= 5),
+    ov AS (SELECT query_id, count(*) AS n_overlap
+           FROM fr JOIN tr USING (query_id, neighbor_id) GROUP BY 1)
+    SELECT q.query_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           round(coalesce(ov.n_overlap, 0) / 5.0, 2) AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM fr) q
+    LEFT JOIN ov USING (query_id)
+    ORDER BY q.query_id
+    """,
+    tags=("llm", "similarity", "embedding", "matryoshka"),
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval quality: top-5 neighbors from the
+    FIRST 16 of 64 dimensions vs the full-dimension ranking, reported
+    as per-query overlap/recall — the evaluation a pipeline runs before
+    serving truncated (4x cheaper to scan and shuffle) MRL embeddings.
+    Two broadcast-query rank passes over one corpus (the truncated pass
+    scans 1/4 of the vector bytes — the whole point) + a skinny overlap
+    join on (query, neighbor); the corpus never shuffles. Fully
+    deterministic (cosine tie-break on neighbor id), so recall itself
+    is oracle-gated — no tolerance band needed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    full = similarity.brute_force_topk(q, emb, k=5)
+    trunc = similarity.brute_force_topk(
+        q.withColumn("embedding", F.slice("embedding", 1, 16)),
+        emb.withColumn("embedding", F.slice("embedding", 1, 16)),
+        k=5,
+    )
+    ov = (
+        full.select("query_id", "neighbor_id")
+        .join(trunc.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        full.select("query_id")
+        .distinct()
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)) / 5.0, 2).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
