@@ -93,7 +93,10 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 # customer_interval_coverage, sample_weighted, graph_pagerank,
 # graph_triangles, decontaminate_fuzzy, sim_hard_negatives,
 # orders_equidepth_histogram, join_asof_nearest, window_groups_frame,
-# agg_hll_intersect_estimate, events_sessionize_ids.
+# agg_hll_intersect_estimate, events_sessionize_ids, ds_channel_rollup,
+# sql_recursive_calendar, fn_sql_macro, sql_pipe_syntax,
+# sql_lateral_alias, events_attribution_last_touch,
+# emb_matryoshka_recall, fn_hof_surface.
 DRIVER_WINDOW = [
     # r3-red repairs, driver-witnessed red→green
     "q12_shipmode_priority",

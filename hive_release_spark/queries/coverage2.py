@@ -466,3 +466,50 @@ def agg_hll_intersect_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("est_u")
         ).alias("estimate_within_5pct_of_union"),
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_quantity, count(*) AS cnt
+      FROM lineitem GROUP BY 1, 2),
+    r AS (
+      SELECT l_returnflag, l_quantity, cnt,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY cnt DESC, l_quantity) AS rk
+      FROM c)
+    SELECT l_returnflag, l_quantity AS modal_qty, cnt AS modal_count
+    FROM r WHERE rk = 1 ORDER BY l_returnflag
+    """,
+    tags=("agg", "mode", "stats"),
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) with a DETERMINISTIC tie rule —
+    Spark's ``F.mode`` and DuckDB's ``mode()`` both leave ties
+    engine-defined, so the portable formulation is explicit: count per
+    (group, value), then argmax with (count DESC, value ASC). Two
+    partial-agged shuffles, the second over the (group, value)
+    cardinality — at 100 TB the candidate frame is value-domain-sized,
+    never the fact. The per-group argmax is a min(struct) aggregate,
+    not a window: no sort, and WholeStageCodegen keeps it one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("cnt"))
+    best = (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg_cnt"),
+                    F.col("l_quantity").alias("q"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "l_returnflag",
+            F.col("b.q").alias("modal_qty"),
+            (-F.col("b.neg_cnt")).cast("long").alias("modal_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return best

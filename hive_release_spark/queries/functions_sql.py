@@ -774,3 +774,55 @@ def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "fn_hof_surface",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(w, x -> len(x) >= 5)) AS INTEGER) AS n_long,
+           CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT)
+               AS total_chars,
+           CAST(list_has_any(w, ['spark']) AS BOOLEAN) AS has_spark,
+           CAST(NOT list_has_any(list_transform(w, x -> len(x) = 0), [true])
+               AS BOOLEAN) AS all_nonempty,
+           array_to_string(list_transform(w[1:3],
+               x -> upper(x[1:1]) || x[2:]), ' ') AS title3
+    FROM base ORDER BY doc_id
+    """,
+    tags=("functions", "hof", "arrays"),
+)
+def fn_hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lambda higher-order-function family as a named surface —
+    filter / transform / aggregate / exists / forall composed in one
+    pass (Hive 2.3 has no HOFs at all; its users reach for explode +
+    re-collect, one shuffle per step — every column here is a
+    zero-shuffle scan-side expression inside whole-stage codegen, the
+    engine property the repo's dedup/similarity pipelines build on).
+    DuckDB's list_* lambda forms are the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    toks = docs.select("doc_id", w.alias("w"))
+    return toks.select(
+        "doc_id",
+        F.size(F.filter("w", lambda x: F.length(x) >= 5)).alias("n_long"),
+        F.aggregate(
+            F.transform("w", lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.exists("w", lambda x: x == F.lit("spark")).alias("has_spark"),
+        F.forall("w", lambda x: F.length(x) > 0).alias("all_nonempty"),
+        F.array_join(
+            F.transform(
+                F.slice("w", 1, 3),
+                lambda x: F.concat(
+                    F.upper(F.substring(x, 1, 1)), F.substring(x, 2, 1 << 20)
+                ),
+            ),
+            " ",
+        ).alias("title3"),
+    ).orderBy("doc_id")
