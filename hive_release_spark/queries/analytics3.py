@@ -475,3 +475,70 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         ).cast("long").alias("lag_s"),
         F.round("value", 2).alias("credited_value"),
     ).orderBy("event_id")
+
+
+@register(
+    "events_rolling_active_sketch",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT d.day AS day, count(DISTINCT u.user_id) AS active_7d_exact,
+           TRUE AS sketch_within_2pct
+    FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("analytics", "events", "sketch", "window", "mergeable"),
+)
+def events_rolling_active_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKETCH path for sliding-window distinct counts: one HLL
+    sketch per day (a partial-agged daily build over the raw stream),
+    then each report day MERGES its trailing 7 daily sketches — union
+    of sketches, never a re-scan of the window. This is how a 100 TB
+    deployment serves arbitrary trailing windows (7/28/90-day) from
+    one daily-sketch table: incremental (yesterday's sketches never
+    recompute), and the per-day state is one fixed-size sketch instead
+    of a user-id set. The 7-day fan-out joins the DAY-cardinality
+    sketch table, not the event stream — contrast with the exact
+    formulation (`events_rolling_active_users`), which explodes the
+    distinct user-day frame. Oracle pins the exact rolling counts and
+    a ±2% error-bound boolean on the merged estimate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    days = daily.select(F.col("day").alias("obs_day"))
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("obs_day"),
+        "sk",
+    )
+    merged = (
+        contrib.join(F.broadcast(days), "obs_day")
+        .groupBy("obs_day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    exact = (
+        ev.distinct()
+        .select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("obs_day"),
+            "user_id",
+        )
+        .join(F.broadcast(days), "obs_day")
+        .groupBy("obs_day")
+        .agg(F.countDistinct("user_id").alias("active_7d_exact"))
+    )
+    return (
+        exact.join(merged, "obs_day")
+        .select(
+            F.col("obs_day").alias("day"),
+            "active_7d_exact",
+            (
+                F.abs(F.col("est") - F.col("active_7d_exact"))
+                <= 0.02 * F.col("active_7d_exact")
+            ).alias("sketch_within_2pct"),
+        )
+        .orderBy("day")
+    )
