@@ -826,3 +826,68 @@ def fn_hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("title3"),
     ).orderBy("doc_id")
+
+
+def _map_str(col):
+    """Canonical 'k=v,k=v' rendering (entries sorted by key) — maps have
+    engine-internal iteration order and the driver canon rejects raw
+    MAP columns, so every map-valued output goes through this."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(col)),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+        ),
+        ",",
+    )
+
+
+@register(
+    "fn_map_hof",
+    oracle="""
+    SELECT p_partkey,
+           'bucket=' || (p_partkey % 7) * 2 || ',size=' || p_size * 2
+               AS doubled_s,
+           coalesce(array_to_string(list_sort(
+             [x FOR x IN ['bucket=' || p_partkey % 7, 'size=' || p_size]
+                IF CAST(string_split(x, '=')[2] AS BIGINT) % 2 = 0]), ','), '')
+               AS even_kept_s,
+           'bucket=' || p_partkey % 7 || ',extra=5,size=' || p_size + 1
+               AS zip_sum_s,
+           'BUCKET=' || p_partkey % 7 || ',SIZE=' || p_size AS upkeys_s
+    FROM part WHERE p_partkey % 40 = 0
+    ORDER BY p_partkey
+    """,
+    tags=("functions", "map", "hof", "complex_types"),
+)
+def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP lambda family — transform_values / map_filter / map_zip_with
+    / transform_keys, the map half of the HOF surface (fn_hof_surface
+    covers arrays). All zero-shuffle scan-side expressions; map-valued
+    results render through the canonical sorted ``k=v`` string (maps
+    have engine-internal order and are driver-canon-hostile). The
+    oracle computes each result definitionally from the scalar inputs
+    — an independent formulation rather than a DuckDB map-lambda
+    replay, since DuckDB's lambda surface stops at lists."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 40 == 0)
+    m1 = F.create_map(
+        F.lit("size"), F.col("p_size").cast("long"),
+        F.lit("bucket"), (F.col("p_partkey") % 7).cast("long"),
+    )
+    m2 = F.create_map(
+        F.lit("size"), F.lit(1).cast("long"),
+        F.lit("extra"), F.lit(5).cast("long"),
+    )
+    t = p.select("p_partkey", m1.alias("m1"), m2.alias("m2"))
+    return t.select(
+        "p_partkey",
+        _map_str(F.transform_values("m1", lambda k, v: v * 2)).alias("doubled_s"),
+        _map_str(F.map_filter("m1", lambda k, v: v % 2 == 0)).alias("even_kept_s"),
+        _map_str(
+            F.map_zip_with(
+                "m1",
+                "m2",
+                lambda k, v1, v2: F.coalesce(v1, F.lit(0)) + F.coalesce(v2, F.lit(0)),
+            )
+        ).alias("zip_sum_s"),
+        _map_str(F.transform_keys("m1", lambda k, v: F.upper(k))).alias("upkeys_s"),
+    ).orderBy("p_partkey")
