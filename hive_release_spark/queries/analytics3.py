@@ -542,3 +542,109 @@ def events_rolling_active_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "funnel_conversion_window",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+            AND e.ts <= v.t1 + INTERVAL 72 HOUR
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+            AND e.ts <= c.t2 + INTERVAL 72 HOUR
+          GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click_72h,
+           (SELECT count(*) FROM p) AS n_purchase_72h
+    """,
+    tags=("analytics", "events", "funnel", "hof"),
+)
+def funnel_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-BOUNDED funnel: each step converts only within 72 h of the
+    previous step's conversion (the attribution-window semantics real
+    funnel products default to — an unbounded funnel overcounts
+    returning users as converters). Same single-scan shape as
+    `funnel_conversion`: per-user sorted event array + HOF step search,
+    with the window bound riding the same lambda — the oracle's
+    self-join-per-step idiom just grows one predicate. One user_id
+    exchange, (N+1)-counter reduce."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_type")
+    )
+    cur = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("seq")
+    )
+    win = F.expr("INTERVAL 72 HOURS")
+
+    def _first(st):
+        return lambda s: s["event_type"] == st
+
+    def _after_within(st, prev):
+        return lambda s: (
+            (s["event_type"] == st) & (s["ts"] > prev) & (s["ts"] <= prev + win)
+        )
+
+    t1 = F.get(F.filter("seq", _first("view")), 0)["ts"]
+    cur = cur.select("user_id", "seq", t1.alias("t1"))
+    t2 = F.get(F.filter("seq", _after_within("click", F.col("t1"))), 0)["ts"]
+    cur = cur.select("user_id", "seq", "t1", t2.alias("t2"))
+    t3 = F.get(F.filter("seq", _after_within("purchase", F.col("t2"))), 0)["ts"]
+    cur = cur.select("user_id", "t1", "t2", t3.alias("t3"))
+    return cur.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_click_72h"),
+        F.count("t3").alias("n_purchase_72h"),
+    )
+
+
+@register(
+    "orders_trend_forecast",
+    oracle="""
+    WITH m AS (
+      SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS t,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1),
+    fit AS (
+      SELECT regr_slope(rev, t) AS slope, regr_intercept(rev, t) AS icept,
+             max(t) AS t_max, CAST(count(*) AS BIGINT) AS n_months
+      FROM m)
+    SELECT n_months, round(slope, 4) AS slope, round(icept, 2) AS icept,
+           round(icept + slope * (t_max + 1), 2) AS forecast_next
+    FROM fit
+    """,
+    tags=("analytics", "regression", "forecast"),
+)
+def orders_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-trend revenue forecast: monthly revenue -> OLS fit via the
+    regr_* aggregates -> next-month extrapolation. The fit runs on the
+    MONTH-cardinality frame (one partial-agged shuffle collapses the
+    fact; the regression aggregate sees dozens of rows at any corpus
+    size) — the applied companion to the agg_regr family sweep."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (
+            (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+        ).alias("t")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    fit = m.agg(
+        F.regr_slope("rev", "t").alias("slope"),
+        F.regr_intercept("rev", "t").alias("icept"),
+        F.max("t").alias("t_max"),
+        F.count("*").alias("n_months"),
+    )
+    return fit.select(
+        "n_months",
+        F.round("slope", 4).alias("slope"),
+        F.round("icept", 2).alias("icept"),
+        F.round(
+            F.col("icept") + F.col("slope") * (F.col("t_max") + 1), 2
+        ).alias("forecast_next"),
+    )
