@@ -7,6 +7,7 @@ the oracles re-derive the pair set in SQL and unroll the iterations.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
 from hive_release_spark.llm import dedup, graph
@@ -115,3 +116,50 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.5)
     return graph.triangle_stats(pairs)
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+    sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(sum(cluster_size - 1) AS BIGINT) AS docs_dropped
+    FROM sizes GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "graph", "dedup", "neardup"),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER-SIZE distribution — the dedup yield report: for
+    each cluster size, how many clusters and how many documents the
+    min-id survivor rule will drop (size − 1 each). Read next to
+    `dedup_graph_degrees` before running the drop: a long tail of big
+    clusters means template families and a big corpus haircut. One
+    groupBy pair over the CC label frame (skinny); the component labels
+    come from the same min-label propagation as
+    `dedup_connected_components`, oracle-replayed via the recursive-CTE
+    closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum(F.col("cluster_size") - 1).alias("docs_dropped"),
+        )
+        .orderBy("cluster_size")
+    )
