@@ -242,3 +242,53 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.stream_static_join(
         load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
     )
+
+
+def _distinct_users_window(events: DataFrame, with_exact: bool = True) -> DataFrame:
+    """Per-tumbling-day distinct users via HLL sketch (+ the exact count
+    and a ±2% bound in batch mode). ``with_exact=False`` is the
+    STREAMING shape: Spark rejects COUNT(DISTINCT) on streams outright
+    (per-window id sets are unbounded state), so the sketch isn't an
+    optimization there — it is the only way to get the number; its
+    deterministic estimate lets the stream/batch parity test compare
+    sketch to sketch exactly."""
+    base = events.groupBy(F.window("ts", "1 day"))
+    est = F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    if not with_exact:
+        return base.agg(est).select(
+            F.col("window.start").alias("window_start"), "est"
+        )
+    return (
+        base.agg(F.countDistinct("user_id").alias("distinct_exact"), est)
+        .select(
+            F.col("window.start").alias("window_start"),
+            "distinct_exact",
+            (
+                F.abs(F.col("est") - F.col("distinct_exact"))
+                <= 0.02 * F.col("distinct_exact")
+            ).alias("sketch_within_2pct"),
+        )
+    )
+
+
+@register(
+    "stream_distinct_sketch",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP)
+               AS window_start,
+           count(DISTINCT user_id) AS distinct_exact,
+           TRUE AS sketch_within_2pct
+    FROM events GROUP BY 1
+    """,
+    tags=("streaming", "window", "sketch", "distinct"),
+)
+def stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event-time day, exact + sketch (batch
+    execution of the streaming plan; `tests/test_streaming.py` runs the
+    identical plan as a real watermarked stream). Exact streaming
+    COUNT(DISTINCT) needs per-window user-id sets in state — unbounded
+    per-window memory; the HLL sketch is the deployment answer (fixed
+    bytes per window, mergeable for late data and trailing-window
+    rollups — see `events_rolling_active_sketch`). The oracle pins the
+    exact counts and the ±2% sketch bound."""
+    return _distinct_users_window(load_table(spark, sf_dir, "events"))

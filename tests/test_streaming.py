@@ -180,3 +180,31 @@ def test_stream_stream_left_join_closed_region_parity(spark):
     assert all(r[2] is None for r in withheld), withheld
     # outer semantics really exercised: nulls present in the STREAM output
     assert any(r[2] is None for r in s)
+
+
+def test_distinct_sketch_stream_equals_batch(spark):
+    """The per-day distinct-users SKETCH plan must run as a REAL stream
+    and produce bit-equal estimates to its batch twin (deterministic
+    sketches). Streaming rejects exact COUNT(DISTINCT) outright — that
+    rejection is itself pinned here, since it is the entry's claim."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from hive_release_spark.queries.streaming_batch import _distinct_users_window
+
+    batch = _distinct_users_window(_batch_events(spark), with_exact=False)
+    stream = P.run_available_now(
+        _distinct_users_window(
+            P.load_events_stream(spark, SF_SMOKE), with_exact=False
+        ),
+        "t_distinct_sketch_test",
+    )
+    cols = ["window_start", "est"]
+    assert _collect_set(batch, cols) == _collect_set(stream, cols)
+    with pytest.raises(AnalysisException, match="[Dd]istinct"):
+        P.run_available_now(
+            _distinct_users_window(
+                P.load_events_stream(spark, SF_SMOKE), with_exact=True
+            ),
+            "t_distinct_exact_must_fail",
+        )
