@@ -648,3 +648,72 @@ def orders_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("icept") + F.col("slope") * (F.col("t_max") + 1), 2
         ).alias("forecast_next"),
     )
+
+
+@register(
+    "dq_distribution_drift_psi",
+    oracle="""
+    WITH b AS (
+      SELECT year(o_orderdate) AS yr,
+             least(CAST(floor(o_totalprice / 50000) AS INTEGER), 9) AS bucket
+      FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+    c AS (SELECT bucket,
+                 count(CASE WHEN yr = 1995 THEN 1 END) AS na,
+                 count(CASE WHEN yr = 1996 THEN 1 END) AS nb
+          FROM b GROUP BY 1),
+    t AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb
+          FROM c),
+    psi AS (
+      SELECT sum(((na + 0.5) / (ta + 5.0) - (nb + 0.5) / (tb + 5.0))
+                 * ln(((na + 0.5) / (ta + 5.0)) / ((nb + 0.5) / (tb + 5.0))))
+                 AS v
+      FROM c CROSS JOIN t)
+    SELECT t.ta AS n_1995, t.tb AS n_1996,
+           round(psi.v, 6) AS psi,
+           psi.v > 0.1 AS drifted
+    FROM t CROSS JOIN psi
+    """,
+    tags=("analytics", "dq", "drift", "monitoring"),
+)
+def dq_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two periods' order-value
+    distributions — the standard drift statistic an ML/data-quality
+    monitor computes per feature per tick (PSI > 0.1 = investigate,
+    > 0.25 = act). Fixed 50k-wide value buckets (top-coded at bucket
+    9) keep binning deterministic across engines and corpus sizes;
+    the +0.5/+5.0 Laplace smoothing keeps empty bins finite, exactly
+    replayed by the oracle. One scan -> bucket counts (conditional
+    agg, one shuffle of a 10-row frame) -> driver-free PSI fold via
+    two 1-row crossJoin attaches (the repo's threshold-attach
+    pattern)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    b = o.select(
+        F.year("o_orderdate").alias("yr"),
+        F.least(
+            F.floor(F.col("o_totalprice") / 50000).cast("int"), F.lit(9)
+        ).alias("bucket"),
+    )
+    c = b.groupBy("bucket").agg(
+        F.count(F.when(F.col("yr") == 1995, 1)).alias("na"),
+        F.count(F.when(F.col("yr") == 1996, 1)).alias("nb"),
+    )
+    t = c.agg(
+        F.sum("na").cast("long").alias("ta"), F.sum("nb").cast("long").alias("tb")
+    )
+    pa = (F.col("na") + 0.5) / (F.col("ta") + 5.0)
+    pb = (F.col("nb") + 0.5) / (F.col("tb") + 5.0)
+    psi = (
+        c.crossJoin(F.broadcast(t))
+        .agg(F.sum((pa - pb) * F.log(pa / pb)).alias("v"))
+    )
+    return (
+        t.crossJoin(F.broadcast(psi))
+        .select(
+            F.col("ta").alias("n_1995"),
+            F.col("tb").alias("n_1996"),
+            F.round("v", 6).alias("psi"),
+            (F.col("v") > 0.1).alias("drifted"),
+        )
+    )
