@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hive_release_spark.catalog import load_table
+from hive_release_spark.catalog import load_table, register_views
 from hive_release_spark.queries.registry import register
 
 
@@ -891,3 +891,83 @@ def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("zip_sum_s"),
         _map_str(F.transform_keys("m1", lambda k, v: F.upper(k))).alias("upkeys_s"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "fn_try_family",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE o_totalprice / (o_orderkey % 3) END AS safe_div,
+           TRY_CAST(CASE WHEN o_orderkey % 2 = 0
+                         THEN CAST(o_orderkey AS VARCHAR)
+                         ELSE o_orderstatus END AS BIGINT) AS maybe_num,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE CAST(o_orderkey % 5 AS BIGINT) END AS elem5
+    FROM orders WHERE o_orderkey % 7 = 0
+    ORDER BY o_orderkey
+    """,
+    tags=("functions", "ansi", "try"),
+)
+def fn_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The try_* error-safe family (try_divide / try_cast / NULL-on-
+    failure semantics) — how Hive's permissive expression behavior
+    (x/0 = NULL, bad cast = NULL) is written under the ANSI-on session
+    this repo (and the driver) runs: explicit, per-expression opt-out
+    instead of a global dialect switch. The oracle replicates each
+    NULL-producing condition definitionally (DuckDB's division and
+    casts throw or differ, so CASE spells out the contract). try_divide
+    by the 0 residue -> NULL; try_cast of a non-numeric status string
+    -> NULL; division guard on the modular element."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 3).alias(
+            "safe_div"
+        ),
+        F.try_to_number(
+            F.when(
+                F.col("o_orderkey") % 2 == 0, F.col("o_orderkey").cast("string")
+            ).otherwise(F.col("o_orderstatus")),
+            F.lit("999999999"),
+        ).cast("long").alias("maybe_num"),
+        F.try_divide(
+            (F.col("o_orderkey") % 5) * (F.col("o_orderkey") % 5),
+            F.col("o_orderkey") % 5,
+        ).cast("long").alias("elem5"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_all,
+           count(*) FILTER (WHERE l_quantity >= 25) AS n_big,
+           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+               AS disc_heavy_value,
+           round(avg(l_quantity) FILTER (WHERE l_tax = 0), 2) AS avg_qty_notax
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "ansi", "filter_clause"),
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI aggregate FILTER clause — per-aggregate predicates in
+    one pass (the idiomatic replacement for Hive's CASE-WHEN-inside-
+    aggregate, which several entries here still exercise for parity).
+    Catalyst compiles both spellings to the same conditional partial
+    aggregate: one scan, one exchange, no per-predicate subqueries.
+    Run as verbatim SQL; DuckDB shares the syntax."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_all,
+               count(*) FILTER (WHERE l_quantity >= 25) AS n_big,
+               round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+                   AS disc_heavy_value,
+               round(avg(l_quantity) FILTER (WHERE l_tax = 0), 2)
+                   AS avg_qty_notax
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
