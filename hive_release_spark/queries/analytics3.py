@@ -717,3 +717,61 @@ def dq_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("v") > 0.1).alias("drifted"),
         )
     )
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_of_type
+      FROM events WHERE user_id % 13 = 0)
+    SELECT user_id, event_id,
+           CAST(sum(first_of_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS types_seen
+    FROM f ORDER BY user_id, ts, event_id
+    """,
+    tags=("analytics", "window", "distinct"),
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered stream — how many
+    distinct event types each user has seen as of each event (the
+    breadth-of-engagement curve). Distinct aggregates aren't valid
+    window functions in either engine, and the collect_set-over-window
+    spelling carries a growing set per row; the scalable rewrite is a
+    FIRST-OCCURRENCE flag (rank 1 per (user, type)) + a running sum —
+    two windows over one user_id exchange, constant per-row state. The
+    oracle is the same decomposition (it is the definitional rewrite,
+    not an engine replay)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 13 == 0)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    first = F.when(
+        F.row_number().over(
+            W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        )
+        == 1,
+        1,
+    ).otherwise(0)
+    f = ev.withColumn("first_of_type", first)
+    running = F.sum("first_of_type").over(
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        f.select(
+            "user_id",
+            "event_id",
+            "ts",
+            running.cast("long").alias("types_seen"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .drop("ts")
+    )
