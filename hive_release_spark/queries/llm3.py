@@ -619,3 +619,97 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "emb_cluster_separation",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    c AS (
+      SELECT label, pos, avg(val) AS cv FROM (
+        SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+        FROM e)
+      GROUP BY 1, 2),
+    cents AS (SELECT label, list(cv ORDER BY pos) AS cvec FROM c GROUP BY 1),
+    intra AS (
+      SELECT e.label, count(*) AS n,
+             round(avg(sqrt(list_sum(list_transform(
+                 list_zip(e.v, cents.cvec),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))))), 6) AS mean_dist
+      FROM e JOIN cents ON e.label = cents.label GROUP BY e.label),
+    gaps AS (
+      SELECT a.label,
+             min(sqrt(list_sum(list_transform(
+                 list_zip(a.cvec, b.cvec),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))))) AS min_gap
+      FROM cents a JOIN cents b ON a.label <> b.label GROUP BY a.label)
+    SELECT i.label, i.n, i.mean_dist,
+           round(g.min_gap, 6) AS nearest_centroid_gap,
+           round(i.mean_dist / g.min_gap, 6) AS compactness_ratio
+    FROM intra i JOIN gaps g ON i.label = g.label
+    ORDER BY i.label
+    """,
+    tags=("llm", "embedding", "clustering", "eval"),
+)
+def emb_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-separation diagnostics per label: mean Euclidean distance
+    to the OWN centroid (compactness) vs the nearest OTHER centroid
+    (separation), and their ratio (a Davies-Bouldin-style score; < 0.5
+    = well-separated). This is the 100 TB clustering-quality metric:
+    silhouette needs all-pairs distances (n²), while this reads ONE
+    (label, dim) aggregate + a k x k centroid table — the corpus is
+    scanned once for centroids and once for distances, and the k² gap
+    join is dimension-table-sized. Centroid attach is a broadcast join
+    on label; everything re-derives exactly in SQL, so the scores are
+    oracle-gated, not tolerance-banded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", similarity.as_double_vec("embedding").alias("v")
+    )
+    cents = (
+        e.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
+    )
+    dist = lambda a, b: F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+    )
+    intra = (
+        e.join(F.broadcast(cents), "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(dist(F.col("v"), F.col("cvec"))), 6).alias("mean_dist"),
+        )
+    )
+    a, b = cents.alias("a"), cents.alias("b")
+    gaps = (
+        a.join(b, F.col("a.label") != F.col("b.label"))
+        .groupBy(F.col("a.label").alias("label"))
+        .agg(F.min(dist(F.col("a.cvec"), F.col("b.cvec"))).alias("min_gap"))
+    )
+    return (
+        intra.join(gaps, "label")
+        .select(
+            "label",
+            "n",
+            "mean_dist",
+            F.round("min_gap", 6).alias("nearest_centroid_gap"),
+            F.round(F.col("mean_dist") / F.col("min_gap"), 6).alias(
+                "compactness_ratio"
+            ),
+        )
+        .orderBy("label")
+    )
