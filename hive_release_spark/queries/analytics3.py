@@ -775,3 +775,79 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "ts", "event_id")
         .drop("ts")
     )
+
+
+@register(
+    "customer_cohort_ltv",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey,
+             min((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1)
+                 OVER (PARTITION BY o_custkey) AS cohort_m,
+             (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS m,
+             o_totalprice
+      FROM orders),
+    per AS (
+      SELECT cohort_m, m - cohort_m AS age_m,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS rev_cents,
+             count(DISTINCT o_custkey) AS active
+      FROM f GROUP BY 1, 2),
+    sizes AS (
+      SELECT cohort_m, count(DISTINCT o_custkey) AS cohort_n
+      FROM f GROUP BY 1)
+    SELECT p.cohort_m, p.age_m, s.cohort_n, p.active,
+           round(CAST(sum(p.rev_cents) OVER (PARTITION BY p.cohort_m
+                                             ORDER BY p.age_m
+                                             ROWS UNBOUNDED PRECEDING)
+                      AS DOUBLE) / (100.0 * s.cohort_n), 2)
+               AS cum_ltv_per_user
+    FROM per p JOIN sizes s ON p.cohort_m = s.cohort_m
+    WHERE p.cohort_m < 6
+    ORDER BY p.cohort_m, p.age_m
+    """,
+    tags=("analytics", "cohort", "ltv", "window"),
+)
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative revenue per user by cohort age in
+    months (the growth-accounting companion to `retention_cohorts` —
+    "how much is a January customer worth by month 6"). One fact scan
+    feeds the cohort window; the cumulative curve then runs on the
+    (cohort x age) frame — dozens of rows at any corpus size — with
+    the cohort-size divisor joined from the same collapsed frame.
+    First-six-cohorts filter bounds driver output."""
+    o = load_table(spark, sf_dir, "orders")
+    m = ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+    f = o.select(
+        "o_custkey",
+        m.alias("m"),
+        "o_totalprice",
+    ).withColumn("cohort_m", F.min("m").over(W.partitionBy("o_custkey")))
+    # integer-cents discipline: summation order differs between engines,
+    # so money rides as exact BIGINT cents until the single final divide
+    per = f.groupBy("cohort_m", (F.col("m") - F.col("cohort_m")).alias("age_m")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"),
+        F.countDistinct("o_custkey").alias("active"),
+    )
+    sizes = f.groupBy("cohort_m").agg(
+        F.countDistinct("o_custkey").alias("cohort_n")
+    )
+    cum = F.sum("rev_cents").over(
+        W.partitionBy("cohort_m").orderBy("age_m").rowsBetween(
+            W.unboundedPreceding, 0
+        )
+    )
+    return (
+        per.join(sizes, "cohort_m")
+        .filter(F.col("cohort_m") < 6)
+        .select(
+            "cohort_m",
+            "age_m",
+            "cohort_n",
+            "active",
+            F.round(
+                cum.cast("double") / (100.0 * F.col("cohort_n")), 2
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort_m", "age_m")
+    )

@@ -713,3 +713,79 @@ def emb_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "corpus_heaps_fit",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    firsts AS (SELECT term, min(doc_id) AS first_doc FROM terms GROUP BY 1),
+    per_doc AS (
+      SELECT t.doc_id,
+             count(*) AS n_tok,
+             count(f.term) AS n_new
+      FROM terms t LEFT JOIN firsts f
+        ON t.term = f.term AND t.doc_id = f.first_doc
+      GROUP BY 1),
+    curve AS (
+      SELECT doc_id,
+             sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                 AS cum_tok,
+             sum(n_new) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                 AS cum_vocab
+      FROM per_doc),
+    pts AS (SELECT ln(cum_tok) AS x, ln(cum_vocab) AS y FROM curve)
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           round(regr_slope(y, x), 4) AS beta,
+           round(exp(regr_intercept(y, x)), 4) AS k,
+           round(regr_r2(y, x), 4) AS r2
+    FROM pts
+    """,
+    tags=("llm", "stats", "vocabulary", "regression"),
+)
+def corpus_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit: vocabulary growth V ≈ K·Nᵝ over the corpus read
+    in doc_id order — the companion to `corpus_zipf_fit` (natural text:
+    β ≈ 0.4–0.6; β near 1 = ID-like "vocabulary" that never saturates,
+    β near 0 = template text). New-term counts come from a min-doc
+    first-occurrence join (one term-frequency-style shuffle), the
+    growth curve is a cumsum over the DOC-cardinality frame, and the
+    log-log OLS runs via regr_* on that frame — the corpus is scanned
+    once. The global-order cumsum window rides a doc-count frame, same
+    justification as the vocab-coverage cutoff."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    firsts = terms.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    firsts = firsts.select(
+        F.col("term").alias("f_term"), F.col("first_doc")
+    )
+    per_doc = (
+        terms.join(
+            firsts,
+            (F.col("term") == F.col("f_term"))
+            & (F.col("doc_id") == F.col("first_doc")),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.count("f_term").alias("n_new"),
+        )
+    )
+    wc = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    curve = per_doc.select(
+        F.sum("n_tok").over(wc).alias("cum_tok"),
+        F.sum("n_new").over(wc).alias("cum_vocab"),
+    )
+    pts = curve.select(
+        F.log("cum_tok").alias("x"), F.log("cum_vocab").alias("y")
+    )
+    return pts.agg(
+        F.count("*").alias("n_points"),
+        F.round(F.regr_slope("y", "x"), 4).alias("beta"),
+        F.round(F.exp(F.regr_intercept("y", "x")), 4).alias("k"),
+        F.round(F.regr_r2("y", "x"), 4).alias("r2"),
+    )
