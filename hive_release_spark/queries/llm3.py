@@ -789,3 +789,147 @@ def corpus_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.regr_intercept("y", "x")), 4).alias("k"),
         F.round(F.regr_r2("y", "x"), 4).alias("r2"),
     )
+
+
+@register(
+    "sim_mmr_rerank",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    cand AS (
+      SELECT query_id, vec_id, cv, rel FROM (
+        SELECT q.query_id, c.vec_id, c.v AS cv,
+               list_cosine_similarity(q.qv, c.v) AS rel,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.vec_id)
+                   AS rk
+        FROM q JOIN e c ON q.query_id <> c.vec_id) WHERE rk <= 10),
+    s1 AS (
+      SELECT query_id, vec_id AS s1_id, cv AS s1_v, rel AS s1_score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY rel DESC, vec_id) AS rk FROM cand) WHERE rk = 1),
+    s2 AS (
+      SELECT query_id, vec_id AS s2_id, cv AS s2_v, mmr AS s2_score FROM (
+        SELECT c.query_id, c.vec_id, c.cv,
+               0.7 * c.rel - 0.3 * list_cosine_similarity(c.cv, s1.s1_v) AS mmr,
+               row_number() OVER (PARTITION BY c.query_id ORDER BY
+                 0.7 * c.rel - 0.3 * list_cosine_similarity(c.cv, s1.s1_v)
+                   DESC, c.vec_id) AS rk
+        FROM cand c JOIN s1 ON c.query_id = s1.query_id
+        WHERE c.vec_id <> s1.s1_id) WHERE rk = 1),
+    s3 AS (
+      SELECT query_id, vec_id AS s3_id, mmr AS s3_score FROM (
+        SELECT c.query_id, c.vec_id,
+               0.7 * c.rel - 0.3 * greatest(
+                   list_cosine_similarity(c.cv, s1.s1_v),
+                   list_cosine_similarity(c.cv, s2.s2_v)) AS mmr,
+               row_number() OVER (PARTITION BY c.query_id ORDER BY
+                 0.7 * c.rel - 0.3 * greatest(
+                     list_cosine_similarity(c.cv, s1.s1_v),
+                     list_cosine_similarity(c.cv, s2.s2_v)) DESC, c.vec_id)
+                   AS rk
+        FROM cand c
+        JOIN s1 ON c.query_id = s1.query_id
+        JOIN s2 ON c.query_id = s2.query_id
+        WHERE c.vec_id <> s1.s1_id AND c.vec_id <> s2.s2_id) WHERE rk = 1)
+    SELECT s1.query_id, s1.s1_id, round(s1.s1_score, 6) AS s1_score,
+           s2.s2_id, round(s2.s2_score, 6) AS s2_score,
+           s3.s3_id, round(s3.s3_score, 6) AS s3_score
+    FROM s1 JOIN s2 ON s1.query_id = s2.query_id
+            JOIN s3 ON s1.query_id = s3.query_id
+    ORDER BY s1.query_id
+    """,
+    tags=("llm", "similarity", "rerank", "mmr"),
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (lambda=0.7): pick 3
+    results that balance query relevance against redundancy with the
+    already-picked set — the diversity step between ANN retrieval and a
+    RAG context window. Greedy selection is inherently sequential, so
+    the k rounds are UNROLLED as dataframe stages (k is a small serving
+    constant): each round is an argmax window over the per-query
+    candidate frame (top-10 from one broadcast cosine pass; the corpus
+    is touched once, rounds only re-rank the 10-row candidate set).
+    Fully deterministic (vec_id tie-breaks) -> the greedy trace itself
+    is oracle-gated, stage by stage."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", similarity.as_double_vec("embedding").alias("v"))
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = (
+        e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .withColumn("rel", similarity.cosine(F.col("qv"), F.col("v")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("rel"), "vec_id")
+            ),
+        )
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "vec_id", F.col("v").alias("cv"), "rel")
+    )
+    cand = cand.localCheckpoint(eager=True)  # 10 rows/query; reused 3x
+
+    def _argmax(df, score, keep):
+        w = W.partitionBy("query_id").orderBy(F.desc("__s"), "vec_id")
+        return (
+            df.withColumn("__s", score)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("query_id", *keep)
+        )
+
+    s1 = _argmax(
+        cand,
+        F.col("rel"),
+        [
+            F.col("vec_id").alias("s1_id"),
+            F.col("cv").alias("s1_v"),
+            F.col("__s").alias("s1_score"),
+        ],
+    )
+    c2 = cand.join(s1, "query_id").filter(F.col("vec_id") != F.col("s1_id"))
+    mmr2 = 0.7 * F.col("rel") - 0.3 * similarity.cosine(
+        F.col("cv"), F.col("s1_v")
+    )
+    s2 = _argmax(
+        c2,
+        mmr2,
+        [
+            F.col("vec_id").alias("s2_id"),
+            F.col("cv").alias("s2_v"),
+            F.col("__s").alias("s2_score"),
+        ],
+    )
+    c3 = (
+        cand.join(s1, "query_id")
+        .join(s2, "query_id")
+        .filter(
+            (F.col("vec_id") != F.col("s1_id"))
+            & (F.col("vec_id") != F.col("s2_id"))
+        )
+    )
+    mmr3 = 0.7 * F.col("rel") - 0.3 * F.greatest(
+        similarity.cosine(F.col("cv"), F.col("s1_v")),
+        similarity.cosine(F.col("cv"), F.col("s2_v")),
+    )
+    s3 = _argmax(
+        c3, mmr3, [F.col("vec_id").alias("s3_id"), F.col("__s").alias("s3_score")]
+    )
+    return (
+        s1.select("query_id", "s1_id", F.round("s1_score", 6).alias("s1_score"))
+        .join(
+            s2.select(
+                "query_id", "s2_id", F.round("s2_score", 6).alias("s2_score")
+            ),
+            "query_id",
+        )
+        .join(
+            s3.select(
+                "query_id", "s3_id", F.round("s3_score", 6).alias("s3_score")
+            ),
+            "query_id",
+        )
+        .orderBy("query_id")
+    )
