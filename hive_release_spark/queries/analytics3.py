@@ -851,3 +851,61 @@ def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_m", "age_m")
     )
+
+
+@register(
+    "events_longest_streak",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events WHERE user_id % 9 = 0),
+    m AS (SELECT user_id, day,
+                 CASE WHEN date_diff('day',
+                          lag(day) OVER (PARTITION BY user_id ORDER BY day),
+                          day) = 1
+                      THEN 0 ELSE 1 END AS brk
+          FROM ud),
+    isl AS (SELECT user_id, day,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS streak_id
+            FROM m),
+    per AS (SELECT user_id, streak_id, count(*) AS len
+            FROM isl GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS active_days,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           count(*) AS n_streaks
+    FROM per GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("analytics", "events", "window", "streaks"),
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (the engagement
+    "don't break the chain" metric) — gaps-and-islands on the DISTINCT
+    user-day frame: a lag-gap break flag + running sum numbers the
+    streaks, then two stacked aggregates collapse them. The window and
+    both groupBys ride one user_id exchange (the distinct collapse
+    happens first, so the window sees days, not raw events). Cohort
+    filter (user_id % 9) bounds driver output."""
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 9 == 0)
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    brk = F.when(
+        F.datediff(F.col("day"), F.lag("day").over(w)) == 1, 0
+    ).otherwise(1)
+    isl = ud.withColumn("brk", brk).withColumn(
+        "streak_id", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    per = isl.groupBy("user_id", "streak_id").agg(F.count("*").alias("len"))
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.sum("len").cast("long").alias("active_days"),
+            F.max("len").cast("long").alias("longest_streak"),
+            F.count("*").alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
