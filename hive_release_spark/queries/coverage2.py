@@ -513,3 +513,88 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_returnflag")
     )
     return best
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+               AS statuses,
+           string_agg(CAST(o_orderkey AS VARCHAR), '|'
+                      ORDER BY o_totalprice DESC, o_orderkey) AS top_keys
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("agg", "listagg", "ansi"),
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI LISTAGG ... WITHIN GROUP (Spark 4) — ordered string
+    aggregation as a first-class aggregate, replacing the Hive-era
+    concat_ws(sort_array(collect_list())) three-step this repo's older
+    entries exercise for parity. The WITHIN GROUP ordering carries a
+    unique tie-break, making the concatenation deterministic under any
+    partitioning; DISTINCT + ordered forms both shown. DuckDB's
+    string_agg(... ORDER BY) is the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "listagg(DISTINCT o_orderstatus, ',') "
+                "WITHIN GROUP (ORDER BY o_orderstatus)"
+            ).alias("statuses"),
+            F.expr(
+                "listagg(CAST(o_orderkey AS STRING), '|') "
+                "WITHIN GROUP (ORDER BY o_totalprice DESC, o_orderkey)"
+            ).alias("top_keys"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "fn_collation_ci",
+    oracle="""
+    WITH v AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+                  ELSE lower(p_brand) END AS brand_cased,
+             p_retailprice
+      FROM part)
+    SELECT lower(brand_cased) AS brand_ci,
+           count(*) AS n,
+           round(sum(p_retailprice), 2) AS value
+    FROM v GROUP BY 1 ORDER BY 1
+    """,
+    tags=("functions", "collation", "string"),
+)
+def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): a mixed-case
+    brand column grouped under UTF8_LCASE collapses case variants into
+    one group WITHOUT rewriting every expression through lower() — the
+    comparison semantics live on the TYPE, so joins, DISTINCT, and
+    GROUP BY all follow (Hive 2.3 has no collation support; its users
+    scatter lower() calls and lose index/stat alignment). The fixture
+    has no case variance, so the query synthesizes it by partkey
+    parity; output normalizes through lower() for a stable display
+    key. Oracle: the definitional lower()-grouping."""
+    p = load_table(spark, sf_dir, "part")
+    cased = F.when(
+        F.col("p_partkey") % 2 == 0, F.upper("p_brand")
+    ).otherwise(F.lower("p_brand"))
+    v = p.select(
+        F.collate(cased, "UTF8_LCASE").alias("brand_c"), "p_retailprice"
+    )
+    return (
+        v.groupBy("brand_c")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("p_retailprice"), 2).alias("value"),
+        )
+        .select(
+            F.lower(F.col("brand_c").cast("string")).alias("brand_ci"),
+            "n",
+            "value",
+        )
+        .orderBy("brand_ci")
+    )
