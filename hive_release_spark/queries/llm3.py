@@ -933,3 +933,156 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+_BM25_TERMS = ("spark", "table", "query")
+
+
+@register(
+    "search_bm25_rank",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, avg(dlen) AS avg_len FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN {_BM25_TERMS} GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen / stats.avg_len)))
+                 AS score
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, round(score, 6) AS bm25, rk FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+      FROM scored)
+    WHERE rk <= 20 ORDER BY rk
+    """,
+    tags=("llm", "text", "search", "bm25"),
+)
+def search_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking (k1=1.2, b=0.75) for a fixed keyword query
+    — THE lexical-retrieval scoring function, and the missing half of
+    hybrid search next to the cosine rankers. One corpus tokenize pass
+    feeds doc lengths and term frequencies; the query-term filter
+    prunes the tf frame BEFORE the df/doc-length joins (at 100 TB the
+    per-term postings are query-sized, never vocabulary-sized); corpus
+    stats ride a 1-row broadcast. Deterministic end-to-end — idf/tf
+    algebra replayed exactly by the oracle, doc_id tie-break on the
+    rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dlen").alias("avg_len")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm = F.col("tf") + 1.2 * (
+        0.25 + 0.75 * F.col("dlen") / F.col("avg_len")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * (F.col("tf") * 2.2) / norm).alias("score"))
+    )
+    return (
+        scored.withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("score"), "doc_id"))
+        )
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", F.round("score", 6).alias("bm25"), "rk")
+        .orderBy("rk")
+    )
+
+
+@register(
+    "sim_rrf_fusion",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    fr AS (
+      SELECT query_id, neighbor_id, rk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id)
+                   AS rk
+        FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10) WHERE rk <= 10),
+    tr AS (
+      SELECT query_id, neighbor_id, rk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v[1:16], c.v[1:16]) DESC,
+                          c.vec_id) AS rk
+        FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10) WHERE rk <= 10),
+    fused AS (
+      SELECT coalesce(fr.query_id, tr.query_id) AS query_id,
+             coalesce(fr.neighbor_id, tr.neighbor_id) AS neighbor_id,
+             coalesce(1.0 / (60 + fr.rk), 0.0)
+               + coalesce(1.0 / (60 + tr.rk), 0.0) AS rrf
+      FROM fr FULL OUTER JOIN tr
+        ON fr.query_id = tr.query_id AND fr.neighbor_id = tr.neighbor_id)
+    SELECT query_id, neighbor_id, round(rrf, 6) AS rrf, rk FROM (
+      SELECT query_id, neighbor_id, rrf,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf DESC, neighbor_id) AS rk
+      FROM fused)
+    WHERE rk <= 5 ORDER BY query_id, rk
+    """,
+    tags=("llm", "similarity", "fusion", "rerank"),
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (k=60) of two retrieval lists — the
+    standard hybrid-search combiner (score-free, so it fuses rankers
+    with incomparable score scales; here: full-dimension cosine and the
+    16-dim Matryoshka ranker, the cheap/expensive pair a tiered
+    retriever actually runs). Each ranker is a broadcast-queries rank
+    pass; fusion is a FULL OUTER join of two (query, neighbor, rank)
+    frames — top-10 per ranker, so the join input is query-count-sized,
+    never corpus-sized. Deterministic ranks -> the fused list is
+    oracle-gated exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    fr = similarity.brute_force_topk(q, emb, k=10).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rk_a")
+    )
+    tr = similarity.brute_force_topk(
+        q.withColumn("embedding", F.slice("embedding", 1, 16)),
+        emb.withColumn("embedding", F.slice("embedding", 1, 16)),
+        k=10,
+    ).select("query_id", "neighbor_id", F.col("rank").alias("rk_b"))
+    fused = (
+        fr.join(tr, ["query_id", "neighbor_id"], "full_outer")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.coalesce(1.0 / (60 + F.col("rk_a")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("rk_b")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("rrf"), "neighbor_id")
+    return (
+        fused.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", F.round("rrf", 6).alias("rrf"), "rk")
+        .orderBy("query_id", "rk")
+    )
