@@ -1086,3 +1086,56 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.round("rrf", 6).alias("rrf"), "rk")
         .orderBy("query_id", "rk")
     )
+
+
+@register(
+    "text_chunk_sliding",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM w),
+    idx AS (
+      SELECT doc_id, toks, n_tok,
+             unnest(generate_series(0,
+                 CAST(greatest(0, ceil((n_tok - 64) / 48.0)) AS BIGINT))) AS ci
+      FROM n)
+    SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+           array_to_string(toks[(ci*48 + 1):least(ci*48 + 64, n_tok)], ' ')
+               AS chunk_text,
+           CAST(least(ci*48 + 64, n_tok) - ci*48 AS INTEGER) AS chunk_len
+    FROM idx
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("llm", "text", "chunking", "rag"),
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token chunks, stride 48 → 16-token
+    overlap): the RAG-ingestion splitter between a cleaned corpus and
+    the embedder. Pure map-side: tokenize once, explode the chunk-index
+    sequence (bounded fan-out ceil(n/stride)), slice per index — zero
+    shuffles, scales linearly with executors; overlap means boundary
+    sentences appear in two chunks (the standard recall/storage trade,
+    here 1/3 duplication). Chunk count, offsets, and the tail-chunk
+    shortening are exactly oracle-replayed."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).withColumn("n_tok", F.size("toks"))
+    last_idx = F.greatest(
+        F.lit(0), F.ceil((F.col("n_tok") - 64) / 48.0)
+    ).cast("long")
+    idx = n.select(
+        "doc_id",
+        "toks",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0).cast("long"), last_idx)).alias("ci"),
+    )
+    start = F.col("ci") * 48
+    clen = F.least(start + 64, F.col("n_tok")) - start
+    return idx.select(
+        "doc_id",
+        F.col("ci").cast("int").alias("chunk_idx"),
+        F.array_join(
+            F.slice("toks", (start + 1).cast("int"), clen.cast("int")), " "
+        ).alias("chunk_text"),
+        clen.cast("int").alias("chunk_len"),
+    ).orderBy("doc_id", "chunk_idx")
