@@ -909,3 +909,58 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_stickiness_dau_mau",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+    mau AS (
+      SELECT d.day, count(DISTINCT u.user_id) AS mau
+      FROM days d JOIN ud u ON u.day BETWEEN d.day - 27 AND d.day
+      GROUP BY 1)
+    SELECT d.day AS day, dau.dau, mau.mau,
+           round(dau.dau * 1.0 / mau.mau, 6) AS stickiness
+    FROM days d JOIN dau ON d.day = dau.day JOIN mau ON d.day = mau.day
+    ORDER BY d.day
+    """,
+    tags=("analytics", "events", "distinct", "engagement"),
+)
+def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the canonical engagement ratio
+    ("what fraction of this month's users showed up today"). Same
+    explode-instead-of-range-join shape as the rolling actives: the
+    distinct user-day frame fans out 28x for the trailing-MAU side (a
+    bounded map-side explode of an already-collapsed frame), DAU is the
+    plain per-day distinct, and both join the broadcast day list. Two
+    count-distinct aggs, no self-join at any scale."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = ev.select("day").distinct()
+    dau = ev.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    mau = (
+        ev.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 27))
+            ).alias("day"),
+            "user_id",
+        )
+        .join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
