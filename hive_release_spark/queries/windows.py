@@ -361,3 +361,56 @@ def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice").over(wg), 2).alias("grp_sum"),
         F.count("*").over(wg).alias("grp_rows"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "window_exclude_current",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sum(l_extendedprice) OVER (
+               PARTITION BY l_suppkey ORDER BY l_quantity, l_orderkey,
+                                               l_linenumber
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+               EXCLUDE CURRENT ROW), 2) AS peer_sum,
+           CAST(count(*) OVER (
+               PARTITION BY l_suppkey ORDER BY l_quantity, l_orderkey,
+                                               l_linenumber
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+               EXCLUDE CURRENT ROW) AS BIGINT) AS peer_rows
+    FROM lineitem WHERE l_suppkey % 100 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("window", "frames", "exclude"),
+)
+def window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2011 frame exclusion (EXCLUDE CURRENT ROW) — the
+    leave-one-out window behind peer-comparison features ("how do my
+    neighbors average WITHOUT me", the target-encoding trick that
+    avoids leakage). Spark has no EXCLUDE clause; the lossless rewrite
+    subtracts the current row from the inclusive frame aggregate —
+    same single window pass, two derived columns. DuckDB implements
+    EXCLUDE natively, so (as with the as-of join) the emulation is
+    gated against a first-class reference implementation. Unique
+    (quantity, orderkey, linenumber) ordering keeps frames identical
+    in both engines."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") % 100 == 0)
+        .select(
+            "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity",
+            "l_extendedprice",
+        )
+    )
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+        .rowsBetween(-3, 3)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.sum("l_extendedprice").over(w) - F.col("l_extendedprice"), 2
+        ).alias("peer_sum"),
+        (F.count("*").over(w) - 1).alias("peer_rows"),
+    ).orderBy("l_orderkey", "l_linenumber")
