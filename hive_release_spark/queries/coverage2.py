@@ -598,3 +598,42 @@ def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand_ci")
     )
+
+
+@register(
+    "agg_corr_matrix",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
+           round(corr(l_quantity, l_discount), 6)      AS qty_disc,
+           round(corr(l_quantity, l_tax), 6)           AS qty_tax,
+           round(corr(l_extendedprice, l_discount), 6) AS price_disc,
+           round(corr(l_extendedprice, l_tax), 6)      AS price_tax,
+           round(corr(l_discount, l_tax), 6)           AS disc_tax,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    """,
+    tags=("agg", "stats", "correlation"),
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix over the fact's numeric columns in
+    ONE aggregate pass — the feature-screening step before model
+    training (drop near-duplicate features, flag leakage). All d(d-1)/2
+    corr() aggregates share a single partial-agged scan: at 100 TB this
+    is one read regardless of how many pairs ride along, vs one job per
+    pair in the loop-over-columns idiom."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    names = {
+        ("l_quantity", "l_extendedprice"): "qty_price",
+        ("l_quantity", "l_discount"): "qty_disc",
+        ("l_quantity", "l_tax"): "qty_tax",
+        ("l_extendedprice", "l_discount"): "price_disc",
+        ("l_extendedprice", "l_tax"): "price_tax",
+        ("l_discount", "l_tax"): "disc_tax",
+    }
+    aggs = [
+        F.round(F.corr(a, b), 6).alias(names[(a, b)])
+        for i, a in enumerate(cols)
+        for b in cols[i + 1 :]
+    ]
+    return li.agg(*aggs, F.count("*").alias("n"))
