@@ -964,3 +964,102 @@ def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+               FROM events GROUP BY 1),
+    med AS (SELECT median(n) AS m FROM d),
+    mad AS (SELECT median(abs(d.n - med.m)) AS v FROM d CROSS JOIN med)
+    SELECT d.day AS day, d.n,
+           round((d.n - med.m) / (1.4826 * mad.v), 4) AS robust_z,
+           abs(d.n - med.m) > 3 * 1.4826 * mad.v AS is_anomaly
+    FROM d CROSS JOIN med CROSS JOIN mad
+    ORDER BY d.day
+    """,
+    tags=("analytics", "dq", "anomaly", "robust"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly flags via median absolute deviation — the
+    companion to the mean/stddev z-score (`events_daily_anomaly`): MAD
+    is outlier-resistant, so one broken day doesn't widen the band that
+    should catch it (the failure mode that makes plain z-scores miss
+    incidents). Both medians are EXACT percentiles over the
+    day-cardinality frame (corpus collapses in one partial-agged
+    shuffle); the two 1-row stats attach by broadcast crossJoin. The
+    1.4826 factor scales MAD to sigma-equivalents under normality."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    med = d.agg(F.median("n").alias("m"))
+    mad = d.crossJoin(F.broadcast(med)).agg(
+        F.median(F.abs(F.col("n") - F.col("m"))).alias("v")
+    )
+    return (
+        d.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "n",
+            F.round(
+                (F.col("n") - F.col("m")) / (1.4826 * F.col("v")), 4
+            ).alias("robust_z"),
+            (
+                F.abs(F.col("n") - F.col("m")) > 3 * 1.4826 * F.col("v")
+            ).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "dq_benford_first_digit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS d
+      FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT d, count(*) AS obs FROM digits GROUP BY 1),
+    t AS (SELECT CAST(sum(obs) AS BIGINT) AS total FROM c)
+    SELECT c.d, CAST(c.obs AS BIGINT) AS obs,
+           round(t.total * log10(1.0 + 1.0 / c.d), 2) AS expected,
+           round(pow(c.obs - t.total * log10(1.0 + 1.0 / c.d), 2)
+                 / (t.total * log10(1.0 + 1.0 / c.d)), 4) AS chi2_term
+    FROM c CROSS JOIN t
+    ORDER BY c.d
+    """,
+    tags=("analytics", "dq", "benford"),
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts — the classic
+    fraud / synthetic-data screen (organically-grown amounts follow
+    P(d) = log10(1 + 1/d); fabricated or uniformly-generated ones
+    don't, as this fixture's flat chi2 terms show). First digit is a
+    scan-side string op on the integer part; one 9-key conditional
+    aggregate + a 1-row total attach; per-digit chi-square terms let
+    the reader localize which digit deviates."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        # floor() explicitly: DuckDB's double->BIGINT cast ROUNDS while
+        # Spark's truncates — a one-digit-off trap at x999.5 boundaries
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        ).cast("int").alias("d")
+    )
+    c = digits.groupBy("d").agg(F.count("*").alias("obs"))
+    t = c.agg(F.sum("obs").cast("long").alias("total"))
+    exp = F.col("total") * F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "d",
+            F.col("obs").cast("long").alias("obs"),
+            F.round(exp, 2).alias("expected"),
+            F.round(F.pow(F.col("obs") - exp, 2) / exp, 4).alias("chi2_term"),
+        )
+        .orderBy("d")
+    )
