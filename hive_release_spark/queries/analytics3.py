@@ -1063,3 +1063,116 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+               FROM events GROUP BY 1),
+    m AS (SELECT avg(n) AS mu FROM d),
+    c AS (SELECT d.day, d.n,
+                 sum(d.n - m.mu) OVER (ORDER BY d.day
+                                       ROWS UNBOUNDED PRECEDING) AS cusum
+          FROM d CROSS JOIN m),
+    mx AS (SELECT max(abs(cusum)) AS peak FROM c)
+    SELECT c.day AS day, c.n, round(c.cusum, 4) AS cusum,
+           abs(c.cusum) = mx.peak AS is_changepoint
+    FROM c CROSS JOIN mx
+    ORDER BY c.day
+    """,
+    tags=("analytics", "timeseries", "changepoint", "monitoring"),
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily volume: the running sum of
+    deviations from the global mean peaks (in absolute value) AT the
+    most likely level-shift day — the time-LOCALIZATION companion to
+    the drift (PSI) and anomaly (z/MAD) monitors, which say that
+    something changed but not when. Day frame + two 1-row broadcast
+    attaches; the global-order cumsum rides the day-cardinality frame
+    (the vocab-cutoff justification). Deviations sum in day order in
+    both engines, so the trace is deterministic before the one
+    rounding."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    m = d.agg(F.avg("n").alias("mu"))
+    c = d.crossJoin(F.broadcast(m)).withColumn(
+        "cusum",
+        F.sum(F.col("n") - F.col("mu")).over(
+            W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    mx = c.agg(F.max(F.abs("cusum")).alias("peak"))
+    return (
+        c.crossJoin(F.broadcast(mx))
+        .select(
+            "day",
+            "n",
+            F.round("cusum", 4).alias("cusum"),
+            (F.abs("cusum") == F.col("peak")).alias("is_changepoint"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "customer_gini_revenue",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM orders GROUP BY 1),
+    r AS (SELECT cents,
+                 row_number() OVER (ORDER BY cents, o_custkey) AS i
+          FROM per),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS total,
+                 CAST(sum(i * cents) AS BIGINT) AS weighted
+          FROM r)
+    SELECT n, round(total / 100.0, 2) AS total_revenue,
+           round(2.0 * weighted / (n * CAST(total AS DOUBLE))
+                 - (n + 1.0) / n, 6) AS gini
+    FROM s
+    """,
+    tags=("analytics", "concentration", "gini"),
+)
+def customer_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue across customers — the inequality
+    summary next to the HHI (`part_type_hhi`) and Pareto
+    (`supplier_pareto`) concentration reports: G = 2*sum(i*x_i)/(n*sum x)
+    - (n+1)/n over values ranked ascending with a unique key tie-break.
+    Money rides as exact BIGINT cents (the cohort-LTV discipline) so
+    rank weights multiply integers and the single final expression is
+    the only floating step; the rank window runs on the per-customer
+    frame, never the fact."""
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    r = per.select(
+        "cents",
+        F.row_number().over(W.orderBy("cents", "o_custkey")).alias("i"),
+    )
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("total"),
+        F.sum(F.col("i") * F.col("cents")).alias("weighted"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("total") / 100.0, 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.col("weighted") / (F.col("n") * F.col("total").cast("double"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
