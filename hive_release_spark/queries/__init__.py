@@ -96,7 +96,12 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 # agg_hll_intersect_estimate, events_sessionize_ids, ds_channel_rollup,
 # sql_recursive_calendar, fn_sql_macro, sql_pipe_syntax,
 # sql_lateral_alias, events_attribution_last_touch,
-# emb_matryoshka_recall, fn_hof_surface.
+# emb_matryoshka_recall, fn_hof_surface — and every later r4 entry.
+# The general rule for r5: any registry name with NO row in
+# CORRECTNESS_r01–r04 goes in-window first (compute the set with
+#   set(REGISTRY) - union(json.load(CORRECTNESS_r0k)) for k in 1..4
+# ), then per-family representatives fill to 50. All candidates are
+# locally green on the sf0.001/0.01/0.1 + parity + partitions sweeps.
 DRIVER_WINDOW = [
     # r3-red repairs, driver-witnessed red→green
     "q12_shipmode_priority",
