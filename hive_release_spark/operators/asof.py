@@ -161,13 +161,20 @@ def asof_join_nearest(
         F.last("__r", ignorenulls=True).over(prev_w).alias("__prev"),
         F.first("__r", ignorenulls=True).over(next_w).alias("__next"),
     ).filter(F.col("__is_left") == 1)
-    # unix_timestamp, not CAST AS LONG: the NTZ->BIGINT cast is rejected
-    # (session tz pinned UTC, so the epoch arithmetic is value-exact)
-    t = F.unix_timestamp(F.col("__t"))
-    d_prev = t - F.unix_timestamp(F.col("__prev.__rt"))
-    d_next = F.unix_timestamp(F.col("__next.__rt")) - t
-    prev_ok = F.col("__prev").isNotNull() & (d_prev <= tolerance_s)
-    next_ok = F.col("__next").isNotNull() & (d_next <= tolerance_s)
+    # unix_micros over an NTZ->TZ cast, not unix_timestamp: whole-second
+    # truncation would misrank prev/next (and mis-apply the tolerance) by
+    # up to ~1s on sub-second timestamps. The NTZ->BIGINT cast is
+    # rejected outright; the NTZ->TIMESTAMP cast is value-exact because
+    # the session tz is pinned UTC.
+    def _us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    t = _us(F.col("__t"))
+    d_prev = t - _us(F.col("__prev.__rt"))
+    d_next = _us(F.col("__next.__rt")) - t
+    tol_us = int(tolerance_s * 1_000_000)
+    prev_ok = F.col("__prev").isNotNull() & (d_prev <= tol_us)
+    next_ok = F.col("__next").isNotNull() & (d_next <= tol_us)
     # equal distance -> the at-or-before row wins (<=, not <)
     match = (
         F.when(prev_ok & next_ok, F.when(d_prev <= d_next, F.col("__prev.p")).otherwise(F.col("__next.p")))

@@ -483,7 +483,7 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
     days AS (SELECT DISTINCT day FROM ud)
     SELECT d.day AS day, count(DISTINCT u.user_id) AS active_7d_exact,
-           TRUE AS sketch_within_2pct
+           TRUE AS sketch_within_6se
     FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
     GROUP BY 1 ORDER BY 1
     """,
@@ -501,7 +501,10 @@ def events_rolling_active_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch table, not the event stream — contrast with the exact
     formulation (`events_rolling_active_users`), which explodes the
     distinct user-day frame. Oracle pins the exact rolling counts and
-    a ±2% error-bound boolean on the merged estimate."""
+    a wide 6-standard-error (≤10%, lgConfigK=12 → ~1.63% rSE) sanity
+    boolean on the merged estimate — the tight empirical accuracy
+    claim is a pytest property in `tests/test_sketches.py`, so a
+    fixture or sketch-default change cannot flip the driver gate."""
     ev = load_table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "user_id"
     )
@@ -537,8 +540,8 @@ def events_rolling_active_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "active_7d_exact",
             (
                 F.abs(F.col("est") - F.col("active_7d_exact"))
-                <= 0.02 * F.col("active_7d_exact")
-            ).alias("sketch_within_2pct"),
+                <= 0.10 * F.col("active_7d_exact")
+            ).alias("sketch_within_6se"),
         )
         .orderBy("day")
     )

@@ -418,7 +418,7 @@ def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT count(*) FROM b) AS ndv_b,
            (SELECT count(*) FROM a JOIN b USING (l_partkey))
                AS intersect_exact,
-           TRUE AS estimate_within_5pct_of_union
+           TRUE AS estimate_within_10pct_of_union
     """,
     tags=("agg", "sketch", "setops"),
 )
@@ -430,8 +430,12 @@ def agg_hll_intersect_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches Spark ships: two audience segments' overlap at 100 TB
     costs two partial-agged sketch builds + one tiny merge — no
     distinct-join. Inclusion-exclusion amplifies relative error (the
-    documented trade vs. real theta sketches), so the oracle pins the
-    exact terms and a ±5%-of-union error bound on the estimate."""
+    documented trade vs. real theta sketches): three ~1.63%-rSE
+    estimates combine to ~2.8% rSE of the union, so the oracle pins
+    the exact terms plus a wide ±10%-of-union (~3.5σ) sanity bound;
+    the tight ±5% empirical claim is a pytest property in
+    `tests/test_sketches.py`, keeping sketch accuracy out of the
+    driver hash gate."""
     li = load_table(spark, sf_dir, "lineitem")
     a = li.filter(F.col("l_returnflag") == "N")
     b = li.filter(F.col("l_returnflag") == "R")
@@ -463,8 +467,8 @@ def agg_hll_intersect_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("est_a") + F.col("est_b") - F.col("est_u"))
                 - F.col("intersect_exact")
             )
-            <= 0.05 * F.col("est_u")
-        ).alias("estimate_within_5pct_of_union"),
+            <= 0.10 * F.col("est_u")
+        ).alias("estimate_within_10pct_of_union"),
     )
 
 

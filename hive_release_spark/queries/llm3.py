@@ -724,7 +724,7 @@ def emb_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc AS (
       SELECT t.doc_id,
              count(*) AS n_tok,
-             count(f.term) AS n_new
+             count(DISTINCT f.term) AS n_new
       FROM terms t LEFT JOIN firsts f
         ON t.term = f.term AND t.doc_id = f.first_doc
       GROUP BY 1),
@@ -753,7 +753,11 @@ def corpus_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth curve is a cumsum over the DOC-cardinality frame, and the
     log-log OLS runs via regr_* on that frame — the corpus is scanned
     once. The global-order cumsum window rides a doc-count frame, same
-    justification as the vocab-coverage cutoff."""
+    justification as the vocab-coverage cutoff. n_new counts DISTINCT
+    first-occurrence terms per doc (a term repeated within its debut
+    document is one vocabulary item, not several), so cum_vocab is
+    true distinct-vocabulary growth and the fitted K/β are the actual
+    Heaps parameters."""
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
@@ -772,7 +776,7 @@ def corpus_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tok"),
-            F.count("f_term").alias("n_new"),
+            F.countDistinct("f_term").alias("n_new"),
         )
     )
     wc = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)

@@ -246,7 +246,12 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _distinct_users_window(events: DataFrame, with_exact: bool = True) -> DataFrame:
     """Per-tumbling-day distinct users via HLL sketch (+ the exact count
-    and a ±2% bound in batch mode). ``with_exact=False`` is the
+    and a 6-standard-error bound in batch mode — HLL's default
+    lgConfigK=12 gives ~1.63% relative standard error, so the oracle
+    pins only a ≤10% ≈ 6σ envelope a fixture or lgConfigK change
+    cannot realistically flip; the tight ±2% empirical claim lives in
+    ``tests/test_sketches.py`` as a property test, where an accuracy
+    claim belongs). ``with_exact=False`` is the
     STREAMING shape: Spark rejects COUNT(DISTINCT) on streams outright
     (per-window id sets are unbounded state), so the sketch isn't an
     optimization there — it is the only way to get the number; its
@@ -265,8 +270,8 @@ def _distinct_users_window(events: DataFrame, with_exact: bool = True) -> DataFr
             "distinct_exact",
             (
                 F.abs(F.col("est") - F.col("distinct_exact"))
-                <= 0.02 * F.col("distinct_exact")
-            ).alias("sketch_within_2pct"),
+                <= 0.10 * F.col("distinct_exact")
+            ).alias("sketch_within_6se"),
         )
     )
 
@@ -277,7 +282,7 @@ def _distinct_users_window(events: DataFrame, with_exact: bool = True) -> DataFr
     SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP)
                AS window_start,
            count(DISTINCT user_id) AS distinct_exact,
-           TRUE AS sketch_within_2pct
+           TRUE AS sketch_within_6se
     FROM events GROUP BY 1
     """,
     tags=("streaming", "window", "sketch", "distinct"),
@@ -290,5 +295,8 @@ def stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-window memory; the HLL sketch is the deployment answer (fixed
     bytes per window, mergeable for late data and trailing-window
     rollups — see `events_rolling_active_sketch`). The oracle pins the
-    exact counts and the ±2% sketch bound."""
+    exact counts plus a wide 6σ sanity bound on the estimate; the
+    tight accuracy claim is a pytest property, not an oracle column
+    (a constant-TRUE accuracy pin would couple driver green to the
+    sketch's default accuracy)."""
     return _distinct_users_window(load_table(spark, sf_dir, "events"))

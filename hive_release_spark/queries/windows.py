@@ -392,7 +392,12 @@ def window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXCLUDE natively, so (as with the as-of join) the emulation is
     gated against a first-class reference implementation. Unique
     (quantity, orderkey, linenumber) ordering keeps frames identical
-    in both engines."""
+    in both engines. Empty-frame contract: a single-row partition's
+    excluded frame is EMPTY, and SQL:2011 (and DuckDB) define SUM over
+    an empty frame as NULL — not the 0.0 the naive sum-minus-current
+    rewrite yields — so the subtraction is guarded by the peer count
+    (COUNT over the empty frame is 0 in both engines, no guard
+    needed there)."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_suppkey") % 100 == 0)
@@ -409,8 +414,13 @@ def window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(
-            F.sum("l_extendedprice").over(w) - F.col("l_extendedprice"), 2
-        ).alias("peer_sum"),
+        F.when(F.count("*").over(w) - 1 == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.sum("l_extendedprice").over(w) - F.col("l_extendedprice"),
+                2,
+            )
+        )
+        .alias("peer_sum"),
         (F.count("*").over(w) - 1).alias("peer_rows"),
     ).orderBy("l_orderkey", "l_linenumber")

@@ -174,3 +174,50 @@ def test_asof_join_nearest_matches_pandas(spark):
         direction="nearest", tolerance=pd.Timedelta(seconds=300),
     ).sort_values(["k", "t"])
     assert list(got["tag"].fillna("-")) == list(exp["tag"].fillna("-"))
+
+
+def test_asof_join_nearest_subsecond_precision(spark):
+    """r5 (ADVICE #3): distances are computed at MICROSECOND precision.
+    Whole-second truncation (the old unix_timestamp path) would rank a
+    right 0.4s ahead as distance-0 and a right 0.7s behind as
+    distance-0 too, mis-picking via the at-or-before tie rule; and a
+    right 1.4s away would slip inside a 1s tolerance. Sub-second
+    fixtures pin both the ranking and the tolerance edge."""
+    from datetime import datetime
+
+    from hive_release_spark.operators.asof import asof_join_nearest
+
+    def us(s, micro):
+        return datetime(2024, 1, 1, 0, 0, s, micro)
+
+    left = spark.createDataFrame(
+        [
+            # prev at 0.7s back, next at 0.4s ahead -> next wins (truncated
+            # arithmetic would call both distance 0 and pick prev)
+            (1, us(1, 0), 100),
+            # only candidate is 1.4s away with tolerance 1s -> NULL
+            # (truncated distance would be 1s and sneak inside)
+            (2, us(3, 400_000), 200),
+            # exact microsecond tie at ±0.5s -> at-or-before (prev) wins
+            (3, us(1, 500_000), 300),
+        ],
+        "k BIGINT, t TIMESTAMP, ev BIGINT",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, us(0, 300_000), "p"),
+            (1, us(1, 400_000), "n"),
+            (2, us(2, 0), "far"),
+            (3, us(1, 0), "tie_prev"),
+            (3, us(2, 0), "tie_next"),
+        ],
+        "k BIGINT, rt TIMESTAMP, tag STRING",
+    )
+    out = {
+        r.ev: r.tag
+        for r in asof_join_nearest(
+            left, right, on="k", left_t="t", right_t="rt",
+            tolerance_s=1, right_payload=["tag"],
+        ).collect()
+    }
+    assert out == {100: "n", 200: None, 300: "tie_prev"}

@@ -55,6 +55,105 @@ class TestBloomFilter:
             FUNCTION_REGISTRY["bloom_filter"]("x", 100)
 
 
+class TestTightSketchAccuracy:
+    """The tight empirical accuracy claims for the HLL-backed entries
+    whose ORACLES now pin only a wide 6σ sanity bound (r5, ADVICE #4:
+    an oracle column that bakes in '±2%' couples driver green to the
+    sketch's default lgConfigK — a fixture or Spark-default change
+    could flip it with no code defect). The accuracy property lives
+    HERE instead: recompute estimate vs exact and assert the tight
+    bound (2% per-window / 5%-of-union for inclusion-exclusion)."""
+
+    def test_daily_distinct_sketch_within_2pct(self, spark):
+        from hive_release_spark.catalog import load_table
+
+        ev = load_table(spark, SF_ORACLE, "events")
+        rows = (
+            ev.groupBy(F.window("ts", "1 day"))
+            .agg(
+                F.countDistinct("user_id").alias("exact"),
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg("user_id")
+                ).alias("est"),
+            )
+            .collect()
+        )
+        assert rows
+        for r in rows:
+            assert abs(r.est - r.exact) <= 0.02 * r.exact, (
+                r["window"], r.exact, r.est,
+            )
+
+    def test_rolling_active_sketch_merge_within_2pct(self, spark):
+        from hive_release_spark.catalog import load_table
+
+        ev = load_table(spark, SF_ORACLE, "events").select(
+            F.to_date("ts").alias("day"), "user_id"
+        )
+        daily = ev.groupBy("day").agg(
+            F.hll_sketch_agg("user_id").alias("sk")
+        )
+        days = daily.select(F.col("day").alias("obs_day"))
+        merged = (
+            daily.select(
+                F.explode(
+                    F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+                ).alias("obs_day"),
+                "sk",
+            )
+            .join(F.broadcast(days), "obs_day")
+            .groupBy("obs_day")
+            .agg(
+                F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+            )
+        )
+        exact = (
+            ev.distinct()
+            .select(
+                F.explode(
+                    F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+                ).alias("obs_day"),
+                "user_id",
+            )
+            .join(F.broadcast(days), "obs_day")
+            .groupBy("obs_day")
+            .agg(F.countDistinct("user_id").alias("exact"))
+        )
+        rows = exact.join(merged, "obs_day").collect()
+        assert rows
+        for r in rows:
+            assert abs(r.est - r.exact) <= 0.02 * r.exact, (
+                r.obs_day, r.exact, r.est,
+            )
+
+    def test_hll_intersect_estimate_within_5pct_of_union(self, spark):
+        from hive_release_spark.catalog import load_table
+
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        a = li.filter(F.col("l_returnflag") == "N")
+        b = li.filter(F.col("l_returnflag") == "R")
+        sk = (
+            a.agg(F.hll_sketch_agg("l_partkey").alias("sk_a"))
+            .crossJoin(b.agg(F.hll_sketch_agg("l_partkey").alias("sk_b")))
+            .select(
+                F.hll_sketch_estimate("sk_a").alias("est_a"),
+                F.hll_sketch_estimate("sk_b").alias("est_b"),
+                F.hll_sketch_estimate(
+                    F.hll_union("sk_a", "sk_b")
+                ).alias("est_u"),
+            )
+            .collect()[0]
+        )
+        exact = (
+            a.select("l_partkey")
+            .distinct()
+            .join(b.select("l_partkey").distinct(), "l_partkey")
+            .count()
+        )
+        est_i = sk.est_a + sk.est_b - sk.est_u
+        assert abs(est_i - exact) <= 0.05 * sk.est_u, (exact, est_i, sk)
+
+
 def test_percentile_approx_tracks_exact(spark):
     """percentile_approx (Hive GenericUDAFPercentileApprox → Spark
     same-name sketch) must stay within 1% relative error of the exact
