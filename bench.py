@@ -1,9 +1,17 @@
 """Benchmark harness (driver contract, BASELINE.md B4).
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
-prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
-(per-query sec), "sf"}.
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32).
+
+Output contract (r5 — the r4 single-line report outgrew the driver's
+stdout-tail window and came back ``"parsed": null``, so the perf gate
+went machine-unverified): the FINAL stdout line is a COMPACT summary
+JSON {"metric", "value" (total sec), "unit", "queries" (per-query
+sec), "sf", "n_queries"} sized to survive any reasonable tail window;
+the full detail (per-query min-of-2, median-of-3 for the heavy
+tail, session-position offsets) goes to ``BENCH_DETAIL.json`` next to
+this file and is ALSO printed one line before the summary for judges
+reading the raw log.
 
 Queries execute fully (noop sink — no driver-side collect cost), so the
 timing covers scan → shuffle → agg/join/window, the same pipeline a
@@ -106,17 +114,34 @@ def main() -> None:
         per_query[name] = round(min(runs[name]), 3)
 
     total = round(sum(per_query.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "median_heavy5": median5,
+        "position_sec": position,
+        "sf": sf_val,
+    }
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+    print(json.dumps(detail))
+    # FINAL line = compact summary (driver-parsable: the r4 detail line
+    # outgrew the driver's stdout tail and the gate recorded parsed:null;
+    # per-query secs stay in, at 2 decimals and compact separators, the
+    # diagnostics move to BENCH_DETAIL.json / the detail line above).
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": per_query,
-                "median_heavy5": median5,
-                "position_sec": position,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "queries": {k: round(v, 2) for k, v in per_query.items()},
+                "sf": sf_val,
+                "n_queries": len(per_query),
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -102,70 +102,92 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 #   set(REGISTRY) - union(json.load(CORRECTNESS_r0k)) for k in 1..4
 # ), then per-family representatives fill to 50. All candidates are
 # locally green on the sf0.001/0.01/0.1 + parity + partitions sweeps.
+# Round-5 selection (VERDICT r4 "Next round" #1, strictly by the rule
+# above): the never-witnessed backlog — set(REGISTRY) −
+# union(CORRECTNESS_r01–r04) — stood at 76 entries at the r4 close, so
+# ALL 50 slots come from it (no per-family representatives this round;
+# every family's prior reps are driver-green r1–r4 and unchanged, and
+# q1 rides the entry() smoke check every round). Slot priority:
+#   1. the six entries REPAIRED this round (ADVICE r4 findings: the
+#      empty-frame NULL guard, Heaps distinct-vocab, microsecond as-of
+#      distances, and the three sketch-bound oracle rewrites) — their
+#      contract changed, so a fresh driver row matters most;
+#   2. the never-witnessed members of bench.py's HEADLINE set
+#      (events_rolling_active_users, graph_pagerank) — perf-graded
+#      queries should also be correctness-witnessed;
+#   3. the remainder in registry order.
+# The 26 left over (listed by `python tools/witness_ledger.py`, which
+# also asserts the window wastes no slot while the backlog is ≥ 50)
+# are the r6 window's first claim: supplier_pareto,
+# orders_backlog_curve, events_hourly_seasonality,
+# orders_priority_mix_shift, events_user_lifecycle,
+# region_nation_share, part_type_hhi, user_state_scd2,
+# customer_interval_coverage, sample_weighted,
+# orders_equidepth_histogram, events_sessionize_ids,
+# events_attribution_last_touch, funnel_conversion_window,
+# orders_trend_forecast, dq_distribution_drift_psi,
+# window_running_distinct, customer_cohort_ltv, events_longest_streak,
+# events_stickiness_dau_mau, events_anomaly_mad,
+# dq_benford_first_digit, events_changepoint_cusum,
+# customer_gini_revenue, graph_triangles,
+# dedup_cluster_size_histogram — plus any entry red in
+# CORRECTNESS_r05 and any r5 addition (r5 additions are NOT windowed
+# on arrival this round: displacing backlog entries would push the
+# never-witnessed count back over the ≤26 target).
 DRIVER_WINDOW = [
-    # r3-red repairs, driver-witnessed red→green
-    "q12_shipmode_priority",
-    "tokenize_word_ids",
-    # never-driver-recorded oracle-gated (r3 latecomers)
-    "dedup_span_chunks",
-    "join_asof_orders",
-    "rollup_multires",
-    "join_salted_skew",
-    "fn_datetime_misc",
-    "fn_decimal_arith",
-    "sort_null_ordering",
-    "window_range_interval",
-    "stream_session_dynamic",
-    "agg_unpivot",
-    "agg_hll_union",
-    "udtf_explode_map",
-    "udtf_inline",
-    # never-driver-recorded twins (emb_normalize_quantize: new q8_str contract)
-    "text_langid",
-    "sim_cosine_topk_arrow",
-    "emb_normalize_quantize",
-    # new in r4
-    "fn_union_type",
-    "sim_ann_ivf_bcast",
-    "dedup_semantic_cells",
-    "ds_time_bucket_counts",
-    "ds_frequent_buyers",
-    "ds_week_over_week",
-    "ds_topk_per_group",
-    "ds_year_over_year_spend",
-    # never-driver-recorded rows-only entries (property-tested; the
-    # driver records a rows-only row — weaker, but closes the witness gap)
-    "dedup_simhash",
-    "sim_ann_lsh",
-    "fn_misc_surface",
-    "emb_pca_project",
-    # per-family representatives keeping every §2 subsection driver-current
-    # (scan/outer/setop/ptf/script have no other in-window member)
-    "scan_filter_project",
-    "join_full_outer",
-    "setop_intersect_all",
-    "ptf_matchpath",
-    "script_transform",
-    "stream_session",
-    "sim_ann_ivf",
-    # r4 additions that landed after the first freeze — maximizing
-    # never-witnessed coverage; their families' old reps (q1, the dedup
-    # block, multimodal_meta/features, pack_sequences, sample_fraction,
-    # topk_orders, stream_tumbling) are all driver-green in r1–r3 and
-    # unchanged, and q1 is smoke-checked by entry() every round anyway
-    "pipeline_corpus_build",
-    "text_lm_score",
-    "sim_ann_pq",
-    "dedup_jaccard_prefix",
-    "dq_checks",
-    "join_range_bucketed",
-    "fn_variant_json",
-    "agg_grouping_id",
-    "window_ignore_nulls",
-    "corpus_zipf_fit",
-    "sample_reservoir_group",
-    "multimodal_frame_sample",
-    "fn_gap_tier",
+    # repaired this round (ADVICE r4) — contract changed, witness first
+    "window_exclude_current",
+    "corpus_heaps_fit",
+    "join_asof_nearest",
+    "stream_distinct_sketch",
+    "events_rolling_active_sketch",
+    "agg_hll_intersect_estimate",
+    # bench HEADLINE members still unwitnessed
+    "events_rolling_active_users",
+    "graph_pagerank",
+    # never-witnessed backlog, registry order
+    "agg_min_max_by",
+    "window_groups_frame",
+    "fn_bitwise",
+    "fn_array_surface",
+    "fn_map_surface",
+    "agg_bool_family",
+    "fn_trig",
+    "fn_hof_surface",
+    "fn_map_hof",
+    "fn_try_family",
+    "agg_filter_clause",
+    "dedup_containment_pairs",
+    "stream_stream_left_join",
+    "agg_percentile_approx_contract",
+    "agg_count_min_contract",
+    "ds_cross_channel_customers",
+    "sql_recursive_calendar",
+    "fn_sql_macro",
+    "sql_pipe_syntax",
+    "sql_lateral_alias",
+    "agg_mode_deterministic",
+    "agg_listagg",
+    "fn_collation_ci",
+    "agg_corr_matrix",
+    "emb_pca_contract",
+    "text_pmi_top_pairs",
+    "dedup_graph_degrees",
+    "corpus_length_histogram",
+    "sim_hard_negatives",
+    "emb_matryoshka_recall",
+    "emb_cluster_separation",
+    "sim_mmr_rerank",
+    "search_bm25_rank",
+    "sim_rrf_fusion",
+    "text_chunk_sliding",
+    "decontaminate_fuzzy",
+    "ds_channel_rollup",
+    "events_gap_stats",
+    "customer_rfm_segments",
+    "basket_part_affinity",
+    "events_daily_anomaly",
+    "orders_status_transitions",
 ]
 
 

@@ -14,3 +14,27 @@ def test_headline_names_resolve_and_are_oracled():
     unoracled = [n for n in HEADLINE if REGISTRY[n].oracle is None]
     assert not unoracled, unoracled
     assert len(set(HEADLINE)) == len(HEADLINE)
+
+
+def test_final_summary_line_fits_driver_tail():
+    """r5: the r4 detail line outgrew the driver's stdout-tail window
+    (BENCH_r04 "parsed": null), so bench.py now prints a compact
+    summary as the FINAL line. Pin its worst-case size well under a
+    conservative tail budget so adding headline queries can't silently
+    regrow it past the parser again."""
+    import json
+
+    from bench import HEADLINE
+
+    worst = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": 9999.999,
+            "unit": "sec",
+            "queries": {n: 999.99 for n in HEADLINE},
+            "sf": 0.1,
+            "n_queries": len(HEADLINE),
+        },
+        separators=(",", ":"),
+    )
+    assert len(worst) < 1600, len(worst)

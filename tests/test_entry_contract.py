@@ -41,28 +41,41 @@ def test_oracle_keys_subset_of_queries(spark):
         assert len(inspect.signature(fn).parameters) == 2
 
 def test_driver_window_spans_every_survey_family():
-    """The driver records only the first 50 queries() entries; pin that the
-    window covers every SURVEY §2 subsection (VERDICT r01 next-round #1)."""
+    """The driver records only the first 50 queries() entries; pin the
+    window invariants. Family coverage (VERDICT r01 next-round #1) is
+    required only while slots are free: when the never-driver-witnessed
+    backlog is >= 50, the r4 verdict's rotation rule takes precedence —
+    EVERY slot goes to the backlog (a family whose members are all
+    already witnessed keeps its latest driver row as authoritative) and
+    a family-rep slot would just delay draining the ledger."""
     from hive_release_spark.queries import DRIVER_WINDOW, REGISTRY, queries
+    from tools.witness_ledger import witnessed_names
 
     assert len(DRIVER_WINDOW) == 50
     assert len(set(DRIVER_WINDOW)) == 50
     assert set(DRIVER_WINDOW) <= set(REGISTRY)
     assert list(queries())[:50] == DRIVER_WINDOW
 
-    window_tags = {t for n in DRIVER_WINDOW for t in REGISTRY[n].tags}
-    # one representative per §2 subsection family
-    required = {
-        "scan", "agg", "topk", "join", "outer", "window", "setop",  # §2.A-F
-        "functions", "udtf", "ptf", "script",                        # §2.H-I
-        "streaming", "session_window",                               # §2.K
-        "dedup", "neardup", "similarity", "ann", "text", "multimodal",  # §2.L
-        "sample", "tpch", "sketch",
-    }
-    missing = required - window_tags
-    assert not missing, f"driver window misses families: {missing}"
+    seen = witnessed_names()
+    never = [n for n in REGISTRY if n not in seen]
+    if len(never) >= 50:
+        # backlog saturates the window: no slot may be wasted on an
+        # already-witnessed entry
+        wasted = [n for n in DRIVER_WINDOW if n in seen]
+        assert not wasted, f"backlog >= 50 but window re-records: {wasted}"
+    else:
+        window_tags = {t for n in DRIVER_WINDOW for t in REGISTRY[n].tags}
+        # one representative per §2 subsection family
+        required = {
+            "scan", "agg", "topk", "join", "outer", "window", "setop",
+            "functions", "udtf", "ptf", "script",
+            "streaming", "session_window",
+            "dedup", "neardup", "similarity", "ann", "text", "multimodal",
+            "sample", "tpch", "sketch",
+        }
+        missing = required - window_tags
+        assert not missing, f"driver window misses families: {missing}"
 
-    # at most a handful of rows-only entries; the window should be
-    # dominated by oracle-gated queries
+    # the window should be dominated by oracle-gated queries
     oracled = sum(1 for n in DRIVER_WINDOW if REGISTRY[n].oracle is not None)
     assert oracled >= 42
