@@ -90,22 +90,29 @@ def main() -> None:
 
     run("q1_pricing_summary")  # JVM/codegen warmup, untimed
 
-    # min of two runs per query: this VM's timing noise is large
-    # (observed 3-10x swings); min-of-2 reports steady-state throughput.
-    # position_sec records each query's wall-clock offset from bench start
-    # so cross-round deltas can be correlated with session position (the
-    # +30% drift on small queries is position-correlated, r2 verdict).
+    # min of THREE runs per query (r5, was 2): this VM's timing noise is
+    # large (observed 3-10x swings) and min-of-2 failed to converge for
+    # small queries late in a 32-query session — the r4 "drift" on
+    # text_tfidf_top_terms / window_rows_frame / q3 reproduced under
+    # min-of-2 but vanished under isolated min-of-4 (window_rows_frame
+    # 0.99s benched vs 0.62s converged, BELOW its r3 number), naming the
+    # cause as first-run/position inflation, not plan damage.
+    # position_sec records each query's wall-clock offset from bench
+    # start so cross-round deltas can be correlated with session
+    # position (the +30% drift on small queries is position-correlated,
+    # r2 verdict).
     per_query: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     position: dict[str, float] = {}
     for name in HEADLINE:
         position[name] = round(time.time() - bench_t0, 1)
-        runs[name] = [run(name), run(name)]
+        runs[name] = [run(name), run(name), run(name)]
         per_query[name] = round(min(runs[name]), 3)
 
-    # the 5 heaviest get a THIRD repetition and a median report — min-of-2
-    # on a noisy VM can understate a genuinely heavy query, median-of-3
-    # distinguishes a real plan regression from a one-off scheduler stall.
+    # the 5 heaviest get a FOURTH repetition and a near-median report —
+    # min-of-N on a noisy VM can understate a genuinely heavy query; the
+    # second-smallest of 4 distinguishes a real plan regression from a
+    # one-off scheduler stall.
     heavy5 = sorted(per_query, key=per_query.get, reverse=True)[:5]
     median5: dict[str, float] = {}
     for name in heavy5:

@@ -149,16 +149,76 @@ def fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("fn_misc_surface", tags=("functions", "no_oracle"))
+@register(
+    "fn_misc_surface",
+    oracle="""
+    SELECT p_partkey,
+           format('{:,}', CAST(floor(round(p_retailprice, 2)) AS BIGINT))
+             || '.' ||
+             lpad(CAST(CAST(round(p_retailprice, 2) * 100 AS BIGINT) % 100
+                       AS VARCHAR), 2, '0') AS fmt,
+           CASE 1 + p_partkey % 3
+                WHEN 1 THEN 'a' WHEN 2 THEN p_brand WHEN 3 THEN 'c'
+           END AS elt_v,
+           CASE p_type WHEN 'ECONOMY' THEN 1
+                       WHEN 'PROMO' THEN 2
+                       WHEN p_type THEN 3 END AS fld,
+           CASE p_brand WHEN 'Brand#11' THEN 1
+                        WHEN 'Brand#22' THEN 2
+                        WHEN 'Brand#33' THEN 3 ELSE 0 END AS fis,
+           array_to_string(
+             list_transform(string_split(lower(p_type), ' '),
+                            s -> upper(s[1]) || s[2:]), ' ') AS ic
+    FROM part WHERE p_partkey % 10 = 0
+    ORDER BY p_partkey
+    """,
+    tags=("functions",),
+)
 def fn_misc_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only sweep of families DuckDB can't mirror 1:1: xpath,
-    sentences, format_number, elt/field/find_in_set, conv/bin/hex,
-    factorial, soundex, initcap, crc32, xxhash64, monotonically
-    increasing id shape. Determinism: everything derives from table
-    values; the driver records row count + schema. The sentences()
-    result is flattened to a string — every output column must stay
-    pandas-sortable in case the driver canonicalizes rows-only output
-    too (the tokenize_word_ids r3 lesson, tests/test_oracle_types.py)."""
+    """Hive string/selector one-offs, ORACLE-GATED (r5 conversion,
+    VERDICT r4 next-round #7 — this was rows-only; everything here has
+    a DuckDB equivalent or an exact definitional SQL form, so the hash
+    gate now covers it): format_number (grouped thousands + fixed
+    decimals, rebuilt in the oracle from format('{:,}') on the integer
+    part — safe because p_retailprice is positive with exact 2-decimal
+    values), elt with a VARYING index (CASE over the 1-based position),
+    field() position lookup, find_in_set against a fixed list (CASE
+    over list positions, including the 0 = not-found arm), and initcap
+    (list_transform word-capitalization — p_type words are single-space
+    separated, matching Spark's delimiter semantics). conv/bin/hex/
+    factorial stay in `fn_numeric_repr` (already oracle-gated there);
+    the genuinely non-SQL remainder (xpath, sentences, soundex, crc32,
+    xxhash64) moved to the rows-only `fn_misc_xpath`."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    return p.select(
+        "p_partkey",
+        F.format_number(F.col("p_retailprice"), 2).alias("fmt"),
+        F.expr("elt(1 + p_partkey % 3, 'a', p_brand, 'c')").alias("elt_v"),
+        hive_fns.field(
+            F.col("p_type"),
+            F.lit("ECONOMY"),
+            F.lit("PROMO"),
+            F.col("p_type"),
+        ).alias("fld"),
+        F.expr(
+            "find_in_set(p_brand, 'Brand#11,Brand#22,Brand#33')"
+        ).alias("fis"),
+        F.initcap("p_type").alias("ic"),
+    ).orderBy("p_partkey")
+
+
+@register("fn_misc_xpath", tags=("functions", "no_oracle"))
+def fn_misc_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only remainder of the old fn_misc_surface (r5 split): the
+    families with NO DuckDB equivalent or definitional SQL form —
+    xpath_string (XML extraction), sentences (locale tokenizer),
+    soundex (phonetic code), crc32 and xxhash64 (checksum/hash
+    families; their exact values are Spark-implementation constants).
+    Determinism: everything derives from table values; the driver
+    records row count + schema, and `tests/test_functions.py` pins the
+    semantics property-wise (soundex shape, crc32 range, xxhash64
+    stability). Every output column stays pandas-sortable (the
+    tokenize_word_ids r3 lesson, tests/test_oracle_types.py)."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
     return p.select(
         "p_partkey",
@@ -170,16 +230,7 @@ def fn_misc_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             " | ",
         ).alias("sents"),
-        F.format_number(F.col("p_retailprice"), 2).alias("fmt"),
-        F.expr("elt(2, 'a', p_brand, 'c')").alias("elt2"),
-        hive_fns.field(F.col("p_brand"), F.lit("Brand#1"), F.col("p_brand")).alias("fld"),
-        F.expr("find_in_set(p_brand, concat('x,', p_brand, ',y'))").alias("fis"),
-        F.conv(F.col("p_partkey").cast("string"), 10, 16).alias("hex16"),
-        F.bin(F.col("p_size").cast("long")).alias("binv"),
-        F.hex(F.col("p_size").cast("long")).alias("hexv"),
-        F.factorial(F.col("p_size") % 10).alias("fact"),
         F.soundex("p_name").alias("sdx"),
-        F.initcap("p_type").alias("ic"),
         F.crc32(F.col("p_brand").cast("binary")).alias("crc"),
         F.xxhash64("p_name").alias("xx64"),
     )

@@ -173,3 +173,36 @@ def test_sentences_executes(spark):
     df = spark.createDataFrame([("Hello there. How are you",)], "s STRING")
     r = df.select(FUNCTION_REGISTRY["sentences"]("s").alias("sent")).collect()[0]
     assert r.sent == [["Hello", "there"], ["How", "are", "you"]]
+
+
+def test_misc_xpath_remainder_properties(spark):
+    """The rows-only `fn_misc_xpath` entry (r5 split of
+    fn_misc_surface) carries its semantics here instead of a DuckDB
+    oracle: soundex shape (letter + 3 digits), crc32 range (unsigned
+    32-bit), xxhash64 determinism (same input -> same hash, distinct
+    inputs overwhelmingly distinct), and the xpath/sentences columns'
+    exact values on known inputs (covered above)."""
+    from hive_release_spark.queries import REGISTRY
+    from tests.conftest import SF_ORACLE
+
+    rows = REGISTRY["fn_misc_xpath"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    import re
+
+    for r in rows:
+        assert r.xp == "x"  # constant-input xpath_string pin
+        assert re.fullmatch(r"[A-Z]\d{3}", r.sdx), r.sdx
+        assert 0 <= r.crc <= 0xFFFFFFFF
+        assert " | " in r.sents or r.sents  # flattened, sortable string
+    # xxhash64 stability: re-running yields identical hashes
+    again = {x.p_partkey: x.xx64 for x in
+             REGISTRY["fn_misc_xpath"].fn(spark, SF_ORACLE).collect()}
+    assert {x.p_partkey: x.xx64 for x in rows} == again
+    # hash cardinality tracks the hashed column's (p_name repeats
+    # heavily in the fixture: equal names MUST collide, distinct names
+    # overwhelmingly must not)
+    docs = REGISTRY["fn_misc_xpath"].fn(spark, SF_ORACLE)
+    n_names, n_hashes = docs.agg(
+        F.countDistinct("sdx").alias("a"), F.countDistinct("xx64").alias("b")
+    ).collect()[0]
+    assert n_hashes >= n_names  # xx64 at least as discriminating as soundex
