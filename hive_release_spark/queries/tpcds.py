@@ -300,3 +300,240 @@ def ds_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("channel").asc_nulls_first(), F.col("mon").asc_nulls_first()
         )
     )
+
+
+@register(
+    "ds_late_delivery_chain",
+    oracle="""
+    SELECT p.p_brand, n.n_name,
+           CAST(count(CASE WHEN l.l_shipdate > o.o_orderdate
+                                + INTERVAL 30 DAY THEN 1 END)
+                AS BIGINT) AS n_late,
+           count(*) AS n_lines,
+           round(count(CASE WHEN l.l_shipdate > o.o_orderdate
+                                 + INTERVAL 30 DAY THEN 1 END)
+                 * 1.0 / count(*), 4) AS late_ratio
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+                   AND extract('year' FROM o.o_orderdate) = 1997
+    JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_size < 20
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("tpcds", "join", "broadcast_chain", "single_scan"),
+)
+def ds_late_delivery_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q72 shape (VERDICT r4 stretch #8): the fact riding a
+    CHAIN of dimension joins with selective filters on three of them
+    (order year, part size, region), counting late deliveries
+    (ship > order + 30d). The 100 TB discipline the plan pins
+    (tests/test_plans.py): exactly ONE shuffle-worthy join — the
+    fact-fact lineitem⋈orders on orderkey — while part, supplier,
+    nation, and region all ride BroadcastHashJoins (q72's spec plan
+    degrades catastrophically when the optimizer shuffles the dim
+    chain); the dim filters apply BEFORE their joins so broadcast
+    sizes shrink; and the late/total counts are conditional aggregates
+    over the joined frame, not a second pass. Column pruning keeps the
+    fact scan at 4 columns."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1997)
+        .select("o_orderkey", "o_orderdate")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") < 20)
+        .select("p_partkey", "p_brand")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    r = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 30 DAYS"
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("p_brand", "n_name")
+        .agg(
+            F.count(F.when(late, 1)).alias("n_late"),
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.count(F.when(late, 1)) * 1.0 / F.count("*"), 4
+            ).alias("late_ratio"),
+        )
+        .orderBy("p_brand", "n_name")
+    )
+
+
+@register(
+    "ds_spend_growth_pairs",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, extract('year' FROM o_orderdate) AS y,
+             sum(o_totalprice) AS spend
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT CAST(a.y AS BIGINT) AS y1, CAST(b.y AS BIGINT) AS y2,
+           count(*) AS n_customers,
+           round(avg(b.spend / a.spend), 4) AS avg_growth
+    FROM spend a
+    JOIN spend b ON a.o_custkey = b.o_custkey AND b.y > a.y
+                AND b.spend >= 1.5 * a.spend
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("tpcds", "join", "cte_reuse", "self_join"),
+)
+def ds_spend_growth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q64 shape (VERDICT r4 stretch #8): a multi-pass CTE —
+    the per-(customer, year) spend frame is computed ONCE and
+    self-joined across year PAIRS (every y2 > y1 with spend growth
+    ≥ 1.5×, not just adjacent years — which is why the q74-style lag
+    window used by `ds_year_over_year_spend` cannot express it; the
+    pair join is genuinely needed). The 100 TB discipline: the CTE is
+    persisted, so orders is scanned ONCE and both join inputs are
+    InMemoryTableScans of the aggregated (cust × year) frame — the
+    spec's naive plan recomputes the CTE per reference, i.e. 2 fact
+    scans; the growth condition rides the join, and the output is the
+    compact per-(y1, y2) cohort summary, not the pair blow-up. The
+    persisted frame is |cust|×|years|, 3 orders of magnitude smaller
+    than the fact."""
+    from pyspark import StorageLevel
+
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            "o_custkey", F.year("o_orderdate").cast("long").alias("y")
+        )
+        .agg(F.sum("o_totalprice").alias("spend"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = spend.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("y").alias("y1"),
+        F.col("spend").alias("s1"),
+    )
+    b = spend.select(
+        F.col("o_custkey").alias("ck2"),
+        F.col("y").alias("y2"),
+        F.col("spend").alias("s2"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ck") == F.col("ck2"))
+            & (F.col("y2") > F.col("y1"))
+            & (F.col("s2") >= 1.5 * F.col("s1")),
+        )
+        .groupBy("y1", "y2")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg(F.col("s2") / F.col("s1")), 4).alias(
+                "avg_growth"
+            ),
+        )
+        .orderBy("y1", "y2")
+    )
+
+
+@register(
+    "ds_hierarchy_rank",
+    oracle="""
+    WITH agg AS (
+      SELECT n.n_name, c.c_mktsegment AS seg,
+             CAST(GROUPING(n.n_name) + GROUPING(c.c_mktsegment)
+                  AS BIGINT) AS lochierarchy,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+    )
+    SELECT lochierarchy, n_name, seg, revenue,
+           CAST(rank() OVER (
+             PARTITION BY lochierarchy,
+                          CASE WHEN lochierarchy = 0 THEN n_name END
+             ORDER BY revenue DESC,
+                      n_name ASC NULLS FIRST, seg ASC NULLS FIRST
+           ) AS BIGINT) AS rank_in_parent
+    FROM agg
+    ORDER BY lochierarchy DESC, n_name NULLS FIRST, seg NULLS FIRST
+    """,
+    tags=("tpcds", "rollup", "window", "grouping_sets"),
+)
+def ds_hierarchy_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q36 shape (VERDICT r4 stretch #8): gross-revenue ranking
+    WITHIN each level of a rollup hierarchy — segments ranked within
+    their nation, nations ranked among themselves, one grand-total row
+    — via rank() partitioned by (lochierarchy, parent key), where
+    lochierarchy = grouping(n_name) + grouping(seg) (the exact q36
+    idiom). Plan shape: ONE orders scan feeds Expand (3 rollup levels)
+    → partial/final agg → a single window over the aggregated frame
+    (dim-cardinality rows, trivially small at any SF); customer and
+    nation ride broadcasts. Tie-breaks and NULL ordering are spelled
+    out on both engines: Spark windows default NULLS FIRST ASC like
+    Hive, DuckDB defaults the opposite, so the oracle pins them
+    explicitly (the sort_null_ordering lesson)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    agg = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.col("c_mktsegment").alias("seg"),
+            "o_totalprice",
+        )
+        .rollup("n_name", "seg")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            (F.grouping("n_name") + F.grouping("seg"))
+            .cast("long")
+            .alias("lochierarchy"),
+        )
+        .select("n_name", "seg", "lochierarchy", "revenue")
+    )
+    w = W.partitionBy(
+        "lochierarchy",
+        F.when(F.col("lochierarchy") == 0, F.col("n_name")),
+    ).orderBy(
+        F.col("revenue").desc(),
+        F.col("n_name").asc_nulls_first(),
+        F.col("seg").asc_nulls_first(),
+    )
+    return agg.select(
+        "lochierarchy",
+        "n_name",
+        "seg",
+        "revenue",
+        F.rank().over(w).cast("long").alias("rank_in_parent"),
+    ).orderBy(
+        F.col("lochierarchy").desc(),
+        F.col("n_name").asc_nulls_first(),
+        F.col("seg").asc_nulls_first(),
+    )

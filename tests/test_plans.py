@@ -182,3 +182,38 @@ def test_ds_cross_channel_scans_events_once(spark):
     the rewrite equivalence is oracle-verified)."""
     plan = _plan(REGISTRY["ds_cross_channel_customers"].fn(spark, SF_SMOKE))
     assert plan.count("events.parquet") == 1, plan.count("events.parquet")
+
+
+def test_ds_late_delivery_chain_broadcasts_dim_chain(spark):
+    """q72 shape: the ONLY shuffle join is the fact-fact
+    lineitem⋈orders; part/supplier/nation/region must ALL ride
+    BroadcastHashJoins, the year filter must reach the orders scan,
+    and each table is scanned exactly once."""
+    plan = _plan(REGISTRY["ds_late_delivery_chain"].fn(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 4, plan.count("BroadcastHashJoin")
+    for t in ("lineitem", "orders", "part", "supplier", "nation", "region"):
+        assert plan.count(f"{t}.parquet") == 1, (t, plan.count(f"{t}.parquet"))
+    # selective dim filters applied before the joins (pushed to scans)
+    assert "LessThan(p_size,20)" in plan, plan[:3000]
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_ds_spend_growth_pairs_reuses_persisted_cte(spark):
+    """q64 shape: the per-(customer, year) spend CTE must be computed
+    once — both self-join inputs are InMemoryTableScans of the
+    persisted aggregate, so orders appears in the plan exactly once."""
+    df = REGISTRY["ds_spend_growth_pairs"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("InMemoryTableScan") >= 2, plan.count("InMemoryTableScan")
+    assert plan.count("orders.parquet") <= 1, plan.count("orders.parquet")
+
+
+def test_ds_hierarchy_rank_single_expand_then_window(spark):
+    """q36 shape: one orders scan feeds Expand (rollup) -> agg -> ONE
+    window over the dim-cardinality aggregate; customer and nation ride
+    broadcasts."""
+    plan = _plan(REGISTRY["ds_hierarchy_rank"].fn(spark, SF_SMOKE))
+    assert plan.count("orders.parquet") == 1
+    assert "Expand" in plan
+    assert plan.count("Window") >= 1
+    assert plan.count("BroadcastHashJoin") >= 2
