@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
 from hive_release_spark.llm import dedup, pipeline
+from hive_release_spark.queries.analytics3 import _md5_u32
 from hive_release_spark.queries.registry import register
+
+# DuckDB-side md5 bucket of a token (matches the Spark conv(md5) % 64
+# expression in sample_importance_dsir exactly)
+_MD5_BUCKET = f"({_md5_u32('term')} % 64)"
 
 # Shared fixture knobs (embedded into both engines' plans).
 _DECON_N = 3  # production runs 8-13 grams; the synthetic corpus is random
@@ -544,4 +549,215 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("jaccard").alias("max_jaccard"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample_importance_dsir",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             {_MD5_BUCKET} AS b
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+            FROM documents)),
+    c_r AS (SELECT b, count(*) AS cr FROM toks GROUP BY 1),
+    c_t AS (SELECT b, count(*) AS ct FROM toks WHERE lang = 'en' GROUP BY 1),
+    n AS (SELECT (SELECT count(*) FROM toks) AS nr,
+                 (SELECT count(*) FROM toks WHERE lang = 'en') AS nt),
+    lm AS (
+      SELECT c_r.b,
+             ln(((COALESCE(c_t.ct, 0) + 1.0) * (n.nr + 64.0))
+                / ((c_r.cr + 1.0) * (n.nt + 64.0))) AS logratio
+      FROM c_r LEFT JOIN c_t ON c_r.b = c_t.b CROSS JOIN n)
+    SELECT t.doc_id, any_value(t.lang) AS lang,
+           count(*) AS n_tok,
+           round(avg(lm.logratio), 6) AS dsir_score
+    FROM toks t JOIN lm ON t.b = lm.b
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    tags=("llm", "sampling", "importance", "dsir"),
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every raw document by how target-like its hashed-unigram
+    distribution is — avg over tokens of
+    ln(p_target(bucket) / p_raw(bucket)) with add-one smoothing over
+    B=64 md5 buckets (the paper's hashed n-gram LM, unigram arm;
+    target = the English slice standing in for the curated corpus).
+    Positive score = resample-worthy. The length-normalized mean keeps
+    scores comparable across document lengths; the downstream
+    selection rule (sample ∝ exp(score)) is the A-ES weighted sampler
+    already in `sample_weighted`.
+
+    Scale: ONE corpus tokenize pass feeds both LM counts and the
+    per-doc score (the bucketed token frame is persisted across its 3
+    consumers); the bucket LM is B rows — broadcast — so the score
+    join never shuffles the corpus; bucket hashing is scan-side md5
+    (partition-invariant, replayed exactly by the oracle)."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    B = 64
+    toks = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        .withColumn(
+            "b",
+            (
+                F.conv(F.substring(F.md5("term"), 1, 8), 16, 10)
+                .cast("long")
+                % B
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c_r = toks.groupBy("b").agg(F.count("*").alias("cr"))
+    c_t = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    n = toks.agg(
+        F.count("*").alias("nr"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("nt"),
+    )
+    lm = (
+        c_r.join(c_t, "b", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "b",
+            F.ln(
+                ((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) * (F.col("nr") + float(B)))
+                / ((F.col("cr") + 1.0) * (F.col("nt") + float(B)))
+            ).alias("logratio"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(lm), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count("*").alias("n_tok"),
+            F.round(F.avg("logratio"), 6).alias("dsir_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "search_eval_metrics",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+          FROM e WHERE vec_id < 8),
+    ranked AS (
+      SELECT query_id, qlabel, neighbor_id, nlabel,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rk
+      FROM (SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id,
+                   c.label AS nlabel,
+                   list_cosine_similarity(q.qv, c.v) AS sim
+            FROM q JOIN e c ON q.query_id <> c.vec_id)),
+    top10 AS (SELECT * FROM ranked WHERE rk <= 10),
+    nrel AS (
+      SELECT q.query_id,
+             count(*) AS total_rel
+      FROM q JOIN e c ON q.query_id <> c.vec_id AND q.qlabel = c.label
+      GROUP BY 1),
+    per_q AS (
+      SELECT t.query_id,
+             count(CASE WHEN nlabel = qlabel THEN 1 END) AS hits_10,
+             max(CASE WHEN nlabel = qlabel THEN 1.0 / t.rk END) AS mrr_raw,
+             sum(CASE WHEN nlabel = qlabel
+                      THEN 1.0 / log2(t.rk + 1.0) END) AS dcg
+      FROM top10 t GROUP BY 1)
+    SELECT p.query_id,
+           CAST(p.hits_10 AS BIGINT) AS hits_10,
+           n.total_rel,
+           round(p.hits_10 * 1.0 / n.total_rel, 6) AS recall_10,
+           round(COALESCE(p.mrr_raw, 0.0), 6) AS mrr,
+           round(COALESCE(p.dcg, 0.0)
+                 / list_sum(list_transform(
+                     generate_series(1, CAST(least(n.total_rel, 10) AS INTEGER)),
+                     i -> 1.0 / log2(i + 1.0))), 6) AS ndcg_10
+    FROM per_q p JOIN nrel n USING (query_id)
+    ORDER BY query_id
+    """,
+    tags=("llm", "similarity", "search", "eval"),
+)
+def search_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation harness — recall@10, MRR, and
+    nDCG@10 for the exact-cosine ranker against label-match relevance
+    (query's class = relevant), the standard scorecard any ANN/hybrid
+    deployment tracks before swapping rankers. Relevance joins ride
+    the SAME broadcast pattern as the ranker (labels are a column of
+    the already-broadcast query frame; corpus labels come with the
+    scan); metrics reduce the top-10 frame (n_queries × 10 rows) plus
+    one label-count aggregate for the recall denominator and the
+    closed-form IDCG (an aggregate over sequence(1, min(total_rel,
+    10)) — no second corpus pass, no per-rank join). Deterministic:
+    ranks tie-break on neighbor_id, so the relevance pattern — and
+    every metric — replays exactly in the oracle."""
+    from hive_release_spark.llm import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+    )
+    qlabels = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    top10 = (
+        similarity.brute_force_topk(
+            emb.filter(F.col("vec_id") < 8), emb, k=10
+        )
+        .join(F.broadcast(labels), "neighbor_id")
+        .join(F.broadcast(qlabels), "query_id")
+    )
+    rel = F.col("nlabel") == F.col("qlabel")
+    per_q = top10.groupBy("query_id").agg(
+        F.count(F.when(rel, 1)).alias("hits_10"),
+        F.max(F.when(rel, 1.0 / F.col("rank"))).alias("mrr_raw"),
+        F.sum(
+            F.when(rel, 1.0 / F.log2(F.col("rank") + 1.0))
+        ).alias("dcg"),
+    )
+    nrel = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+        .join(
+            F.broadcast(
+                qlabels.withColumnRenamed("qlabel", "label")
+            ),
+            "label",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count("*").alias("total_rel"))
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("total_rel"), F.lit(10)).cast("int")),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0),
+    )
+    return (
+        per_q.join(nrel, "query_id")
+        .select(
+            "query_id",
+            F.col("hits_10").cast("long").alias("hits_10"),
+            "total_rel",
+            F.round(F.col("hits_10") * 1.0 / F.col("total_rel"), 6).alias(
+                "recall_10"
+            ),
+            F.round(F.coalesce(F.col("mrr_raw"), F.lit(0.0)), 6).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("dcg"), F.lit(0.0)) / idcg, 6
+            ).alias("ndcg_10"),
+        )
+        .orderBy("query_id")
     )
