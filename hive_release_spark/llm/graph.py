@@ -124,3 +124,68 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
         .otherwise(F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6))
         .alias("clustering_coeff"),
     )
+
+
+def local_clustering(pairs: DataFrame) -> DataFrame:
+    """Per-node triangle count and LOCAL clustering coefficient
+    2·T(v) / (d(v)·(d(v)−1)) — the node-level "is this doc inside a
+    boilerplate clique" score behind the global ratio in
+    ``triangle_stats``.
+
+    Same ordered 3-cycle join (a<b<c matches each triangle once);
+    every triangle then credits its three vertices via a 3-way union
+    of id projections — a skinny frame whose size is 3×triangles, not
+    corpus-shaped. Degrees ride the same symmetric-union groupBy as
+    the global stats. Nodes with degree < 2 have no possible triangle
+    and report coefficient 0.0 (the convention that keeps the column
+    total-ordered for deterministic output).
+    """
+    p = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    p1, p2, p3 = p.alias("p1"), p.alias("p2"), p.alias("p3")
+    tri_rows = (
+        p1.join(p2, F.col("p1.b") == F.col("p2.a"))
+        .join(
+            p3,
+            (F.col("p3.a") == F.col("p1.a")) & (F.col("p3.b") == F.col("p2.b")),
+        )
+        .select(
+            F.col("p1.a").alias("va"),
+            F.col("p1.b").alias("vb"),
+            F.col("p2.b").alias("vc"),
+        )
+    )
+    tri_per_node = (
+        tri_rows.select(F.col("va").alias("v"))
+        .union(tri_rows.select(F.col("vb").alias("v")))
+        .union(tri_rows.select(F.col("vc").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    deg = (
+        p.select("a")
+        .union(p.select(F.col("b").alias("a")))
+        .groupBy("a")
+        .agg(F.count("*").alias("d"))
+        .select(F.col("a").alias("v"), "d")
+    )
+    return (
+        deg.join(tri_per_node, "v", "left")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_triangles"),
+            F.when(F.col("d") < 2, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("n_tri"), F.lit(0))
+                    / (F.col("d") * (F.col("d") - 1)),
+                    6,
+                )
+            )
+            .alias("local_coeff"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1179,3 +1179,121 @@ def customer_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "events_survival_km",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(min(ts) AS DATE) AS first_day,
+             CAST(min(CASE WHEN event_type = 'purchase' AND value >= 180
+                           THEN ts END) AS DATE) AS conv_day,
+             CAST(max(ts) AS DATE) AS last_day
+      FROM events GROUP BY 1),
+    obs AS (
+      SELECT user_id,
+             CASE WHEN conv_day IS NOT NULL
+                  THEN date_diff('day', first_day, conv_day)
+                  ELSE date_diff('day', first_day, last_day) END AS t,
+             CASE WHEN conv_day IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM u),
+    bytime AS (
+      SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+             CAST(count(*) - sum(ev) AS BIGINT) AS c
+      FROM obs GROUP BY t),
+    risk AS (
+      SELECT t, d, c,
+             CAST(sum(d + c) OVER (ORDER BY t DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n_risk
+      FROM bytime),
+    km AS (
+      SELECT t, d, c, n_risk,
+             sum(CASE WHEN d < n_risk THEN ln(1.0 - d * 1.0 / n_risk)
+                      ELSE 0.0 END)
+                 OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum_ln,
+             max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS hit_zero
+      FROM risk)
+    SELECT CAST(t AS BIGINT) AS t, d, c, n_risk,
+           CASE WHEN hit_zero = 1 THEN 0.0
+                ELSE round(exp(cum_ln), 6) END AS s_hat
+    FROM km ORDER BY t
+    """,
+    tags=("analytics", "events", "survival", "window"),
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-conversion (first
+    high-value purchase, value ≥ 180; users who never convert are
+    right-CENSORED at their last observed event — the estimator's whole
+    point vs a naive conversion histogram, which silently drops or
+    miscounts the 74% censored here). Product-limit estimate
+    S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) computed as exp of a running sum of
+    logs; the d = n_risk boundary (empty risk set after the last
+    event time) is handled by an explicit zero flag rather than ln(0),
+    which Spark NULLs and DuckDB −infs — the one engine divergence in
+    this algebra, kept out of both plans.
+
+    Scale: the event stream collapses to the per-user (t, event) frame
+    in ONE groupBy; everything after — time buckets, reverse-cumsum
+    risk sets, the KM product — runs on the distinct-lifetime frame
+    (≤ observation-window days ≪ corpus), so both windows ride a
+    driver-sized frame and the global ORDER BY windows are justified
+    exactly like the other day-cardinality analytics."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = F.when(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 180),
+        F.col("ts"),
+    )
+    u = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("first_day"),
+        F.to_date(F.min(conv)).alias("conv_day"),
+        F.to_date(F.max("ts")).alias("last_day"),
+    )
+    obs = u.select(
+        F.when(
+            F.col("conv_day").isNotNull(),
+            F.datediff("conv_day", "first_day"),
+        )
+        .otherwise(F.datediff("last_day", "first_day"))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("conv_day").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    bytime = obs.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        (F.count("*") - F.sum("ev")).cast("long").alias("c"),
+    )
+    w_desc = W.orderBy(F.col("t").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    risk = bytime.withColumn(
+        "n_risk", F.sum(F.col("d") + F.col("c")).over(w_desc).cast("long")
+    )
+    w_asc = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    ln_term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    km = risk.select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        F.sum(ln_term).over(w_asc).alias("cum_ln"),
+        F.max(
+            F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+        ).over(w_asc).alias("hit_zero"),
+    )
+    return km.select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("cum_ln"), 6))
+        .alias("s_hat"),
+    ).orderBy("t")

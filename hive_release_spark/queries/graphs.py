@@ -163,3 +163,49 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@register(
+    "graph_local_clustering",
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    tri AS (
+      SELECT p1.doc_a AS va, p1.doc_b AS vb, p2.doc_b AS vc
+      FROM pairs p1
+      JOIN pairs p2 ON p2.doc_a = p1.doc_b
+      JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+    tpn AS (
+      SELECT v, count(*) AS n_tri FROM (
+        SELECT va AS v FROM tri
+        UNION ALL SELECT vb FROM tri
+        UNION ALL SELECT vc FROM tri)
+      GROUP BY v),
+    deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b FROM pairs)
+      GROUP BY v)
+    SELECT deg.v AS doc_id,
+           deg.d AS degree,
+           CAST(coalesce(tpn.n_tri, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.d < 2 THEN 0.0
+                ELSE round(2.0 * coalesce(tpn.n_tri, 0)
+                           / (deg.d * (deg.d - 1)), 6)
+           END AS local_coeff
+    FROM deg LEFT JOIN tpn ON deg.v = tpn.v
+    ORDER BY doc_id
+    """,
+    tags=("llm", "graph", "neardup"),
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node clustering coefficient of the near-dup graph (new r5):
+    2·T(v)/(d(v)·(d(v)−1)) — flags the documents sitting inside
+    boilerplate CLIQUES (coeff → 1: template families that should
+    collapse to one survivor) vs hub-like chance collisions (high
+    degree, low coeff). Complements the global ratio in
+    `graph_triangles` with the per-document signal a dedup yield
+    review actually acts on. Each triangle credits its 3 vertices via
+    a union of skinny id projections (3×triangles rows); degrees reuse
+    the symmetric-union groupBy. See llm/graph.local_clustering."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.5)
+    return graph.local_clustering(pairs)

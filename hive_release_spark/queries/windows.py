@@ -424,3 +424,78 @@ def window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("peer_sum"),
         (F.count("*").over(w) - 1).alias("peer_rows"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "window_exclude_group_ties",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sum(l_extendedprice) OVER (
+               PARTITION BY l_suppkey ORDER BY l_quantity
+               RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+               EXCLUDE GROUP), 2) AS grp_excl_sum,
+           CAST(count(*) OVER (
+               PARTITION BY l_suppkey ORDER BY l_quantity
+               RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+               EXCLUDE GROUP) AS BIGINT) AS grp_excl_rows,
+           round(sum(l_extendedprice) OVER (
+               PARTITION BY l_suppkey ORDER BY l_quantity
+               RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+               EXCLUDE TIES), 2) AS ties_excl_sum,
+           CAST(count(*) OVER (
+               PARTITION BY l_suppkey ORDER BY l_quantity
+               RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+               EXCLUDE TIES) AS BIGINT) AS ties_excl_rows
+    FROM lineitem WHERE l_suppkey % 100 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("window", "frames", "exclude"),
+)
+def window_exclude_group_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining SQL:2011 frame-exclusion arms (r5, completing
+    `window_exclude_current`): EXCLUDE GROUP drops the current row's
+    whole PEER group from the frame, EXCLUDE TIES drops the peers but
+    keeps the current row. Spark has no EXCLUDE clause; the lossless
+    rewrite works because with a RANGE frame that spans offset 0 the
+    peer group (identical ORDER BY value) always lies ENTIRELY inside
+    the frame, so:  group-excluded agg = frame agg − peer-group agg
+    (one extra window partitioned by (partition, order value)), and
+    ties-excluded agg = that + the current row back. The same
+    empty-frame contract as EXCLUDE CURRENT ROW applies: when the
+    group-excluded frame has 0 rows its SUM is NULL (count stays 0) —
+    DuckDB's native EXCLUDE implements exactly this, making the oracle
+    a first-class reference again. NOTE this rewrite is only valid for
+    RANGE (value-bounded) frames; under ROWS frames a peer can fall
+    outside the frame and the subtraction overcounts — the docstring
+    constraint a PTF implementation would enforce."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") % 100 == 0)
+        .select(
+            "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity",
+            "l_extendedprice",
+        )
+    )
+    frame = (
+        W.partitionBy("l_suppkey")
+        .orderBy(F.col("l_quantity").cast("double"))
+        .rangeBetween(-2, 2)
+    )
+    peers = W.partitionBy("l_suppkey", "l_quantity")
+    f_sum = F.sum("l_extendedprice").over(frame)
+    f_cnt = F.count("*").over(frame)
+    p_sum = F.sum("l_extendedprice").over(peers)
+    p_cnt = F.count("*").over(peers)
+    grp_rows = (f_cnt - p_cnt).alias("grp_excl_rows")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(f_cnt - p_cnt == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(f_sum - p_sum, 2))
+        .alias("grp_excl_sum"),
+        (f_cnt - p_cnt).alias("grp_excl_rows"),
+        F.round(f_sum - p_sum + F.col("l_extendedprice"), 2).alias(
+            "ties_excl_sum"
+        ),
+        (f_cnt - p_cnt + 1).alias("ties_excl_rows"),
+    ).orderBy("l_orderkey", "l_linenumber")
