@@ -1297,3 +1297,124 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp("cum_ln"), 6))
         .alias("s_hat"),
     ).orderBy("t")
+
+
+@register(
+    "window_moving_median",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1)
+    SELECT day,
+           round(rev, 2) AS rev,
+           round(median(rev) OVER (ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+               AS med_trailing7,
+           round(median(rev) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4)
+               AS med_centered7
+    FROM daily ORDER BY day
+    """,
+    tags=("analytics", "window", "median", "timeseries"),
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOVING MEDIAN of daily revenue (trailing-7 and centered-7) — the
+    robust smoother that survives one-day spikes where a moving AVERAGE
+    follows them (the reason ops dashboards track median-smoothed
+    series). Spark's median() is an ordered-set aggregate that rejects
+    window frames outright, so the operator is COMPOSED from primitives
+    Spark does have: collect_list over the bounded ROWS frame →
+    array_sort → exact middle-element math (odd: the middle; even: the
+    mean of the two middles — the same definition DuckDB's native
+    windowed median implements, making the oracle a first-class
+    reference). The frame is ≤7 values by construction, so the
+    per-row array work is O(1) and the window input is the
+    DAY-cardinality aggregate, never the fact table — the standard
+    justification for its global-order exchange."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+
+    def frame_median(lo: int, hi: int):
+        w = W.orderBy("day").rowsBetween(lo, hi)
+        vals = F.array_sort(F.collect_list("rev").over(w))
+        n = F.size(vals)
+        odd = F.element_at(vals, ((n + 1) / 2).cast("int"))
+        even = (
+            F.element_at(vals, (n / 2).cast("int"))
+            + F.element_at(vals, (n / 2 + 1).cast("int"))
+        ) / 2.0
+        return F.when(n % 2 == 1, odd).otherwise(even)
+
+    return daily.select(
+        "day",
+        F.round("rev", 2).alias("rev"),
+        F.round(frame_median(-6, 0), 4).alias("med_trailing7"),
+        F.round(frame_median(-3, 3), 4).alias("med_centered7"),
+    ).orderBy("day")
+
+
+@register(
+    "orders_stl_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1),
+    tr AS (
+      SELECT day, rev,
+             avg(rev) OVER (ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+      FROM daily),
+    de AS (SELECT day, rev, trend, rev - trend AS detrended,
+                  CAST(date_part('dow', day) AS INTEGER) AS dow
+           FROM tr),
+    se AS (SELECT day, rev, trend, detrended, dow,
+                  avg(detrended) OVER (PARTITION BY dow) AS seasonal
+           FROM de)
+    SELECT day, CAST(dow AS INTEGER) AS dow,
+           round(rev, 2) AS rev,
+           round(trend, 4) AS trend,
+           round(seasonal, 4) AS seasonal,
+           round(detrended - seasonal, 4) AS resid
+    FROM se ORDER BY day
+    """,
+    tags=("analytics", "timeseries", "window", "decomposition"),
+)
+def orders_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue
+    (STL-lite: trend = centered 7-day moving average, seasonal =
+    per-day-of-week mean of the detrended series, residual = the rest)
+    — the pre-processing step the anomaly entries assume (a residual
+    spike is a real anomaly; a raw spike may just be "it's Saturday";
+    compare `events_daily_anomaly`, which z-scores the raw series).
+    Everything runs on the DAY-cardinality frame after one fact
+    groupBy: the centered MA is a bounded ROWS frame, the seasonal
+    means are an unframed window over 7 partitions, and the residual
+    is row arithmetic — no second fact pass. Day-of-week uses
+    dayofweek−1 so both engines agree on 0=Sunday."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    trend = F.avg("rev").over(W.orderBy("day").rowsBetween(-3, 3))
+    de = daily.select(
+        "day",
+        "rev",
+        trend.alias("trend"),
+        (F.col("rev") - trend).alias("detrended"),
+        (F.dayofweek("day") - 1).cast("int").alias("dow"),
+    )
+    seasonal = F.avg("detrended").over(W.partitionBy("dow"))
+    return de.select(
+        "day",
+        "dow",
+        F.round("rev", 2).alias("rev"),
+        F.round("trend", 4).alias("trend"),
+        F.round(seasonal, 4).alias("seasonal"),
+        F.round(F.col("detrended") - seasonal, 4).alias("resid"),
+    ).orderBy("day")

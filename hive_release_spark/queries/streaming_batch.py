@@ -300,3 +300,50 @@ def stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a constant-TRUE accuracy pin would couple driver green to the
     sketch's default accuracy)."""
     return _distinct_users_window(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_stream_full_join",
+    oracle="""
+    SELECT coalesce(p.user_id, c.user_id) AS user_id,
+           count(*) AS n_rows,
+           CAST(count(CASE WHEN p.event_id IS NOT NULL
+                            AND c.event_id IS NOT NULL THEN 1 END)
+                AS BIGINT) AS n_matched,
+           CAST(count(CASE WHEN c.event_id IS NULL THEN 1 END)
+                AS BIGINT) AS n_orphan_purchases,
+           CAST(count(CASE WHEN p.event_id IS NULL THEN 1 END)
+                AS BIGINT) AS n_orphan_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("streaming", "join", "interval", "outer"),
+)
+def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join (r5 — completing the
+    inner/left/full arm set of §2.K): matched click→purchase pairs
+    plus BOTH orphan populations — unattributed conversions AND clicks
+    that never converted, the audit view neither other arm gives.
+    Batch execution of the streaming plan; the streaming run's
+    watermark-closed-region parity (null padding on either side only
+    emits once the watermark passes its bound) is pinned by
+    test_streaming.py."""
+    pairs = P.interval_join_full(load_table(spark, sf_dir, "events"))
+    matched = F.col("purchase_id").isNotNull() & F.col("click_id").isNotNull()
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count(F.when(matched, 1)).alias("n_matched"),
+            F.count(F.when(F.col("click_id").isNull(), 1)).alias(
+                "n_orphan_purchases"
+            ),
+            F.count(F.when(F.col("purchase_id").isNull(), 1)).alias(
+                "n_orphan_clicks"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -266,6 +266,53 @@ def interval_join_left(
     )
 
 
+def interval_join_full(
+    events: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join: every purchase AND every
+    click survives — matched pairs plus null-padded orphans on both
+    sides. The audit formulation of attribution: orphan purchases are
+    lost conversions, orphan clicks are spend with no outcome; the
+    inner/left arms throw one of those away.
+
+    Streaming semantics extend the left-outer rule to BOTH sides:
+    a null-padded row (either side) is only emitted once the watermark
+    passes its join bound, so an availableNow run withholds null
+    results inside the final (horizon + watermark) tail on each side.
+    The parity test compares the watermark-closed region. State stays
+    O(rate × (horizon + watermark)) per side — same expiry math as the
+    inner join, Spark just holds rows to the bound before padding."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("click_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("user_id"), F.col("click_user")).alias("user_id"),
+        "purchase_id", "purchase_ts", "purchase_value", "click_id", "click_ts",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming execution helpers
 # ---------------------------------------------------------------------------

@@ -208,3 +208,46 @@ def test_distinct_sketch_stream_equals_batch(spark):
             ),
             "t_distinct_exact_must_fail",
         )
+
+
+def test_stream_stream_full_join_closed_region_parity(spark):
+    """FULL OUTER interval join (r5): same closed-region guarantees as
+    the left arm, extended to BOTH orphan populations — matched pairs
+    exact, stream ⊆ batch, only null-padded rows (on either side)
+    withheld near the tail, and both orphan kinds actually present in
+    the stream output."""
+    from pyspark.sql import functions as F
+
+    batch_events = _batch_events(spark)
+    hi = batch_events.agg(F.max("ts").alias("m")).first().m
+    cutoff = hi - __import__("datetime").timedelta(hours=3, minutes=5)
+
+    batch = P.interval_join_full(batch_events)
+    stream = P.run_available_now(
+        P.interval_join_full(P.load_events_stream(spark, SF_SMOKE)),
+        "t_ss_full_join_test",
+        output_mode="append",
+    )
+    cols = ["user_id", "purchase_id", "click_id"]
+
+    def closed(df):
+        # a row's emission bound is its own side's event time; restrict
+        # to rows whose BOTH timestamps (where present) are closed
+        return df.filter(
+            (F.col("purchase_ts").isNull() | (F.col("purchase_ts") <= F.lit(cutoff)))
+            & (F.col("click_ts").isNull() | (F.col("click_ts") <= F.lit(cutoff)))
+        )
+
+    b = _collect_set(closed(batch), cols)
+    s = _collect_set(closed(stream), cols)
+    assert b and s <= b
+    matched = lambda rows: {  # noqa: E731
+        r for r in rows if r[1] is not None and r[2] is not None
+    }
+    assert matched(b) == matched(s)
+    withheld = b - s
+    assert all(r[1] is None or r[2] is None for r in withheld), withheld
+    assert len(withheld) <= 10, withheld
+    # both orphan populations really exercised in the STREAM output
+    assert any(r[2] is None for r in s)  # unattributed purchases
+    assert any(r[1] is None for r in s)  # clicks that never converted
