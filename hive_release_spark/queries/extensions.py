@@ -629,3 +629,118 @@ def sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_orderkey, l_linenumber
         """
     )
+
+
+@register(
+    "sql_group_order_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    tags=("sql", "extension", "agg"),
+)
+def sql_group_order_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (r5): the DuckDB-popularized
+    shorthand Spark 4 adopted — grouping keys inferred as every
+    non-aggregate SELECT item, ordering over the full output column
+    list. Resolved at analysis time into the explicit forms, so the
+    physical plan is byte-identical to the spelled-out query; the
+    entry pins that BOTH engines infer the same keys (a divergence
+    would change the row set, not just order, and fail the hash).
+    Shorthand matters operationally: ad-hoc 100 TB exploration is
+    where a mis-inferred grouping key is most expensive."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@register(
+    "sql_qualify_filter",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) = 1
+    ORDER BY o_custkey
+    """,
+    tags=("sql", "extension", "window", "topk"),
+)
+def sql_qualify_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY — the window-function WHERE (each customer's single
+    largest order here, the canonical top-1-per-group use). Spark 4
+    does NOT parse QUALIFY (verified; Databricks SQL has it, OSS
+    doesn't), so the entry is the standard lossless rewrite — window
+    in a subquery, filter outside — while DuckDB runs the native
+    clause as the first-class reference (the same gated-emulation
+    pattern as the EXCLUDE frames and GROUPS entries). Catalyst plans
+    the rewrite identically to a native QUALIFY (filter above Window),
+    and the rank predicate triggers the same WindowGroupLimit
+    pushdown as `topk_orders`."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey)
+                     AS rn
+          FROM orders)
+        WHERE rn = 1
+        ORDER BY o_custkey
+        """
+    )
+
+
+@register(
+    "setop_union_by_name",
+    oracle="""
+    SELECT o_orderkey AS id, 'order' AS kind,
+           o_totalprice AS amount
+    FROM orders WHERE o_orderkey % 1000 = 0
+    UNION ALL BY NAME
+    SELECT l_extendedprice AS amount,
+           l_orderkey AS id, 'line' AS kind
+    FROM lineitem WHERE l_orderkey % 1000 = 0 AND l_linenumber = 1
+    ORDER BY kind, id, amount
+    """,
+    tags=("setop", "sql", "extension"),
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION by COLUMN NAME, not position (r5, completing §2.F): the
+    second branch lists its columns in a different order and the union
+    aligns on names — the schema-drift-proof union an ETL wants when
+    two sources agree on columns but not layout. Spark exposes it as
+    the DataFrame `unionByName` (no SQL syntax); DuckDB's native
+    `UNION ALL BY NAME` is the oracle's first-class reference. Same
+    physical shape as positional union: a concatenation, no shuffle —
+    the name resolution is purely analysis-time projection
+    reordering."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 1000 == 0)
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.lit("order").alias("kind"),
+            F.col("o_totalprice").alias("amount"),
+        )
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_orderkey") % 1000 == 0) & (F.col("l_linenumber") == 1))
+        .select(
+            F.col("l_extendedprice").alias("amount"),
+            F.col("l_orderkey").alias("id"),
+            F.lit("line").alias("kind"),
+        )
+    )
+    return o.unionByName(li).orderBy("kind", "id", "amount")

@@ -761,3 +761,156 @@ def search_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled DuckDB replay of ``bpe_train_merges``: r{i} = encoded
+    vocab after i merges, p{i} = round-i winning pair (argmax count,
+    lexicographic tie-break)."""
+    parts = [
+        """
+    wf AS (
+      SELECT term AS word, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE regexp_full_match(term, '[A-Za-z0-9]+')
+      GROUP BY 1),
+    r0 AS (
+      SELECT word, freq,
+             '(' || array_to_string(
+               list_transform(generate_series(1, len(word)), i -> word[i]),
+               ')(') || ')' AS enc
+      FROM wf)"""
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"r{i-1}"
+        parts.append(
+            f"""
+    tk{i} AS (SELECT freq,
+                     string_split(substr(enc, 2, len(enc) - 2), ')(') AS t
+              FROM {prev}),
+    ex{i} AS (SELECT freq, t,
+                     unnest(generate_series(1, len(t) - 1)) AS i
+              FROM tk{i}),
+    p{i} AS (SELECT t[i] AS a, t[i + 1] AS b,
+                    CAST(sum(freq) AS BIGINT) AS cnt
+             FROM ex{i} GROUP BY 1, 2
+             ORDER BY cnt DESC, a, b LIMIT 1),
+    r{i} AS (SELECT word, freq,
+                    replace(enc, '(' || a || ')(' || b || ')',
+                            '(' || a || b || ')') AS enc
+             FROM {prev} CROSS JOIN p{i})"""
+        )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {i} AS round, a AS pair_a, b AS pair_b, a || b AS merged, cnt AS pair_count FROM p{i}"
+        for i in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT CAST(round AS BIGINT) AS round, pair_a, pair_b, merged,
+           pair_count
+    FROM ({unions}) ORDER BY round"""
+    )
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(5),
+    tags=("llm", "text", "tokenizer", "bpe"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZER TRAINING — the first 5 merge rules learned from
+    the corpus (the algorithm behind GPT/Llama vocabularies, word-level
+    variant as in the original Sennrich BPE and HF's trainer): start
+    from character tokens, repeatedly take the most frequent adjacent
+    token pair (count summed over word frequencies, lexicographic
+    tie-break) and fuse it everywhere, left-to-right non-overlapping.
+
+    Spark-first mechanics: the corpus collapses to the (word, freq)
+    VOCAB frame in one scan — every merge round then costs one
+    pair-count aggregate over that vocabulary-sized frame plus a 1-ROW
+    broadcast of the winning rule; nothing corpus-shaped moves after
+    the first groupBy, and driver state is zero (the rule stays a
+    frame, attached by crossJoin-broadcast, exactly like the TPC-H
+    scalar-threshold pattern). Merge application uses a
+    bracket-encoded token string — replace(enc, '(a)(b)', '(ab)') —
+    because SQL replace's left-to-right non-overlapping scan IS
+    greedy BPE merging (verified: (a)(a)(a)(a) + rule (a,a) →
+    (aa)(aa)); per-round frames are persisted so round i+1's pair
+    count reads cached round-i output, not a 5-deep recompute.
+    Words are restricted to [A-Za-z0-9]+ so the bracket encoding is
+    unambiguous (the delimiters cannot occur inside a token).
+    The oracle unrolls all 5 rounds as CTEs — the same
+    recursion-as-unrolled-spine treatment as PageRank."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").rlike("^[A-Za-z0-9]+$"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    cur = wf.select(
+        "word",
+        "freq",
+        F.concat(
+            F.lit("("), F.array_join(F.split("word", ""), ")("), F.lit(")")
+        ).alias("enc"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    rules = []
+    for rnd in range(1, 6):
+        toks = cur.select(
+            "freq",
+            F.split(
+                F.expr("substring(enc, 2, length(enc) - 2)"), r"\)\("
+            ).alias("t"),
+        )
+        n = F.size("t")
+        pairs = (
+            toks.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("t", 1, n - 1).alias("a"),
+                        F.slice("t", 2, n - 1).alias("b"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        rule = (
+            pairs.orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        rules.append(
+            rule.select(
+                F.lit(rnd).cast("long").alias("round"),
+                F.col("a").alias("pair_a"),
+                F.col("b").alias("pair_b"),
+                F.concat("a", "b").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(rule))
+            .select(
+                "word",
+                "freq",
+                F.replace(
+                    F.col("enc"),
+                    F.concat(F.lit("("), "a", F.lit(")("), "b", F.lit(")")),
+                    F.concat(F.lit("("), "a", "b", F.lit(")")),
+                ).alias("enc"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("round")

@@ -101,14 +101,18 @@ def test_driver_frames_match_hugeint_end_to_end():
 
 
 def test_rows_only_window_entries_are_driver_canonicalizable(spark):
-    """Rows-only entries inside DRIVER_WINDOW have no oracle to catch a
-    representation problem, and we cannot assume the driver's rows-only
-    path skips pandas canonicalization — so their OUTPUT columns must
-    also be scalar (no ARRAY/STRUCT/MAP), same rule as oracle outputs."""
-    from hive_release_spark.queries import DRIVER_WINDOW, REGISTRY
+    """Rows-only entries have no oracle to catch a representation
+    problem, and we cannot assume the driver's rows-only path skips
+    pandas canonicalization — so their OUTPUT columns must also be
+    scalar (no ARRAY/STRUCT/MAP), same rule as oracle outputs. r5: the
+    check covers EVERY rows-only entry in the registry, not just the
+    current DRIVER_WINDOW — the r5 window is 100% oracle-gated (the
+    never-witnessed backlog saturates it), and any rows-only entry is
+    a future window's candidate."""
+    from hive_release_spark.queries import REGISTRY
 
-    rows_only = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None]
-    assert rows_only, "window unexpectedly has no rows-only entries"
+    rows_only = [n for n, q in REGISTRY.items() if q.oracle is None]
+    assert rows_only, "registry unexpectedly has no rows-only entries"
     for name in rows_only:
         df = REGISTRY[name].fn(spark, SF_DIR)
         bad = [c for c, t in df.dtypes if any(x in t for x in ("array", "struct", "map"))]
