@@ -65,6 +65,9 @@ HEADLINE = (
     "sim_ann_pq",              # product-quantization ADC ANN (new r4)
     "graph_pagerank",          # iterative-join class: 3 Pregel rounds (new r4)
     "events_rolling_active_users",  # sliding COUNT(DISTINCT): explode-vs-range-join (new r4)
+    "bpe_train_merges",        # iterative vocab-frame agg + 1-row rule broadcasts (new r5)
+    "sample_importance_dsir",  # persisted tokenize pass + broadcast LM score join (new r5)
+    "ds_late_delivery_chain",  # q72 fact-fact shuffle + 4-dim broadcast chain (new r5)
 )
 
 
