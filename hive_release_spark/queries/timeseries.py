@@ -270,3 +270,115 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance_s=2592000,
         right_payload=["o_orderkey", "o_totalprice"],
     ).orderBy("event_id")
+
+
+@register(
+    "orders_monthly_percentiles",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+           count(*) AS n_orders,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.90), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           round(max(o_totalprice), 2) AS p100
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    tags=("analytics", "timeseries", "percentile"),
+)
+def orders_monthly_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly P50/P90/P99/max of order value — the latency-report
+    shape (tail percentiles per time bucket) applied to money. EXACT
+    linear-interpolation percentiles (Spark `percentile`, DuckDB
+    `quantile_cont` — same definition) per month group: one partial-
+    agged exchange on the month key; at 100 TB the exact per-group
+    sort is bounded by a month's rows, and the approx path
+    (`percentile_approx`, already covered by its own contract entry)
+    swaps in with one function name when that bound breaks."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("mon"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.90)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+            F.round(F.max("o_totalprice"), 2).alias("p100"),
+        )
+        .orderBy("mon")
+    )
+
+
+@register(
+    "timeseries_rolling_corr",
+    oracle="""
+    WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                      sum(o_totalprice) AS rev
+               FROM orders GROUP BY 1),
+    e AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS activity
+          FROM events GROUP BY 1),
+    j AS (SELECT o.day, o.rev AS x, e.activity AS y FROM o JOIN e USING (day)),
+    s AS (
+      SELECT day, x, y,
+             count(*)   OVER w AS n,
+             sum(x)     OVER w AS sx,
+             sum(y)     OVER w AS sy,
+             sum(x * x) OVER w AS sxx,
+             sum(y * y) OVER w AS syy,
+             sum(x * y) OVER w AS sxy
+      FROM j
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT day, CAST(n AS BIGINT) AS n,
+           CASE WHEN n < 3
+                  OR (n * sxx - sx * sx) <= 0 OR (n * syy - sy * sy) <= 0
+                THEN NULL
+                ELSE round((n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4)
+           END AS corr_14d
+    FROM s ORDER BY day
+    """,
+    tags=("analytics", "timeseries", "window", "stats"),
+)
+def timeseries_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING Pearson correlation (trailing 14 days) between two
+    series — daily order revenue vs daily event activity — the
+    relationship-drift monitor ("did marketing clicks decouple from
+    sales this month"). Spark's corr() is frameless as a window
+    function in practice, so the operator is COMPOSED from the five
+    windowed sums the closed form needs (n, Σx, Σy, Σx², Σy², Σxy) —
+    one pass, one frame, six aggregates sharing it; degenerate windows
+    (n < 3 or zero variance) yield NULL rather than a 0/0. Both series
+    collapse to day frames before the join, so the window input is
+    day-cardinality at any corpus size; the joined frame is tiny and
+    the day join broadcasts."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("y"))
+    )
+    j = o.join(F.broadcast(e), "day")
+    w = W.orderBy("day").rowsBetween(-13, 0)
+    n = F.count("*").over(w)
+    sx, sy = F.sum("x").over(w), F.sum("y").over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return j.select(
+        "day",
+        n.cast("long").alias("n"),
+        F.when(
+            (n < 3) | (varx <= 0) | (vary <= 0), F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                (n * sxy - sx * sy) / (F.sqrt(varx) * F.sqrt(vary)), 4
+            )
+        )
+        .alias("corr_14d"),
+    ).orderBy("day")
