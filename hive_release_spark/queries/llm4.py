@@ -746,7 +746,7 @@ def search_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0),
     )
     return (
-        per_q.join(nrel, "query_id")
+        per_q.join(F.broadcast(nrel), "query_id")
         .select(
             "query_id",
             F.col("hits_10").cast("long").alias("hits_10"),

@@ -422,3 +422,55 @@ def test_prefix_filter_is_lossless_and_prunes(spark):
         .n
     )
     assert n_pref_cand < plain, (n_pref_cand, plain)
+
+
+def test_bpe_merges_match_pure_python_reference(spark):
+    """The registry oracle shares the bracket-string replace trick with
+    the Spark side, so it cannot catch a flaw in the trick itself. This
+    test validates the ALGORITHM against an independent pure-Python BPE
+    (explicit token lists, greedy left-to-right merge, no string
+    encoding) on the real sf0.001 corpus word frequencies."""
+    import re
+    from collections import Counter
+
+    from hive_release_spark.catalog import load_table
+    from hive_release_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    words = Counter()
+    for row in docs.select("text").collect():
+        for w in row.text.split(" "):
+            if re.fullmatch(r"[A-Za-z0-9]+", w):
+                words[w] += 1
+
+    vocab = {w: list(w) for w in words}
+
+    def merge_round():
+        pairs = Counter()
+        for w, toks in vocab.items():
+            f = words[w]
+            for a, b in zip(toks, toks[1:]):
+                pairs[(a, b)] += f
+        # argmax: count desc, then lexicographic (a, b)
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+        return a, b, cnt
+
+    expected = [merge_round() for _ in range(5)]
+    got = [
+        (r.pair_a, r.pair_b, r.pair_count)
+        for r in REGISTRY["bpe_train_merges"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == expected, (got, expected)

@@ -217,3 +217,34 @@ def test_ds_hierarchy_rank_single_expand_then_window(spark):
     assert "Expand" in plan
     assert plan.count("Window") >= 1
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_bpe_rounds_reuse_persisted_vocab(spark):
+    """bpe_train_merges: after the single corpus word-count, every
+    round must read CACHED frames — the plan contains InMemoryTableScan
+    and exactly one documents scan (an unpersisted implementation
+    re-derives round i from scratch, i corpus scans)."""
+    plan = _plan(REGISTRY["bpe_train_merges"].fn(spark, SF_SMOKE))
+    assert "InMemoryTableScan" in plan
+    assert plan.count("documents.parquet") <= 1, plan.count("documents.parquet")
+
+
+def test_dsir_broadcasts_lm_not_corpus(spark):
+    """sample_importance_dsir: the bucket LM (64 rows) must be the
+    broadcast side of the score join, and the corpus tokenize pass must
+    be cached (one documents scan feeds counts AND scores)."""
+    plan = _plan(REGISTRY["sample_importance_dsir"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan
+    assert plan.count("documents.parquet") <= 1, plan.count("documents.parquet")
+
+
+def test_search_eval_reuses_broadcast_query_frame(spark):
+    """search_eval_metrics: the corpus must never shuffle — queries and
+    label frames broadcast; the only exchanges serve the per-query
+    metric aggregates."""
+    plan = _plan(REGISTRY["search_eval_metrics"].fn(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+    assert "SortMergeJoin" not in plan
