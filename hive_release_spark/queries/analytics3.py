@@ -1418,3 +1418,52 @@ def orders_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(seasonal, 4).alias("seasonal"),
         F.round(F.col("detrended") - seasonal, 4).alias("resid"),
     ).orderBy("day")
+
+
+@register(
+    "part_price_elasticity",
+    oracle="""
+    WITH pb AS (
+      SELECT p.p_brand,
+             ln(p.p_retailprice) AS lp,
+             ln(l.l_quantity) AS lq
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(lq, lp), 4) AS elasticity,
+           round(regr_intercept(lq, lp), 4) AS intercept,
+           round(regr_r2(lq, lp), 4) AS r2
+    FROM pb GROUP BY 1 ORDER BY 1
+    """,
+    tags=("analytics", "regression", "agg"),
+)
+def part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP log-log OLS — price elasticity of demand by brand
+    (slope of ln quantity on ln price, the textbook elasticity
+    estimate), the grouped companion to the global `agg_regr` family.
+    One fact scan with a broadcast part join feeds a per-brand
+    regr_slope/intercept/r2 aggregate — the regression is a
+    partial-aggregable moment computation (Σx, Σy, Σxx, Σxy per
+    group), so it scales exactly like any sum: no per-group sort, no
+    collect. The brand-grain output is dim-cardinality at any SF."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity"
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    pb = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_brand",
+        F.ln("p_retailprice").alias("lp"),
+        F.ln("l_quantity").alias("lq"),
+    )
+    return (
+        pb.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.regr_slope("lq", "lp"), 4).alias("elasticity"),
+            F.round(F.regr_intercept("lq", "lp"), 4).alias("intercept"),
+            F.round(F.regr_r2("lq", "lp"), 4).alias("r2"),
+        )
+        .orderBy("p_brand")
+    )

@@ -1143,3 +1143,59 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk_text"),
         clen.cast("int").alias("chunk_len"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "text_readability",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_words,
+             greatest(len(regexp_split_to_array(text, '[.!?]+\\s')), 1)
+                 AS n_sents,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syl
+      FROM documents)
+    SELECT doc_id, lang,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sents AS BIGINT) AS n_sents,
+           CAST(n_syl AS BIGINT) AS n_syllables,
+           round(206.835 - 1.015 * (n_words * 1.0 / n_sents)
+                 - 84.6 * (n_syl * 1.0 / n_words), 4) AS flesch
+    FROM d ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality", "readability"),
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    score (206.835 − 1.015·words/sentence − 84.6·syllables/word) with
+    the standard regex syllable approximation (vowel-group count, the
+    same heuristic readability libraries use when no dictionary is
+    loaded) — a corpus-quality signal complementing the
+    length/punct/stopword gates in `text_quality_scores`: boilerplate
+    legal/spam text scores far below conversational prose. Pure
+    scan-side JVM regex — zero shuffles, zero UDFs; the sentence
+    count floor (≥1) keeps single-fragment docs out of the divide."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.greatest(
+            F.size(F.split("text", r"[.!?]+\s")), F.lit(1)
+        ).cast("long").alias("n_sents"),
+        F.size(
+            F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+        ).cast("long").alias("n_syllables"),
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_sents",
+        "n_syllables",
+        F.round(
+            206.835
+            - 1.015 * (F.col("n_words") * 1.0 / F.col("n_sents"))
+            - 84.6 * (F.col("n_syllables") * 1.0 / F.col("n_words")),
+            4,
+        ).alias("flesch"),
+    ).orderBy("doc_id")
