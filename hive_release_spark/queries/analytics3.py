@@ -1467,3 +1467,73 @@ def part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "orders_pareto_frontier",
+    oracle="""
+    WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                      CAST(o_orderdate AS DATE) AS od
+               FROM orders WHERE o_custkey % 20 = 0)
+    SELECT o_custkey, o_orderkey, o_totalprice AS price, od
+    FROM o a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM o b
+      WHERE b.o_custkey = a.o_custkey
+        AND b.od >= a.od AND b.o_totalprice >= a.o_totalprice
+        AND (b.od > a.od OR b.o_totalprice > a.o_totalprice))
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("analytics", "window", "skyline"),
+)
+def orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE / Pareto frontier per customer — the orders not
+    dominated on (recency, value): no other order is at least as
+    recent AND at least as valuable with one strict (the classic
+    skyline operator, 2-D maximization case). The textbook
+    formulation is the quadratic NOT EXISTS self-join — that IS the
+    oracle, so the rewrite is gated against the literal definition.
+    The Spark side is the O(n log n) sorted-sweep: within each
+    customer, a point survives iff its price exceeds the max price
+    over all STRICTLY more recent orders (a numeric-date RANGE window
+    ending at 1 PRECEDING — value-based, so date peers are excluded)
+    AND no same-date peer has strictly higher price (a peer-group max
+    window). One customer-key exchange, two windows, zero self-joins;
+    per-customer state is a running max, which is why skylines of 2-D
+    step this way at any scale."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 20 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.to_date("o_orderdate").alias("od"),
+            F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01"))
+            .cast("double")
+            .alias("odn"),
+        )
+    )
+    w_newer = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("odn").desc())
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_peer = W.partitionBy("o_custkey", "od")
+    m_newer = F.max("o_totalprice").over(w_newer)
+    m_peer = F.max("o_totalprice").over(w_peer)
+    return (
+        o.withColumn("mn", m_newer)
+        .withColumn("mp", m_peer)
+        .filter(
+            (F.col("mn").isNull() | (F.col("mn") < F.col("o_totalprice")))
+            & (F.col("mp") <= F.col("o_totalprice"))
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            "od",
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )

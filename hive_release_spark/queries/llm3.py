@@ -1199,3 +1199,71 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch"),
     ).orderBy("doc_id")
+
+
+@register(
+    "emb_whitening",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    ex AS (SELECT vec_id, unnest(v) AS x,
+                  generate_subscripts(v, 1) AS dim FROM e),
+    st AS (SELECT dim, avg(x) AS m, stddev(x) AS s FROM ex GROUP BY 1),
+    w AS (SELECT vec_id, (x - m) / s AS wx
+          FROM ex JOIN st USING (dim) WHERE vec_id < 20)
+    SELECT vec_id,
+           round(sqrt(sum(wx * wx)), 6) AS wnorm,
+           round(sum(wx), 6) AS wsum
+    FROM w GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "embedding", "preprocessing"),
+)
+def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding STANDARDIZATION (diagonal whitening:
+    x′ᵢ = (xᵢ − μᵢ)/σᵢ) — the preprocessing that stops high-variance
+    dimensions from dominating cosine/L2 retrieval (and the diagonal
+    special case of the ZCA whitening retrieval papers apply before
+    indexing). Spark-first shape: ONE posexplode → per-dim partial agg
+    builds the d-row (μ, σ) table; the table is then PACKED into a
+    single sorted array row and attached by 1-row broadcast (the IVF
+    packed-centroid idiom), so the whitening itself is a zero-shuffle
+    zip_with over each vector — the corpus never moves. Output:
+    whitened-norm + component-sum checksums for the probe vectors,
+    exactly replayed by the oracle's explode-join formulation (the two
+    formulations agreeing IS the test that the packed transform
+    applies the right stat to the right dimension). Sample stddev on
+    both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    ex = e.select(
+        "vec_id", F.posexplode("v").alias("dim", "x")
+    )
+    stats_packed = (
+        ex.groupBy("dim")
+        .agg(F.avg("x").alias("m"), F.stddev("x").alias("s"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "m", "s"))
+            ).alias("st")
+        )
+    )
+    w = (
+        e.filter(F.col("vec_id") < 20)
+        .crossJoin(F.broadcast(stats_packed))
+        .select(
+            "vec_id",
+            F.zip_with(
+                "v", "st", lambda x, s: (x - s.m) / s.s
+            ).alias("wv"),
+        )
+    )
+    acc0 = F.lit(0.0)
+    return w.select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.aggregate("wv", acc0, lambda a, x: a + x * x)), 6
+        ).alias("wnorm"),
+        F.round(F.aggregate("wv", acc0, lambda a, x: a + x), 6).alias(
+            "wsum"
+        ),
+    ).orderBy("vec_id")
