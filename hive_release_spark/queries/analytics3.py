@@ -1537,3 +1537,159 @@ def orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '6 hours'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sid AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+      FROM s),
+    paths AS (
+      SELECT user_id, sess,
+             array_to_string(list_slice(list(event_type
+                 ORDER BY ts, event_id), 1, 5), '>') AS path
+      FROM sid GROUP BY 1, 2)
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY 1
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+    tags=("analytics", "events", "session_window", "paths"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session PATHS — the ordered event-type sequence (first 5
+    steps) of each 6h-gap session, counted across the corpus: the
+    path-analysis report behind "how do users actually reach
+    purchase". Sessionization is the same gaps-and-islands pass as
+    `stream_session` (one user exchange, two windows); each session
+    then collapses to ONE path string via an ORDERED collect bounded
+    to 5 steps (state per session is 5 small strings, not the event
+    list), and the final count rides the path-cardinality frame.
+    Deterministic: (ts, event_id) total order inside sessions, path
+    tie-break on the rank."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    sid = ev.withColumn(
+        "new_s",
+        F.when(
+            prev.isNull()
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(prev.cast("timestamp"))
+                > 6 * 3600 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sess", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    paths = (
+        sid.groupBy("user_id", "sess")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda s: s.event_type,
+                    ),
+                    1,
+                    5,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "agg_trimmed_stats",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             percent_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS pr,
+             quantile_cont(o_totalprice, 0.05) OVER (PARTITION BY o_orderpriority) AS p05,
+             quantile_cont(o_totalprice, 0.95) OVER (PARTITION BY o_orderpriority) AS p95
+      FROM orders)
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(avg(o_totalprice), 4) AS mean_raw,
+           round(avg(CASE WHEN pr >= 0.05 AND pr <= 0.95
+                          THEN o_totalprice END), 4) AS mean_trimmed,
+           round(avg(least(greatest(o_totalprice, p05), p95)), 4)
+               AS mean_winsorized
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+    tags=("agg", "stats", "robust", "window"),
+)
+def agg_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust means per group — 5% TRIMMED (drop the tails) and
+    WINSORIZED (clamp to the P5/P95 fence) alongside the raw mean: the
+    outlier-resistant aggregates a metrics pipeline uses when a single
+    whale order shouldn't move the KPI. One partition exchange serves
+    the percent_rank AND the two unframed percentile windows, then a
+    conditional aggregate finishes — no second scan, no per-group
+    collect. Rank ties broken by order key so the trim boundary is
+    identical in both engines; percentiles are linear-interpolation in
+    both."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    wp = W.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank()
+        .over(wp.orderBy("o_totalprice", "o_orderkey"))
+        .alias("pr"),
+        F.expr(
+            "percentile(o_totalprice, 0.05) OVER "
+            "(PARTITION BY o_orderpriority)"
+        ).alias("p05"),
+        F.expr(
+            "percentile(o_totalprice, 0.95) OVER "
+            "(PARTITION BY o_orderpriority)"
+        ).alias("p95"),
+    )
+    inside = (F.col("pr") >= 0.05) & (F.col("pr") <= 0.95)
+    return (
+        r.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("mean_raw"),
+            F.round(
+                F.avg(F.when(inside, F.col("o_totalprice"))), 4
+            ).alias("mean_trimmed"),
+            F.round(
+                F.avg(
+                    F.least(
+                        F.greatest(F.col("o_totalprice"), F.col("p05")),
+                        F.col("p95"),
+                    )
+                ),
+                4,
+            ).alias("mean_winsorized"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -914,3 +914,102 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rules[1:]:
         out = out.unionByName(r)
     return out.orderBy("round")
+
+
+@register(
+    "sim_rocchio_expansion",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    r1 AS (
+      SELECT query_id, neighbor_id, rk FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(q.qv, c.v) DESC,
+                            c.vec_id) AS rk
+        FROM q JOIN e c ON q.query_id <> c.vec_id)
+      WHERE rk <= 3),
+    fb AS (
+      SELECT r1.query_id,
+             list_transform(generate_series(1, len(any_value(e.v))),
+               i -> avg(e.v[i]) OVER ()) AS dummy
+      FROM r1 JOIN e ON e.vec_id = r1.neighbor_id GROUP BY r1.query_id),
+    cent AS (
+      SELECT r1.query_id, i.i AS dim, avg(e.v[i.i]) AS c
+      FROM r1 JOIN e ON e.vec_id = r1.neighbor_id
+      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+      GROUP BY 1, 2),
+    qexp AS (
+      SELECT q.query_id,
+             list(0.7 * q.qv[cent.dim] + 0.3 * cent.c
+                  ORDER BY cent.dim) AS ev
+      FROM q JOIN cent ON cent.query_id = q.query_id
+      GROUP BY q.query_id),
+    r2 AS (
+      SELECT query_id, neighbor_id, sim, rk2 FROM (
+        SELECT x.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(x.ev, c.v) AS sim,
+               row_number() OVER (PARTITION BY x.query_id
+                   ORDER BY list_cosine_similarity(x.ev, c.v) DESC,
+                            c.vec_id) AS rk2
+        FROM qexp x JOIN e c ON x.query_id <> c.vec_id)
+      WHERE rk2 <= 5)
+    SELECT query_id, neighbor_id, round(sim, 6) AS sim,
+           CAST(rk2 AS INTEGER) AS rank
+    FROM r2 ORDER BY query_id, rank
+    """,
+    tags=("llm", "similarity", "search", "feedback"),
+)
+def sim_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio): retrieve top-3 per query,
+    blend their centroid into the query (q′ = 0.7·q + 0.3·centroid),
+    retrieve again with the expanded vector — the classical two-round
+    expansion that pulls a query toward its result neighborhood (the
+    dense twin of query-term expansion). Both retrieval rounds ride
+    the SAME broadcast-queries cosine path (the corpus never
+    shuffles); the feedback centroid is a per-(query, dim) aggregate
+    over 3×8 exploded rows — trivially small — packed back into an
+    array and re-broadcast. Fully deterministic (rank tie-breaks), so
+    the expanded vectors — and the second-round ranking — replay
+    exactly in the oracle."""
+    from hive_release_spark.llm import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 8)
+    r1 = similarity.brute_force_topk(q, emb, k=3)
+    fb = (
+        r1.join(
+            e.select(F.col("vec_id").alias("neighbor_id"), "v"),
+            "neighbor_id",
+        )
+        .select("query_id", F.posexplode("v").alias("dim", "x"))
+        .groupBy("query_id", "dim")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s.c,
+            ).alias("cent")
+        )
+    )
+    qexp = (
+        q.select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").cast("array<double>").alias("qv"))
+        .join(F.broadcast(fb), "query_id")
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.zip_with(
+                "qv", "cent", lambda a, b: 0.7 * a + 0.3 * b
+            ).alias("embedding"),
+        )
+    )
+    return (
+        similarity.brute_force_topk(qexp, emb, k=5)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    )
