@@ -1693,3 +1693,108 @@ def agg_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "events_ab_uplift",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             (SELECT (strpos('0123456789abcdef',
+                 substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+             ) % 2 AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value >= 180
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_converted,
+             avg(CAST(converted AS DOUBLE)) AS rate
+      FROM u GROUP BY arm),
+    w AS (
+      SELECT max(CASE WHEN arm = 0 THEN n_users END) AS n0,
+             max(CASE WHEN arm = 0 THEN n_converted END) AS c0,
+             max(CASE WHEN arm = 0 THEN rate END) AS r0,
+             max(CASE WHEN arm = 1 THEN n_users END) AS n1,
+             max(CASE WHEN arm = 1 THEN n_converted END) AS c1,
+             max(CASE WHEN arm = 1 THEN rate END) AS r1
+      FROM s)
+    SELECT n0, c0, n1, c1,
+           round(r0, 6) AS rate_control,
+           round(r1, 6) AS rate_treatment,
+           round(r1 - r0, 6) AS abs_uplift,
+           round((r1 - r0) / sqrt(
+             ((c0 + c1) * 1.0 / (n0 + n1))
+             * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+             * (1.0 / n0 + 1.0 / n1)), 4) AS z_score
+    FROM w
+    """,
+    tags=("analytics", "experimentation", "stats"),
+)
+def events_ab_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout — deterministic hash-based arm
+    assignment (first md5 hex digit of a seeded user key, mod 2: the
+    bucketing every experimentation platform uses, stable across
+    sessions and re-runs), per-arm HIGH-VALUE conversion rates
+    (purchase with value >= 180 — the same conversion event as the
+    survival entry; the plain purchase rate saturates at 1.0 on this
+    fixture and degenerates the z-score), absolute uplift, and the
+    pooled two-proportion z-score. The whole readout is two
+    aggregates: one per-user conversion collapse (user-grain partial
+    agg), one 2-row arm rollup pivoted into a single comparison row —
+    the fact stream is scanned once and nothing user-shaped leaves the
+    first groupBy. The z-score algebra is closed-form on counts, so
+    the oracle replays it exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 180),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).withColumn("arm", arm)
+    s = u.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.avg(F.col("converted").cast("double")).alias("rate"),
+    )
+    w = s.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 0, F.col("rate"))).alias("r0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("c1"),
+        F.max(F.when(F.col("arm") == 1, F.col("rate"))).alias("r1"),
+    )
+    pooled = (F.col("c0") + F.col("c1")) * 1.0 / (F.col("n0") + F.col("n1"))
+    return w.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round("r0", 6).alias("rate_control"),
+        F.round("r1", 6).alias("rate_treatment"),
+        F.round(F.col("r1") - F.col("r0"), 6).alias("abs_uplift"),
+        F.round(
+            (F.col("r1") - F.col("r0"))
+            / F.sqrt(
+                pooled
+                * (1 - pooled)
+                * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+            ),
+            4,
+        ).alias("z_score"),
+    )
