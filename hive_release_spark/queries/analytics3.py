@@ -1798,3 +1798,266 @@ def events_ab_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_score"),
     )
+
+
+@register(
+    "dq_reconciliation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS computed
+      FROM lineitem GROUP BY 1)
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT)                            AS n_orders,
+           CAST(count(*) FILTER (li.computed IS NULL)
+                AS BIGINT)                                     AS n_no_lines,
+           CAST(count(*) FILTER (
+                  abs(li.computed - o.o_totalprice)
+                    / o.o_totalprice <= 0.01)
+                AS BIGINT)                                     AS n_within_1pct,
+           round(avg(abs(li.computed - o.o_totalprice)
+                       / o.o_totalprice), 4)                   AS avg_rel_err,
+           round(max(abs(li.computed - o.o_totalprice)
+                       / o.o_totalprice), 4)                   AS max_rel_err
+    FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("dq", "reconciliation", "join", "audit"),
+)
+def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header/detail RECONCILIATION audit — the warehouse-classic DQ
+    check "does each order's stored total match the sum of its line
+    items".  One grouped pass over the fact computes the per-order
+    charge (map-side partial agg), a LEFT join back to the header
+    keeps headers with no lines visible (n_no_lines), and the report
+    collapses to order-status grain: how many orders reconcile within
+    1%, and how bad the tail is.  Both sides shuffle once on the
+    shared orderkey — the natural co-partitioning; a bucketed-write
+    deployment (sources/formats.py) makes the join shuffle-free.  The
+    synthetic fixture generates o_totalprice independently of
+    lineitem, so the audit "fails" nearly every order (~2.3 mean
+    relative error) — which is exactly what the operator should
+    report; the SHAPE (anti-join-visible missing details, threshold
+    bucketing, tail max) is the deliverable."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("computed")
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    rel = F.abs(F.col("computed") - F.col("o_totalprice")) / F.col(
+        "o_totalprice"
+    )
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count(F.when(F.col("computed").isNull(), 1)).alias(
+                "n_no_lines"
+            ),
+            F.count(F.when(rel <= 0.01, 1)).alias("n_within_1pct"),
+            F.round(F.avg(rel), 4).alias("avg_rel_err"),
+            F.round(F.max(rel), 4).alias("max_rel_err"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _key_freq_profile(df: DataFrame, key: str, label: str) -> DataFrame:
+    """One key column's frequency profile: group to (key, cnt), then
+    one global aggregate over the cnt frame.  The struct-max trick
+    (max over (cnt, -key)) makes the heavy-hitter key deterministic
+    under frequency ties — the smallest key among the most frequent."""
+    freq = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("cnt"))
+    top = F.max(F.struct(F.col("cnt"), (-F.col("k")).alias("negk")))
+    return freq.agg(
+        F.lit(label).alias("key_col"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_per_key"),
+        F.round(F.percentile(F.col("cnt").cast("double"), F.lit(0.95)), 4).alias(
+            "p95_per_key"
+        ),
+        F.round(F.sum("cnt") / F.count("*"), 4).alias("avg_per_key"),
+        F.round(
+            F.max("cnt") / (F.sum("cnt") / F.count("*")), 4
+        ).alias("skew_ratio"),
+        (-top["negk"]).cast("long").alias("top_key"),
+    )
+
+
+@register(
+    "dq_key_skew_profile",
+    oracle="""
+    WITH f AS (
+      SELECT 'lineitem.l_partkey' AS key_col, l_partkey AS k, count(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+      UNION ALL
+      SELECT 'lineitem.l_suppkey', l_suppkey, count(*)
+      FROM lineitem GROUP BY 1, 2
+      UNION ALL
+      SELECT 'events.user_id', user_id, count(*)
+      FROM events GROUP BY 1, 2)
+    SELECT key_col,
+           CAST(sum(cnt) AS BIGINT)            AS n_rows,
+           CAST(count(*) AS BIGINT)            AS n_keys,
+           CAST(max(cnt) AS BIGINT)            AS max_per_key,
+           round(quantile_cont(CAST(cnt AS DOUBLE), 0.95), 4)
+                                               AS p95_per_key,
+           round(sum(cnt) / count(*), 4)       AS avg_per_key,
+           round(max(cnt) / (sum(cnt) / count(*)), 4) AS skew_ratio,
+           CAST((list(k ORDER BY cnt DESC, k))[1] AS BIGINT) AS top_key
+    FROM f GROUP BY 1 ORDER BY 1
+    """,
+    tags=("dq", "skew", "profile", "scale"),
+)
+def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW PROFILER — the pre-flight check a 100 TB join
+    needs: per candidate key, the row count, distinct-key count,
+    max/p95/avg rows-per-key, the skew ratio (max over mean — the
+    number that predicts a straggler task), and the heavy-hitter key
+    itself (ties broken to the smallest key so the report is
+    deterministic).  This is the measurement side of the salted-skew
+    machinery in operators/skew.py: run the profile, and keys whose
+    skew_ratio crosses the salt threshold get salted (or handled by
+    AQE skew-join).  Each profiled column costs one map-side-combined
+    groupBy plus one global aggregate over the (much smaller)
+    frequency frame; the three profiles union into a 3-row report.
+    Exact p95 over the frequency frame is cheap because the input is
+    key-cardinality, not row-cardinality."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    parts = [
+        _key_freq_profile(li, "l_partkey", "lineitem.l_partkey"),
+        _key_freq_profile(li, "l_suppkey", "lineitem.l_suppkey"),
+        _key_freq_profile(ev, "user_id", "events.user_id"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("key_col")
+
+
+@register(
+    "events_attribution_position",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) + 1 AS journey
+      FROM events
+      WHERE event_type IN ('view', 'purchase') AND user_id % 7 = 0),
+    v AS (
+      SELECT user_id, journey,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY user_id, journey) AS n
+      FROM base WHERE event_type = 'view'
+      WINDOW w AS (PARTITION BY user_id, journey ORDER BY ts, event_id)),
+    p AS (SELECT user_id, journey,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM base WHERE event_type = 'purchase'),
+    g AS (
+      SELECT v.user_id, v.journey,
+             CASE WHEN n = 1 THEN 'only' WHEN rn = 1 THEN 'first'
+                  WHEN rn = n THEN 'last' ELSE 'middle' END AS touch_pos,
+             CAST(count(*) AS BIGINT) AS n_t,
+             max(n) AS n, max(cents) AS cents
+      FROM v JOIN p USING (user_id, journey)
+      GROUP BY 1, 2, 3)
+    SELECT user_id, touch_pos,
+           CAST(sum(n_t) AS BIGINT) AS n_touches,
+           CAST(sum(CASE WHEN touch_pos = 'only'   THEN 10 * cents
+                         WHEN touch_pos = 'middle' THEN 2 * cents
+                         WHEN n = 2                THEN 5 * cents
+                         ELSE 4 * cents END) AS BIGINT) / 1000.0
+             AS credited
+    FROM g GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("analytics", "events", "attribution", "window"),
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-BASED (U-shaped, 40/20/40) multi-touch attribution —
+    the step up from last-touch: every view in a purchase's journey
+    gets credit, weighted by position (first 40%, last 40%, middles
+    splitting 20%; degenerate journeys 100% / 50-50).  The journey
+    segmentation needs NO range join: one user_id window counts prior
+    purchases, so each view lands in the journey of the NEXT purchase
+    (gaps-and-islands, same machinery as `events_sessionize_ids`).
+    One exchange on user_id feeds the journey window; the (user,
+    journey) view ranking refines the same partitioning; the inner
+    join to the journey's purchase drops trailing unconverted views.
+    Credit is EXACT integer arithmetic end to end: grouping the
+    middles per journey cancels the 0.2/(n-2) denominator (the whole
+    middle block always gets 0.2), so every per-journey credit is
+    k*cents with k in {10,5,4,2} at a x10-cents scale — an exact
+    BIGINT sum with ONE final divide, immune to float summation
+    order (a per-row weight*value sum flipped a .xx5 rounding
+    boundary between engines at sf0.1).  Cohort filter (user_id % 7)
+    bounds driver output; (ts, event_id) is the unique tie-break
+    everywhere."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .filter(F.col("user_id") % 7 == 0)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prior = F.sum(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    ).over(w.rowsBetween(W.unboundedPreceding, -1))
+    g = ev.withColumn("journey", F.coalesce(prior, F.lit(0)) + 1)
+    wv = W.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    wn = W.partitionBy("user_id", "journey")
+    views = (
+        g.filter(F.col("event_type") == "view")
+        .withColumn("rn", F.row_number().over(wv))
+        .withColumn("n", F.count("*").over(wn))
+        .select("user_id", "journey", "rn", "n")
+    )
+    purch = g.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "journey",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    rn, n = F.col("rn"), F.col("n")
+    pos = (
+        F.when(n == 1, "only")
+        .when(rn == 1, "first")
+        .when(rn == n, "last")
+        .otherwise("middle")
+    )
+    per_journey = (
+        views.join(purch, ["user_id", "journey"])
+        .groupBy("user_id", "journey", pos.alias("touch_pos"))
+        .agg(
+            F.count("*").alias("n_t"),
+            F.max("n").alias("n"),
+            F.max("cents").alias("cents"),
+        )
+    )
+    tp, cents = F.col("touch_pos"), F.col("cents")
+    c10 = (
+        F.when(tp == "only", 10 * cents)
+        .when(tp == "middle", 2 * cents)
+        .when(F.col("n") == 2, 5 * cents)
+        .otherwise(4 * cents)
+    )
+    return (
+        per_journey.groupBy("user_id", "touch_pos")
+        .agg(
+            F.sum("n_t").alias("n_touches"),
+            (F.sum(c10) / F.lit(1000.0)).alias("credited"),
+        )
+        .orderBy("user_id", "touch_pos")
+    )

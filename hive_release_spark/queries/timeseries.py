@@ -382,3 +382,188 @@ def timeseries_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("corr_14d"),
     ).orderBy("day")
+
+
+@register(
+    "timeseries_ewma",
+    oracle="""
+    WITH RECURSIVE m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               / 100.0 AS rev
+      FROM orders GROUP BY 1),
+    idx AS (SELECT month, rev,
+                   row_number() OVER (ORDER BY month) AS rn FROM m),
+    r AS (
+      SELECT rn, month, rev, rev AS s FROM idx WHERE rn = 1
+      UNION ALL
+      SELECT i.rn, i.month, i.rev, 0.3 * i.rev + 0.7 * r.s
+      FROM idx i JOIN r ON i.rn = r.rn + 1)
+    SELECT month, rev,
+           floor(s * 100 + 0.5) / 100 AS ewma
+    FROM r ORDER BY month
+    """,
+    tags=("analytics", "timeseries", "hof", "smoothing"),
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over the monthly revenue
+    series (alpha = 0.3) — the classic smoother behind anomaly bands
+    and naive forecasts.  EWMA is a true RECURSION (s_t = a*x_t +
+    (1-a)*s_{t-1}), which no window frame expresses, so the operator
+    is a HOF FOLD: the corpus collapses to month grain map-side (one
+    partial-agg exchange), the ~tens-of-rows series is packed into a
+    single sorted array (executor-side collect_list — bounded by the
+    calendar, never by corpus size, and never on the driver), and
+    F.aggregate threads the recurrence through it in one codegen'd
+    pass, appending each state so the whole smoothed series comes back
+    out via posexplode.  The oracle runs the identical recurrence as a
+    recursive CTE (UNION ALL — DuckDB's supported recursion form), so
+    the arithmetic is op-for-op the same (0.3*x + 0.7*s) and the match
+    is exact, not approximate.  At 100 TB the input to the fold is
+    still only n_months rows — the heavy lifting stays in the grouped
+    partial aggregation."""
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(
+            # BIGINT-cents discipline (the cohort-LTV rule): the monthly
+            # sum is exact and engine-order-proof, so the recurrence in
+            # both engines starts from bit-identical doubles.
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / F.lit(100.0)
+            ).alias("rev")
+        )
+    )
+    packed = m.agg(
+        F.sort_array(F.collect_list(F.struct("month", "rev"))).alias("series")
+    )
+    folded = packed.withColumn(
+        "ewma",
+        F.aggregate(
+            F.col("series"),
+            F.expr("CAST(array() AS ARRAY<DOUBLE>)"),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.when(F.size(acc) == 0, x["rev"]).otherwise(
+                        F.lit(0.3) * x["rev"]
+                        + F.lit(0.7) * F.element_at(acc, -1)
+                    )
+                ),
+            ),
+        ),
+    )
+    z = folded.select(
+        F.explode(F.arrays_zip("series", "ewma")).alias("z")
+    )
+    return z.select(
+        F.col("z.series.month").alias("month"),
+        # rev is cents/100.0 — already decimal-exact, no round needed.
+        # ewma rounds via floor(x*100+0.5)/100 in BOTH engines: on the
+        # same double, Spark's round() works on the shortest decimal
+        # repr (…225 -> .23) while DuckDB rounds the binary value
+        # (-> .22), so only a binary-deterministic rounding agrees.
+        F.col("z.series.rev").alias("rev"),
+        (F.floor(F.col("z.ewma") * 100 + 0.5) / 100).alias("ewma"),
+    ).orderBy("month")
+
+
+@register(
+    "timeseries_theil_sen",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               / 100.0 AS rev
+      FROM orders GROUP BY 1),
+    i AS (SELECT year(month) * 12 + month(month) AS x, rev FROM m),
+    p AS (
+      SELECT (b.rev - a.rev) / (b.x - a.x) AS slope,
+             CASE WHEN b.rev > a.rev THEN 1
+                  WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn
+      FROM i a JOIN i b ON a.x < b.x),
+    s AS (SELECT list_sort(list(slope)) AS ls,
+                 CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(sgn) AS BIGINT) AS mk_s
+          FROM p)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_months,
+           n_pairs, mk_s,
+           floor((ls[CAST((n_pairs + 1) // 2 AS INT)]
+                  + ls[CAST(n_pairs // 2 + 1 AS INT)]) / 2
+                 * 10000 + 0.5) / 10000 AS sen_slope
+    FROM s
+    """,
+    tags=("analytics", "timeseries", "robust", "hof"),
+)
+def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust trend + MANN-KENDALL test statistic on the
+    monthly revenue series — the outlier-proof alternative to OLS
+    slope (breakdown point 29% vs 0%).  Both statistics are defined
+    over ALL month pairs, which is quadratic — but only in the number
+    of MONTHS: the corpus collapses to month grain in one partial-agg
+    exchange, and the O(m^2) pair generation runs as index-aware HOFs
+    (transform + slice) over a single packed array executor-side,
+    bounded by the calendar forever.  Exactness discipline: month
+    sums ride as BIGINT cents so both engines fold identical doubles;
+    the Mann-Kendall S is an integer sign sum (exact); the Sen slope
+    is the exact middle-element median of the sorted slope list
+    (identical (lo+hi)/2 in both engines), floor-rounded so no
+    decimal-repr rounding rule is involved.  x is the month serial
+    (year*12+month), so missing calendar months would be handled
+    correctly rather than assumed contiguous."""
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / F.lit(100.0)
+            ).alias("rev")
+        )
+        .select(
+            (F.year("month") * 12 + F.month("month")).alias("x"), "rev"
+        )
+    )
+    packed = m.agg(
+        F.sort_array(F.collect_list(F.struct("x", "rev"))).alias("series")
+    )
+    series = F.col("series")
+    pairs = F.flatten(
+        F.transform(
+            series,
+            lambda a, i: F.transform(
+                F.slice(series, i + 2, F.size(series)),
+                lambda b: F.struct(
+                    ((b["rev"] - a["rev"]) / (b["x"] - a["x"])).alias(
+                        "slope"
+                    ),
+                    F.when(b["rev"] > a["rev"], 1)
+                    .when(b["rev"] < a["rev"], -1)
+                    .otherwise(0)
+                    .cast("long")
+                    .alias("sgn"),
+                ),
+            ),
+        )
+    )
+    withp = packed.select(
+        F.size(series).cast("long").alias("n_months"),
+        pairs.alias("pairs"),
+    )
+    slopes = F.array_sort(
+        F.transform(F.col("pairs"), lambda p: p["slope"])
+    )
+    n_pairs = F.size("pairs").cast("long")
+    lo = F.element_at(slopes, ((F.size("pairs") + 1) / 2).cast("int"))
+    hi = F.element_at(slopes, (F.size("pairs") / 2 + 1).cast("int"))
+    return withp.select(
+        "n_months",
+        n_pairs.alias("n_pairs"),
+        F.aggregate(
+            F.col("pairs"),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc + p["sgn"],
+        ).alias("mk_s"),
+        (F.floor((lo + hi) / 2 * 10000 + 0.5) / 10000).alias("sen_slope"),
+    )
