@@ -375,10 +375,24 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document: for each bit position, sum +1/-1 over
-    token hashes; the sign vector is the signature. Built entirely from
-    higher-order functions over xxhash64 — no Python in the loop."""
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 64,
+    hash_fn=None,
+) -> DataFrame:
+    """``n_bits``-wide SimHash per document: for each bit position, sum
+    +1/-1 over token hashes; the sign vector is the signature. Built
+    entirely from higher-order functions — no Python in the loop.
+
+    ``hash_fn`` maps the token column to a LONG hash (default
+    ``F.xxhash64``). Passing an engine-portable hash (e.g. the first 4
+    md5 bytes) with ``n_bits=32`` makes the whole signature exactly
+    replayable by another engine — the oracle-gated variant the
+    ``dedup_simhash_banded`` query uses."""
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     # materialize the token array, then explode_outer (InferFiltersFromGenerate
     # would otherwise push a split-inlined size filter into the scan)
     tok = (
@@ -386,21 +400,26 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         .select("doc_id", F.explode_outer("w").alias("t"))
         .filter(F.col("t").isNotNull())
     )
-    h = tok.withColumn("h", F.xxhash64("t"))
+    h = tok.withColumn("h", hash_fn(F.col("t")))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     sums = h.groupBy("doc_id").agg(*bit_sums)
+    top = n_bits - 1
     sig = sums.select(
         "doc_id",
         F.aggregate(
             F.array(*[
-                F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63)))
+                F.when(
+                    F.col(f"b{i}") > 0,
+                    F.lit(1).cast("long")
+                    * (2**i if not (n_bits == 64 and i == top) else -(2**63)),
+                )
                 .otherwise(0)
-                for i in range(64)
+                for i in range(n_bits)
             ]),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
@@ -414,23 +433,30 @@ def simhash_pairs(
     max_hamming: int = 6,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_bits: int = 64,
+    hash_fn=None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit signature into 4×16-bit
-    chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal; wider max_hamming
-    trades recall), pair bucket-mates, verify with bit_count(xor).
+    """Near-dup pairs by SimHash: band the ``n_bits`` signature into 4
+    equal chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal; wider
+    max_hamming trades recall), pair bucket-mates, verify with
+    bit_count(xor).
 
     Same postings-list shape as ``jaccard_pairs``/``minhash_lsh_pairs``:
     ONE shuffle on the (chunk, value) bucket, pair generation inline over
     the postings list (signatures travel WITH the postings — no join back),
     Hamming-filtered BEFORE the distinct so only surviving pairs shuffle.
-    A self-join here would recompute the whole scan→tokenize→64-bit-sums
+    A self-join here would recompute the whole scan→tokenize→bit-sums
     signature pipeline once per side."""
-    sig = simhash(docs, id_col, text_col)
+    sig = simhash(docs, id_col, text_col, n_bits=n_bits, hash_fn=hash_fn)
+    chunk_bits = n_bits // 4
+    mask = (1 << chunk_bits) - 1
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+                F.shiftright(F.col("simhash"), c * chunk_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("v"),
             )
             for c in range(4)
         ]

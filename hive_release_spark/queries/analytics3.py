@@ -2061,3 +2061,250 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "touch_pos")
     )
+
+
+@register(
+    "events_ab_cuped",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             (SELECT (strpos('0123456789abcdef',
+                 substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+             ) % 2 AS arm,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS p,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p) AS BIGINT) AS sp, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(p * p) AS BIGINT) AS spp,
+             CAST(sum(p * y) AS BIGINT) AS spy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM u GROUP BY arm),
+    w AS (
+      SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+             max(CASE WHEN arm = 1 THEN n END) AS n1,
+             max(CASE WHEN arm = 0 THEN sp END) AS sp0,
+             max(CASE WHEN arm = 1 THEN sp END) AS sp1,
+             max(CASE WHEN arm = 0 THEN sy END) AS sy0,
+             max(CASE WHEN arm = 1 THEN sy END) AS sy1,
+             CAST(sum(n) AS BIGINT) AS n_all,
+             CAST(sum(sp) AS BIGINT) AS sp_all,
+             CAST(sum(sy) AS BIGINT) AS sy_all,
+             CAST(sum(spp) AS BIGINT) AS spp_all,
+             CAST(sum(spy) AS BIGINT) AS spy_all,
+             CAST(sum(syy) AS BIGINT) AS syy_all
+      FROM s),
+    t AS (
+      SELECT *,
+             (CAST(n_all AS DOUBLE) * spy_all
+              - CAST(sp_all AS DOUBLE) * sy_all)
+             / (CAST(n_all AS DOUBLE) * spp_all
+                - CAST(sp_all AS DOUBLE) * sp_all) AS theta
+      FROM w)
+    SELECT n0, n1,
+           round(CAST(sy0 AS DOUBLE) / n0 / 100, 4) AS mean_y_control,
+           round(CAST(sy1 AS DOUBLE) / n1 / 100, 4) AS mean_y_treatment,
+           round((CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0)
+                 / 100, 4) AS uplift_raw,
+           round(theta, 6) AS theta,
+           round(pow(CAST(n_all AS DOUBLE) * spy_all
+                     - CAST(sp_all AS DOUBLE) * sy_all, 2)
+                 / ((CAST(n_all AS DOUBLE) * spp_all
+                     - CAST(sp_all AS DOUBLE) * sp_all)
+                    * (CAST(n_all AS DOUBLE) * syy_all
+                       - CAST(sy_all AS DOUBLE) * sy_all)), 6) AS rho2,
+           round(((CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0)
+                  - theta * (CAST(sp1 AS DOUBLE) / n1
+                             - CAST(sp0 AS DOUBLE) / n0))
+                 / 100, 4) AS uplift_cuped
+    FROM t
+    """,
+    tags=("analytics", "experimentation", "stats", "cuped"),
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al. 2013 — the
+    standard experimentation-platform adjustment): each user's
+    PRE-period engagement (value sum before Jan 16) is the covariate;
+    theta = cov(pre, y)/var(pre) pooled over all users (valid because
+    hash assignment is independent of pre-period behavior); the
+    adjusted uplift subtracts theta times the arms' pre-period
+    imbalance, and rho-squared IS the variance-reduction fraction.
+    Exactness discipline: every moment (Sp, Sy, Spp, Spy, Syy) rides
+    as an exact BIGINT of cents — the per-arm aggregate carries all
+    six sufficient statistics, so ONE user-grain collapse plus a 2-row
+    arm rollup serve the entire readout (theta, rho2, both means, raw
+    and adjusted uplift) with no second fact scan; cross-products are
+    computed in DOUBLE only at the final 1-row step, identically in
+    both engines.  Same arm-assignment hash as events_ab_uplift, so
+    the two entries describe the same experiment."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    split = F.lit("2024-01-16").cast("timestamp")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < split, cents).otherwise(0)).alias("p"),
+            F.sum(F.when(F.col("ts") >= split, cents).otherwise(0)).alias("y"),
+        )
+        .withColumn("arm", arm)
+    )
+    s = u.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("p").alias("sp"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("p") * F.col("y")).alias("spy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    w = s.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("sp"))).alias("sp0"),
+        F.max(F.when(F.col("arm") == 1, F.col("sp"))).alias("sp1"),
+        F.max(F.when(F.col("arm") == 0, F.col("sy"))).alias("sy0"),
+        F.max(F.when(F.col("arm") == 1, F.col("sy"))).alias("sy1"),
+        F.sum("n").alias("n_all"),
+        F.sum("sp").alias("sp_all"),
+        F.sum("sy").alias("sy_all"),
+        F.sum("spp").alias("spp_all"),
+        F.sum("spy").alias("spy_all"),
+        F.sum("syy").alias("syy_all"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    cov_n = d("n_all") * F.col("spy_all") - d("sp_all") * F.col("sy_all")
+    var_p = d("n_all") * F.col("spp_all") - d("sp_all") * F.col("sp_all")
+    var_y = d("n_all") * F.col("syy_all") - d("sy_all") * F.col("sy_all")
+    theta = cov_n / var_p
+    dy = d("sy1") / F.col("n1") - d("sy0") / F.col("n0")
+    dp = d("sp1") / F.col("n1") - d("sp0") / F.col("n0")
+    return w.select(
+        "n0",
+        "n1",
+        F.round(d("sy0") / F.col("n0") / 100, 4).alias("mean_y_control"),
+        F.round(d("sy1") / F.col("n1") / 100, 4).alias("mean_y_treatment"),
+        F.round(dy / 100, 4).alias("uplift_raw"),
+        F.round(theta, 6).alias("theta"),
+        F.round(F.pow(cov_n, 2) / (var_p * var_y), 6).alias("rho2"),
+        F.round((dy - theta * dp) / 100, 4).alias("uplift_cuped"),
+    )
+
+
+@register(
+    "dq_column_profile",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(o_orderkey) AS BIGINT) AS c1,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d1,
+             CAST(min(o_orderkey) AS VARCHAR) AS mn1,
+             CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+             CAST(count(o_orderstatus) AS BIGINT) AS c2,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS d2,
+             min(o_orderstatus) AS mn2, max(o_orderstatus) AS mx2,
+             CAST(count(o_totalprice) AS BIGINT) AS c3,
+             CAST(count(DISTINCT o_totalprice) AS BIGINT) AS d3,
+             printf('%.2f', min(o_totalprice)) AS mn3,
+             printf('%.2f', max(o_totalprice)) AS mx3,
+             CAST(count(o_orderdate) AS BIGINT) AS c4,
+             CAST(count(DISTINCT o_orderdate) AS BIGINT) AS d4,
+             strftime(min(o_orderdate), '%Y-%m-%d') AS mn4,
+             strftime(max(o_orderdate), '%Y-%m-%d') AS mx4,
+             CAST(count(o_orderpriority) AS BIGINT) AS c5,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS d5,
+             min(o_orderpriority) AS mn5, max(o_orderpriority) AS mx5
+      FROM orders)
+    SELECT col_name, n_rows, n_rows - c AS n_null, d AS n_distinct,
+           mn AS min_str, mx AS max_str
+    FROM (
+      SELECT n_rows, 'o_orderkey' AS col_name, c1 AS c, d1 AS d,
+             mn1 AS mn, mx1 AS mx FROM a
+      UNION ALL SELECT n_rows, 'o_orderstatus', c2, d2, mn2, mx2 FROM a
+      UNION ALL SELECT n_rows, 'o_totalprice', c3, d3, mn3, mx3 FROM a
+      UNION ALL SELECT n_rows, 'o_orderdate', c4, d4, mn4, mx4 FROM a
+      UNION ALL SELECT n_rows, 'o_orderpriority', c5, d5, mn5, mx5 FROM a)
+    ORDER BY col_name
+    """,
+    tags=("dq", "profile", "stats"),
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN PROFILER — the per-column half of data-quality intake
+    (the row ANALYZE feeds the CBO; this is the human-facing report):
+    null count, exact distinct count, and type-aware stringified
+    min/max for every orders column, in ONE aggregate over ONE scan
+    (Spark plans multi-distinct via a single Expand, not per-column
+    scans).  The report explodes a 5-struct array — the unpivot is
+    driver-free and adds no shuffle.  Stringification is deliberate
+    and per-type (ints CAST, doubles printf %.2f, timestamps
+    date-formatted) so the uniform report schema never depends on an
+    engine's default float/timestamp repr.  At 100 TB exact
+    count(DISTINCT) on a high-NDV column is the one expensive term
+    (the Expand multiplies rows by #distinct-aggs); the documented
+    swap is approx_count_distinct per column — same report shape, HLL
+    cost."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_orderkey").alias("c1"),
+        F.countDistinct("o_orderkey").alias("d1"),
+        F.min("o_orderkey").cast("string").alias("mn1"),
+        F.max("o_orderkey").cast("string").alias("mx1"),
+        F.count("o_orderstatus").alias("c2"),
+        F.countDistinct("o_orderstatus").alias("d2"),
+        F.min("o_orderstatus").alias("mn2"),
+        F.max("o_orderstatus").alias("mx2"),
+        F.count("o_totalprice").alias("c3"),
+        F.countDistinct("o_totalprice").alias("d3"),
+        F.format_string("%.2f", F.min("o_totalprice")).alias("mn3"),
+        F.format_string("%.2f", F.max("o_totalprice")).alias("mx3"),
+        F.count("o_orderdate").alias("c4"),
+        F.countDistinct("o_orderdate").alias("d4"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("mn4"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("mx4"),
+        F.count("o_orderpriority").alias("c5"),
+        F.countDistinct("o_orderpriority").alias("d5"),
+        F.min("o_orderpriority").alias("mn5"),
+        F.max("o_orderpriority").alias("mx5"),
+    )
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+            "o_orderpriority"]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.col(f"c{i}").alias("c"),
+                F.col(f"d{i}").alias("d"),
+                F.col(f"mn{i}").alias("mn"),
+                F.col(f"mx{i}").alias("mx"),
+            )
+            for i, name in enumerate(cols, start=1)
+        ]
+    )
+    return (
+        a.select("n_rows", F.explode(rows).alias("r"))
+        .select(
+            F.col("r.col_name").alias("col_name"),
+            "n_rows",
+            (F.col("n_rows") - F.col("r.c")).alias("n_null"),
+            F.col("r.d").alias("n_distinct"),
+            F.col("r.mn").alias("min_str"),
+            F.col("r.mx").alias("max_str"),
+        )
+        .orderBy("col_name")
+    )

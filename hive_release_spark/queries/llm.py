@@ -882,3 +882,60 @@ def dedup_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("block", "name_a", "name_b", "lev", "n_rows_a", "n_rows_b")
         .orderBy("block", "name_a", "name_b")
     )
+
+
+def _simhash32_sig_sql() -> str:
+    """DuckDB: per-doc 32-bit SimHash from md5-derived token hashes —
+    the exact replay of ``dedup.simhash(n_bits=32, hash_fn=md5-u32)``."""
+    from hive_release_spark.queries.analytics3 import _md5_u32
+
+    terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN {2**i} ELSE 0 END)"
+        for i in range(32)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    h AS (SELECT doc_id, CAST({_md5_u32("t")} AS BIGINT) AS h FROM tok),
+    s AS (SELECT doc_id, {terms} AS sig FROM h GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "dedup_simhash_banded",
+    oracle=_simhash32_sig_sql(),
+    tags=("llm", "dedup", "neardup", "simhash"),
+)
+def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-GATED SimHash near-dup pairs — the hash-gated twin of the
+    rows-only ``dedup_simhash``.  Two substitutions make the full
+    pipeline engine-replayable without weakening the algorithm: the
+    token hash is the first 4 md5 bytes (portable) instead of
+    xxhash64, and the signature is 32 bits banded into 4x8-bit chunks.
+    At max_hamming=3 the band recall is EXACT by pigeonhole (4 chunks,
+    <=3 differing bits => some chunk intact), so the oracle can be the
+    brute-force DEFINITION — an all-pairs signature self-join — while
+    the engine runs the production one-shuffle postings-bucket path:
+    same guarantee structure as dedup_jaccard_prefix sharing the plain
+    Jaccard oracle.  The 64-bit xxhash64 variant stays the production
+    default (better bit diffusion, wider hamming budget); this entry
+    pins the banding+verify machinery itself under the driver hash
+    gate.  Signature build: one exchange (doc groupBy of token bit
+    sums); banding: one exchange on (chunk, v); the oracle's quadratic
+    self-join exists only DuckDB-side at sf0.01."""
+    docs = load_table(spark, sf_dir, "documents")
+    md5_u32 = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast(
+        "long"
+    )
+    pairs = dedup.simhash_pairs(
+        docs, max_hamming=3, n_bits=32, hash_fn=md5_u32
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("doc_a", "doc_b")
