@@ -2308,3 +2308,89 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+@register(
+    "orders_abc_classification",
+    oracle="""
+    WITH p AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1),
+    r AS (
+      SELECT l_partkey, cents,
+             CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                                   ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_cents,
+             CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+      FROM p),
+    c AS (
+      SELECT CASE WHEN CAST(cum_cents AS DOUBLE) / total_cents <= 0.80
+                    THEN 'A'
+                  WHEN CAST(cum_cents AS DOUBLE) / total_cents <= 0.95
+                    THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents, total_cents
+      FROM r)
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS revenue,
+           round(CAST(sum(cents) AS BIGINT)
+                 / CAST(max(total_cents) AS DOUBLE), 6) AS revenue_share
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+    tags=("analytics", "abc", "pareto", "window"),
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) CLASSIFICATION — the inventory-management classic:
+    rank parts by revenue, class A = the parts carrying the first 80%
+    of cumulative revenue, B to 95%, C the tail; report how few parts
+    carry how much.  The fact collapses to PART grain map-side (one
+    partial-agg exchange); the running-share window then runs on the
+    |parts| frame — the same exact-surface caveat as the equi-depth
+    histogram: a global-order window is a single-partition sort of
+    the PART frame, fine at |parts| scale (200k at TPC-H SF1); the
+    100 TB swap is approx total-revenue quantile boundaries applied
+    scan-side.  Classification thresholds compare exact cumulative
+    BIGINT cents against the exact total, so the class boundary
+    cannot drift between engines; class rollup emits 3 rows.
+    Revenue cents use integer-rounding of identical doubles, which is
+    engine-safe (unlike fractional round — see timeseries_ewma)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).alias("cents")
+    )
+    w_cum = W.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy()
+    r = p.select(
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum_cents"),
+        F.sum("cents").over(w_all).alias("total_cents"),
+    )
+    share = F.col("cum_cents").cast("double") / F.col("total_cents")
+    c = r.select(
+        F.when(share <= 0.80, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+        "total_cents",
+    )
+    return (
+        c.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+            F.round(
+                F.sum("cents") / F.max("total_cents").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )

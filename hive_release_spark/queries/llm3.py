@@ -1267,3 +1267,100 @@ def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wsum"
         ),
     ).orderBy("vec_id")
+
+
+_QL_TERMS = ("spark", "table", "query")
+_QL_MU = 100.0
+
+
+@register(
+    "search_query_likelihood",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM toks),
+    cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM toks
+           WHERE term IN {_QL_TERMS} GROUP BY 1),
+    const AS (
+      SELECT sum(ln({_QL_MU} * (CAST(cf AS DOUBLE) / t))) AS c0
+      FROM cf CROSS JOIN tot),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+           WHERE term IN {_QL_TERMS} GROUP BY 1, 2),
+    hits AS (
+      SELECT tf.doc_id,
+             sum(ln(1 + tf.tf / ({_QL_MU} * (CAST(cf.cf AS DOUBLE) / tot.t))))
+               AS h
+      FROM tf JOIN cf USING (term) CROSS JOIN tot
+      GROUP BY 1),
+    scored AS (
+      SELECT dl.doc_id,
+             const.c0 + coalesce(hits.h, 0)
+               - 3 * ln(dl.dlen + {_QL_MU}) AS score
+      FROM dl LEFT JOIN hits ON dl.doc_id = hits.doc_id
+      CROSS JOIN const)
+    SELECT doc_id, round(score, 6) AS ql_score, rk FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+      FROM scored)
+    WHERE rk <= 20 ORDER BY rk
+    """,
+    tags=("llm", "text", "search", "lm"),
+)
+def search_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRICHLET-SMOOTHED QUERY LIKELIHOOD ranking (Zhai & Lafferty
+    2001) — the language-modeling retrieval twin of search_bm25_rank:
+    score(d,q) = sum_t log((tf + mu*P(t|C)) / (dlen + mu)).  The naive
+    form touches every (doc, term) pair including zeros; the engine
+    runs the canonical DECOMPOSITION
+      score = sum_t log(mu*P_t)            [query-only constant]
+            + sum_{{t in d}} log(1 + tf/(mu*P_t))   [postings only]
+            - |q| * log(dlen + mu)          [doc-length only]
+    so the per-term work is POSTINGS-sized (docs actually containing a
+    query term), the length term rides the doc-length frame, and the
+    constant is a 1-row broadcast — the same pruning BM25 gets for
+    free, recovered for a model where absent terms still score.  The
+    oracle replays the decomposed arithmetic term for term, so floats
+    agree exactly.  One corpus tokenize pass feeds lengths, collection
+    frequencies, and tf; mu=100 suits the fixture's short docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    mu = F.lit(_QL_MU)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dlen"))
+    tot = toks.agg(F.count("*").cast("long").alias("t"))
+    qtoks = toks.filter(F.col("term").isin(*_QL_TERMS))
+    cf = qtoks.groupBy("term").agg(F.count("*").cast("long").alias("cf"))
+    p_t = mu * (F.col("cf").cast("double") / F.col("t"))
+    const = (
+        cf.crossJoin(F.broadcast(tot))
+        .agg(F.sum(F.log(p_t)).alias("c0"))
+    )
+    tf = qtoks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    hits = (
+        tf.join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.sum(F.log(1 + F.col("tf") / p_t)).alias("h"))
+    )
+    scored = (
+        dl.join(hits, "doc_id", "left")
+        .crossJoin(F.broadcast(const))
+        .select(
+            "doc_id",
+            (
+                F.col("c0")
+                + F.coalesce(F.col("h"), F.lit(0.0))
+                - 3 * F.log(F.col("dlen") + mu)
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("score"), "doc_id"))
+        )
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", F.round("score", 6).alias("ql_score"), "rk")
+        .orderBy("rk")
+    )

@@ -567,3 +567,102 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mk_s"),
         (F.floor((lo + hi) / 2 * 10000 + 0.5) / 10000).alias("sen_slope"),
     )
+
+
+@register(
+    "timeseries_holt",
+    oracle="""
+    WITH RECURSIVE m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               / 100.0 AS rev
+      FROM orders GROUP BY 1),
+    idx AS (SELECT month, rev,
+                   row_number() OVER (ORDER BY month) AS rn FROM m),
+    r AS (
+      SELECT rn, month, rev, rev AS l, CAST(0 AS DOUBLE) AS b
+      FROM idx WHERE rn = 1
+      UNION ALL
+      SELECT i.rn, i.month, i.rev,
+             0.3 * i.rev + 0.7 * (r.l + r.b),
+             0.2 * ((0.3 * i.rev + 0.7 * (r.l + r.b)) - r.l) + 0.8 * r.b
+      FROM idx i JOIN r ON i.rn = r.rn + 1)
+    SELECT month, rev,
+           floor(l * 100 + 0.5) / 100 AS level,
+           floor(b * 100 + 0.5) / 100 AS trend,
+           floor((l + b) * 100 + 0.5) / 100 AS forecast_next
+    FROM r ORDER BY month
+    """,
+    tags=("analytics", "timeseries", "hof", "smoothing", "forecast"),
+)
+def timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT LINEAR (double exponential) smoothing on monthly revenue —
+    the trend-aware step past timeseries_ewma, and the one-step-ahead
+    forecaster behind every "naive + trend" baseline: level
+    l_t = a*x_t + (1-a)*(l+b), trend b_t = g*(l_t - l) + (1-g)*b
+    (a=0.3, g=0.2, b_1=0).  TWO coupled recurrences, so the fold
+    state is an array of (l, b) STRUCTS threaded through one
+    F.aggregate pass over the packed month series — the same
+    calendar-bounded executor-side shape as the EWMA fold (the corpus
+    collapses map-side to month grain; nothing beyond n_months rows
+    ever folds).  The oracle runs the identical coupled recurrence as
+    a two-state-column recursive CTE with op-for-op matching
+    arithmetic; BIGINT-cents month sums and floor-based rounding keep
+    the parity bit-exact (see timeseries_ewma for why round()
+    diverges on identical doubles)."""
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / F.lit(100.0)
+            ).alias("rev")
+        )
+    )
+    packed = m.agg(
+        F.sort_array(F.collect_list(F.struct("month", "rev"))).alias("series")
+    )
+
+    def step(acc, x):
+        last = F.element_at(acc, -1)
+        l_new = F.lit(0.3) * x["rev"] + F.lit(0.7) * (last["l"] + last["b"])
+        b_new = (
+            F.lit(0.2) * (l_new - last["l"]) + F.lit(0.8) * last["b"]
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.when(
+                    F.size(acc) == 0,
+                    F.struct(
+                        x["rev"].alias("l"),
+                        F.lit(0.0).alias("b"),
+                    ),
+                ).otherwise(
+                    F.struct(l_new.alias("l"), b_new.alias("b"))
+                )
+            ),
+        )
+
+    folded = packed.withColumn(
+        "states",
+        F.aggregate(
+            F.col("series"),
+            F.expr("CAST(array() AS ARRAY<STRUCT<l: DOUBLE, b: DOUBLE>>)"),
+            step,
+        ),
+    )
+    z = folded.select(
+        F.explode(F.arrays_zip("series", "states")).alias("z")
+    )
+    rnd = lambda c: F.floor(c * 100 + 0.5) / 100
+    return z.select(
+        F.col("z.series.month").alias("month"),
+        F.col("z.series.rev").alias("rev"),
+        rnd(F.col("z.states.l")).alias("level"),
+        rnd(F.col("z.states.b")).alias("trend"),
+        rnd(F.col("z.states.l") + F.col("z.states.b")).alias(
+            "forecast_next"
+        ),
+    ).orderBy("month")
