@@ -13,6 +13,7 @@ are md5-derived so any partitioning yields the same sample.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -2016,7 +2017,11 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior = F.sum(
         F.when(F.col("event_type") == "purchase", 1).otherwise(0)
     ).over(w.rowsBetween(W.unboundedPreceding, -1))
-    g = ev.withColumn("journey", F.coalesce(prior, F.lit(0)) + 1)
+    # journey-segmented frame feeds BOTH the view and purchase legs —
+    # persist so the corpus scan + journey window run once, not twice
+    g = ev.withColumn("journey", F.coalesce(prior, F.lit(0)) + 1).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     wv = W.partitionBy("user_id", "journey").orderBy("ts", "event_id")
     wn = W.partitionBy("user_id", "journey")
     views = (

@@ -857,11 +857,16 @@ def dedup_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the a<b dedup rule are deterministic, so the pair list is
     stable; n_rows_a/b carry the blast radius (how many physical rows
     each variant owns) for the downstream merge decision."""
+    from pyspark import StorageLevel
+
+    # both self-join sides read the collapsed name frame — persist so
+    # the corpus collapse runs once (the frame is name-cardinality)
     names = (
         load_table(spark, sf_dir, "part")
         .groupBy("p_name")
         .agg(F.count("*").alias("n_rows"))
         .withColumn("block", F.element_at(F.split("p_name", " "), -1))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = names.select(
         F.col("block"),

@@ -1,0 +1,102 @@
+"""Plan pins for the round-5 operators: the shuffle/broadcast/persist
+shapes SCALE.md claims for them, asserted the way test_scale_plans.py
+pins the earlier rounds' operators. A lost persist or a join that
+degrades to a cartesian shows up here, not as a silent slow plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df, mode: str = "simple") -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def _entry(spark, name):
+    from hive_release_spark.queries import REGISTRY
+
+    return REGISTRY[name].fn(spark, SF_SMOKE)
+
+
+def test_attribution_position_single_corpus_scan(spark):
+    """The journey-segmented frame feeds both the view and purchase
+    legs; it must be persisted (one events scan + one journey window),
+    and journey segmentation must be a window, never a range join."""
+    plan = _plan(_entry(spark, "events_attribution_position"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both legs read the cache (the FileScan text inside the cached
+    # subtree is the cache-fill plan, not a second corpus read)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_record_linkage_collapses_before_joining(spark):
+    """Both self-join sides must read the persisted name-cardinality
+    frame — the part corpus is collapsed once, and levenshtein runs on
+    block-mate pairs only (an equi join on the block key, no
+    cartesian)."""
+    plan = _plan(_entry(spark, "dedup_record_linkage"))
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_simhash_banded_never_self_joins(spark):
+    """The banded path's pair emission is inline over the postings
+    list; the quadratic signature self-join exists only in the DuckDB
+    oracle."""
+    plan = _plan(_entry(spark, "dedup_simhash_banded"))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_fold_series_entries_shuffle_once(spark):
+    """EWMA / Holt / Theil-Sen collapse the corpus to month grain in
+    ONE hash exchange; the fold itself runs on a single packed row
+    (one SinglePartition exchange), never a per-row window or join."""
+    for name in ("timeseries_ewma", "timeseries_holt", "timeseries_theil_sen"):
+        plan = _plan(_entry(spark, name))
+        assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
+        assert "Join" not in plan, (name, plan)
+
+
+def test_abc_classification_windows_on_part_frame(spark):
+    """The global-order window must run AFTER the part-grain collapse
+    (one hash exchange for the part aggregate, one SinglePartition for
+    the ordered window) — never a total sort of the fact table."""
+    plan = _plan(_entry(spark, "orders_abc_classification"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_query_likelihood_stats_ride_broadcasts(spark):
+    """Collection frequencies, token total, and the query constant are
+    broadcast; the only shuffled join is the doc-grain dl⋈hits merge.
+    The per-term work must be postings-pruned: the tf/cf branch filters
+    on the query terms before any aggregation."""
+    plan = _plan(_entry(spark, "search_query_likelihood"), "formatted")
+    assert plan.count("BroadcastExchange") >= 3, plan
+    assert "CartesianProduct" not in plan
+    # query-term pruning reaches the scan as a pushed filter on `term`
+    assert "spark" in plan and "query" in plan
+
+
+def test_cuped_single_user_collapse(spark):
+    """All six sufficient statistics ride one user-grain aggregate;
+    the readout adds only the 2-row arm rollup — two hash exchanges
+    total, no joins, nothing user-shaped in a second shuffle."""
+    plan = _plan(_entry(spark, "events_ab_cuped"))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_column_profile_single_scan_single_aggregate(spark):
+    """The multi-distinct profile must plan as ONE scan + one Expand
+    aggregate — per-column scans would read orders five times."""
+    plan = _plan(_entry(spark, "dq_column_profile"))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan, plan
