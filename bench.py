@@ -68,6 +68,7 @@ HEADLINE = (
     "bpe_train_merges",        # iterative vocab-frame agg + 1-row rule broadcasts (new r5)
     "sample_importance_dsir",  # persisted tokenize pass + broadcast LM score join (new r5)
     "ds_late_delivery_chain",  # q72 fact-fact shuffle + 4-dim broadcast chain (new r5)
+    "events_ab_cuped",         # sufficient-statistics experimentation readout (new r5)
 )
 
 

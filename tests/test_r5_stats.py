@@ -1,0 +1,172 @@
+"""Reference-implementation parity for the round-5 statistical
+operators: the distributed formulations (HOF folds, sufficient-
+statistic aggregates, integer-cents credit) must agree with a plain
+sequential Python implementation of the textbook definition — the
+same gate style as the BPE-vs-pure-Python and k-means-vs-numpy tests.
+The oracle gate proves Spark==DuckDB; these prove both == the math."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from hive_release_spark.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _months(spark):
+    rows = (
+        load_table(spark, SF_SMOKE, "orders")
+        .groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / F.lit(100.0)
+            ).alias("rev")
+        )
+        .orderBy("month")
+        .collect()
+    )
+    return [(r["month"], r["rev"]) for r in rows]
+
+
+def test_ewma_matches_sequential_reference(spark):
+    from hive_release_spark.queries import REGISTRY
+
+    series = _months(spark)
+    s = None
+    expect = []
+    for _, x in series:
+        s = x if s is None else 0.3 * x + 0.7 * s
+        expect.append(math.floor(s * 100 + 0.5) / 100)
+    got = [
+        r["ewma"]
+        for r in REGISTRY["timeseries_ewma"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+
+
+def test_holt_matches_sequential_reference(spark):
+    from hive_release_spark.queries import REGISTRY
+
+    series = _months(spark)
+    l = b = None
+    expect = []
+    for _, x in series:
+        if l is None:
+            l, b = x, 0.0
+        else:
+            l_new = 0.3 * x + 0.7 * (l + b)
+            b = 0.2 * (l_new - l) + 0.8 * b
+            l = l_new
+        rnd = lambda v: math.floor(v * 100 + 0.5) / 100
+        expect.append((rnd(l), rnd(b), rnd(l + b)))
+    got = [
+        (r["level"], r["trend"], r["forecast_next"])
+        for r in REGISTRY["timeseries_holt"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+
+
+def test_theil_sen_matches_all_pairs_reference(spark):
+    from hive_release_spark.queries import REGISTRY
+
+    series = _months(spark)
+    pts = [(m.year * 12 + m.month, rev) for m, rev in series]
+    slopes = []
+    s_stat = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            (xi, yi), (xj, yj) = pts[i], pts[j]
+            slopes.append((yj - yi) / (xj - xi))
+            s_stat += 1 if yj > yi else (-1 if yj < yi else 0)
+    slopes.sort()
+    n = len(slopes)
+    med = (slopes[(n + 1) // 2 - 1] + slopes[n // 2]) / 2
+    row = REGISTRY["timeseries_theil_sen"].fn(spark, SF_SMOKE).collect()[0]
+    assert row["n_months"] == len(pts)
+    assert row["n_pairs"] == n
+    assert row["mk_s"] == s_stat
+    assert row["sen_slope"] == math.floor(med * 10000 + 0.5) / 10000
+
+
+def test_cuped_theta_matches_covariance_reference(spark):
+    """theta must equal cov(pre, y)/var(pre) computed directly on the
+    per-user frame, and the adjusted uplift must equal the raw uplift
+    minus theta times the pre-period imbalance."""
+    from hive_release_spark.queries import REGISTRY
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("long")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < split, cents).otherwise(0)).alias("p"),
+            F.sum(F.when(F.col("ts") >= split, cents).otherwise(0)).alias("y"),
+        )
+        .withColumn("arm", arm)
+        .collect()
+    )
+    n = len(users)
+    mp = sum(u["p"] for u in users) / n
+    my = sum(u["y"] for u in users) / n
+    cov = sum((u["p"] - mp) * (u["y"] - my) for u in users)
+    var = sum((u["p"] - mp) ** 2 for u in users)
+    theta_ref = cov / var
+    row = REGISTRY["events_ab_cuped"].fn(spark, SF_SMOKE).collect()[0]
+    assert abs(row["theta"] - theta_ref) < 1e-4
+    # CUPED must not change the POOLED mean, only arm-level means:
+    # adjusted uplift = raw uplift - theta * pre-period imbalance
+    a0 = [u for u in users if u["arm"] == 0]
+    a1 = [u for u in users if u["arm"] == 1]
+    dy = (sum(u["y"] for u in a1) / len(a1) - sum(u["y"] for u in a0) / len(a0))
+    dp = (sum(u["p"] for u in a1) / len(a1) - sum(u["p"] for u in a0) / len(a0))
+    assert abs(row["uplift_cuped"] - (dy - theta_ref * dp) / 100) < 1e-2
+    assert abs(row["uplift_raw"] - dy / 100) < 1e-2
+
+
+def test_attribution_credit_conserves_purchase_value(spark):
+    """Position-based attribution must distribute each converted
+    journey's purchase value EXACTLY once: summing credited over all
+    (user, position) rows equals the cents of every purchase whose
+    journey contains at least one view."""
+    from hive_release_spark.queries import REGISTRY
+
+    out = REGISTRY["events_attribution_position"].fn(spark, SF_SMOKE).collect()
+    credited_total = round(sum(r["credited"] for r in out), 2)
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .filter(F.col("user_id") % 7 == 0)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in sorted(ev, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    total = 0
+    for rows in by_user.values():
+        views = 0
+        for r in rows:
+            if r["event_type"] == "view":
+                views += 1
+            else:
+                if views > 0:
+                    total += round(r["value"] * 100)
+                views = 0
+    assert credited_total == round(total / 100, 2)
