@@ -6,7 +6,7 @@ the oracles re-derive the pair set in SQL and unroll the iterations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
@@ -209,3 +209,117 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.5)
     return graph.local_clustering(pairs)
+
+
+
+
+@register(
+    "graph_adamic_adar",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b2.l_partkey AS pb
+      FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+                        AND a.l_partkey < b2.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    edges AS (SELECT pa AS a, pb AS b FROM pairs
+              UNION SELECT pb, pa FROM pairs),
+    deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY a),
+    wedge AS (
+      SELECT e1.a AS u, e2.b AS v, e1.b AS w
+      FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+      WHERE e1.a < e2.b),
+    cand AS (
+      SELECT u, v,
+             CAST(count(*) AS BIGINT) AS n_common,
+             sum(1.0 / ln(deg.d)) AS aa
+      FROM wedge JOIN deg ON wedge.w = deg.a
+      WHERE deg.d >= 2
+      GROUP BY u, v),
+    nonedge AS (
+      SELECT * FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                        WHERE p.pa = c.u AND p.pb = c.v))
+    SELECT u AS part_a, v AS part_b, n_common,
+           round(aa, 6) AS adamic_adar, rk
+    FROM (SELECT *, row_number() OVER
+            (ORDER BY aa DESC, u, v) AS rk FROM nonedge)
+    WHERE rk <= 20 ORDER BY rk
+    """,
+    tags=("graph", "linkpred", "basket"),
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAMIC-ADAR link prediction over the part CO-PURCHASE graph
+    (edge = two parts bought together in >= 2 orders): for every
+    2-hop part pair NOT already connected, score the shared
+    neighborhood with sum(1/ln(deg(w))) — rare shared neighbors weigh
+    more than promiscuous ones.  This is the classic
+    recommendation-candidate generator ("related to things bought
+    with X").  Shape: the fact collapses to the DISTINCT basket frame
+    first, pair emission joins basket-mates per order (bounded by
+    basket size squared, never corpus squared), the >= 2-support
+    HAVING prunes the edge list, wedge enumeration is ONE self-join
+    of the skinny symmetrized edge list on the middle node, degree
+    rides a broadcast, and existing edges leave via LEFT ANTI before
+    the top-20 window.  A wedge middle touches both endpoints so
+    deg(w) >= 2 and ln(deg) is never zero (the guard is belt-and-
+    braces).  The near-dup Jaccard graph is the WRONG substrate for
+    this entry — at any threshold its components are exact-duplicate
+    cliques with zero non-adjacent 2-hop pairs (verified at sf0.001-
+    0.1), so the co-purchase graph is what gives link prediction
+    something to predict."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    b2 = b.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        b.join(b2, (b.l_orderkey == b2.ok) & (b.l_partkey < b2.pb))
+        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+        .persist()
+    )
+    edges = (
+        pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .unionByName(
+            pairs.select(F.col("pb").alias("a"), F.col("pa").alias("b"))
+        )
+        .persist()
+    )
+    deg = edges.groupBy("a").agg(F.count("*").alias("d"))
+    e1 = edges.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    e2 = edges.select(F.col("a").alias("w2"), F.col("b").alias("v"))
+    wedge = e1.join(e2, e1.w == e2.w2).filter(F.col("u") < F.col("v"))
+    cand = (
+        wedge.join(
+            F.broadcast(deg.select(F.col("a").alias("w2"), "d")), "w2"
+        )
+        .filter(F.col("d") >= 2)
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum(1.0 / F.log(F.col("d"))).alias("aa"),
+        )
+    )
+    nonedge = cand.join(
+        pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    return (
+        nonedge.withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.desc("aa"), "u", "v")),
+        )
+        .filter(F.col("rk") <= 20)
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            "n_common",
+            F.round("aa", 6).alias("adamic_adar"),
+            "rk",
+        )
+        .orderBy("rk")
+    )

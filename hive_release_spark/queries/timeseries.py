@@ -666,3 +666,119 @@ def timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_next"
         ),
     ).orderBy("month")
+
+
+@register(
+    "timeseries_gap_fill",
+    oracle="""
+    WITH base AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM events
+      WHERE event_type = 'purchase' AND value >= 190
+      GROUP BY 1),
+    b AS (SELECT min(hr) AS mn,
+                 datediff('hour', min(hr), max(hr)) AS n FROM base),
+    spine AS (
+      SELECT unnest(generate_series(0, n)) AS i, mn FROM b),
+    j AS (
+      SELECT s.i, s.mn + to_hours(CAST(s.i AS BIGINT)) AS hr, base.c
+      FROM spine s LEFT JOIN base
+        ON base.hr = s.mn + to_hours(CAST(s.i AS BIGINT))),
+    w AS (
+      SELECT i, hr, c,
+             last_value(c IGNORE NULLS) OVER
+               (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN c IS NOT NULL THEN i END IGNORE NULLS)
+               OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS pi,
+             first_value(c IGNORE NULLS) OVER
+               (ORDER BY i ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN c IS NOT NULL THEN i END IGNORE NULLS)
+               OVER (ORDER BY i ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS ni
+      FROM j)
+    SELECT hr,
+           CASE WHEN c IS NULL THEN 1 ELSE 0 END AS is_gap,
+           floor(CAST(c AS DOUBLE) / 100 * 100 + 0.5) / 100 AS rev,
+           floor(CAST(pv AS DOUBLE) / 100 * 100 + 0.5) / 100 AS rev_locf,
+           CASE
+             WHEN c IS NOT NULL THEN floor(CAST(c AS DOUBLE) + 0.5) / 100
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               floor((pv + (nv - pv) * (CAST(i AS DOUBLE) - pi) / (ni - pi))
+                     + 0.5) / 100
+             ELSE NULL END AS rev_interp
+    FROM w ORDER BY hr
+    """,
+    tags=("analytics", "timeseries", "gapfill", "window"),
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR GAP FILLING — the time-series primitive every
+    hypertable engine ships (`time_bucket_gapfill` + locf/interpolate)
+    and Spark lacks: densify a sparse hourly series onto a complete
+    hour spine, then repair gaps two ways — LOCF (last observation
+    carried forward) and LINEAR interpolation between the surrounding
+    observations.  The spine is generated from the series' own bounds
+    with sequence+explode (no calendar table needed); its integer
+    index i doubles as the interpolation time coordinate, so no epoch
+    arithmetic or timezone rules are involved.  Both repairs are
+    window idioms: pv/pi = ignore-nulls LAST over the preceding
+    frame, nv/ni = ignore-nulls FIRST over the following frame;
+    interp = pv + (nv-pv)*(i-pi)/(ni-pi).  The global-order window
+    runs on the SPINE frame (719 hours here; calendar-bounded at any
+    corpus scale — the corpus collapses to the hour grain first).
+    Series values ride as BIGINT cents; edges with no left/right
+    neighbor stay NULL (the standard's behavior, not zero)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") >= 190))
+        .groupBy(F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    )
+    bounds = base.agg(
+        F.min("hr").alias("mn"),
+        F.expr("timestampdiff(HOUR, min(hr), max(hr))").alias("n"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.col("n"))).alias("i"), "mn"
+    ).select("i", F.expr("timestampadd(HOUR, i, mn)").alias("hr"))
+    j = spine.join(base, "hr", "left")
+    before = W.orderBy("i").rowsBetween(W.unboundedPreceding, W.currentRow)
+    after = W.orderBy("i").rowsBetween(W.currentRow, W.unboundedFollowing)
+    known_i = F.when(F.col("c").isNotNull(), F.col("i"))
+    w = j.select(
+        "i",
+        "hr",
+        "c",
+        F.last("c", ignorenulls=True).over(before).alias("pv"),
+        F.last(known_i, ignorenulls=True).over(before).alias("pi"),
+        F.first("c", ignorenulls=True).over(after).alias("nv"),
+        F.first(known_i, ignorenulls=True).over(after).alias("ni"),
+    )
+    rnd_cents = lambda c: F.floor(c.cast("double") / 100 * 100 + 0.5) / 100
+    interp = (
+        F.when(F.col("c").isNotNull(), F.floor(F.col("c").cast("double") + 0.5) / 100)
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.floor(
+                (
+                    F.col("pv")
+                    + (F.col("nv") - F.col("pv"))
+                    * (F.col("i").cast("double") - F.col("pi"))
+                    / (F.col("ni") - F.col("pi"))
+                )
+                + 0.5
+            )
+            / 100,
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return w.select(
+        "hr",
+        F.when(F.col("c").isNull(), 1).otherwise(0).alias("is_gap"),
+        rnd_cents(F.col("c")).alias("rev"),
+        rnd_cents(F.col("pv")).alias("rev_locf"),
+        interp.alias("rev_interp"),
+    ).orderBy("hr")
