@@ -1364,3 +1364,144 @@ def search_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.round("score", 6).alias("ql_score"), "rk")
         .orderBy("rk")
     )
+
+
+@register(
+    "text_rake_phrases",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, u.s.pos AS pos, u.s.t AS t
+      FROM (SELECT doc_id,
+                   list_transform(string_split(text, ' '),
+                                  (x, i) -> {'pos': i, 't': x}) AS l
+            FROM documents) d, unnest(d.l) AS u(s)),
+    freq AS (SELECT t, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
+    delim AS (
+      SELECT t FROM (
+        SELECT t, row_number() OVER (ORDER BY freq DESC, t) AS r FROM freq)
+      WHERE r <= 8),
+    f AS (
+      SELECT tok.doc_id, tok.pos, tok.t,
+             (delim.t IS NOT NULL) AS stop,
+             sum(CASE WHEN delim.t IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY tok.doc_id ORDER BY tok.pos
+                     ROWS UNBOUNDED PRECEDING) AS grp
+      FROM tok LEFT JOIN delim ON tok.t = delim.t),
+    ph AS (
+      SELECT doc_id, grp,
+             string_agg(t, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM f WHERE NOT stop GROUP BY 1, 2),
+    wi AS (SELECT doc_id, grp, t FROM f WHERE NOT stop),
+    ws AS (
+      SELECT wi.t,
+             CAST(count(*) AS BIGINT) AS wfreq,
+             CAST(sum(ph.plen) AS BIGINT) AS wdeg
+      FROM wi JOIN ph USING (doc_id, grp) GROUP BY 1),
+    scored AS (
+      SELECT ph.doc_id, ph.grp, ph.phrase, ph.plen,
+             sum(CAST(ws.wdeg AS DOUBLE) / ws.wfreq) AS score
+      FROM wi JOIN ph USING (doc_id, grp) JOIN ws ON wi.t = ws.t
+      GROUP BY 1, 2, 3, 4),
+    agg AS (
+      SELECT phrase, max(plen) AS plen,
+             CAST(count(*) AS BIGINT) AS n_occur,
+             round(max(score), 6) AS rake_score
+      FROM scored GROUP BY 1)
+    SELECT phrase, plen, n_occur, rake_score, rk FROM (
+      SELECT *, row_number() OVER
+        (ORDER BY rake_score DESC, phrase) AS rk FROM agg)
+    WHERE rk <= 15 ORDER BY rk
+    """,
+    tags=("llm", "text", "keywords", "rake"),
+)
+def text_rake_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) with INDUCED
+    delimiters: candidate phrases are maximal token runs between
+    delimiter words, each word scores deg(w)/freq(w) (degree = summed
+    length of the phrases it appears in — co-occurrence counting
+    including self), and a phrase scores the sum of its words.  The
+    synthetic corpus contains almost none of the classic English
+    stopwords, so the delimiter set is induced STATISTICALLY — the 8
+    most frequent corpus tokens (deterministic tie-break), the
+    standard frequency-based stopword induction used when no language
+    list fits.  Shapes: delimiter induction is a rank window over the
+    VOCAB frame (31 rows here; always vocabulary-sized); phrase
+    segmentation is the gaps-and-islands running-delimiter-count
+    window per doc; word stats and phrase scores join phrase-grain
+    and vocab-grain frames — the corpus is tokenized ONCE (persisted,
+    three consumers).  max() collapses any float-summation spread
+    across duplicate phrases before rounding, keeping both engines'
+    reports identical."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    freq = tok.groupBy("t").agg(F.count("*").alias("freq"))
+    delim = (
+        freq.withColumn(
+            "r", F.row_number().over(W.orderBy(F.desc("freq"), "t"))
+        )
+        .filter(F.col("r") <= 8)
+        .select("t", F.lit(True).alias("stop"))
+    )
+    f = (
+        tok.join(F.broadcast(delim), "t", "left")
+        .withColumn(
+            "grp",
+            F.sum(
+                F.when(F.col("stop"), 1).otherwise(0)
+            ).over(
+                W.partitionBy("doc_id")
+                .orderBy("pos")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .filter(F.col("stop").isNull())
+        .select("doc_id", "pos", "t", "grp")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ph = f.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "t"))),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    ws = (
+        f.join(ph.select("doc_id", "grp", "plen"), ["doc_id", "grp"])
+        .groupBy("t")
+        .agg(
+            F.count("*").alias("wfreq"),
+            F.sum("plen").alias("wdeg"),
+        )
+    )
+    scored = (
+        f.join(ph, ["doc_id", "grp"])
+        .join(F.broadcast(ws), "t")
+        .groupBy("doc_id", "grp", "phrase", "plen")
+        .agg(
+            F.sum(
+                F.col("wdeg").cast("double") / F.col("wfreq")
+            ).alias("score")
+        )
+    )
+    agg = scored.groupBy("phrase").agg(
+        F.max("plen").alias("plen"),
+        F.count("*").alias("n_occur"),
+        F.round(F.max("score"), 6).alias("rake_score"),
+    )
+    return (
+        agg.withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.desc("rake_score"), "phrase")),
+        )
+        .filter(F.col("rk") <= 15)
+        .select("phrase", "plen", "n_occur", "rake_score", "rk")
+        .orderBy("rk")
+    )

@@ -537,3 +537,104 @@ def ds_hierarchy_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").asc_nulls_first(),
         F.col("seg").asc_nulls_first(),
     )
+
+
+@register(
+    "ds_worst_return_ratios",
+    oracle="""
+    WITH p AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS qty_ret,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_tot,
+             CAST(sum(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS amt_ret,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS amt_tot
+      FROM lineitem GROUP BY 1
+      HAVING count(*) >= 5),
+    r AS (
+      SELECT l_partkey,
+             CAST(qty_ret AS DOUBLE) / qty_tot AS qty_ratio,
+             CAST(amt_ret AS DOUBLE) / amt_tot AS amt_ratio,
+             n_lines
+      FROM p),
+    rk AS (
+      SELECT *,
+             row_number() OVER (ORDER BY qty_ratio DESC, l_partkey)
+               AS qty_rank,
+             row_number() OVER (ORDER BY amt_ratio DESC, l_partkey)
+               AS amt_rank
+      FROM r)
+    SELECT l_partkey, n_lines,
+           round(qty_ratio, 6) AS qty_ratio,
+           round(amt_ratio, 6) AS amt_ratio,
+           qty_rank, amt_rank
+    FROM rk WHERE qty_rank <= 10 OR amt_rank <= 10
+    ORDER BY l_partkey
+    """,
+    tags=("tpcds", "returns", "rank", "plan_quality"),
+)
+def ds_worst_return_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q49 shape — "worst return ratios": rank items by
+    returned-to-sold ratio on BOTH the quantity and the currency axis,
+    keep anything in either top-10.  The spec text computes the two
+    rankings as separate channel subqueries UNIONed; the single-scan
+    formulation pins one fact pass producing all four sums as
+    conditional aggregates (returnflag = 'R' is the returns event in
+    this schema), then runs both rank windows over the post-HAVING
+    PART-grain frame — the fact is read once, the windows never see a
+    fact row.  A >= 5-lines support floor keeps one-line parts from
+    monopolizing the top of the ratio ranking (q49's AVG-window
+    bound plays this role in the spec).  Quantities are integral and
+    amounts ride as cents, so both ratios divide exact BIGINTs and
+    the ranking order is engine-exact (ties broken by partkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ret = F.col("l_returnflag") == "R"
+    qty = F.col("l_quantity").cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    p = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(ret, qty).otherwise(0)).alias("qty_ret"),
+            F.sum(qty).alias("qty_tot"),
+            F.sum(F.when(ret, cents).otherwise(0)).alias("amt_ret"),
+            F.sum(cents).alias("amt_tot"),
+        )
+        .filter(F.col("n_lines") >= 5)
+    )
+    r = p.select(
+        "l_partkey",
+        "n_lines",
+        (F.col("qty_ret").cast("double") / F.col("qty_tot")).alias(
+            "qty_ratio"
+        ),
+        (F.col("amt_ret").cast("double") / F.col("amt_tot")).alias(
+            "amt_ratio"
+        ),
+    )
+    rk = r.select(
+        "*",
+        F.row_number()
+        .over(W.orderBy(F.desc("qty_ratio"), "l_partkey"))
+        .alias("qty_rank"),
+        F.row_number()
+        .over(W.orderBy(F.desc("amt_ratio"), "l_partkey"))
+        .alias("amt_rank"),
+    )
+    return (
+        rk.filter((F.col("qty_rank") <= 10) | (F.col("amt_rank") <= 10))
+        .select(
+            "l_partkey",
+            "n_lines",
+            F.round("qty_ratio", 6).alias("qty_ratio"),
+            F.round("amt_ratio", 6).alias("amt_ratio"),
+            "qty_rank",
+            "amt_rank",
+        )
+        .orderBy("l_partkey")
+    )
