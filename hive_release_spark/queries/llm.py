@@ -944,3 +944,56 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "sim_ann_binary",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(len(list_filter(range(1, 65),
+                  i -> (q.v[i] > 0) != (c.v[i] > 0))) AS BIGINT)
+               AS hamming,
+             q.v AS qv, c.v AS cv
+      FROM e q JOIN e c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 20),
+    short AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY hamming, neighbor_id) AS srank
+        FROM cand)
+      WHERE srank <= 50),
+    rer AS (
+      SELECT query_id, neighbor_id, hamming,
+             list_cosine_similarity(qv, cv) AS sim
+      FROM short)
+    SELECT query_id, neighbor_id, hamming,
+           round(sim, 6) AS sim, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM rer)
+    WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    tags=("llm", "similarity", "ann", "quantization"),
+)
+def sim_ann_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-QUANTIZATION ANN — 1-bit sign codes, Hamming-distance
+    shortlist (top-50), exact cosine rerank (top-5): the embedding
+    compression every modern vector store ships (a 64-dim float
+    vector packs into ONE 64-bit word; candidate scoring is
+    bit_count(xor)).  The engine packs codes scan-side and runs
+    shortlist+rerank in one corpus pass (full-precision vectors only
+    touched for shortlist survivors); the oracle computes the SAME
+    Hamming distance definitionally — the count of sign
+    disagreements — without bit packing, proving the packed-code
+    arithmetic right by a different formulation.  Exact end to end:
+    sign bits of identical floats, integer Hamming, the same cosine
+    expression the brute-force baseline gates.  Completes the ANN
+    ladder: brute force (exact), LSH (recall-tested), IVF (cells),
+    PQ (codebooks), binary (sign bits)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.binary_hamming_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, shortlist=50
+    ).orderBy("query_id", "rank")

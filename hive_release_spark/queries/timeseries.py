@@ -782,3 +782,88 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd_cents(F.col("pv")).alias("rev_locf"),
         interp.alias("rev_interp"),
     ).orderBy("hr")
+
+
+@register(
+    "timeseries_backtest_naive",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS c
+      FROM orders GROUP BY 1),
+    l AS (
+      SELECT day, c,
+             lag(c, 1) OVER (ORDER BY day) AS f1,
+             lag(c, 7) OVER (ORDER BY day) AS f7
+      FROM d),
+    e AS (
+      SELECT 'naive_lag1' AS method, c, f1 AS f FROM l WHERE f1 IS NOT NULL
+      UNION ALL
+      SELECT 'seasonal_lag7', c, f7 FROM l WHERE f7 IS NOT NULL)
+    SELECT method,
+           CAST(count(*) AS BIGINT) AS n_forecasts,
+           round(avg(abs(c - f)) / 100, 2) AS mae,
+           round(sqrt(avg(pow(CAST(c - f AS DOUBLE) / 100, 2))), 2)
+             AS rmse,
+           round(avg(abs(CAST(c - f AS DOUBLE)) / c), 6) AS mape
+    FROM e GROUP BY 1 ORDER BY 1
+    """,
+    tags=("analytics", "timeseries", "forecast", "backtest"),
+)
+def timeseries_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING-ORIGIN FORECAST BACKTEST of the two standard baselines
+    every forecasting evaluation starts from — naive (yesterday's
+    value) and seasonal-naive (same weekday last week) — scored with
+    MAE / RMSE / MAPE over the daily revenue series.  Any proposed
+    forecaster (e.g. timeseries_holt's level+trend) must beat this
+    table to earn its complexity; backtesting the baselines is the
+    evaluation harness half of the forecast family.  The corpus
+    collapses to day grain map-side; the lag windows run on the
+    CALENDAR-bounded day frame; forecast errors are exact integer
+    cent differences, so every metric aggregates identical values in
+    both engines (MAE is exact integer arithmetic until one final
+    divide; RMSE/MAPE are closed forms on those integers).  Each
+    method only scores days where its forecast exists (no partial-
+    window bias)."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "c"
+            )
+        )
+    )
+    w = W.orderBy("day")
+    l = d.select(
+        "c",
+        F.lag("c", 1).over(w).alias("f1"),
+        F.lag("c", 7).over(w).alias("f7"),
+    )
+    e = (
+        l.filter(F.col("f1").isNotNull())
+        .select(F.lit("naive_lag1").alias("method"), "c", F.col("f1").alias("f"))
+        .unionByName(
+            l.filter(F.col("f7").isNotNull()).select(
+                F.lit("seasonal_lag7").alias("method"),
+                "c",
+                F.col("f7").alias("f"),
+            )
+        )
+    )
+    diff = F.col("c") - F.col("f")
+    return (
+        e.groupBy("method")
+        .agg(
+            F.count("*").alias("n_forecasts"),
+            F.round(F.avg(F.abs(diff)) / 100, 2).alias("mae"),
+            F.round(
+                F.sqrt(F.avg(F.pow(diff.cast("double") / 100, 2))), 2
+            ).alias("rmse"),
+            F.round(
+                F.avg(F.abs(diff.cast("double")) / F.col("c")), 6
+            ).alias("mape"),
+        )
+        .orderBy("method")
+    )
