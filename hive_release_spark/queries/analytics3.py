@@ -2399,3 +2399,117 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+def _markov_rounds(k: int) -> str:
+    """Unrolled power-iteration rounds over the transition CTE ``tp``:
+    x{i}(j) = sum_i x{i-1}(i) * P(i, j)."""
+    out = []
+    prev = "x0"
+    for i in range(1, k + 1):
+        out.append(
+            f"""
+    x{i} AS (
+      SELECT tp.t_to AS et, sum({prev}.p * tp.p) AS p
+      FROM tp JOIN {prev} ON tp.t_from = {prev}.et
+      GROUP BY 1)"""
+        )
+        prev = f"x{i}"
+    return ",".join(out)
+
+
+@register(
+    "events_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    tc AS (
+      SELECT event_type AS t_from, nxt AS t_to,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    tp AS (
+      SELECT t_from, t_to, n,
+             CAST(n AS DOUBLE)
+               / sum(n) OVER (PARTITION BY t_from) AS p
+      FROM tc),
+    ks AS (SELECT CAST(count(DISTINCT t_from) AS BIGINT) AS k FROM tp),
+    x0 AS (SELECT DISTINCT t_from AS et, 1.0 / ks.k AS p
+           FROM tp CROSS JOIN ks),
+    {_markov_rounds(3)}
+    SELECT x3.et AS event_type,
+           round(x3.p, 6) AS stationary_p,
+           CAST(o.n_obs AS BIGINT) AS n_obs,
+           round(o.obs_share, 6) AS obs_share
+    FROM x3 JOIN (
+      SELECT t_from AS et, sum(n) AS n_obs,
+             sum(n) / (SELECT CAST(sum(n) AS DOUBLE) FROM tc) AS obs_share
+      FROM tc GROUP BY 1) o ON x3.et = o.et
+    ORDER BY event_type
+    """,
+    tags=("analytics", "markov", "iterative", "events"),
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKOV-CHAIN STATIONARY DISTRIBUTION of the event-type process:
+    estimate the transition matrix from per-user consecutive event
+    pairs, then run 3 synchronous power-iteration rounds from the
+    uniform vector — where does user behavior settle, and how far is
+    the empirical visit share from the chain's equilibrium (a
+    model-fit diagnostic: if the process were truly first-order
+    Markov and mixed fast, the two columns converge).  Shapes: ONE
+    user-partitioned lag window extracts transitions from the fact
+    stream; everything after is k^2-sized (k = event types, 5 here) —
+    the matrix normalization is a window over the k^2 frame, each
+    power round a join+agg over it, exactly the PageRank recurrence
+    shape (graph_pagerank) on the type graph instead of the doc
+    graph.  The oracle unrolls the same rounds as CTEs with identical
+    arithmetic; only the final probabilities are rounded."""
+    ev = load_table(spark, sf_dir, "events")
+    wlag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(wlag).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    tc = seq.groupBy(
+        F.col("event_type").alias("t_from"), F.col("nxt").alias("t_to")
+    ).agg(F.count("*").alias("n"))
+    tp = tc.withColumn(
+        "p",
+        F.col("n").cast("double")
+        / F.sum("n").over(W.partitionBy("t_from")),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    k = tp.select("t_from").distinct().count()  # bounded: #event types
+    x = tp.select("t_from").distinct().select(
+        F.col("t_from").alias("et"), (F.lit(1.0) / k).alias("xp")
+    )
+    for _ in range(3):
+        x = (
+            tp.join(x, tp.t_from == x.et)
+            .groupBy(F.col("t_to").alias("et"))
+            .agg(F.sum(F.col("xp") * F.col("p")).alias("xp"))
+        )
+    tot = tc.agg(F.sum("n").alias("tot"))
+    obs = (
+        tc.groupBy(F.col("t_from").alias("et"))
+        .agg(F.sum("n").alias("n_obs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "et",
+            "n_obs",
+            (F.col("n_obs") / F.col("tot").cast("double")).alias(
+                "obs_share"
+            ),
+        )
+    )
+    return (
+        x.join(obs, "et")
+        .select(
+            F.col("et").alias("event_type"),
+            F.round("xp", 6).alias("stationary_p"),
+            "n_obs",
+            F.round("obs_share", 6).alias("obs_share"),
+        )
+        .orderBy("event_type")
+    )

@@ -7,7 +7,7 @@ non-SQL-expressible → registered without an oracle (rows-only check).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
@@ -997,3 +997,93 @@ def sim_ann_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.binary_hamming_topk(
         emb.filter(F.col("vec_id") < 20), emb, k=5, shortlist=50
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle="""
+    WITH n AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n_rows
+               FROM part GROUP BY 1),
+    s AS (SELECT p_name, n_rows FROM n),
+    l AS (
+      SELECT p_name, n_rows,
+             lead(p_name, 1) OVER w AS nb1,
+             lead(n_rows, 1) OVER w AS c1,
+             lead(p_name, 2) OVER w AS nb2,
+             lead(n_rows, 2) OVER w AS c2
+      FROM s WINDOW w AS (ORDER BY reverse(p_name), p_name)),
+    cand AS (
+      SELECT p_name AS name_a, nb1 AS name_b, CAST(1 AS BIGINT) AS win_dist,
+             n_rows AS n_rows_a, c1 AS n_rows_b
+      FROM l WHERE nb1 IS NOT NULL
+      UNION ALL
+      SELECT p_name, nb2, 2, n_rows, c2 FROM l WHERE nb2 IS NOT NULL)
+    SELECT name_a, name_b, win_dist,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev,
+           n_rows_a, n_rows_b
+    FROM cand WHERE levenshtein(name_a, name_b) <= 2
+    ORDER BY name_a, name_b
+    """,
+    tags=("llm", "dedup", "linkage", "snm"),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORTED-NEIGHBORHOOD record linkage (Hernandez-Stolfo) — the
+    OTHER classic candidate-generation strategy next to blocking
+    (dedup_record_linkage): sort all records by a key and compare each
+    only with its w-1 successors in sort order, turning the quadratic
+    compare into a linear sliding window.  The sort key is the
+    REVERSED name, the multi-pass-SNM trick that clusters records by
+    their stable suffix (the product noun) so qualifier typos land
+    adjacent ("cold bolt"/"old bolt" share the reversed prefix
+    "tlob ...") — alphabetically those are c... and o..., far apart
+    under a naive key.  Window emission needs NO self-join: two lead()
+    columns over one window produce every in-window pair.  Like the
+    blocked variant, the linkage runs on the distinct-NAME frame;
+    the global-order window sorts name-cardinality rows only (the
+    100 TB version range-partitions the sort and overlaps partition
+    boundaries by w-1 rows).  (p_name) is unique in the frame so
+    (reverse(p_name), p_name) is a total order and lead() is
+    deterministic."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    w = W.orderBy(F.reverse(F.col("p_name")), "p_name")
+    l = names.select(
+        "p_name",
+        "n_rows",
+        F.lead("p_name", 1).over(w).alias("nb1"),
+        F.lead("n_rows", 1).over(w).alias("c1"),
+        F.lead("p_name", 2).over(w).alias("nb2"),
+        F.lead("n_rows", 2).over(w).alias("c2"),
+    )
+    cand = (
+        l.filter(F.col("nb1").isNotNull())
+        .select(
+            F.col("p_name").alias("name_a"),
+            F.col("nb1").alias("name_b"),
+            F.lit(1).cast("long").alias("win_dist"),
+            F.col("n_rows").alias("n_rows_a"),
+            F.col("c1").alias("n_rows_b"),
+        )
+        .unionByName(
+            l.filter(F.col("nb2").isNotNull()).select(
+                F.col("p_name").alias("name_a"),
+                F.col("nb2").alias("name_b"),
+                F.lit(2).cast("long").alias("win_dist"),
+                F.col("n_rows").alias("n_rows_a"),
+                F.col("c2").alias("n_rows_b"),
+            )
+        )
+    )
+    return (
+        cand.withColumn(
+            "lev", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter(F.col("lev") <= 2)
+        .select(
+            "name_a", "name_b", "win_dist", "lev", "n_rows_a", "n_rows_b"
+        )
+        .orderBy("name_a", "name_b")
+    )
