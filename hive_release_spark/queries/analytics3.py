@@ -2513,3 +2513,95 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH s AS (
+      SELECT n.n_name,
+             l.l_suppkey,
+             CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN supplier su ON l.l_suppkey = su.s_suppkey
+      JOIN nation n ON su.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2),
+    t AS (
+      SELECT n_name,
+             CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(cents) AS BIGINT) AS total,
+             CAST(max(cents) AS BIGINT) AS top_cents,
+             sum(pow(CAST(cents AS DOUBLE), 2)) AS sq
+      FROM s GROUP BY 1)
+    SELECT n_name,
+           n_suppliers,
+           round(total / 100.0, 2) AS revenue,
+           round(sq / (CAST(total AS DOUBLE) * total), 6) AS hhi,
+           round(CAST(top_cents AS DOUBLE) / total, 6) AS top_share,
+           CASE WHEN n_suppliers = 1 THEN 1.0
+                ELSE round((sq / (CAST(total AS DOUBLE) * total)
+                            - 1.0 / n_suppliers)
+                           / (1 - 1.0 / n_suppliers), 6)
+           END AS hhi_normalized
+    FROM t ORDER BY n_name
+    """,
+    tags=("analytics", "concentration", "hhi", "join"),
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL-HIRSCHMAN market-concentration index per nation —
+    the antitrust/supply-risk screen: HHI = sum of squared supplier
+    revenue shares (1/n = perfectly split, 1.0 = monopoly), plus the
+    top-supplier share and the normalized HHI that removes the 1/n
+    floor so nations with different supplier counts compare.  The
+    algebraic trick that makes this one-pass: sum(share^2) =
+    sum(cents^2)/total^2, so the supplier-grain aggregate carries
+    cents and cents^2 and NO second pass over the data computes
+    shares — the same sufficient-statistics discipline as
+    events_ab_cuped.  Shapes: one fact collapse to (nation, supplier)
+    grain (supplier/nation dims broadcast into the scan), then a
+    nation rollup of the supplier frame.  Money rides as BIGINT cents
+    (cents^2 sums stay under 2^63 for any plausible per-supplier
+    revenue); only the final ratios go DOUBLE, identically in both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    su = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    na = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    s = (
+        li.join(F.broadcast(su), "l_suppkey")
+        .join(F.broadcast(na), "s_nationkey")
+        .groupBy("n_name", "l_suppkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    t = s.groupBy("n_name").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("cents").alias("total"),
+        F.max("cents").alias("top_cents"),
+        F.sum(F.pow(F.col("cents").cast("double"), 2)).alias("sq"),
+    )
+    total_d = F.col("total").cast("double")
+    hhi = F.col("sq") / (total_d * F.col("total"))
+    floor_term = 1.0 / F.col("n_suppliers")
+    return t.select(
+        "n_name",
+        "n_suppliers",
+        F.round(F.col("total") / 100.0, 2).alias("revenue"),
+        F.round(hhi, 6).alias("hhi"),
+        F.round(F.col("top_cents").cast("double") / F.col("total"), 6).alias(
+            "top_share"
+        ),
+        F.when(F.col("n_suppliers") == 1, F.lit(1.0))
+        .otherwise(F.round((hhi - floor_term) / (1 - floor_term), 6))
+        .alias("hhi_normalized"),
+    ).orderBy("n_name")
