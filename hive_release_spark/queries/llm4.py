@@ -1013,3 +1013,135 @@ def sim_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "sim", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) * 1.0
+               / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) AS j
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) * 1.0
+               / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.5),
+    th AS (SELECT unnest(generate_series(5, 9)) / 10.0 AS threshold)
+    SELECT th.threshold,
+           CAST(count(p.doc_a) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT p.doc_b) AS BIGINT) AS n_docs_dropped
+    FROM th LEFT JOIN pairs p ON p.j >= th.threshold
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "dedup", "sweep", "tuning"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP THRESHOLD SWEEP — the tuning curve behind every near-dup
+    threshold decision: how many pairs fire, and how many documents
+    would be dropped (min-id survivorship: a doc is dropped if it is
+    the LARGER id of any pair), at each candidate Jaccard threshold.
+    The expensive thing — the postings-index pair computation — runs
+    ONCE at the loosest threshold (0.5); the sweep is then a 5-row
+    broadcast threshold frame joined against the persisted pair list,
+    so exploring 5 operating points costs one corpus pass instead of
+    five (the r4 sweep-matrix lesson applied to the operator itself).
+    n_docs_dropped is the exact survivor arithmetic of dedup_exact's
+    min-id rule restricted to each threshold's pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.5).persist()
+    # thresholds built as (5+i)/10.0 in BOTH engines: a 0.7 literal and
+    # 0.5+2*0.1 are DIFFERENT doubles, and DuckDB list literals would be
+    # DECIMAL — identical construction makes the >= comparison exact
+    th = spark.range(5).select(
+        ((F.lit(5) + F.col("id")) / F.lit(10.0)).alias("threshold")
+    )
+    j = th.join(
+        pairs,
+        pairs.jaccard >= F.col("threshold"),
+        "left",
+    )
+    return (
+        j.groupBy("threshold")
+        .agg(
+            F.count("doc_a").alias("n_pairs"),
+            F.countDistinct("doc_b").alias("n_docs_dropped"),
+        )
+        .orderBy("threshold")
+    )
+
+
+@register(
+    "pack_efficiency_report",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+    b AS (
+      SELECT CAST(pow(2, CAST(ceil(log2(greatest(n_tokens, 1))) AS INT))
+                  AS BIGINT) AS bucket,
+             n_tokens,
+             least(n_tokens, {_PACK_BUDGET}) AS kept,
+             greatest(n_tokens - {_PACK_BUDGET}, 0) AS truncated
+      FROM d)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           CAST(sum(truncated) AS BIGINT) AS tokens_truncated,
+           round(avg(CAST(kept AS DOUBLE) / {_PACK_BUDGET}), 6)
+             AS fill_if_padded,
+           round(sum(CAST(kept AS DOUBLE))
+                 / (count(*) * {_PACK_BUDGET}), 6) AS bucket_efficiency
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "packing", "report", "tuning"),
+)
+def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-PACKING EFFICIENCY REPORT — the measurement companion
+    to pack_sequences: per power-of-2 length bucket, how many docs,
+    how many tokens, how many tokens a {_PACK_BUDGET}-token context
+    would TRUNCATE, and two padding diagnostics — the fill ratio if
+    each doc were padded alone (the no-packing baseline every padding
+    batch pays) and the bucket's aggregate efficiency.  This is the
+    report that justifies packing: fill_if_padded near 0 on short
+    buckets is exactly the waste greedy packing recovers.  One
+    scan-side token count + one 10-ish-row bucket aggregate; the
+    bucket key is a closed-form pow/log2 expression, not a join
+    against a bucket table."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    budget = _PACK_BUDGET
+    d = docs.select(n_tok.alias("n_tokens"))
+    bucket = F.pow(
+        2, F.ceil(F.log2(F.greatest(F.col("n_tokens"), F.lit(1))))
+    ).cast("long")
+    kept = F.least(F.col("n_tokens"), F.lit(budget))
+    trunc = F.greatest(F.col("n_tokens") - budget, F.lit(0))
+    b = d.select(
+        bucket.alias("bucket"),
+        "n_tokens",
+        kept.alias("kept"),
+        trunc.alias("truncated"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum("truncated").alias("tokens_truncated"),
+            F.round(
+                F.avg(F.col("kept").cast("double") / budget), 6
+            ).alias("fill_if_padded"),
+            F.round(
+                F.sum(F.col("kept").cast("double"))
+                / (F.count("*") * budget),
+                6,
+            ).alias("bucket_efficiency"),
+        )
+        .orderBy("bucket")
+    )
