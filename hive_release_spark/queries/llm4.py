@@ -1145,3 +1145,71 @@ def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "tokenize_fertility",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(text,
+                  '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_chars
+      FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(n_words) AS BIGINT) AS words,
+           round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_words), 6)
+             AS fertility,
+           round(CAST(sum(n_chars) AS DOUBLE) / sum(n_bpe), 6)
+             AS chars_per_token
+    FROM d GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "tokenize", "eval", "report"),
+)
+def tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY REPORT per language — the standard
+    tokenizer-evaluation table (how many subword tokens per word, how
+    many characters per token): high fertility on a language means the
+    tokenizer fragments it, inflating sequence lengths and training
+    cost for that slice of the corpus — the number multilingual
+    tokenizer papers lead with.  Uses the repo's BPE-ish GPT-2-style
+    pre-tokenizer regex (text_token_bpe_regex) as the subword proxy
+    and whitespace words as the denominator.  Fertility and
+    chars-per-token are ratios of exact corpus-level BIGINT sums (not
+    averages of per-doc ratios — the aggregation-order-proof
+    formulation), computed in one scan-side pass + a lang-cardinality
+    rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(
+        F.regexp_extract_all(
+            "text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+        )
+    ).cast("long")
+    n_words = F.size(F.split("text", " ")).cast("long")
+    n_chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "long"
+    )
+    d = docs.select(
+        "lang",
+        n_bpe.alias("n_bpe"),
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+            F.sum("n_words").alias("words"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.sum("n_words"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_bpe"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
