@@ -641,3 +641,52 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in cols[i + 1 :]
     ]
     return li.agg(*aggs, F.count("*").alias("n"))
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           quantile_disc(l_quantity, 0.25) AS q25_disc,
+           quantile_disc(l_quantity, 0.50) AS q50_disc,
+           quantile_disc(l_quantity, 0.75) AS q75_disc,
+           round(quantile_cont(l_quantity, 0.50), 4) AS q50_cont
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+    tags=("agg", "percentile", "sql2008"),
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_DISC — the SQL-standard DISCRETE percentile (the
+    smallest actual value whose cumulative distribution reaches p),
+    next to the interpolating PERCENTILE_CONT the repo already gates
+    (agg_percentile): disc returns a value that EXISTS in the data
+    (medians of ids, sizes, codes), cont may not.  Spark has no
+    percentile_disc aggregate, so the operator is composed exactly
+    per the standard definition: sorted collect per group +
+    element_at(ceil(p * n)) — the per-group sort is bounded by group
+    cardinality (the same contract as the moving-median composition;
+    percentile_approx swaps in past that bound).  The cont median
+    rides along to pin that the two definitions genuinely differ on
+    even-count groups.  DuckDB's native quantile_disc is the
+    oracle — a first-class reference implementation, like the ASOF
+    gate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sort_array(F.collect_list("l_quantity")).alias("vals"),
+        F.round(F.percentile(F.col("l_quantity"), F.lit(0.5)), 4).alias(
+            "q50_cont"
+        ),
+    )
+    def disc(p):
+        idx = F.ceil(F.lit(p) * F.col("n")).cast("int")
+        return F.element_at(F.col("vals"), F.greatest(idx, F.lit(1)))
+    return g.select(
+        "l_returnflag",
+        "n",
+        disc(0.25).alias("q25_disc"),
+        disc(0.50).alias("q50_disc"),
+        disc(0.75).alias("q75_disc"),
+        "q50_cont",
+    ).orderBy("l_returnflag")

@@ -638,3 +638,106 @@ def ds_worst_return_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey")
     )
+
+
+@register(
+    "ds_sales_deviation_rank",
+    oracle="""
+    WITH m AS (
+      SELECT p.p_brand AS brand,
+             CAST(date_trunc('month', l.l_shipdate) AS DATE) AS month,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2),
+    w AS (
+      SELECT brand, month, cents,
+             CAST(sum(cents) OVER (PARTITION BY brand, year(month))
+                  AS BIGINT) AS yr_cents,
+             CAST(count(*) OVER (PARTITION BY brand, year(month))
+                  AS BIGINT) AS yr_months,
+             lag(cents) OVER (PARTITION BY brand ORDER BY month)
+               AS prev_cents,
+             lead(cents) OVER (PARTITION BY brand ORDER BY month)
+               AS next_cents
+      FROM m),
+    d AS (
+      SELECT *,
+             abs(cents - CAST(yr_cents AS DOUBLE) / yr_months)
+               / (CAST(yr_cents AS DOUBLE) / yr_months) AS deviation
+      FROM w WHERE yr_months >= 3)
+    SELECT brand, month, round(cents / 100.0, 2) AS sales,
+           round(deviation, 6) AS deviation,
+           round(coalesce(prev_cents, 0) / 100.0, 2) AS prev_sales,
+           round(coalesce(next_cents, 0) / 100.0, 2) AS next_sales,
+           rk
+    FROM (SELECT *, row_number() OVER
+            (ORDER BY deviation DESC, brand, month) AS rk FROM d)
+    WHERE rk <= 15 ORDER BY rk
+    """,
+    tags=("tpcds", "window", "deviation", "plan_quality"),
+)
+def ds_sales_deviation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q47 shape — largest monthly deviations from the yearly
+    brand average, reported with the neighboring months' sales for
+    context.  The spec formulation self-joins the monthly CTE THREE
+    times (v1, v1_lag, v1_lead on consecutive months); the single-
+    scan rewrite pins one fact pass to brand-month grain, then ALL
+    FOUR derived quantities — yearly average (a partition window),
+    both neighbors (lag/lead), and the deviation rank — as windows
+    over that frame: the 3x CTE self-join collapses into window
+    functions sharing the brand partitioning.  The >= 3-months guard
+    mirrors q47's full-year filter at this fixture's calendar span.
+    Part dim broadcasts; cents exact; rank tie-broken on (brand,
+    month)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    m = (
+        li.join(F.broadcast(pt), "l_partkey")
+        .groupBy(
+            "brand", F.trunc("l_shipdate", "month").alias("month")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    wy = W.partitionBy("brand", F.year("month"))
+    wm = W.partitionBy("brand").orderBy("month")
+    w = m.select(
+        "brand",
+        "month",
+        "cents",
+        F.sum("cents").over(wy).alias("yr_cents"),
+        F.count("*").over(wy).alias("yr_months"),
+        F.lag("cents").over(wm).alias("prev_cents"),
+        F.lead("cents").over(wm).alias("next_cents"),
+    ).filter(F.col("yr_months") >= 3)
+    avg_m = F.col("yr_cents").cast("double") / F.col("yr_months")
+    d = w.withColumn("deviation", F.abs(F.col("cents") - avg_m) / avg_m)
+    return (
+        d.withColumn(
+            "rk",
+            F.row_number().over(
+                W.orderBy(F.desc("deviation"), "brand", "month")
+            ),
+        )
+        .filter(F.col("rk") <= 15)
+        .select(
+            "brand",
+            "month",
+            F.round(F.col("cents") / 100.0, 2).alias("sales"),
+            F.round("deviation", 6).alias("deviation"),
+            F.round(F.coalesce(F.col("prev_cents"), F.lit(0)) / 100.0, 2).alias(
+                "prev_sales"
+            ),
+            F.round(F.coalesce(F.col("next_cents"), F.lit(0)) / 100.0, 2).alias(
+                "next_sales"
+            ),
+            "rk",
+        )
+        .orderBy("rk")
+    )
