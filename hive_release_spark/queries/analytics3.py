@@ -2605,3 +2605,174 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round((hhi - floor_term) / (1 - floor_term), 6))
         .alias("hhi_normalized"),
     ).orderBy("n_name")
+
+
+@register(
+    "dq_business_rules",
+    oracle="""
+    WITH j AS (
+      SELECT l.l_shipdate, l.l_discount, l.l_quantity, l.l_tax,
+             l.l_extendedprice, o.o_orderdate
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    r AS (
+      SELECT 'ship_within_120d' AS rule,
+             CAST(count(*) AS BIGINT) AS n_checked,
+             CAST(count(*) FILTER (NOT (l_shipdate >= o_orderdate AND
+                  l_shipdate <= o_orderdate + INTERVAL 120 DAY))
+                  AS BIGINT) AS n_violations
+      FROM j
+      UNION ALL
+      SELECT 'discount_in_0_50pct', CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER (NOT (l_discount >= 0 AND
+                  l_discount <= 0.5)) AS BIGINT)
+      FROM j
+      UNION ALL
+      SELECT 'quantity_1_to_50', CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER (NOT (l_quantity >= 1 AND
+                  l_quantity <= 50)) AS BIGINT)
+      FROM j
+      UNION ALL
+      SELECT 'tax_nonnegative', CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER (l_tax < 0) AS BIGINT)
+      FROM j
+      UNION ALL
+      SELECT 'price_positive', CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER (l_extendedprice <= 0) AS BIGINT)
+      FROM j)
+    SELECT rule, n_checked, n_violations,
+           round(CAST(n_violations AS DOUBLE) / n_checked, 6)
+             AS violation_rate
+    FROM r ORDER BY rule
+    """,
+    tags=("dq", "rules", "validation", "join"),
+)
+def dq_business_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUSINESS-RULE validation report — the cross-field half of data
+    quality next to dq_checks' structural PK/FK/NULL rules: each rule
+    is a predicate over one or two joined tables (ship date within
+    120 days of order date, discount in range, quantity band, tax
+    sign, price positivity), reported as checked/violations/rate.
+    All five rules ride ONE pass over the joined frame as conditional
+    aggregates — the rule report is an unpivot of a single aggregate
+    row, not five scans (the q88 conditional-aggregation discipline
+    applied to DQ).  NOT-form predicates count NULL fields as
+    violations (a NULL ship date fails 'within 120 days'), which is
+    the audit-correct reading.  One orderkey join (co-partitioned
+    fact-to-fact); everything else is scan-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    j = li.join(o, "l_orderkey")
+    rules = [
+        (
+            "ship_within_120d",
+            ~(
+                (F.col("l_shipdate") >= F.col("o_orderdate"))
+                & (
+                    F.col("l_shipdate")
+                    <= F.col("o_orderdate") + F.expr("INTERVAL 120 DAYS")
+                )
+            ),
+        ),
+        (
+            "discount_in_0_50pct",
+            ~((F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.5)),
+        ),
+        (
+            "quantity_1_to_50",
+            ~((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50)),
+        ),
+        ("tax_nonnegative", F.col("l_tax") < 0),
+        ("price_positive", F.col("l_extendedprice") <= 0),
+    ]
+    agg = j.agg(
+        F.count("*").alias("n_checked"),
+        *[
+            F.count(F.when(pred, 1)).alias(f"v{i}")
+            for i, (_, pred) in enumerate(rules)
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"), F.col(f"v{i}").alias("v")
+            )
+            for i, (name, _) in enumerate(rules)
+        ]
+    )
+    return (
+        agg.select("n_checked", F.explode(rows).alias("r"))
+        .select(
+            F.col("r.rule").alias("rule"),
+            "n_checked",
+            F.col("r.v").alias("n_violations"),
+            F.round(
+                F.col("r.v").cast("double") / F.col("n_checked"), 6
+            ).alias("violation_rate"),
+        )
+        .orderBy("rule")
+    )
+
+
+@register(
+    "orders_ship_latency",
+    oracle="""
+    WITH j AS (
+      SELECT o.o_orderpriority,
+             datediff('day', o.o_orderdate, l.l_shipdate) AS lat
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate IS NOT NULL)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(min(lat) AS BIGINT) AS min_days,
+           round(avg(lat), 4) AS avg_days,
+           round(quantile_cont(CAST(lat AS DOUBLE), 0.50), 4) AS p50_days,
+           round(quantile_cont(CAST(lat AS DOUBLE), 0.90), 4) AS p90_days,
+           round(quantile_cont(CAST(lat AS DOUBLE), 0.99), 4) AS p99_days,
+           CAST(max(lat) AS BIGINT) AS max_days
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+    tags=("analytics", "latency", "percentile", "join"),
+)
+def orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-TO-SHIP CYCLE TIME per priority class — the fulfillment
+    SLA table: exact P50/P90/P99/max days from order placement to
+    line shipment, the distribution every ops review reads (does
+    1-URGENT actually ship faster, and how bad is the P99 tail).
+    Latency is an exact integer day difference (datediff semantics
+    match across engines on DATE-truncated timestamps), aggregated
+    per priority with exact linear-interpolation percentiles — the
+    same definition both engines (agg_percentile's contract);
+    priority cardinality bounds the groups so exact percentiles are
+    cheap, and percentile_approx swaps in if the group key were
+    high-cardinality.  One orderkey fact-fact join, avg exact until
+    the final divide."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    ).filter(F.col("l_shipdate").isNotNull())
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    j = li.join(o, "l_orderkey").select(
+        "o_orderpriority",
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("lat"),
+    )
+    latd = F.col("lat").cast("double")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.min("lat").cast("long").alias("min_days"),
+            F.round(F.avg("lat"), 4).alias("avg_days"),
+            F.round(F.percentile(latd, F.lit(0.50)), 4).alias("p50_days"),
+            F.round(F.percentile(latd, F.lit(0.90)), 4).alias("p90_days"),
+            F.round(F.percentile(latd, F.lit(0.99)), 4).alias("p99_days"),
+            F.max("lat").cast("long").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
