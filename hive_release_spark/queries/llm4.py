@@ -1213,3 +1213,107 @@ def tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_source_divergence",
+    oracle="""
+    WITH tc AS (
+      SELECT source, t, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot
+            FROM tc GROUP BY 1),
+    p AS (SELECT tc.source, tc.t,
+                 CAST(tc.n AS DOUBLE) / tot.tot AS p
+          FROM tc JOIN tot USING (source)),
+    pairs AS (SELECT a.source AS src_a, b.source AS src_b
+              FROM tot a JOIN tot b ON a.source < b.source),
+    pt AS (
+      SELECT pr.src_a, pr.src_b, p.t,
+             coalesce(max(CASE WHEN p.source = pr.src_a
+                          THEN p.p END), 0) AS pa,
+             coalesce(max(CASE WHEN p.source = pr.src_b
+                          THEN p.p END), 0) AS pb
+      FROM pairs pr JOIN p ON p.source IN (pr.src_a, pr.src_b)
+      GROUP BY 1, 2, 3)
+    SELECT src_a, src_b,
+           CAST(count(*) AS BIGINT) AS union_terms,
+           round(sum(0.5 * CASE WHEN pa > 0
+                     THEN pa * log2(pa / ((pa + pb) / 2)) ELSE 0 END
+                   + 0.5 * CASE WHEN pb > 0
+                     THEN pb * log2(pb / ((pa + pb) / 2)) ELSE 0 END),
+                 6) AS jsd
+    FROM pt GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("llm", "text", "divergence", "drift"),
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JENSEN-SHANNON DIVERGENCE between every source pair's unigram
+    distribution — the standard corpus-comparison / domain-shift
+    number (symmetric, bounded [0,1] in log2, defined even where
+    supports differ — the reasons it beats raw KL for corpus work):
+    JSD(P,Q) = 0.5 KL(P||M) + 0.5 KL(Q||M), M = (P+Q)/2.  Mixing a
+    new scrape in?  Its JSD against the incumbent sources IS the
+    domain-novelty score (the quantity DSIR-style importance
+    weighting implicitly optimizes).  Shapes: one tokenize pass to
+    (source, term) counts; probabilities are ratios of exact
+    BIGINTs; the pair frame is (source-pair x term) built by joining
+    the VOCAB-sized probability frame against the (tiny) source-pair
+    list and pivoting both sides out with conditional max — a term
+    present in only ONE side gets p=0 on the other and contributes
+    its full p*log2(2) mass to that side's KL half (a one-sided term
+    is maximal evidence of divergence; a join that dropped unmatched
+    terms would silently understate JSD on disjoint-support
+    corpora).  Everything after the first groupBy is
+    vocabulary-cardinality."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("t")
+        )
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = tc.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = tc.join(F.broadcast(tot), "source").select(
+        "source", "t", (F.col("n").cast("double") / F.col("tot")).alias("p")
+    )
+    pairs = (
+        tot.select(F.col("source").alias("src_a"))
+        .join(
+            tot.select(F.col("source").alias("src_b")),
+            F.col("src_a") < F.col("src_b"),
+        )
+    )
+    pt = (
+        pairs.join(
+            p,
+            (p.source == F.col("src_a")) | (p.source == F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b", "t")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("source") == F.col("src_a"), F.col("p"))),
+                F.lit(0.0),
+            ).alias("pa"),
+            F.coalesce(
+                F.max(F.when(F.col("source") == F.col("src_b"), F.col("p"))),
+                F.lit(0.0),
+            ).alias("pb"),
+        )
+    )
+    pa, pb = F.col("pa"), F.col("pb")
+    m = (pa + pb) / 2
+    term = 0.5 * F.when(pa > 0, pa * F.log2(pa / m)).otherwise(
+        0.0
+    ) + 0.5 * F.when(pb > 0, pb * F.log2(pb / m)).otherwise(0.0)
+    return (
+        pt.groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").alias("union_terms"),
+            F.round(F.sum(term), 6).alias("jsd"),
+        )
+        .orderBy("src_a", "src_b")
+    )
