@@ -2776,3 +2776,81 @@ def orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "customer_segment_migration",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             CASE WHEN month(o_orderdate) <= 6 THEN 1 ELSE 2 END AS half,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders WHERE year(o_orderdate) = 1995
+      GROUP BY 1, 2),
+    seg AS (
+      SELECT o_custkey, half,
+             CASE WHEN cents >= 50000000 THEN 'high'
+                  WHEN cents >= 20000000 THEN 'mid'
+                  ELSE 'low' END AS segment
+      FROM m),
+    mig AS (
+      SELECT coalesce(a.o_custkey, b.o_custkey) AS cust,
+             coalesce(a.segment, 'none') AS seg_from,
+             coalesce(b.segment, 'none') AS seg_to
+      FROM (SELECT * FROM seg WHERE half = 1) a
+      FULL JOIN (SELECT * FROM seg WHERE half = 2) b
+        ON a.o_custkey = b.o_custkey)
+    SELECT seg_from, seg_to,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM mig GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("analytics", "migration", "segments", "growth"),
+)
+def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT MIGRATION MATRIX — the growth-accounting table behind
+    every revenue bridge: classify customers into value segments in
+    two consecutive periods (1995 H1 vs H2, exact-cents thresholds)
+    and count every (from, to) transition, including churn
+    (seg->none) and acquisition (none->seg) via the FULL OUTER join
+    of the two period frames.  Which segment leaks, which upgrades,
+    and how much of 'growth' is really migration — questions the
+    per-period totals can't answer.  Shapes: ONE fact pass produces
+    both periods' spend (the half is a scan-side expression, not two
+    scans); segmentation thresholds compare exact BIGINT cents so the
+    class boundary cannot drift; the migration join runs at customer
+    grain.  The matrix is at most (k+1)^2 rows."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1995
+    )
+    m = o.groupBy(
+        "o_custkey",
+        F.when(F.month("o_orderdate") <= 6, 1).otherwise(2).alias("half"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    seg = m.select(
+        "o_custkey",
+        "half",
+        F.when(F.col("cents") >= 50_000_000, "high")
+        .when(F.col("cents") >= 20_000_000, "mid")
+        .otherwise("low")
+        .alias("segment"),
+    )
+    a = seg.filter(F.col("half") == 1).select(
+        F.col("o_custkey").alias("ca"), F.col("segment").alias("sa")
+    )
+    b = seg.filter(F.col("half") == 2).select(
+        F.col("o_custkey").alias("cb"), F.col("segment").alias("sb")
+    )
+    mig = a.join(b, a.ca == b.cb, "full").select(
+        F.coalesce(F.col("sa"), F.lit("none")).alias("seg_from"),
+        F.coalesce(F.col("sb"), F.lit("none")).alias("seg_to"),
+    )
+    return (
+        mig.groupBy("seg_from", "seg_to")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("seg_from", "seg_to")
+    )

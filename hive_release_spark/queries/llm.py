@@ -1087,3 +1087,85 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name_a", "name_b")
     )
+
+
+@register(
+    "emb_quality_report",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))) AS nrm,
+             len(list_filter(CAST(embedding AS DOUBLE[]),
+                             x -> isnan(x))) AS n_nan
+      FROM embeddings),
+    s AS (SELECT avg(nrm) AS mu,
+                 stddev_pop(nrm) AS sd
+          FROM n WHERE n_nan = 0)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(*) FILTER (n_nan > 0) AS BIGINT) AS n_with_nan,
+           CAST(count(*) FILTER (nrm = 0) AS BIGINT) AS n_zero_norm,
+           CAST(count(*) FILTER (n_nan = 0 AND
+                abs(nrm - s.mu) > 3 * s.sd) AS BIGINT) AS n_norm_outliers,
+           round(avg(nrm), 6) AS mean_norm,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm
+    FROM n CROSS JOIN s GROUP BY label, s.mu, s.sd ORDER BY label
+    """,
+    tags=("llm", "embeddings", "dq", "report"),
+)
+def emb_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING QUALITY REPORT — the hygiene gate an embedding table
+    needs before any ANN index build: per label, how many vectors
+    carry NaNs (a crashed encoder batch), how many are exactly
+    zero-norm (failed inference defaults), how many are norm
+    OUTLIERS beyond 3 sigma of the corpus norm distribution (scale
+    bugs, double-normalization), plus the norm envelope.  A single
+    corrupt shard silently poisons cosine rankings — norms are the
+    cheapest detector.  Shapes: the norm and NaN count are scan-side
+    HOFs over the vector (no shuffle); the corpus mu/sd ride a 1-row
+    broadcast; one label rollup emits the report.  Norms of identical
+    floats are identical doubles, outlier thresholds compare those
+    against broadcast scalars, so the flag set is engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(
+        F.col("embedding"), lambda x: x.cast("double")
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    n_nan = F.size(F.filter(v, lambda x: F.isnan(x)))
+    n = emb.select(
+        "label", nrm.alias("nrm"), n_nan.alias("n_nan")
+    )
+    s = n.filter(F.col("n_nan") == 0).agg(
+        F.avg("nrm").alias("mu"), F.stddev_pop("nrm").alias("sd")
+    )
+    j = n.crossJoin(F.broadcast(s))
+    return (
+        j.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.count(F.when(F.col("n_nan") > 0, 1)).alias("n_with_nan"),
+            F.count(F.when(F.col("nrm") == 0, 1)).alias("n_zero_norm"),
+            F.count(
+                F.when(
+                    (F.col("n_nan") == 0)
+                    & (
+                        F.abs(F.col("nrm") - F.col("mu"))
+                        > 3 * F.col("sd")
+                    ),
+                    1,
+                )
+            ).alias("n_norm_outliers"),
+            F.round(F.avg("nrm"), 6).alias("mean_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
