@@ -100,3 +100,38 @@ def test_column_profile_single_scan_single_aggregate(spark):
     plan = _plan(_entry(spark, "dq_column_profile"))
     assert plan.count("Scan parquet") == 1, plan
     assert "Expand" in plan, plan
+
+
+def test_binary_ann_corpus_never_shuffles_before_rank(spark):
+    """Codes pack scan-side and the query side broadcasts, so the only
+    exchanges are the per-query rank windows — the corpus must not
+    hash-shuffle before the broadcast join."""
+    plan = _plan(_entry(spark, "sim_ann_binary"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    # the ONE hash exchange is the per-query rank window (both windows
+    # share the query_id partitioning); the corpus never hash-shuffles
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_hhi_single_fact_pass(spark):
+    """Both dims broadcast; the only hash exchanges are the
+    (nation, supplier) collapse and the nation rollup."""
+    plan = _plan(_entry(spark, "supplier_concentration_hhi"))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_business_rules_single_aggregate(spark):
+    """Five rules must plan as ONE aggregate over ONE joined pass —
+    a per-rule union would multiply fact scans."""
+    plan = _plan(_entry(spark, "dq_business_rules"))
+    assert plan.count("Scan parquet") == 2, plan  # lineitem + orders once
+
+
+def test_threshold_sweep_reuses_persisted_pairs(spark):
+    """Five thresholds ride the persisted pair list — the shingle
+    postings pass must not replay per threshold."""
+    plan = _plan(_entry(spark, "dedup_threshold_sweep"))
+    assert "InMemoryTableScan" in plan, plan
+    assert plan.count("Scan parquet") <= 1, plan

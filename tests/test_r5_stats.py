@@ -170,3 +170,73 @@ def test_attribution_credit_conserves_purchase_value(spark):
                     total += round(r["value"] * 100)
                 views = 0
     assert credited_total == round(total / 100, 2)
+
+
+def test_binary_ann_matches_numpy_reference(spark):
+    """The packed-code Hamming shortlist + cosine rerank must agree
+    with a direct numpy implementation of the same definition (sign
+    bits, disagreement count, cosine on the shortlist survivors)."""
+    import numpy as np
+
+    from hive_release_spark.queries import REGISTRY
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    V = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    bits = V > 0
+    got = REGISTRY["sim_ann_binary"].fn(spark, SF_SMOKE).collect()
+    by_query: dict = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_query.items():
+        qi = int(np.where(ids == qid)[0][0])
+        ham = (bits ^ bits[qi]).sum(axis=1)
+        order = sorted(
+            [(int(ham[i]), int(ids[i])) for i in range(len(ids)) if ids[i] != qid]
+        )
+        shortlist = {nid for _, nid in order[:50]}
+        sims = []
+        for nid in shortlist:
+            ci = int(np.where(ids == nid)[0][0])
+            s = float(
+                V[qi] @ V[ci] / (np.linalg.norm(V[qi]) * np.linalg.norm(V[ci]))
+            )
+            sims.append((-s, nid))
+        sims.sort()
+        expect_top = [nid for _, nid in sims[: len(rows)]]
+        assert [r["neighbor_id"] for r in sorted(rows, key=lambda r: r["rank"])] == expect_top
+        for r in rows:
+            assert r["hamming"] == int(ham[np.where(ids == r["neighbor_id"])[0][0]])
+
+
+def test_jsd_matches_direct_reference(spark):
+    """Spot-check one source pair's JSD against a direct dictionary
+    implementation over raw token counts."""
+    import math
+
+    from hive_release_spark.queries import REGISTRY
+
+    out = REGISTRY["text_source_divergence"].fn(spark, SF_SMOKE).collect()
+    assert out, "no source pairs"
+    row = out[0]
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    def dist(src):
+        c: dict = {}
+        for d in docs:
+            if d["source"] == src:
+                for t in d["text"].split(" "):
+                    c[t] = c.get(t, 0) + 1
+        tot = sum(c.values())
+        return {t: n / tot for t, n in c.items()}
+    P, Q = dist(row["src_a"]), dist(row["src_b"])
+    terms = set(P) | set(Q)
+    jsd = 0.0
+    for t in terms:
+        p, q = P.get(t, 0.0), Q.get(t, 0.0)
+        m = (p + q) / 2
+        if p > 0:
+            jsd += 0.5 * p * math.log2(p / m)
+        if q > 0:
+            jsd += 0.5 * q * math.log2(q / m)
+    assert abs(row["jsd"] - jsd) < 1e-4
+    assert row["union_terms"] == len(terms)
