@@ -1317,3 +1317,89 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@register(
+    "text_entropy_quality",
+    oracle="""
+    WITH tc AS (
+      SELECT doc_id, source, t, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT doc_id, source,
+                   unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      GROUP BY 1, 2, 3),
+    d0 AS (
+      SELECT doc_id, source, n,
+             CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY doc_id) AS p
+      FROM tc),
+    d AS (
+      SELECT doc_id, source,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             -sum(p * log2(p)) AS entropy
+      FROM d0 GROUP BY doc_id, source),
+    s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             round(avg(entropy), 6) AS avg_entropy,
+             round(min(entropy), 6) AS min_entropy,
+             CAST(count(*) FILTER (entropy < 3.0) AS BIGINT)
+               AS n_low_entropy,
+             round(avg(entropy / log2(n_distinct)), 6)
+               AS avg_efficiency
+      FROM d WHERE n_distinct > 1 GROUP BY 1)
+    SELECT * FROM s ORDER BY source
+    """,
+    tags=("llm", "text", "quality", "entropy"),
+)
+def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-ENTROPY QUALITY SIGNAL — the information-theoretic
+    repetition detector (the compressibility proxy C4/CCNet-class
+    filters approximate with gzip ratios): a document whose token
+    distribution has low Shannon entropy is boilerplate or
+    keyword-stuffed even when no single span repeats verbatim — the
+    case the exact span-dedup (dedup_span_chunks) and the repetition
+    regex both miss.  Per doc: H = -sum p log2 p over its token
+    distribution, plus entropy EFFICIENCY H/log2(n_distinct) (1.0 =
+    maximally even usage) which is length-robust where raw H is not;
+    the per-source rollup reports the mean/min and the count under
+    the H < 3 bits floor.  Shapes: one tokenize pass to (doc, token)
+    counts; the entropy sum is a window over that frame partitioned
+    by doc (p and the doc total come from the SAME partition pass);
+    the rollup is source-cardinality.  Single-token docs are
+    excluded (log2(1) = 0 would divide the efficiency)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "doc_id", "source", F.explode(F.split("text", " ")).alias("t")
+        )
+        .groupBy("doc_id", "source", "t")
+        .agg(F.count("*").alias("n"))
+    )
+    wdoc = W.partitionBy("doc_id")
+    p = F.col("n").cast("double") / F.sum("n").over(wdoc)
+    d = (
+        tc.withColumn("term", -(p * F.log2(p)))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.sum("term").alias("entropy"),
+        )
+        .filter(F.col("n_distinct") > 1)
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("entropy"), 6).alias("avg_entropy"),
+            F.round(F.min("entropy"), 6).alias("min_entropy"),
+            F.count(F.when(F.col("entropy") < 3.0, 1)).alias(
+                "n_low_entropy"
+            ),
+            F.round(
+                F.avg(F.col("entropy") / F.log2(F.col("n_distinct"))), 6
+            ).alias("avg_efficiency"),
+        )
+        .orderBy("source")
+    )
