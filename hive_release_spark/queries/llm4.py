@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
-from hive_release_spark.llm import dedup, pipeline
+from hive_release_spark.llm import dedup, pipeline, text
 from hive_release_spark.queries.analytics3 import _md5_u32
 from hive_release_spark.queries.registry import register
 
@@ -1402,4 +1402,69 @@ def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_efficiency"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "text_langid_confusion",
+    oracle="""
+    WITH p AS (
+      SELECT lang,
+             CASE
+               WHEN len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the', 'value', 'fast'))) > 0 THEN 'en'
+               WHEN len(list_filter(string_split(text, ' '),
+                    t -> t IN ('der', 'und', 'nicht'))) > 0 THEN 'de'
+               WHEN len(list_filter(string_split(text, ' '),
+                    t -> t IN ('le', 'et', 'les'))) > 0 THEN 'fr'
+               WHEN len(list_filter(string_split(text, ' '),
+                    t -> t IN ('el', 'que', 'los'))) > 0 THEN 'es'
+               ELSE 'unknown' END AS pred
+      FROM documents),
+    c AS (SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
+          FROM p GROUP BY 1, 2),
+    t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_true FROM c GROUP BY 1)
+    SELECT c.lang, c.pred, c.n,
+           round(CAST(c.n AS DOUBLE) / t.n_true, 6) AS pct_of_true,
+           CASE WHEN c.lang = c.pred THEN 1 ELSE 0 END AS is_correct
+    FROM c JOIN t USING (lang)
+    ORDER BY c.lang, c.pred
+    """,
+    tags=("llm", "text", "langid", "eval", "confusion"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANGUAGE-ID CONFUSION MATRIX — the evaluation table for the
+    rule-chain guesser (llm/text.langid_rules) against the corpus's
+    true `lang` labels: every (true, predicted) cell with its count
+    and share of the true class (the row-normalized confusion matrix
+    whose diagonal is per-class recall).  Classifier EVALUATION is a
+    first-class pipeline operator — the langid gate's error profile
+    decides which languages need the n-gram scorer's second pass.
+    The rule chain is replayed in SQL marker-for-marker with the same
+    en>de>fr>es precedence, so the matrix is engine-exact; on this
+    shared-vocab synthetic corpus the guesser mostly answers 'en'
+    (every lang's docs contain the en markers), and the matrix says
+    exactly that — the honest readout of a weak classifier, which is
+    the point of shipping its evaluation next to it.  One scan-side
+    CASE + a (langs x preds)-cardinality rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text.langid_rules(F.col("text"))
+    c = docs.select("lang", pred.alias("pred")).groupBy("lang", "pred").agg(
+        F.count("*").alias("n")
+    )
+    t = c.groupBy("lang").agg(F.sum("n").alias("n_true"))
+    return (
+        c.join(F.broadcast(t), "lang")
+        .select(
+            "lang",
+            "pred",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_true"), 6).alias(
+                "pct_of_true"
+            ),
+            F.when(F.col("lang") == F.col("pred"), 1)
+            .otherwise(0)
+            .alias("is_correct"),
+        )
+        .orderBy("lang", "pred")
     )
