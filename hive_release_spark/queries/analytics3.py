@@ -2854,3 +2854,71 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy("seg_from", "seg_to")
     )
+
+
+@register(
+    "customer_repurchase_cycle",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             datediff('day',
+                      lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate,
+                                                      o_orderkey),
+                      o_orderdate) AS gap_days
+      FROM orders),
+    j AS (
+      SELECT c.c_mktsegment, g.gap_days
+      FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+      WHERE g.gap_days IS NOT NULL)
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(avg(gap_days), 4) AS avg_days,
+           round(quantile_cont(CAST(gap_days AS DOUBLE), 0.50), 4)
+             AS p50_days,
+           round(quantile_cont(CAST(gap_days AS DOUBLE), 0.90), 4)
+             AS p90_days,
+           CAST(max(gap_days) AS BIGINT) AS max_days
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+    tags=("analytics", "repurchase", "window", "percentile"),
+)
+def customer_repurchase_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPURCHASE-CYCLE distribution per market segment — the retail
+    replenishment clock: days between a customer's consecutive
+    orders, pooled per segment with mean/P50/P90/max.  This number
+    sets reactivation-campaign timing (a customer past their
+    segment's P90 gap is the churn-risk trigger) and distinguishes
+    habitual from sporadic segments in a way order totals cannot.
+    Shapes: one customer-partitioned lag window over orders ((date,
+    orderkey) tie-break for same-day orders), gaps are exact integer
+    day differences, the customer dim broadcasts its segment in, and
+    the percentile aggregate pools per segment — segment-bounded
+    group count with row-cardinality values, the agg_percentile
+    contract (percentile_approx swaps in past memory bounds, as
+    documented on orders_ship_latency)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.to_date(F.lag("o_orderdate").over(w)),
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = g.join(F.broadcast(c), "o_custkey")
+    gd = F.col("gap_days").cast("double")
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.avg("gap_days"), 4).alias("avg_days"),
+            F.round(F.percentile(gd, F.lit(0.50)), 4).alias("p50_days"),
+            F.round(F.percentile(gd, F.lit(0.90)), 4).alias("p90_days"),
+            F.max("gap_days").cast("long").alias("max_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
