@@ -1169,3 +1169,65 @@ def emb_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "multimodal_payload_dedup",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id AS asset_id,
+             sha256(text) AS checksum,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)]
+               AS modality
+      FROM documents),
+    g AS (
+      SELECT modality, checksum,
+             CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(min(asset_id) AS BIGINT) AS survivor_id,
+             CAST(max(n_bytes) AS BIGINT) AS bytes_each
+      FROM a GROUP BY 1, 2)
+    SELECT modality,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(n_copies) AS BIGINT) AS n_assets,
+           CAST(sum(n_copies - 1) AS BIGINT) AS n_dropped,
+           CAST(sum((n_copies - 1) * bytes_each) AS BIGINT)
+             AS bytes_saved
+    FROM g GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "multimodal", "dedup", "binary"),
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-PAYLOAD exact dedup — content-addressed storage math for
+    a media lake: group assets by payload checksum (sha-256 of the
+    BYTES, not any decoded form — the only identity that exists
+    before decode), keep the min-id survivor, and report per modality
+    how many assets collapse and how many BYTES the dedup saves (the
+    number that justifies the job: media payloads dominate storage at
+    100 TB, so n_dropped x bytes_each is the budget line).  Rides the
+    same asset table as the other multimodal entries
+    (llm/multimodal.pack_assets — payload BINARY + sha2 checksum +
+    modality metadata); one hash groupBy on the checksum (the exact-
+    dedup shuffle shape), then a modality rollup of the checksum-
+    cardinality frame.  DuckDB replays the byte-level sha256
+    natively, so the checksum arithmetic itself is cross-engine
+    verified — the plumbing the real media pipeline trusts."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.pack_assets(docs)
+    g = assets.groupBy("modality", "checksum").agg(
+        F.count("*").alias("n_copies"),
+        F.min("asset_id").alias("survivor_id"),
+        F.max("n_bytes").alias("bytes_each"),
+    )
+    return (
+        g.groupBy("modality")
+        .agg(
+            F.count("*").alias("n_unique"),
+            F.sum("n_copies").alias("n_assets"),
+            F.sum(F.col("n_copies") - 1).alias("n_dropped"),
+            F.sum(
+                (F.col("n_copies") - 1) * F.col("bytes_each")
+            ).alias("bytes_saved"),
+        )
+        .orderBy("modality")
+    )
