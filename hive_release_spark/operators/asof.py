@@ -186,3 +186,77 @@ def asof_join_nearest(
         *[F.col("__l")[c].alias(c) for c in lcols],
         *[F.col("__match")[c].alias(c) for c in right_payload],
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_t: str,
+    right_t: str,
+    right_payload: list[str] | None = None,
+) -> DataFrame:
+    """AS-OF FORWARD left join: every ``left`` row gains the
+    ``right_payload`` columns of the EARLIEST ``right`` row with
+    ``right[right_t] >= left[left_t]`` and equal ``on`` key (NULLs when
+    nothing follows) — the time-to-next-event primitive (kdb's forward
+    aj; pandas ``merge_asof(direction='forward')``).
+
+    Exact mirror of :func:`asof_join`: one union of the tagged streams,
+    one key exchange, and a carry-BACKWARD window (ignore-nulls FIRST
+    over the current-row..following frame) instead of carry-forward
+    LAST.  At equal timestamps the right row sorts AFTER left rows, so
+    a simultaneous right event matches (>= is inclusive) via the frame
+    including the current row's followers; ties among same-t right rows
+    resolve by the ascending payload struct — deterministic.
+
+    Same dedup contract as the backward form: pre-dedup ``right`` to
+    one row per (key, t) for a stable match.
+    """
+    if right_payload is None:
+        right_payload = [c for c in right.columns if c not in (on, right_t)]
+
+    lcols = [c for c in left.columns]
+    clash = set(lcols) & set(right_payload)
+    if clash:
+        raise ValueError(
+            f"asof_join_forward output would duplicate columns "
+            f"{sorted(clash)}; rename or restrict right_payload"
+        )
+    l_tag = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_t).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*lcols).alias("__l"),
+        F.lit(None).cast(
+            right.select(F.struct(*right_payload).alias("s")).schema["s"].dataType
+        ).alias("__r"),
+    )
+    r_tag = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_t).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
+        ).alias("__l"),
+        F.struct(*right_payload).alias("__r"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # left rows (is_left=1 sorts AFTER 0... we need right rows at equal
+    # __t to be INSIDE the following frame of the left row) — order left
+    # rows BEFORE right rows at equal __t: __is_left DESC puts 1 first,
+    # so the frame (current..following) of a left row includes same-t
+    # rights; same-t rights pick the smallest payload struct first.
+    w = (
+        W.partitionBy("__k")
+        .orderBy("__t", F.col("__is_left").desc(), F.col("__r").asc_nulls_last())
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = unioned.withColumn(
+        "__match", F.first("__r", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(
+        *[F.col("__l")[c].alias(c) for c in lcols],
+        *[F.col("__match")[c].alias(c) for c in right_payload],
+    )
+    return out

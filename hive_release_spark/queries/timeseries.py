@@ -867,3 +867,83 @@ def timeseries_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'view' AND user_id % 11 = 0),
+    p AS (
+      SELECT user_id, ts, event_id FROM (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id) AS rn
+        FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+    SELECT v.event_id, v.user_id, v.ts,
+           p.event_id AS purchase_id,
+           CAST(datediff('second', v.ts, p.ts) AS BIGINT)
+             AS secs_to_convert
+    FROM v ASOF LEFT JOIN p
+      ON v.user_id = p.user_id AND v.ts <= p.ts
+    ORDER BY v.event_id
+    """,
+    tags=("join", "asof", "forward", "timeseries"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — every view matched to the user's NEXT
+    purchase at-or-after it: the time-to-conversion primitive (how
+    long from intent to transaction), and the missing direction in
+    the as-of family (backward `join_asof_orders`, nearest
+    `join_asof_nearest`, now forward).  `operators/asof.
+    asof_join_forward` is the exact mirror of the backward operator:
+    same tagged union, same single key exchange, with an ignore-nulls
+    FIRST over the following frame instead of LAST over the preceding
+    one — "forward" costs nothing extra.  DuckDB's native forward
+    ASOF (`v.ts <= p.ts`) is the oracle, the same first-class
+    reference gate the backward entry uses; purchases pre-dedup to
+    one per (user, ts) (min event_id) in BOTH engines so ties are
+    deterministic.  Cohort filter bounds driver output; the
+    seconds-to-convert column is exact integer arithmetic on
+    microsecond timestamps."""
+    from hive_release_spark.operators.asof import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(
+        (F.col("event_type") == "view") & (F.col("user_id") % 11 == 0)
+    ).select("event_id", "user_id", "ts")
+    wp = W.partitionBy("user_id", "ts").orderBy("event_id")
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    j = asof_join_forward(
+        views,
+        purch,
+        on="user_id",
+        left_t="ts",
+        right_t="p_ts",
+        right_payload=["purchase_id", "p_ts"],
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_id",
+        # datediff('second') counts BOUNDARY crossings — truncate each
+        # timestamp to seconds before differencing (micros magnitudes
+        # stay under 2^53, so the floor is exact)
+        (
+            F.floor(F.unix_micros(F.col("p_ts").cast("timestamp")) / 1_000_000)
+            - F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        )
+        .cast("long")
+        .alias("secs_to_convert"),
+    ).orderBy("event_id")
