@@ -23,6 +23,7 @@ from hive_release_spark.queries import (  # noqa: F401,E402
     analytics3,
     graphs,
     timeseries,
+    stats_tests,
 )
 
 

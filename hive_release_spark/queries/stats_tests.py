@@ -1,0 +1,403 @@
+"""Distribution-comparison and correlation-structure operators: the
+hypothesis-test surface an analytics engine grows once dashboards start
+asking "is segment A actually different from segment B?" — two-sample
+Kolmogorov-Smirnov, Mann-Whitney rank-sum, chi-square independence, and
+auto/cross-correlation of a daily series.
+
+Hive ships none of these as builtins; users compose them from windows
+and aggregates exactly as these entries do (the reference capability is
+the composition surface, SURVEY.md §2.C/§2.D). Numerical discipline
+follows the repo rule: every reported statistic is either pure integer
+math or a single floor(x*k+0.5) fold of a double BOTH engines derive
+from exact integer inputs, so the driver hash cannot wobble on
+shortest-repr rounding.
+
+Scale posture: every test statistic here is computed on a COLLAPSED
+frame (distinct order prices, contingency cells, days) — the raw fact
+table is touched by exactly one partial-agg shuffle, and the
+single-partition windows that follow operate on frames whose size is
+bounded by value cardinality, not row count (documented per entry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hive_release_spark.catalog import load_table
+from hive_release_spark.queries.registry import register
+
+_A = "1-URGENT"
+_B = "5-LOW"
+
+
+def _two_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapsed two-sample frame: one row per distinct o_totalprice
+    carrying the count of sample-A (urgent) and sample-B (low) orders
+    at that value. ONE shuffle off the fact scan; every test statistic
+    downstream is window+agg over this value-cardinality frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderpriority").isin(_A, _B))
+        .select(F.col("o_totalprice").alias("v"), "o_orderpriority")
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("o_orderpriority") == _A, 1).otherwise(0)).alias(
+                "na_at"
+            ),
+            F.sum(F.when(F.col("o_orderpriority") == _B, 1).otherwise(0)).alias(
+                "nb_at"
+            ),
+        )
+    )
+
+
+@register(
+    "stats_ks_two_sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_totalprice AS v,
+             sum(CASE WHEN o_orderpriority = '{_A}' THEN 1 ELSE 0 END) AS na_at,
+             sum(CASE WHEN o_orderpriority = '{_B}' THEN 1 ELSE 0 END) AS nb_at
+      FROM orders
+      WHERE o_orderpriority IN ('{_A}', '{_B}')
+      GROUP BY 1),
+    c AS (
+      SELECT sum(na_at) OVER (ORDER BY v) AS ca,
+             sum(nb_at) OVER (ORDER BY v) AS cb,
+             sum(na_at) OVER () AS ta,
+             sum(nb_at) OVER () AS tb
+      FROM s)
+    SELECT CAST(max(ta) AS BIGINT) AS n_a,
+           CAST(max(tb) AS BIGINT) AS n_b,
+           CAST(floor(max(abs(ca / ta - cb / tb)) * 1000000 + 0.5) AS BIGINT)
+             AS ks_d_micro
+    FROM c
+    """,
+    tags=("stats", "hypothesis", "ecdf"),
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between the order-price
+    distributions of URGENT vs LOW priority orders: D = max over the
+    pooled support of |ECDF_a - ECDF_b|. The ECDFs are cumulative sums
+    over the collapsed per-price count frame — the global-ordered
+    window runs on ~distinct-price rows (already one shuffle past the
+    fact), the standard ECDF shape; at 100 TB the collapsed frame is
+    still bounded by price cardinality. D is a ratio of exact integer
+    cumulative counts, so both engines divide identical longs and the
+    single floor-fold cannot straddle a representation boundary."""
+    s = _two_sample_counts(spark, sf_dir)
+    w_cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
+    c = s.select(
+        F.sum("na_at").over(w_cum).alias("ca"),
+        F.sum("nb_at").over(w_cum).alias("cb"),
+        F.sum("na_at").over(w_all).alias("ta"),
+        F.sum("nb_at").over(w_all).alias("tb"),
+    )
+    return c.agg(
+        F.max("ta").alias("n_a"),
+        F.max("tb").alias("n_b"),
+        F.floor(
+            F.max(
+                F.abs(
+                    F.col("ca") / F.col("ta") - F.col("cb") / F.col("tb")
+                )
+            )
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ks_d_micro"),
+    )
+
+
+@register(
+    "stats_mann_whitney",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_totalprice AS v,
+             sum(CASE WHEN o_orderpriority = '{_A}' THEN 1 ELSE 0 END) AS na_at,
+             sum(CASE WHEN o_orderpriority = '{_B}' THEN 1 ELSE 0 END) AS nb_at
+      FROM orders
+      WHERE o_orderpriority IN ('{_A}', '{_B}')
+      GROUP BY 1),
+    r AS (
+      SELECT na_at, nb_at, na_at + nb_at AS cnt,
+             COALESCE(sum(na_at + nb_at) OVER
+               (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cum_excl
+      FROM s),
+    agg AS (
+      SELECT CAST(sum(na_at) AS BIGINT) AS ta,
+             CAST(sum(nb_at) AS BIGINT) AS tb,
+             CAST(sum(na_at * (2 * cum_excl + cnt + 1)) AS BIGINT) AS r2a,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+      FROM r)
+    SELECT ta AS n_a, tb AS n_b,
+           r2a - ta * (ta + 1) AS u2_a,
+           CAST(floor(
+             ((r2a - ta * (ta + 1)) / 2.0 - ta * tb / 2.0)
+             / sqrt(ta * tb / 12.0
+                    * ((ta + tb + 1)
+                       - ties / ((ta + tb) * (ta + tb - 1.0))))
+             * 1000 + 0.5) AS BIGINT) AS z_milli
+    FROM agg
+    """,
+    tags=("stats", "hypothesis", "rank"),
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test on the same URGENT-vs-LOW price
+    samples, with midrank tie handling and the tie-corrected normal
+    approximation. The midrank identity avoids materializing per-row
+    ranks: on the collapsed per-value frame, a value with cnt ties and
+    cum_excl items before it contributes avg rank cum_excl+(cnt+1)/2,
+    so 2*R_a = sum(na_at*(2*cum_excl+cnt+1)) stays PURE BIGINT — U is
+    reported exactly as u2_a = 2*U_a with zero float involvement, and
+    only the z-score needs one floor-fold (identical double pipeline
+    from identical longs in both engines). Long math holds to ~1e9
+    sample rows per side (r2a ~ n^2); beyond that promote to decimal.
+    Same one-shuffle collapsed-frame shape as the KS entry."""
+    s = _two_sample_counts(spark, sf_dir)
+    w_prev = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    r = s.select(
+        "na_at",
+        "nb_at",
+        (F.col("na_at") + F.col("nb_at")).alias("cnt"),
+        F.coalesce(
+            F.sum(F.col("na_at") + F.col("nb_at")).over(w_prev), F.lit(0)
+        ).alias("cum_excl"),
+    )
+    agg = r.agg(
+        F.sum("na_at").alias("ta"),
+        F.sum("nb_at").alias("tb"),
+        F.sum(
+            F.col("na_at") * (2 * F.col("cum_excl") + F.col("cnt") + 1)
+        ).alias("r2a"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("ties"),
+    )
+    ta, tb = F.col("ta"), F.col("tb")
+    u2 = F.col("r2a") - ta * (ta + 1)
+    n = ta + tb
+    z = (
+        (u2 / F.lit(2.0) - ta.cast("double") * tb / 2.0)
+        / F.sqrt(
+            ta.cast("double") * tb / 12.0
+            * (
+                (n + 1)
+                - F.col("ties") / (n.cast("double") * (n - 1))
+            )
+        )
+    )
+    return agg.select(
+        ta.alias("n_a"),
+        tb.alias("n_b"),
+        u2.alias("u2_a"),
+        F.floor(z * 1000 + F.lit(0.5)).cast("long").alias("z_milli"),
+    )
+
+
+@register(
+    "stats_chi_square",
+    oracle="""
+    WITH ct AS (
+      SELECT o_orderpriority AS p, o_orderstatus AS s,
+             count(*) AS n
+      FROM orders GROUP BY 1, 2),
+    m AS (
+      SELECT p, s, n,
+             sum(n) OVER (PARTITION BY p) AS row_tot,
+             sum(n) OVER (PARTITION BY s) AS col_tot,
+             sum(n) OVER () AS tot
+      FROM ct),
+    t AS (
+      SELECT p, s, n, tot,
+             CAST(row_tot AS DOUBLE) * col_tot / tot AS expected
+      FROM m)
+    SELECT CAST(max(tot) AS BIGINT) AS n,
+           CAST((count(DISTINCT p) - 1) * (count(DISTINCT s) - 1) AS BIGINT)
+             AS dof,
+           CAST(floor(sum((n - expected) * (n - expected) / expected)
+                      * 1000 + 0.5) AS BIGINT) AS chi2_milli,
+           CAST(floor(sqrt(sum((n - expected) * (n - expected) / expected)
+                           / (max(tot)
+                              * least(count(DISTINCT p) - 1,
+                                      count(DISTINCT s) - 1)))
+                      * 1000000 + 0.5) AS BIGINT) AS v_micro
+    FROM t
+    """,
+    tags=("stats", "hypothesis", "contingency"),
+)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence on the order-priority x
+    order-status contingency table, plus Cramer's V effect size. The
+    fact collapses to the r x c cell frame in one shuffle; marginals
+    are partition windows OVER THE CELL FRAME (15 rows here — never a
+    second fact pass), and the statistic sums the non-negative
+    (obs-exp)^2/exp form, dodging the catastrophic N*sum(o^2/e) - N
+    cancellation that amplifies summation-order ulps. Expected counts
+    are exact-integer products divided once into double, identical in
+    both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    ct = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("p"),
+            F.col("o_orderstatus").alias("s"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    m = ct.select(
+        "p",
+        "s",
+        "n",
+        F.sum("n").over(W.partitionBy("p")).alias("row_tot"),
+        F.sum("n").over(W.partitionBy("s")).alias("col_tot"),
+        F.sum("n").over(W.partitionBy()).alias("tot"),
+    )
+    t = m.select(
+        "p",
+        "s",
+        "n",
+        "tot",
+        (
+            F.col("row_tot").cast("double") * F.col("col_tot") / F.col("tot")
+        ).alias("expected"),
+    )
+    term = (F.col("n") - F.col("expected")) * (
+        F.col("n") - F.col("expected")
+    ) / F.col("expected")
+    chi2 = F.sum(term)
+    minrc = F.least(
+        F.countDistinct("p") - 1, F.countDistinct("s") - 1
+    )
+    return t.agg(
+        F.max("tot").alias("n"),
+        ((F.countDistinct("p") - 1) * (F.countDistinct("s") - 1)).alias(
+            "dof"
+        ),
+        F.floor(chi2 * 1000 + F.lit(0.5)).cast("long").alias("chi2_milli"),
+        F.floor(
+            F.sqrt(chi2 / (F.max("tot") * minrc)) * 1000000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("v_micro"),
+    )
+
+
+def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily lineitem series keyed by row_number over ship-day: qty
+    (total quantity — integral at every SF, so both engines aggregate
+    EXACT values) and n_items (line count). rn indexing makes lag
+    joins calendar-gap-proof. The order-by window is single-partition
+    but runs on the ~2.5k-row collapsed day frame, not the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = (
+        li.groupBy(F.to_date("l_shipdate").alias("dd"))
+        .agg(
+            F.sum("l_quantity").alias("qty"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    return d.select(
+        "qty", "n_items", F.row_number().over(W.orderBy("dd")).alias("rn")
+    )
+
+
+_DAILY_CTE = """
+    d AS (SELECT CAST(l_shipdate AS DATE) AS dd,
+                 sum(l_quantity) AS qty,
+                 count(*) AS n_items
+          FROM lineitem GROUP BY 1),
+    r AS (SELECT qty, n_items, row_number() OVER (ORDER BY dd) AS rn FROM d)
+"""
+
+
+@register(
+    "timeseries_autocorr",
+    oracle=f"""
+    WITH {_DAILY_CTE}
+    SELECT k AS lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(floor(corr(a.qty, b.qty) * 1000000 + 0.5) AS BIGINT)
+             AS acf_micro
+    FROM range(1, 8) t(k)
+    JOIN r a ON TRUE
+    JOIN r b ON b.rn = a.rn - k
+    GROUP BY k ORDER BY k
+    """,
+    tags=("timeseries", "acf", "stats"),
+)
+def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily shipped quantity at lags 1-7
+    — the first diagnostic before fitting any forecast (is there
+    weekly structure? how fast does memory decay?). Lagging is a
+    rn-offset SELF-JOIN of the persisted day frame (calendar gaps
+    can't silently misalign a LAG window; the join key is series
+    position), fanned out by an exploded 1..7 lag column so all seven
+    lags ride ONE join. Pearson corr is scale-invariant and both
+    engines feed it identical exact-integer series; the only float
+    divergence left is accumulation order inside corr itself, ~1e-14
+    relative on 2.5k points, folded once at micro precision."""
+    day = _daily_series(spark, sf_dir).persist()
+    a = day.withColumn(
+        "lag", F.explode(F.array(*[F.lit(i) for i in range(1, 8)]))
+    ).select("lag", F.col("qty").alias("x"), (F.col("rn") - F.col("lag")).alias("prev_rn"))
+    b = day.select(F.col("rn").alias("prev_rn"), F.col("qty").alias("y"))
+    return (
+        a.join(b, "prev_rn")
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.floor(F.corr("x", "y") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("acf_micro"),
+        )
+        .orderBy("lag")
+    )
+
+
+@register(
+    "timeseries_cross_corr",
+    oracle=f"""
+    WITH {_DAILY_CTE}
+    SELECT k AS lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(floor(corr(a.qty, b.n_items) * 1000000 + 0.5) AS BIGINT)
+             AS ccf_micro
+    FROM range(-3, 4) t(k)
+    JOIN r a ON TRUE
+    JOIN r b ON b.rn = a.rn - k
+    GROUP BY k ORDER BY k
+    """,
+    tags=("timeseries", "ccf", "stats"),
+)
+def timeseries_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between daily shipped quantity and
+    daily line count at lags -3..+3 — the lead/lag detector ("does
+    volume lead intensity?"). Same rn-offset self-join skeleton as
+    the ACF entry (one persisted day frame, one join for all seven
+    lags); lag 0 doubles as a sanity anchor since the two series are
+    strongly coupled by construction. Exact-integer inputs, one
+    micro-precision fold."""
+    day = _daily_series(spark, sf_dir).persist()
+    a = day.withColumn(
+        "lag", F.explode(F.array(*[F.lit(i) for i in range(-3, 4)]))
+    ).select(
+        "lag",
+        F.col("qty").alias("x"),
+        (F.col("rn") - F.col("lag")).alias("prev_rn"),
+    )
+    b = day.select(F.col("rn").alias("prev_rn"), F.col("n_items").alias("y"))
+    return (
+        a.join(b, "prev_rn")
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.floor(F.corr("x", "y") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("ccf_micro"),
+        )
+        .orderBy("lag")
+    )
