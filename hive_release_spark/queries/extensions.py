@@ -744,3 +744,48 @@ def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return o.unionByName(li).orderBy("kind", "id", "amount")
+
+
+@register(
+    "sql_values_inline",
+    oracle="""
+    SELECT t.tier,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o
+    JOIN (VALUES ('1-URGENT', 'expedite'),
+                 ('2-HIGH', 'expedite'),
+                 ('3-MEDIUM', 'standard'),
+                 ('4-NOT SPECIFIED', 'standard'),
+                 ('5-LOW', 'deferred')) AS t(pr, tier)
+      ON o.o_orderpriority = t.pr
+    GROUP BY t.tier
+    ORDER BY t.tier
+    """,
+    tags=("sql", "extension", "values"),
+)
+def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES table constructor (the zero-IO dimension: Hive's
+    `VALUES` / stack() idiom for tiny code->label maps that live in
+    the query text, not a table). The priority->tier map is a 5-row
+    VALUES relation joined to orders; Catalyst constant-folds it into
+    a LocalRelation and auto-broadcasts, so the join is map-side with
+    NO scan or shuffle for the dim — exactly how a 100 TB query
+    should attach a hand-written mapping. Same SQL in both engines."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT t.tier,
+               count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total
+        FROM orders o
+        JOIN (VALUES ('1-URGENT', 'expedite'),
+                     ('2-HIGH', 'expedite'),
+                     ('3-MEDIUM', 'standard'),
+                     ('4-NOT SPECIFIED', 'standard'),
+                     ('5-LOW', 'deferred')) AS t(pr, tier)
+          ON o.o_orderpriority = t.pr
+        GROUP BY t.tier
+        ORDER BY t.tier
+        """
+    )

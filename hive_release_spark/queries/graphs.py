@@ -323,3 +323,130 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b2.l_partkey AS pb
+      FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+                        AND a.l_partkey < b2.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    edges AS (SELECT pa AS a, pb AS b FROM pairs
+              UNION SELECT pb, pa FROM pairs),
+    deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY a),
+    wedge AS (
+      SELECT e1.a AS u, e2.b AS v
+      FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+      WHERE e1.a < e2.b),
+    cand AS (
+      SELECT u, v, CAST(count(*) AS BIGINT) AS n_common
+      FROM wedge GROUP BY u, v),
+    scored AS (
+      SELECT c.u, c.v, c.n_common,
+             du.d AS deg_u, dv.d AS deg_v,
+             CAST(c.n_common AS DOUBLE)
+               / (du.d + dv.d - c.n_common) AS score
+      FROM cand c
+      JOIN deg du ON c.u = du.a
+      JOIN deg dv ON c.v = dv.a
+      WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                        WHERE p.pa = c.u AND p.pb = c.v))
+    SELECT u AS part_a, v AS part_b, n_common, deg_u, deg_v,
+           CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS jaccard_micro,
+           rk
+    FROM (SELECT *, row_number() OVER
+            (ORDER BY score DESC, u, v) AS rk FROM scored)
+    WHERE rk <= 20 ORDER BY rk
+    """,
+    tags=("graph", "linkpred", "basket"),
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEIGHBORHOOD-JACCARD link prediction on the same co-purchase
+    graph as `graph_adamic_adar` — |N(u) n N(v)| / |N(u) u N(v)| for
+    non-adjacent 2-hop pairs, the normalized twin of the Adamic-Adar
+    score (AA rewards RARE shared neighbors, Jaccard penalizes
+    PROMISCUOUS endpoints; ranking disagreements between the two is
+    exactly what a candidate-review dashboard looks at, so the engine
+    ships both). Shape mirrors the AA entry: distinct basket frame ->
+    >= 2-support edge list -> ONE wedge self-join on the middle node;
+    the union size comes from deg(u)+deg(v)-common via TWO broadcast
+    joins of the skinny degree frame (never a neighbor-set
+    materialization), existing edges leave via LEFT ANTI, top-20 by
+    a (score, u, v) unique tie-break. The score is one division of
+    exact longs — identical doubles in both engines — folded once at
+    micro precision."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    b2 = b.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        b.join(b2, (b.l_orderkey == b2.ok) & (b.l_partkey < b2.pb))
+        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+        .persist()
+    )
+    edges = (
+        pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .unionByName(
+            pairs.select(F.col("pb").alias("a"), F.col("pa").alias("b"))
+        )
+        .persist()
+    )
+    deg = edges.groupBy("a").agg(F.count("*").alias("d"))
+    e1 = edges.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    e2 = edges.select(F.col("a").alias("w2"), F.col("b").alias("v"))
+    cand = (
+        e1.join(e2, e1.w == e2.w2)
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_common"))
+    )
+    scored = (
+        cand.join(
+            F.broadcast(
+                deg.select(F.col("a").alias("u"), F.col("d").alias("deg_u"))
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("a").alias("v"), F.col("d").alias("deg_v"))
+            ),
+            "v",
+        )
+        .join(
+            pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+        .withColumn(
+            "score",
+            F.col("n_common").cast("double")
+            / (F.col("deg_u") + F.col("deg_v") - F.col("n_common")),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.desc("score"), "u", "v")),
+        )
+        .filter(F.col("rk") <= 20)
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            "n_common",
+            "deg_u",
+            "deg_v",
+            F.floor(F.col("score") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("jaccard_micro"),
+            "rk",
+        )
+        .orderBy("rk")
+    )

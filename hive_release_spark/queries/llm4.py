@@ -1468,3 +1468,72 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "pred")
     )
+
+
+@register(
+    "text_ttr_hapax",
+    oracle="""
+    WITH tc AS (
+      SELECT source, t, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(count(*) FILTER (n = 1) AS BIGINT) AS n_hapax,
+           CAST(floor(CAST(count(*) AS DOUBLE) / sum(n) * 1000000 + 0.5)
+                AS BIGINT) AS ttr_micro,
+           CAST(floor(CAST(count(*) FILTER (n = 1) AS DOUBLE) / count(*)
+                      * 1000000 + 0.5) AS BIGINT) AS hapax_micro,
+           CAST(floor(ln(count(*)) / ln(sum(n)) * 1000000 + 0.5)
+                AS BIGINT) AS herdan_c_micro
+    FROM tc GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "text", "diversity", "vocabulary"),
+)
+def text_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEXICAL-DIVERSITY PROFILE per source: type-token ratio, hapax-
+    legomena share, and Herdan's C (log types / log tokens — the
+    length-robust TTR every corpus-linguistics report quotes because
+    raw TTR collapses as corpora grow). Low diversity flags template
+    farms and spun text that per-doc entropy (text_entropy_quality)
+    can miss when each doc is individually varied but the SOURCE
+    recycles one vocabulary; a hapax share near zero is the classic
+    boilerplate signature. Shape: the same space-split tokenize pass
+    as the entropy entry collapses to (source, token) counts in ONE
+    shuffle; the rollup is source-cardinality. All three ratios are
+    single divisions of exact longs folded once at micro precision —
+    at 100 TB the (source, token) frame is vocabulary-bounded, the
+    standard scale-out for corpus-level vocabulary stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("n"))
+    )
+    types = F.count("*")
+    tokens = F.sum("n")
+    hapax = F.count(F.when(F.col("n") == 1, 1))
+    return (
+        tc.groupBy("source")
+        .agg(
+            tokens.alias("n_tokens"),
+            types.alias("n_types"),
+            hapax.alias("n_hapax"),
+            F.floor(types.cast("double") / tokens * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("ttr_micro"),
+            F.floor(hapax.cast("double") / types * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("hapax_micro"),
+            F.floor(
+                F.log(types.cast("double")) / F.log(tokens.cast("double"))
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("herdan_c_micro"),
+        )
+        .orderBy("source")
+    )
