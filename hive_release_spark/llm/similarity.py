@@ -655,3 +655,119 @@ def binary_hamming_topk(
             "rank",
         )
     )
+
+
+def sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantization (SQ8) ANN: per-dimension min-max int8 codes
+    + integer-dot shortlist + exact cosine rerank — the 4x-compression
+    middle rung of the quantization ladder (binary 32x lossy, PQ
+    codebook-lossy, SQ8 nearly lossless), and what vector stores ship
+    as their default compressed tier.
+
+    Per-dim stats come from ONE posexplode pass over the corpus,
+    packed into a single-row (mins, spans) frame that rides a 1-row
+    broadcast to both sides — plan size O(1) in dimensionality, the
+    same packing discipline as the IVF/PQ paths. Codes are scan-side
+    index-HOFs (no shuffle); code_i = floor((x-mn_i)/span_i + 0.5) is
+    a round-to-integer of identical doubles, which both engines agree
+    on exactly. The shortlist metric is the PURE-BIGINT code dot —
+    dot in per-dim min-max normalized space, a rank proxy made exact
+    by the full-precision rerank of its ``shortlist`` survivors —
+    so shortlist membership has ZERO float sensitivity and the only
+    doubles in the pipeline are the final reranked cosines (the same
+    expression brute_force_topk gates). Ties break on neighbor id at
+    both stages."""
+    dim = 64
+    vstats = (
+        corpus.select(
+            F.posexplode(as_double_vec(vec_col)).alias("pos", "x")
+        )
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "mn", "mx"))
+            ).alias("s")
+        )
+        .select(
+            F.transform("s", lambda t: t.mn).alias("mins"),
+            F.transform(
+                "s",
+                lambda t: F.when(
+                    t.mx > t.mn, (t.mx - t.mn) / F.lit(255.0)
+                ).otherwise(F.lit(0.0)),
+            ).alias("spans"),
+        )
+    )
+
+    def code(vec: Column) -> Column:
+        return F.transform(
+            vec,
+            lambda x, i: F.when(
+                F.element_at(F.col("spans"), i + 1) > 0,
+                F.floor(
+                    (x - F.element_at(F.col("mins"), i + 1))
+                    / F.element_at(F.col("spans"), i + 1)
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_vec(vec_col).alias("qv"),
+        )
+        .crossJoin(F.broadcast(vstats))
+        .withColumn("qcode", code(F.col("qv")))
+        .select("query_id", "qv", "qcode")
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_vec(vec_col).alias("cv"),
+        )
+        .crossJoin(F.broadcast(vstats))
+        .withColumn("ccode", code(F.col("cv")))
+        .select("neighbor_id", "cv", "ccode")
+    )
+    cand = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn(
+        "approx",
+        F.aggregate(
+            F.zip_with(
+                F.col("qcode"), F.col("ccode"), lambda a, b: a * b
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+    ws = W.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), "neighbor_id"
+    )
+    short = cand.withColumn("srank", F.row_number().over(ws)).filter(
+        F.col("srank") <= shortlist
+    )
+    rerank = short.withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx",
+            F.round("sim", 6).alias("sim"),
+            "rank",
+        )
+    )

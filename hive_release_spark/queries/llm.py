@@ -1231,3 +1231,65 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+@register(
+    "sim_ann_sq8",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    mm AS (
+      SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+      FROM e, range(1, 65) t(i) GROUP BY i),
+    pk AS (
+      SELECT list(mn ORDER BY i) AS mins,
+             list(CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 0.0 END
+                  ORDER BY i) AS spans
+      FROM mm),
+    coded AS (
+      SELECT vec_id, v,
+             list_transform(range(1, 65),
+               i -> CASE WHEN spans[i] > 0
+                    THEN CAST(floor((v[i] - mins[i]) / spans[i] + 0.5)
+                         AS BIGINT)
+                    ELSE 0 END) AS code
+      FROM e, pk),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65),
+                    i -> q.code[i] * c.code[i])) AS BIGINT) AS approx,
+             q.v AS qv, c.v AS cv
+      FROM coded q JOIN coded c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 20),
+    short AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY approx DESC, neighbor_id) AS srank
+        FROM cand)
+      WHERE srank <= 50)
+    SELECT query_id, neighbor_id, approx,
+           round(list_cosine_similarity(qv, cv), 6) AS sim, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id)
+               AS rank
+          FROM short)
+    WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    tags=("llm", "similarity", "ann", "quantization"),
+)
+def sim_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR-QUANTIZATION (SQ8) ANN — per-dimension min-max int8
+    codes, integer-dot shortlist (top-50), exact cosine rerank
+    (top-5): the 4x-compression default tier of every vector store,
+    completing the quantization ladder between binary (32x, sign-only)
+    and PQ (codebook). Per-dim stats are ONE posexplode pass packed
+    into a 1-row (mins, spans) broadcast — plan size O(1) in
+    dimensionality, the IVF/PQ packing discipline; codes are
+    scan-side index-HOFs; the shortlist metric is a PURE-BIGINT code
+    dot (min-max-normalized-space similarity), so shortlist
+    membership has zero float sensitivity and the oracle replays
+    codes AND ranks exactly. See llm/similarity.sq8_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.sq8_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, shortlist=50
+    ).orderBy("query_id", "rank")

@@ -1505,3 +1505,103 @@ def text_rake_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("phrase", "plen", "n_occur", "rake_score", "rk")
         .orderBy("rk")
     )
+
+
+@register(
+    "search_tfidf_cosine",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             (1.0 + ln(tf.tf)) * ln(CAST(nd.n_docs AS DOUBLE) / df.df)
+               AS wt
+      FROM tf JOIN df USING (term) CROSS JOIN nd),
+    dn AS (SELECT doc_id, sqrt(sum(wt * wt)) AS dnorm FROM w GROUP BY 1),
+    qw AS (
+      SELECT df.term, ln(CAST(nd.n_docs AS DOUBLE) / df.df) AS qwt
+      FROM df CROSS JOIN nd WHERE df.term IN {_BM25_TERMS}),
+    qn AS (SELECT sqrt(sum(qwt * qwt)) AS qnorm FROM qw),
+    scored AS (
+      SELECT w.doc_id,
+             sum(w.wt / dn.dnorm * qw.qwt / qn.qnorm) AS score
+      FROM w
+      JOIN qw USING (term)
+      JOIN dn USING (doc_id)
+      CROSS JOIN qn
+      GROUP BY w.doc_id)
+    SELECT doc_id, round(score, 6) AS tfidf_cos, rk FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+      FROM scored)
+    WHERE rk <= 20 ORDER BY rk
+    """,
+    tags=("llm", "text", "search", "tfidf"),
+)
+def search_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VECTOR-SPACE tf-idf COSINE ranking for the same fixed keyword
+    query as the BM25 entry — the SMART ltc scheme ((1+ln tf)·idf
+    weights, true full-document L2 normalization) that predates and
+    still complements BM25: BM25's length normalization is tunable
+    asymptotic damping, cosine's is exact geometry, and ranking
+    disagreements between the two on the SAME query is the classic
+    relevance-tuning diagnostic (which is why the engine ships both
+    on one tokenize pass). The doc norm deliberately spans ALL terms
+    (that is what makes it the vector-space model — norming over
+    query terms only would inflate short keyword-stuffed docs), so
+    one extra vocabulary-bounded groupBy builds the norm frame; the
+    query-term filter still prunes the scoring join to query-sized
+    postings, corpus stats and query weights ride 1-row/3-row
+    broadcasts. Same tie-break discipline as BM25."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf.persist()
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    w = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "wt",
+            (1.0 + F.log("tf"))
+            * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w.persist()
+    dn = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("dnorm")
+    )
+    qw = (
+        df.filter(F.col("term").isin(*_BM25_TERMS))
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "qwt", F.log(F.col("n_docs").cast("double") / F.col("df"))
+        )
+        .select("term", "qwt")
+    )
+    qn = qw.agg(F.sqrt(F.sum(F.col("qwt") * F.col("qwt"))).alias("qnorm"))
+    scored = (
+        w.join(F.broadcast(qw), "term")
+        .join(dn, "doc_id")
+        .crossJoin(F.broadcast(qn))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("wt") / F.col("dnorm") * F.col("qwt") / F.col("qnorm")
+            ).alias("score")
+        )
+    )
+    return (
+        scored.withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("score"), "doc_id"))
+        )
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", F.round("score", 6).alias("tfidf_cos"), "rk")
+        .orderBy("rk")
+    )
