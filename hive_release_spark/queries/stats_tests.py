@@ -401,3 +401,79 @@ def timeseries_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+@register(
+    "stats_subsample_ci",
+    oracle="""
+    WITH rep AS (
+      SELECT t.r,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders, range(0, 16) t(r)
+      WHERE strpos('13579bdf',
+                   substr(md5(CAST(o_orderkey AS VARCHAR)), r + 1, 1)) > 0
+      GROUP BY t.r),
+    m AS (SELECT r, cents / (100.0 * n) AS mean_r, n FROM rep)
+    SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+           CAST(min(n) AS BIGINT) AS min_rep_rows,
+           CAST(floor(avg(mean_r) * 1000 + 0.5) AS BIGINT) AS mean_milli,
+           CAST(floor(stddev_samp(mean_r) * 1000 + 0.5) AS BIGINT)
+             AS sd_milli,
+           CAST(floor((avg(mean_r) - 1.96 * stddev_samp(mean_r) / 4.0)
+                      * 1000 + 0.5) AS BIGINT) AS ci_lo_milli,
+           CAST(floor((avg(mean_r) + 1.96 * stddev_samp(mean_r) / 4.0)
+                      * 1000 + 0.5) AS BIGINT) AS ci_hi_milli
+    FROM m
+    """,
+    tags=("stats", "bootstrap", "uncertainty"),
+)
+def stats_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC SUBSAMPLE CONFIDENCE INTERVAL for the mean order
+    price: 16 half-sample replicates (row joins replicate r iff hex
+    digit r of md5(orderkey) is odd — the same salted-md5 determinism
+    as the percent-sample entry, so reruns and engines agree bit for
+    bit), per-replicate means, and a normal-approximation CI from the
+    spread of those means. This is how a 100 TB pipeline quotes
+    uncertainty WITHOUT resampling the data: the 16x fan-out is
+    map-side (explode before the partial agg), the shuffle carries 16
+    aggregate rows, and each replicate's sum is exact BIGINT cents —
+    the only doubles are 16 identical exact-long divisions and the
+    final 16-value moment fold. sd/sqrt(16) = sd/4 is the replicate-
+    mean standard error."""
+    orders = load_table(spark, sf_dir, "orders")
+    rep = (
+        orders.select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.md5(F.col("o_orderkey").cast("string")).alias("h"),
+        )
+        .withColumn(
+            "r", F.explode(F.array(*[F.lit(i) for i in range(16)]))
+        )
+        .filter(
+            F.instr(
+                F.lit("13579bdf"), F.substring(F.col("h"), F.col("r") + 1, 1)
+            )
+            > 0
+        )
+        .groupBy("r")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+    )
+    m = rep.select(
+        "r", "n", (F.col("cents") / (100.0 * F.col("n"))).alias("mean_r")
+    )
+    mean = F.avg("mean_r")
+    sd = F.stddev_samp("mean_r")
+    return m.agg(
+        F.count("*").alias("n_replicates"),
+        F.min("n").alias("min_rep_rows"),
+        F.floor(mean * 1000 + F.lit(0.5)).cast("long").alias("mean_milli"),
+        F.floor(sd * 1000 + F.lit(0.5)).cast("long").alias("sd_milli"),
+        F.floor((mean - 1.96 * sd / 4.0) * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("ci_lo_milli"),
+        F.floor((mean + 1.96 * sd / 4.0) * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("ci_hi_milli"),
+    )

@@ -499,3 +499,96 @@ def window_exclude_group_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (f_cnt - p_cnt + 1).alias("ties_excl_rows"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "window_regr_slope",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders WHERE o_custkey % 100 = 0),
+    s AS (
+      SELECT o_custkey, o_orderkey, rn,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(rn) OVER w AS BIGINT) AS sx,
+             CAST(sum(cents) OVER w AS BIGINT) AS sy,
+             CAST(sum(rn * cents) OVER w AS BIGINT) AS sxy,
+             CAST(sum(rn * rn) OVER w AS BIGINT) AS sxx
+      FROM o
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY rn
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+    SELECT o_custkey, o_orderkey, rn,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (n * sxx - sx * sx) / 100.0 * 1000 + 0.5)
+                AS BIGINT) AS slope_milli
+    FROM s WHERE rn >= 2
+    ORDER BY o_custkey, rn
+    """,
+    tags=("window", "regression", "trend"),
+)
+def window_regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING OLS SLOPE over a window — the per-entity trend signal
+    ("is this customer's spend accelerating?") Hive/Spark can express
+    as regr_slope ONLY as a grouped aggregate, not a moving one: the
+    closed form (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) decomposes into FIVE
+    windowed sums over the same trailing-5-order frame, the same
+    sum-composition trick the moving-median and windowed-corr entries
+    use for aggregates Spark rejects over frames. x is the per-
+    customer order index (gap-proof), y is exact CENTS (round-to-
+    integer of identical doubles is engine-safe), so all five sums
+    stay BIGINT and the slope is ONE exact-long division folded at
+    milli precision — zero accumulated-float drift. rn >= 2 keeps the
+    two-point minimum (the rn=1 denominator is degenerate); the 1%
+    customer cut bounds the output like the other window entries."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 100 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.row_number()
+            .over(
+                W.partitionBy("o_custkey").orderBy(
+                    "o_orderdate", "o_orderkey"
+                )
+            )
+            .alias("rn"),
+        )
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("rn")
+        .rowsBetween(-4, W.currentRow)
+    )
+    s = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "rn",
+        F.count("*").over(w).alias("n"),
+        F.sum("rn").over(w).alias("sx"),
+        F.sum("cents").over(w).alias("sy"),
+        F.sum(F.col("rn") * F.col("cents")).over(w).alias("sxy"),
+        F.sum(F.col("rn") * F.col("rn")).over(w).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.filter(F.col("rn") >= 2)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "rn",
+            F.floor(num / den / F.lit(100.0) * 1000 + F.lit(0.5))
+            .cast("long")
+            .alias("slope_milli"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
