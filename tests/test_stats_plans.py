@@ -1,0 +1,74 @@
+"""Plan pins for the r5 stats/retrieval/ANN additions — the same
+plan-level discipline as test_scale_plans.py: a lost persist, a
+surprise shuffle, or a degraded join strategy must fail a test, not
+silently multiply scans at 100 TB."""
+
+from __future__ import annotations
+
+from hive_release_spark.queries import REGISTRY
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df, mode: str = "simple") -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_sq8_query_side_broadcasts_and_windows_share_one_exchange(spark):
+    """The SQ8 candidate join must be the broadcast nested-loop of the
+    tiny query side (never a CartesianProduct), and the shortlist +
+    rerank windows must share ONE query_id exchange — the corpus is
+    hash-shuffled exactly once, for the per-query top-k."""
+    plan = _plan(REGISTRY["sim_ann_sq8"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    n = plan.count("Exchange hashpartitioning(query_id")
+    assert n == 1, f"expected one shared query_id exchange, got {n}\n{plan}"
+
+
+def test_tfidf_cosine_reuses_persisted_tf_and_weight_frames(spark):
+    """search_tfidf_cosine persists the tf frame (feeds df/n_docs/w)
+    and the weight frame (feeds the norm agg AND the scoring join);
+    the plan must read them as InMemoryTableScan, not re-run the
+    tokenize explode per consumer."""
+    plan = _plan(REGISTRY["search_tfidf_cosine"].fn(spark, SF_SMOKE))
+    n = plan.count("InMemoryTableScan")
+    assert n >= 2, f"expected >=2 cached reads, got {n}\n{plan}"
+
+
+def test_regr_slope_windows_share_one_customer_exchange(spark):
+    """The order-index window and the five-sum frame window both
+    partition by o_custkey — they must ride ONE hash exchange (the
+    final presentation sort is a range exchange, not counted)."""
+    plan = _plan(REGISTRY["window_regr_slope"].fn(spark, SF_SMOKE))
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"expected one customer exchange, got {n}\n{plan}"
+
+
+def test_ks_statistic_has_one_fact_shuffle(spark):
+    """stats_ks_two_sample touches the fact with exactly one
+    partial-agg shuffle (the per-price collapse); the ECDF windows run
+    single-partition on the collapsed frame."""
+    plan = _plan(REGISTRY["stats_ks_two_sample"].fn(spark, SF_SMOKE))
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"expected one value-collapse exchange, got {n}\n{plan}"
+
+
+def test_values_inline_dim_is_local_and_broadcast(spark):
+    """sql_values_inline must read NO second table: the VALUES dim is a
+    LocalTableScan folded into a broadcast hash join against the one
+    orders scan."""
+    plan = _plan(REGISTRY["sql_values_inline"].fn(spark, SF_SMOKE))
+    assert "LocalTableScan" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_autocorr_lags_reuse_persisted_day_frame(spark):
+    """Both sides of the ACF rn-offset self-join must read the
+    persisted day frame (InMemoryTableScan x2) — one fact collapse,
+    not two."""
+    plan = _plan(REGISTRY["timeseries_autocorr"].fn(spark, SF_SMOKE))
+    n = plan.count("InMemoryTableScan")
+    assert n >= 2, f"expected both join sides cached, got {n}\n{plan}"
