@@ -347,3 +347,42 @@ def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_watermark_late_drop",
+    oracle="""
+    WITH f1 AS (
+      SELECT ts, value FROM events
+      WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'),
+    wm AS (SELECT max(ts) - INTERVAL 72 HOUR AS w FROM f1)
+    SELECT CAST(date_trunc('day', f1.ts) AS TIMESTAMP) AS window_start,
+           count(*) AS n,
+           round(sum(f1.value), 2) AS sum_value
+    FROM f1, wm
+    WHERE date_trunc('day', f1.ts) + INTERVAL 1 DAY <= wm.w
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("streaming", "watermark", "late_data"),
+)
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode watermark semantics witnessed across REAL
+    micro-batches: batch 1 streams every on-time event; batch 2 is a
+    small tick that cycles the deliberately-LAGGED late-row filter
+    forward (Spark's SPARK-42376 late-events/eviction watermark
+    split — without it no 2-batch replay can ever witness a drop);
+    batch 3 delivers the week-one events LATE — all below the filter
+    watermark — and the engine must drop every row and emit exactly
+    the finalized on-time day windows (a failed drop would emit the
+    late windows immediately, breaking the row set; the tick's
+    duplicate rows live only in never-emitted open windows, invisible
+    to the output). The oracle states
+    the drop rule as batch SQL (on-time windows whose end precedes
+    max(on-time ts) - 72h), so the one genuinely time-dependent
+    streaming behavior — bounded state via late-data rejection — is
+    hash-gated, not just smoke-run. The batch files carry a fixed
+    calendar split (every SF's events span Jan 2024), making the
+    replay deterministic at all scale factors. See
+    streaming/pipelines.late_drop_replay for the file-ordering
+    mechanics."""
+    return P.late_drop_replay(spark, sf_dir).orderBy("window_start")

@@ -20,6 +20,7 @@ from pyspark.sql import types as T
 from hive_release_spark.catalog import (
     _EVENTS_RAW_NS_SCHEMA,
     events_ts_unit,
+    load_table,
     table_path,
 )
 
@@ -338,3 +339,85 @@ def run_available_now(
     q.awaitTermination(timeout_s)
     q.stop()
     return spark.table(name)
+
+
+def late_drop_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    split: str = "2024-01-08 00:00:00",
+    delay: str = "72 hours",
+) -> DataFrame:
+    """WATERMARK LATE-DATA DROP, witnessed for real: replay the events
+    table as TWO micro-batches — first every on-time row (ts >= split),
+    then the older rows as a LATE arrival — through an append-mode
+    1-day tumbling aggregation with a ``delay`` watermark.
+
+    Batch 1 builds state from every on-time row; batch 2 (a small
+    "tick" re-delivery of the last-days rows) cycles the watermark
+    machinery forward — Spark deliberately LAGS the late-row filter
+    one batch behind the eviction watermark (the SPARK-42376
+    late-events/eviction split, so rows arriving in the same batch
+    that advances the watermark are not retroactively dropped), which
+    means a 2-batch replay can never witness a drop; batch 3 then
+    delivers the week-one events LATE, every one below the
+    now-effective filter watermark, and the engine must DROP them all.
+    The emitted result is exactly the finalized on-time day windows:
+    the tick batch's duplicate rows land only in windows the watermark
+    never closes (they stay in state, unemitted), so they are
+    invisible to the output — and if the engine FAILED to drop the
+    late rows, their windows sit below the eviction watermark and
+    would emit immediately, breaking the row set. Bounded state via
+    late-data rejection — the entire point of watermarks — becomes a
+    hash-gated batch-SQL predicate.
+
+    Mechanics: the three batch files are rewritten idempotently under
+    spark-warehouse (one part file each, modification times staggered
+    so FileStreamSource's oldest-first ordering is deterministic),
+    streamed with maxFilesPerTrigger=1 so availableNow runs one batch
+    per file. ``ts`` is cast to classic TIMESTAMP (EventTimeWatermark
+    rejects NTZ; session tz is pinned UTC so values are preserved)."""
+    import glob
+    import os
+    import shutil
+
+    base = os.path.join(
+        "spark-warehouse", f"latedrop_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    data_dir = os.path.join(base, "data")
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast(T.TimestampType()).alias("ts"), "value"
+    )
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    os.makedirs(data_dir)
+    tick = "2024-01-28 00:00:00"
+    for name, frame, mtime in (
+        ("1-ontime", events.filter(F.col("ts") >= F.lit(split)), 1_000_000_000),
+        ("2-tick", events.filter(F.col("ts") >= F.lit(tick)), 1_000_000_100),
+        ("3-late", events.filter(F.col("ts") < F.lit(split)), 1_000_000_200),
+    ):
+        tmp = os.path.join(base, f"_{name}")
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(data_dir, f"{name}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+        shutil.rmtree(tmp)
+    schema = spark.read.parquet(data_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(data_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+    )
+    return run_available_now(
+        agg, "stream_watermark_late_drop", output_mode="append"
+    )

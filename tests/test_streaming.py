@@ -251,3 +251,66 @@ def test_stream_stream_full_join_closed_region_parity(spark):
     # both orphan populations really exercised in the STREAM output
     assert any(r[2] is None for r in s)  # unattributed purchases
     assert any(r[1] is None for r in s)  # clicks that never converted
+
+
+def test_late_drop_replay_drops_every_late_row_by_watermark(spark):
+    """The 3-batch replay must witness an ACTUAL watermark drop: the
+    state operator's numRowsDroppedByWatermark across the run equals
+    the late file's DISTINCT-WINDOW count (the drop runs after the
+    map-side partial aggregation, so it sees one row per closed
+    window, not per raw event — itself worth pinning), and the
+    emitted windows stop at the filter watermark — no week-one window
+    leaks into the append output."""
+    # build (and validate) the replay files, then re-run the stream
+    # manually because run_available_now stops the query before its
+    # progress metrics can be read
+    P.late_drop_replay(spark, SF_SMOKE)
+    import glob
+    import os
+
+    base = os.path.join(
+        "spark-warehouse", f"latedrop_{os.path.basename(SF_SMOKE.rstrip('/'))}"
+    )
+    data_dir = os.path.join(base, "data")
+    late_file = glob.glob(os.path.join(data_dir, "3-late.parquet"))[0]
+    n_late_windows = (
+        spark.read.parquet(late_file)
+        .select(F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .count()
+    )
+    schema = spark.read.parquet(data_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(data_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "72 hours")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop_metrics")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in (p["stateOperators"] or [])
+    )
+    q.stop()
+    assert dropped == n_late_windows and dropped > 0, (
+        dropped,
+        n_late_windows,
+    )
+    out = spark.table("late_drop_metrics")
+    import datetime
+
+    min_ws = min(r["ws"] for r in out.collect())
+    assert min_ws >= datetime.datetime(2024, 1, 8), min_ws
