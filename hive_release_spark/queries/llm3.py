@@ -1605,3 +1605,76 @@ def search_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.round("score", 6).alias("tfidf_cos"), "rk")
         .orderBy("rk")
     )
+
+
+@register(
+    "emb_mean_shift_drift",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    ex AS (SELECT vec_id % 2 AS g, unnest(v) AS x,
+                  generate_subscripts(v, 1) AS dim FROM e),
+    st AS (
+      SELECT dim,
+             CAST(count(*) FILTER (g = 0) AS BIGINT) AS n0,
+             CAST(count(*) FILTER (g = 1) AS BIGINT) AS n1,
+             avg(x) FILTER (g = 0) AS m0,
+             avg(x) FILTER (g = 1) AS m1,
+             stddev(x) FILTER (g = 0) AS s0,
+             stddev(x) FILTER (g = 1) AS s1
+      FROM ex GROUP BY dim)
+    SELECT dim, n0, n1,
+           CAST(floor((m0 - m1) * 1000000 + 0.5) AS BIGINT)
+             AS mean_diff_micro,
+           CAST(floor((m0 - m1) / sqrt(s0 * s0 / n0 + s1 * s1 / n1)
+                      * 1000 + 0.5) AS BIGINT) AS welch_t_milli
+    FROM st ORDER BY dim
+    """,
+    tags=("llm", "embedding", "drift", "monitoring"),
+)
+def emb_mean_shift_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DIMENSION EMBEDDING DRIFT MONITOR — the vector-space
+    counterpart of the scalar PSI entry (dq_distribution_drift_psi):
+    split the corpus into two deterministic halves (vec_id parity
+    standing in for the before/after snapshots a production monitor
+    compares), then per dimension report the mean shift and its Welch
+    t statistic. A retrained or silently-truncated embedding model
+    shows up here dimensions-first, long before retrieval metrics
+    move. Shape: ONE posexplode feeds a single (dim)-grain grouped
+    aggregate with FILTER arms for both halves — no join, no second
+    corpus pass, output is dimensionality-sized. The t denominator is
+    the usual Welch combination of per-half sample variances; folds
+    at micro/milli on O(1)-magnitude statistics."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        (F.col("vec_id") % 2).alias("g"),
+        F.posexplode(similarity.as_double_vec("embedding")).alias(
+            "dim0", "x"
+        ),
+    ).select((F.col("dim0") + 1).alias("dim"), "g", "x")
+    g0 = F.col("g") == 0
+    g1 = F.col("g") == 1
+    st = ex.groupBy("dim").agg(
+        F.count(F.when(g0, 1)).alias("n0"),
+        F.count(F.when(g1, 1)).alias("n1"),
+        F.avg(F.when(g0, F.col("x"))).alias("m0"),
+        F.avg(F.when(g1, F.col("x"))).alias("m1"),
+        F.stddev(F.when(g0, F.col("x"))).alias("s0"),
+        F.stddev(F.when(g1, F.col("x"))).alias("s1"),
+    )
+    diff = F.col("m0") - F.col("m1")
+    se = F.sqrt(
+        F.col("s0") * F.col("s0") / F.col("n0")
+        + F.col("s1") * F.col("s1") / F.col("n1")
+    )
+    return st.select(
+        "dim",
+        "n0",
+        "n1",
+        F.floor(diff * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("mean_diff_micro"),
+        F.floor(diff / se * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("welch_t_milli"),
+    ).orderBy("dim")

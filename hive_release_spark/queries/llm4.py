@@ -1537,3 +1537,70 @@ def text_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_script_profile",
+    oracle=r"""
+    SELECT source,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+                AS BIGINT) AS n_latin,
+           CAST(sum(length(regexp_replace(text, '[^\x{00c0}-\x{00ff}]',
+                                          '', 'g'))) AS BIGINT)
+             AS n_latin_ext,
+           CAST(sum(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]',
+                                          '', 'g'))) AS BIGINT) AS n_cjk,
+           CAST(sum(length(regexp_replace(text, '[^0-9]', '', 'g')))
+                AS BIGINT) AS n_digit,
+           CAST(floor(CAST(sum(length(regexp_replace(text, '[^A-Za-z]',
+                                                     '', 'g'))) AS DOUBLE)
+                      / sum(length(text)) * 1000000 + 0.5) AS BIGINT)
+             AS latin_ratio_micro,
+           CAST(floor(CAST(sum(length(regexp_replace(text,
+                            '[^\x{4e00}-\x{9fff}]', '', 'g'))) AS DOUBLE)
+                      / sum(length(text)) * 1000000 + 0.5) AS BIGINT)
+             AS cjk_ratio_micro
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "text", "script", "langid"),
+)
+def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNICODE-SCRIPT COMPOSITION per source — the zeroth-order
+    language router a multilingual ingest runs BEFORE any model-based
+    language ID (CJK-vs-Latin is a codepoint-range test, three orders
+    of magnitude cheaper than an n-gram classifier, and it catches
+    mislabeled scrapes that fool frequency-based detectors): counts of
+    ASCII-Latin, extended-Latin (the accented range French/German/
+    Spanish live in), CJK-unified, and digit codepoints, with
+    Latin/CJK shares. Everything is a scan-side regexp_replace length
+    delta (codepoint-range character classes parse identically in
+    Java regex and RE2) feeding one source-grain partial agg; ratios
+    are single exact-long divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def n_class(pattern: str):
+        return F.sum(F.length(F.regexp_replace("text", pattern, "")))
+
+    latin = n_class("[^A-Za-z]")
+    latin_ext = n_class(r"[^\x{00c0}-\x{00ff}]")
+    cjk = n_class(r"[^\x{4e00}-\x{9fff}]")
+    digit = n_class("[^0-9]")
+    total = F.sum(F.length("text"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            total.alias("n_chars"),
+            latin.alias("n_latin"),
+            latin_ext.alias("n_latin_ext"),
+            cjk.alias("n_cjk"),
+            digit.alias("n_digit"),
+            F.floor(latin.cast("double") / total * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("latin_ratio_micro"),
+            F.floor(cjk.cast("double") / total * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("cjk_ratio_micro"),
+        )
+        .orderBy("source")
+    )

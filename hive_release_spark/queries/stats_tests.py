@@ -477,3 +477,65 @@ def stats_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ci_hi_milli"),
     )
+
+
+@register(
+    "stats_power_two_proportions",
+    oracle="""
+    WITH r AS (
+      SELECT
+        CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS k,
+        CAST(count(*) AS BIGINT) AS n
+      FROM events),
+    p AS (
+      SELECT k, n,
+             CAST(k AS DOUBLE) / n AS p1,
+             CAST(k AS DOUBLE) / n * 1.10 AS p2
+      FROM r)
+    SELECT k AS n_purchases, n AS n_events,
+           CAST(floor(p1 * 1000000 + 0.5) AS BIGINT) AS p1_micro,
+           CAST(floor(p2 * 1000000 + 0.5) AS BIGINT) AS p2_micro,
+           CAST(ceil((1.959964 + 0.841621) * (1.959964 + 0.841621)
+                     * (p1 * (1 - p1) + p2 * (1 - p2))
+                     / ((p1 - p2) * (p1 - p2))) AS BIGINT)
+             AS n_per_arm_80pct
+    FROM p
+    """,
+    tags=("stats", "power", "experiment"),
+)
+def stats_power_two_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PROPORTION SAMPLE-SIZE CALCULATOR — the planning half of
+    the A/B surface (events_ab_uplift/events_ab_cuped read an
+    experiment out; this answers "how many observations per arm to
+    DETECT the effect we care about at alpha=.05, power=.80?"). As
+    practitioners actually run it: the BASELINE conversion rate comes
+    from the data (purchase share of events) and the minimum
+    detectable effect is a fixed +10% relative lift — which also
+    keeps the closed form non-degenerate at every scale factor, where
+    comparing two observed near-equal rates would put 0 in the
+    denominator (ANSI mode turns that into a hard error, and a
+    zero-MDE power question is meaningless anyway). One scan, one
+    aggregate row; n = (z_{a/2}+z_b)^2 (p1q1+p2q2) / d^2 over
+    exact-long ratios with shared z literals; ceil of identical
+    doubles agrees in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    r = ev.agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("k"),
+        F.count("*").alias("n"),
+    )
+    p1 = F.col("k").cast("double") / F.col("n")
+    p2 = p1 * 1.10
+    z = 1.959964 + 0.841621
+    return r.select(
+        F.col("k").alias("n_purchases"),
+        F.col("n").alias("n_events"),
+        F.floor(p1 * 1000000 + F.lit(0.5)).cast("long").alias("p1_micro"),
+        F.floor(p2 * 1000000 + F.lit(0.5)).cast("long").alias("p2_micro"),
+        F.ceil(
+            F.lit(z * z)
+            * (p1 * (1 - p1) + p2 * (1 - p2))
+            / ((p1 - p2) * (p1 - p2))
+        )
+        .cast("long")
+        .alias("n_per_arm_80pct"),
+    )
