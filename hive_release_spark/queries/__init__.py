@@ -24,6 +24,7 @@ from hive_release_spark.queries import (  # noqa: F401,E402
     graphs,
     timeseries,
     stats_tests,
+    ml_sql,
 )
 
 

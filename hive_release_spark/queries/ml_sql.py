@@ -1,0 +1,325 @@
+"""Models trained INSIDE the engine, in closed form — no ML library,
+no iteration, no driver state: multiple linear regression via the
+normal equations and a multinomial naive-Bayes text classifier. These
+join k-means / PCA / the bigram LM / BPE on the "the warehouse can
+train it where the data lives" shelf — the capability a 100 TB
+pipeline wants for baseline models and sanity probes before anything
+ships to a training cluster.
+
+Both are single-pass aggregate algebra, so both are oracle-gated
+exactly: the regression's sufficient statistics are pure BIGINT sums
+folded once through double Cramer determinants (the identical
+expression tree in both engines), and the classifier's Laplace-1
+smoothing makes absent-term mass vanish analytically (the same
+decomposition trick as the Dirichlet query-likelihood ranker), so
+scoring joins only the postings that exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hive_release_spark.catalog import load_table
+from hive_release_spark.queries.registry import register
+
+
+@register(
+    "ml_linear_regression",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x1) AS BIGINT) AS s1,
+             CAST(sum(x2) AS BIGINT) AS s2,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+             CAST(sum(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12,
+             CAST(sum(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
+             CAST(sum(CAST(x1 AS HUGEINT) * y) AS DOUBLE) AS s1y,
+             CAST(sum(CAST(x2 AS HUGEINT) * y) AS DOUBLE) AS s2y,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM (SELECT CAST(l_quantity AS BIGINT) AS x1,
+                   CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem)),
+    d AS (
+      SELECT *,
+             s11 * s22 - s12 * s12 AS mA,
+             s1 * s22 - s12 * s2 AS mB,
+             s1 * s12 - s11 * s2 AS mC,
+             s1y * s22 - s12 * s2y AS mD,
+             s1y * s12 - s11 * s2y AS mE,
+             s1 * s2y - s1y * s2 AS mF,
+             s11 * s2y - s1y * s12 AS mG
+      FROM s),
+    b AS (
+      SELECT n, sy, s1y, s2y, syy,
+             (sy * mA - s1 * mD + s2 * mE)
+               / (n * mA - s1 * mB + s2 * mC) AS b0,
+             (n * mD - sy * mB + s2 * mF)
+               / (n * mA - s1 * mB + s2 * mC) AS b1,
+             (n * mG - s1 * mF + sy * mC)
+               / (n * mA - s1 * mB + s2 * mC) AS b2
+      FROM d)
+    SELECT n,
+           CAST(floor(b0 / 100.0 * 1000 + 0.5) AS BIGINT) AS b0_milli,
+           CAST(floor(b1 / 100.0 * 1000 + 0.5) AS BIGINT) AS b1_milli,
+           CAST(floor(b2 / 100.0 * 1000 + 0.5) AS BIGINT) AS b2_milli,
+           CAST(floor((b0 * sy + b1 * s1y + b2 * s2y
+                       - CAST(sy AS DOUBLE) * sy / n)
+                      / (syy - CAST(sy AS DOUBLE) * sy / n)
+                      * 100000 + 0.5) AS BIGINT) AS r2_e5
+    FROM b
+    """,
+    tags=("ml", "regression", "closed_form"),
+)
+def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE LINEAR REGRESSION trained in one aggregate pass —
+    predict line price (cents) from quantity and discount by the
+    normal equations, solved with Cramer's rule over the 3x3 moment
+    matrix. Hive/Spark expose only the two-variable regr_* family;
+    this is the smallest model that demonstrates the general
+    sufficient-statistics pattern: ONE scan collapses 100 TB to ten
+    BIGINT sums (map-side combined), and everything after is constant
+    work. The inputs are exact integers (quantity, discount and price
+    in cents — round-to-integer of identical doubles is engine-safe),
+    and the SECOND moments sum as DECIMAL / HUGEINT (sum(y_cents^2) is
+    ~6e19 at sf0.1 — already past long; ANSI made that a loud error,
+    not a silent wrap) before ONE exact-integer-to-nearest-double cast
+    that both engines round identically; the SAME Cramer expression
+    tree then folds them (named minors keep the two spellings
+    structurally identical). R^2 comes from the fitted cross-moment
+    identity b'X'y, no second pass.
+    Determinant conditioning is healthy here (quantity/discount are
+    bounded, uncentered moments fine); a production fit would center
+    first — same sums, shifted."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    x1d = F.col("x1").cast("decimal(19,0)")
+    x2d = F.col("x2").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    s = li.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(x1d * F.col("x1")).cast("double").alias("s11"),
+        F.sum(x1d * F.col("x2")).cast("double").alias("s12"),
+        F.sum(x2d * F.col("x2")).cast("double").alias("s22"),
+        F.sum(x1d * F.col("y")).cast("double").alias("s1y"),
+        F.sum(x2d * F.col("y")).cast("double").alias("s2y"),
+        F.sum(yd * F.col("y")).cast("double").alias("syy"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    d = s.withColumns(
+        {
+            "mA": F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12"),
+            "mB": F.col("s1") * F.col("s22") - F.col("s12") * F.col("s2"),
+            "mC": F.col("s1") * F.col("s12") - F.col("s11") * F.col("s2"),
+            "mD": F.col("s1y") * F.col("s22") - F.col("s12") * F.col("s2y"),
+            "mE": F.col("s1y") * F.col("s12") - F.col("s11") * F.col("s2y"),
+            "mF": F.col("s1") * F.col("s2y") - F.col("s1y") * F.col("s2"),
+            "mG": F.col("s11") * F.col("s2y") - F.col("s1y") * F.col("s12"),
+        }
+    )
+    det = F.col("n") * F.col("mA") - F.col("s1") * F.col("mB") + F.col(
+        "s2"
+    ) * F.col("mC")
+    b = d.select(
+        "n",
+        "sy",
+        "s1y",
+        "s2y",
+        "syy",
+        (
+            (
+                F.col("sy") * F.col("mA")
+                - F.col("s1") * F.col("mD")
+                + F.col("s2") * F.col("mE")
+            )
+            / det
+        ).alias("b0"),
+        (
+            (
+                F.col("n") * F.col("mD")
+                - F.col("sy") * F.col("mB")
+                + F.col("s2") * F.col("mF")
+            )
+            / det
+        ).alias("b1"),
+        (
+            (
+                F.col("n") * F.col("mG")
+                - F.col("s1") * F.col("mF")
+                + F.col("sy") * F.col("mC")
+            )
+            / det
+        ).alias("b2"),
+    )
+    sst = F.col("syy") - dd("sy") * F.col("sy") / F.col("n")
+    ssr = (
+        F.col("b0") * F.col("sy")
+        + F.col("b1") * F.col("s1y")
+        + F.col("b2") * F.col("s2y")
+        - dd("sy") * F.col("sy") / F.col("n")
+    )
+    return b.select(
+        "n",
+        F.floor(F.col("b0") / 100.0 * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("b0_milli"),
+        F.floor(F.col("b1") / 100.0 * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("b1_milli"),
+        F.floor(F.col("b2") / 100.0 * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("b2_milli"),
+        F.floor(ssr / sst * 100000 + F.lit(0.5))
+        .cast("long")
+        .alias("r2_e5"),
+    )
+
+
+@register(
+    "ml_naive_bayes_langid",
+    oracle="""
+    WITH tr AS (
+      SELECT lang, doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE doc_id % 2 = 0),
+    te AS (
+      SELECT doc_id, lang AS true_lang,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE doc_id % 2 = 1),
+    tc AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+           FROM tr GROUP BY 1, 2),
+    lt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM tc GROUP BY 1),
+    vb AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM tc),
+    pr AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+           FROM tr GROUP BY 1),
+    prt AS (SELECT CAST(sum(nd) AS BIGINT) AS total FROM pr),
+    dt AS (SELECT doc_id, true_lang, term,
+                  CAST(count(*) AS BIGINT) AS tf
+           FROM te GROUP BY 1, 2, 3),
+    dl AS (SELECT doc_id, true_lang, CAST(sum(tf) AS BIGINT) AS len_d
+           FROM dt GROUP BY 1, 2),
+    hits AS (
+      SELECT dt.doc_id, tc.lang, sum(dt.tf * ln(tc.c + 1)) AS hit
+      FROM dt JOIN tc ON dt.term = tc.term
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT dl.doc_id, dl.true_lang, lt.lang,
+             ln(CAST(pr.nd AS DOUBLE) / prt.total)
+               - dl.len_d * ln(CAST(lt.t AS DOUBLE) + vb.v)
+               + COALESCE(h.hit, 0.0) AS score
+      FROM dl
+      CROSS JOIN prt CROSS JOIN vb
+      JOIN lt ON TRUE
+      JOIN pr ON pr.lang = lt.lang
+      LEFT JOIN hits h ON h.doc_id = dl.doc_id AND h.lang = lt.lang),
+    pred AS (
+      SELECT doc_id, true_lang, lang AS pred_lang FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, lang) AS rk
+        FROM scored) WHERE rk = 1)
+    SELECT true_lang,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(count(*) FILTER (pred_lang = true_lang) AS BIGINT)
+             AS n_correct,
+           CAST(floor(CAST(count(*) FILTER (pred_lang = true_lang)
+                           AS DOUBLE) / count(*) * 1000000 + 0.5)
+                AS BIGINT) AS acc_micro
+    FROM pred GROUP BY true_lang ORDER BY true_lang
+    """,
+    tags=("ml", "classifier", "langid", "naive_bayes"),
+)
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTINOMIAL NAIVE BAYES language classifier, trained AND
+    evaluated in pure aggregate algebra — the third rung of the
+    lang-ID ladder (rules -> char-n-gram UDF -> a TRAINED model) and
+    the canonical demonstration that a warehouse can fit a
+    generative text classifier without leaving SQL. Even doc_ids
+    train, odd evaluate. Laplace-1 smoothing is chosen PRECISELY
+    because it makes the absent-term mass vanish analytically:
+    score = ln prior - len_d * ln(T_lang + V) + sum_hits tf*ln(c+1),
+    since unseen terms contribute tf*ln(0+1) = 0 — the same
+    postings-only decomposition as the Dirichlet query-likelihood
+    ranker, so the scoring join touches only (test token x lang)
+    postings that exist (bounded 5x fan-out), never the full
+    doc x vocab grid. The 5-row language stats ride broadcasts;
+    argmax ties break on lang; per-class accuracy is the readout the
+    langid confusion-matrix entry complements. NB margins are many
+    nats wide, so the float fold at the argmax is ulp-safe."""
+    docs = load_table(spark, sf_dir, "documents")
+    tr = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "lang", "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    te = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    tc = tr.groupBy("lang", "term").agg(F.count("*").alias("c"))
+    tc.persist()
+    lt = tc.groupBy("lang").agg(F.sum("c").alias("t"))
+    vb = tc.agg(F.countDistinct("term").alias("v"))
+    pr = tr.groupBy("lang").agg(F.countDistinct("doc_id").alias("nd"))
+    prt = pr.agg(F.sum("nd").alias("total"))
+    dt = te.groupBy("doc_id", "true_lang", "term").agg(
+        F.count("*").alias("tf")
+    )
+    dt.persist()
+    dl = dt.groupBy("doc_id", "true_lang").agg(F.sum("tf").alias("len_d"))
+    hits = (
+        dt.join(tc.select("term", "lang", "c"), "term")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("tf") * F.log(F.col("c") + 1)).alias("hit"))
+    )
+    langs = (
+        lt.join(pr, "lang")
+        .crossJoin(F.broadcast(prt))
+        .crossJoin(F.broadcast(vb))
+    )
+    scored = (
+        dl.crossJoin(F.broadcast(langs))
+        .join(hits, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            (
+                F.log(F.col("nd").cast("double") / F.col("total"))
+                - F.col("len_d")
+                * F.log(F.col("t").cast("double") + F.col("v"))
+                + F.coalesce(F.col("hit"), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    pred = (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.desc("score"), "lang")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "true_lang", F.col("lang").alias("pred_lang"))
+    )
+    correct = F.count(
+        F.when(F.col("pred_lang") == F.col("true_lang"), 1)
+    )
+    return (
+        pred.groupBy("true_lang")
+        .agg(
+            F.count("*").alias("n_test"),
+            correct.alias("n_correct"),
+            F.floor(
+                correct.cast("double") / F.count("*") * 1000000 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("acc_micro"),
+        )
+        .orderBy("true_lang")
+    )

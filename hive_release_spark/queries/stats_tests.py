@@ -539,3 +539,46 @@ def stats_power_two_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_per_arm_80pct"),
     )
+
+
+@register(
+    "agg_approx_top_k_contract",
+    oracle="""
+    SELECT event_type AS item,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, event_type)
+                AS BIGINT) AS rk
+    FROM events GROUP BY event_type
+    ORDER BY rk
+    """,
+    tags=("agg", "sketch", "topk"),
+)
+def agg_approx_top_k_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k EXACTNESS CONTRACT (Spark 4's frequent-items
+    sketch, completing the sketch shelf next to HLL / CMS / bloom):
+    when maxItemsTracked >= the column's distinct cardinality, the
+    Misra-Gries-family sketch is EXACT by construction — so asking for
+    k = all items over the 5-value event_type column must reproduce
+    the exact grouped counts, which is precisely what the oracle
+    computes. The entry re-ranks the sketch output by (count, item) so
+    no sketch-internal tie order leaks into the hash; explode turns
+    the struct array into driver-safe rows. Past the tracked-items
+    bound the sketch degrades to epsilon-approximate counts — that
+    regime is deliberately NOT pinned (the lesson of the
+    sketch-accuracy ADVICE finding: never hard-pin an approximation as
+    a constant-true oracle column)."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.expr("approx_top_k(event_type, 5, 100000)").alias("tk")
+    )
+    ex = sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").alias("cnt")
+    )
+    return (
+        ex.withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.desc("cnt"), "item")),
+        )
+        .select("item", "cnt", F.col("rk").cast("long").alias("rk"))
+        .orderBy("rk")
+    )
