@@ -323,3 +323,266 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_lang")
     )
+
+
+@register(
+    "ml_decision_stump",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_discount * 100) AS BIGINT) AS d,
+             CASE WHEN l_extendedprice >= 30000 THEN 1 ELSE 0 END AS y
+      FROM lineitem),
+    f AS (
+      SELECT 'quantity' AS feature, q AS v,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+      FROM pts GROUP BY 1, 2
+      UNION ALL
+      SELECT 'discount', d,
+             CAST(count(*) AS BIGINT), CAST(sum(y) AS BIGINT)
+      FROM pts GROUP BY 1, 2),
+    c AS (
+      SELECT feature, v,
+             CAST(sum(n) OVER w AS BIGINT) AS nl,
+             CAST(sum(pos) OVER w AS BIGINT) AS posl,
+             CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS nt,
+             CAST(sum(pos) OVER (PARTITION BY feature) AS BIGINT) AS post
+      FROM f
+      WINDOW w AS (PARTITION BY feature ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    g AS (
+      SELECT feature, v, nl, posl, nt, post,
+             (CAST(nl AS DOUBLE) / nt)
+               * (1.0
+                  - (CAST(posl AS DOUBLE) / nl)
+                    * (CAST(posl AS DOUBLE) / nl)
+                  - (CAST(nl - posl AS DOUBLE) / nl)
+                    * (CAST(nl - posl AS DOUBLE) / nl))
+             + (CAST(nt - nl AS DOUBLE) / nt)
+               * (1.0
+                  - (CAST(post - posl AS DOUBLE) / (nt - nl))
+                    * (CAST(post - posl AS DOUBLE) / (nt - nl))
+                  - (CAST((nt - nl) - (post - posl) AS DOUBLE) / (nt - nl))
+                    * (CAST((nt - nl) - (post - posl) AS DOUBLE)
+                       / (nt - nl))) AS gini
+      FROM c WHERE nl < nt),
+    best AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY feature
+                     ORDER BY gini, v) AS rf
+        FROM g) WHERE rf = 1)
+    SELECT feature, v AS threshold, nl AS n_left, posl AS pos_left,
+           CAST(floor(gini * 1000000 + 0.5) AS BIGINT) AS gini_micro,
+           CAST(floor((1.0 - (CAST(post AS DOUBLE) / nt)
+                             * (CAST(post AS DOUBLE) / nt)
+                           - (CAST(nt - post AS DOUBLE) / nt)
+                             * (CAST(nt - post AS DOUBLE) / nt))
+                      * 1000000 + 0.5) AS BIGINT) AS gini_parent_micro,
+           CAST(row_number() OVER (ORDER BY gini, feature) AS BIGINT)
+             AS rk
+    FROM best ORDER BY rk
+    """,
+    tags=("ml", "tree", "split", "gini"),
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECISION-STUMP TRAINING — the best Gini split per feature for
+    classifying high-value lines (price >= $300), which is exactly
+    one boosting round / one tree node of every GBDT library, done as
+    window algebra: per feature, collapse to the distinct-value frame
+    with (count, positive) tallies, cumulative sums give the left-
+    branch composition at EVERY candidate threshold simultaneously,
+    and weighted Gini impurity picks the argmin (ties break on the
+    threshold value, then feature). This is the histogram-based split
+    finding XGBoost/LightGBM do per node — demonstrated at warehouse
+    scale with ONE fact scan (both features ride a single exploded
+    pass), per-feature frames bounded by value cardinality, and every
+    Gini input an exact BIGINT so both engines fold identical doubles.
+    Output: each feature's champion split plus the parent impurity it
+    improves on, ranked so row 1 IS the trained stump."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.when(F.col("l_extendedprice") >= 30000, 1).otherwise(0).alias("y"),
+    )
+    f = (
+        pts.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("quantity").alias("feature"),
+                        F.col("q").alias("v"),
+                    ),
+                    F.struct(
+                        F.lit("discount").alias("feature"),
+                        F.col("d").alias("v"),
+                    ),
+                )
+            ).alias("e"),
+            "y",
+        )
+        .select("e.feature", "e.v", "y")
+        .groupBy("feature", "v")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+    )
+    w = (
+        W.partitionBy("feature")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt = W.partitionBy("feature")
+    c = f.select(
+        "feature",
+        "v",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("posl"),
+        F.sum("n").over(wt).alias("nt"),
+        F.sum("pos").over(wt).alias("post"),
+    )
+    nl, posl = F.col("nl"), F.col("posl")
+    nt, post = F.col("nt"), F.col("post")
+    pl = posl.cast("double") / nl
+    ql = (nl - posl).cast("double") / nl
+    pr = (post - posl).cast("double") / (nt - nl)
+    qr = ((nt - nl) - (post - posl)).cast("double") / (nt - nl)
+    gini = (nl.cast("double") / nt) * (
+        F.lit(1.0) - pl * pl - ql * ql
+    ) + ((nt - nl).cast("double") / nt) * (F.lit(1.0) - pr * pr - qr * qr)
+    g = c.filter(nl < nt).withColumn("gini", gini)
+    best = (
+        g.withColumn(
+            "rf",
+            F.row_number().over(
+                W.partitionBy("feature").orderBy("gini", "v")
+            ),
+        )
+        .filter(F.col("rf") == 1)
+    )
+    pp = post.cast("double") / nt
+    qp = (nt - post).cast("double") / nt
+    return (
+        best.select(
+            "feature",
+            F.col("v").alias("threshold"),
+            nl.alias("n_left"),
+            posl.alias("pos_left"),
+            F.floor(F.col("gini") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("gini_micro"),
+            F.floor(
+                (F.lit(1.0) - pp * pp - qp * qp) * 1000000 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("gini_parent_micro"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(W.orderBy(F.col("gini_micro"), "feature"))
+            .cast("long"),
+        )
+        .orderBy("rk")
+    )
+
+
+@register(
+    "ml_knn_label_accuracy",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, label AS true_label
+          FROM e WHERE vec_id % 2 = 1 AND vec_id < 40),
+    t AS (SELECT vec_id AS neighbor_id, v AS cv, label FROM e
+          WHERE vec_id % 2 = 0),
+    cand AS (
+      SELECT q.query_id, q.true_label, t.neighbor_id, t.label,
+             list_cosine_similarity(q.qv, t.cv) AS sim
+      FROM q, t),
+    top AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS rk
+        FROM cand) WHERE rk <= 5),
+    votes AS (
+      SELECT query_id, true_label, label,
+             CAST(count(*) AS BIGINT) AS votes
+      FROM top GROUP BY 1, 2, 3),
+    pred AS (
+      SELECT query_id, true_label, label AS pred_label, votes FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY votes DESC, label) AS pr
+        FROM votes) WHERE pr = 1)
+    SELECT query_id,
+           CAST(true_label AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           votes,
+           CAST(CASE WHEN true_label = pred_label THEN 1 ELSE 0 END
+                AS BIGINT) AS correct
+    FROM pred ORDER BY query_id
+    """,
+    tags=("ml", "classifier", "knn", "embedding"),
+)
+def ml_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN CLASSIFICATION over the embedding space — majority vote of
+    the 5 nearest train-half neighbors predicts each test vector's
+    label: the standard probe for "do these embeddings actually
+    encode the labels?", complementing the parametric centroid
+    classifier (emb_label_centroids) with the non-parametric answer
+    (centroids assume unimodal classes; k-NN doesn't). Even vec_ids
+    train, 20 odd ones evaluate. The query side rides a broadcast so
+    the train corpus NEVER shuffles for scoring; per-query top-5 and
+    the vote argmax both carry unique tie-breaks (neighbor id, then
+    label), making the full prediction trace — neighbors, votes,
+    verdict — oracle-exact, not just the accuracy number. The 100 TB
+    path swaps the brute-force scoring join for any of the ANN
+    entries (IVF/PQ/SQ8) unchanged above the shortlist."""
+    from hive_release_spark.llm import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 40)).select(
+        F.col("vec_id").alias("query_id"),
+        similarity.as_double_vec("embedding").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    t = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("neighbor_id"),
+        similarity.as_double_vec("embedding").alias("cv"),
+        "label",
+    )
+    cand = t.crossJoin(F.broadcast(q)).withColumn(
+        "sim", similarity.cosine(F.col("qv"), F.col("cv"))
+    )
+    top = cand.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(
+                F.desc("sim"), "neighbor_id"
+            )
+        ),
+    ).filter(F.col("rk") <= 5)
+    votes = top.groupBy("query_id", "true_label", "label").agg(
+        F.count("*").alias("votes")
+    )
+    pred = (
+        votes.withColumn(
+            "pr",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.desc("votes"), "label"
+                )
+            ),
+        )
+        .filter(F.col("pr") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("label").cast("long").alias("pred_label"),
+            "votes",
+        )
+    )
+    return pred.withColumn(
+        "correct",
+        F.when(F.col("true_label") == F.col("pred_label"), 1)
+        .otherwise(0)
+        .cast("long"),
+    ).orderBy("query_id")
