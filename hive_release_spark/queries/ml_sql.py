@@ -251,7 +251,14 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc x vocab grid. The 5-row language stats ride broadcasts;
     argmax ties break on lang; per-class accuracy is the readout the
     langid confusion-matrix entry complements. NB margins are many
-    nats wide, so the float fold at the argmax is ulp-safe."""
+    nats wide, so the float fold at the argmax is ulp-safe. Fixture
+    honesty: the synthetic corpus shares one word pool across
+    languages (the confusion-matrix entry documents the same
+    ceiling), so absolute accuracy here is capped at ~0.35 — well
+    above 5-way chance, below the skewed majority class; the entry's
+    claim is the training/scoring ALGEBRA (oracle-exact), and the
+    pytest floor is calibrated to the fixture, not to real-corpus
+    lang-ID performance (where word NB is near-perfect)."""
     docs = load_table(spark, sf_dir, "documents")
     tr = docs.filter(F.col("doc_id") % 2 == 0).select(
         "lang", "doc_id", F.explode(F.split("text", " ")).alias("term")
