@@ -593,3 +593,196 @@ def ml_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("long"),
     ).orderBy("query_id")
+
+
+@register(
+    "ml_item_item_cf",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    deg AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS d
+            FROM b GROUP BY 1),
+    co AS (
+      SELECT a.l_partkey AS pa, b2.l_partkey AS pb,
+             CAST(count(*) AS BIGINT) AS c
+      FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+                        AND a.l_partkey < b2.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    scored AS (
+      SELECT co.pa, co.pb, co.c, da.d AS deg_a, db.d AS deg_b,
+             co.c / sqrt(CAST(da.d AS DOUBLE) * db.d) AS cosine
+      FROM co JOIN deg da ON co.pa = da.l_partkey
+              JOIN deg db ON co.pb = db.l_partkey)
+    SELECT pa AS part_a, pb AS part_b, c AS n_cobaskets,
+           deg_a, deg_b,
+           CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_micro,
+           rk
+    FROM (SELECT *, row_number() OVER
+            (ORDER BY cosine DESC, pa, pb) AS rk FROM scored)
+    WHERE rk <= 20 ORDER BY rk
+    """,
+    tags=("ml", "recommender", "cf", "basket"),
+)
+def ml_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITEM-ITEM COLLABORATIVE FILTERING — cosine similarity on the
+    binary basket matrix, sim(i,j) = c_ij / sqrt(n_i * n_j): the
+    workhorse "customers who bought X also bought" scorer (Amazon's
+    classic item-to-item CF), and the DIRECT-co-occurrence complement
+    of the 2-hop link-prediction pair (Adamic-Adar / neighborhood
+    Jaccard score what is NOT yet connected; CF ranks what already
+    co-occurs). Shape: the fact collapses to the distinct basket
+    frame, pair emission is basket-bounded (never corpus-squared) with
+    a >= 2-support prune, item popularity attaches via TWO broadcast
+    joins of the skinny degree frame — popularity normalization is
+    exactly why raw co-counts mislead (staples co-occur with
+    everything; cosine discounts them). The score is one exact-long
+    ratio through sqrt, folded at micro; (score, pa, pb) tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    b.persist()
+    deg = b.groupBy("l_partkey").agg(F.count("*").alias("d"))
+    b2 = b.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    co = (
+        b.join(b2, (b.l_orderkey == b2.ok) & (b.l_partkey < b2.pb))
+        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    scored = (
+        co.join(
+            F.broadcast(
+                deg.select(
+                    F.col("l_partkey").alias("pa"),
+                    F.col("d").alias("deg_a"),
+                )
+            ),
+            "pa",
+        )
+        .join(
+            F.broadcast(
+                deg.select(
+                    F.col("l_partkey").alias("pb"),
+                    F.col("d").alias("deg_b"),
+                )
+            ),
+            "pb",
+        )
+        .withColumn(
+            "cosine",
+            F.col("c")
+            / F.sqrt(F.col("deg_a").cast("double") * F.col("deg_b")),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.desc("cosine"), "pa", "pb")),
+        )
+        .filter(F.col("rk") <= 20)
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("c").alias("n_cobaskets"),
+            "deg_a",
+            "deg_b",
+            F.floor(F.col("cosine") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("cosine_micro"),
+            "rk",
+        )
+        .orderBy("rk")
+    )
+
+
+@register(
+    "ml_markov_next_event",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    tr AS (
+      SELECT event_type AS prev, next_type AS nxt,
+             CAST(count(*) AS BIGINT) AS c
+      FROM seq
+      WHERE next_type IS NOT NULL AND user_id % 2 = 0
+      GROUP BY 1, 2),
+    model AS (
+      SELECT prev, nxt AS pred FROM (
+        SELECT *, row_number() OVER (PARTITION BY prev
+                     ORDER BY c DESC, nxt) AS rk
+        FROM tr) WHERE rk = 1),
+    test AS (
+      SELECT event_type AS prev, next_type AS nxt
+      FROM seq WHERE next_type IS NOT NULL AND user_id % 2 = 1)
+    SELECT test.prev,
+           max(model.pred) AS predicted,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(count(*) FILTER (test.nxt = model.pred) AS BIGINT)
+             AS n_correct,
+           CAST(floor(CAST(count(*) FILTER (test.nxt = model.pred)
+                           AS DOUBLE) / count(*) * 1000000 + 0.5)
+                AS BIGINT) AS acc_micro
+    FROM test JOIN model ON test.prev = model.prev
+    GROUP BY test.prev ORDER BY test.prev
+    """,
+    tags=("ml", "markov", "sequence", "events"),
+)
+def ml_markov_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-ORDER MARKOV NEXT-EVENT PREDICTION, trained and evaluated
+    in-engine: even user_ids fit the transition matrix, the model is
+    argmax P(next | prev) (ties on event name), and odd users' actual
+    transitions score it — the baseline every sequence model
+    (session-LSTM, transformer-based next-action) must beat, and the
+    predictive complement of the stationary-distribution entry
+    (events_markov_stationary describes long-run mass; this one is
+    judged on held-out accuracy). Shape: ONE user-partitioned lead
+    window builds transitions for both halves in the same pass; the
+    trained model is a 5-row frame that broadcasts onto the test
+    transitions; accuracy aggregates per antecedent state. Everything
+    is exact counts until one ratio fold."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    seq.persist()
+    tr = (
+        seq.filter(F.col("user_id") % 2 == 0)
+        .groupBy(F.col("event_type").alias("prev"), F.col("next_type").alias("nxt"))
+        .agg(F.count("*").alias("c"))
+    )
+    model = (
+        tr.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("prev").orderBy(F.desc("c"), "nxt")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("prev", F.col("nxt").alias("pred"))
+    )
+    test = seq.filter(F.col("user_id") % 2 == 1).select(
+        F.col("event_type").alias("prev"), F.col("next_type").alias("nxt")
+    )
+    hit = F.count(F.when(F.col("nxt") == F.col("pred"), 1))
+    return (
+        test.join(F.broadcast(model), "prev")
+        .groupBy("prev")
+        .agg(
+            F.max("pred").alias("predicted"),
+            F.count("*").alias("n_test"),
+            hit.alias("n_correct"),
+            F.floor(
+                hit.cast("double") / F.count("*") * 1000000 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("acc_micro"),
+        )
+        .orderBy("prev")
+    )
