@@ -789,3 +789,30 @@ def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY t.tier
         """
     )
+
+
+@register(
+    "sql_select_except",
+    oracle="""
+    SELECT * EXCLUDE (o_orderstatus, o_totalprice)
+    FROM orders WHERE o_orderkey % 5000 = 0
+    ORDER BY o_orderkey
+    """,
+    tags=("sql", "extension", "star_except"),
+)
+def sql_select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * EXCEPT — the wide-table ergonomics feature (keep all
+    300 columns but the two being replaced) that BigQuery popularized;
+    Spark 4 parses it as `* EXCEPT (...)`, DuckDB spells the identical
+    projection `* EXCLUDE (...)` — the entry pins that the two
+    dialects' star-minus resolve to the same column set and order
+    (analysis-time projection pruning; the scan reads only surviving
+    columns, which at 100 TB is the entire point of the feature)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT * EXCEPT (o_orderstatus, o_totalprice)
+        FROM orders WHERE o_orderkey % 5000 = 0
+        ORDER BY o_orderkey
+        """
+    )

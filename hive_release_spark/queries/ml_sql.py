@@ -786,3 +786,114 @@ def ml_markov_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev")
     )
+
+
+@register(
+    "ml_basket_rules",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+           FROM b),
+    deg AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS d
+            FROM b GROUP BY 1),
+    co AS (
+      SELECT a.l_partkey AS pa, b2.l_partkey AS pb,
+             CAST(count(*) AS BIGINT) AS c
+      FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+                        AND a.l_partkey <> b2.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 3),
+    scored AS (
+      SELECT co.pa, co.pb, co.c, da.d AS n_a, db.d AS n_b, nb.n_baskets,
+             CAST(co.c AS DOUBLE) / da.d AS confidence,
+             CAST(co.c AS DOUBLE) * nb.n_baskets / (da.d * db.d) AS lift
+      FROM co JOIN deg da ON co.pa = da.l_partkey
+              JOIN deg db ON co.pb = db.l_partkey
+              CROSS JOIN nb)
+    SELECT pa AS antecedent, pb AS consequent, c AS support_n,
+           n_a, n_b,
+           CAST(floor(confidence * 1000000 + 0.5) AS BIGINT)
+             AS confidence_micro,
+           CAST(floor(lift * 1000 + 0.5) AS BIGINT) AS lift_milli,
+           rk
+    FROM (SELECT *, row_number() OVER
+            (ORDER BY lift DESC, pa, pb) AS rk FROM scored)
+    WHERE rk <= 20 ORDER BY rk
+    """,
+    tags=("ml", "recommender", "association_rules", "basket"),
+)
+def ml_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASSOCIATION RULES (Apriori level-2) — directed pair rules
+    a=>b with the three classic metrics: support (co-basket count,
+    min 3), confidence P(b|a), and lift P(b|a)/P(b) — the
+    market-basket readout that predates and complements the cosine CF
+    entry (CF's symmetric score ranks similarity; lift is DIRECTED
+    and prior-adjusted, which is what a merchandiser actually reads).
+    Shape: distinct-basket collapse, basket-bounded DIRECTED pair
+    emission (both orders of each pair — confidence is asymmetric),
+    support prune BEFORE the metric joins, item priors and the basket
+    total via broadcast attaches. Metrics are exact-long ratios
+    folded once; (lift, a, b) tie-break on the top-20."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    b.persist()
+    nb = b.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    deg = b.groupBy("l_partkey").agg(F.count("*").alias("d"))
+    b2 = b.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    co = (
+        b.join(b2, (b.l_orderkey == b2.ok) & (b.l_partkey != b2.pb))
+        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 3)
+    )
+    scored = (
+        co.join(
+            F.broadcast(
+                deg.select(
+                    F.col("l_partkey").alias("pa"), F.col("d").alias("n_a")
+                )
+            ),
+            "pa",
+        )
+        .join(
+            F.broadcast(
+                deg.select(
+                    F.col("l_partkey").alias("pb"), F.col("d").alias("n_b")
+                )
+            ),
+            "pb",
+        )
+        .crossJoin(F.broadcast(nb))
+        .withColumn(
+            "confidence", F.col("c").cast("double") / F.col("n_a")
+        )
+        .withColumn(
+            "lift",
+            F.col("c").cast("double")
+            * F.col("n_baskets")
+            / (F.col("n_a") * F.col("n_b")),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.desc("lift"), "pa", "pb")),
+        )
+        .filter(F.col("rk") <= 20)
+        .select(
+            F.col("pa").alias("antecedent"),
+            F.col("pb").alias("consequent"),
+            F.col("c").alias("support_n"),
+            "n_a",
+            "n_b",
+            F.floor(F.col("confidence") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("confidence_micro"),
+            F.floor(F.col("lift") * 1000 + F.lit(0.5))
+            .cast("long")
+            .alias("lift_milli"),
+            "rk",
+        )
+        .orderBy("rk")
+    )
