@@ -72,3 +72,28 @@ def test_autocorr_lags_reuse_persisted_day_frame(spark):
     plan = _plan(REGISTRY["timeseries_autocorr"].fn(spark, SF_SMOKE))
     n = plan.count("InMemoryTableScan")
     assert n >= 2, f"expected both join sides cached, got {n}\n{plan}"
+
+
+def test_item_cf_degrees_ride_broadcast_joins(spark):
+    """ml_item_item_cf must attach popularity via broadcast hash joins
+    of the skinny degree frame — a SortMergeJoin on the pair frame
+    would shuffle the candidate set twice for no reason."""
+    plan = _plan(REGISTRY["ml_item_item_cf"].fn(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_naive_bayes_reuses_persisted_token_frames(spark):
+    """ml_naive_bayes_langid persists the train token counts (feeds
+    totals/vocab/postings) and the test doc-term frame (feeds lengths
+    and hits) — both must read back as InMemoryTableScan, not re-run
+    the tokenize explode per consumer."""
+    plan = _plan(REGISTRY["ml_naive_bayes_langid"].fn(spark, SF_SMOKE))
+    n = plan.count("InMemoryTableScan")
+    assert n >= 3, f"expected >=3 cached reads, got {n}\n{plan}"
+
+
+def test_markov_model_is_broadcast_onto_test(spark):
+    """The fitted 5-row transition model must broadcast onto the test
+    transitions; the lead window is the only user-shaped exchange."""
+    plan = _plan(REGISTRY["ml_markov_next_event"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
