@@ -947,3 +947,98 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("secs_to_convert"),
     ).orderBy("event_id")
+
+
+@register(
+    "timeseries_croston",
+    oracle="""
+    WITH RECURSIVE dd AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
+      FROM lineitem WHERE l_partkey % 97 = 0
+      GROUP BY 1),
+    idx AS (SELECT day, d, row_number() OVER (ORDER BY day) AS rn FROM dd),
+    r AS (
+      SELECT rn, day, CAST(d AS DOUBLE) AS z, CAST(1.0 AS DOUBLE) AS p
+      FROM idx WHERE rn = 1
+      UNION ALL
+      SELECT i.rn, i.day,
+             CAST(0.2 AS DOUBLE) * i.d + CAST(0.8 AS DOUBLE) * r.z,
+             CAST(0.2 AS DOUBLE) * date_diff('day', r.day, i.day)
+               + CAST(0.8 AS DOUBLE) * r.p
+      FROM idx i JOIN r ON i.rn = r.rn + 1)
+    SELECT CAST(max(rn) AS BIGINT) AS n_demand_days,
+           CAST(floor(max(CASE WHEN rn = mx THEN z END) * 1000 + 0.5)
+                AS BIGINT) AS z_milli,
+           CAST(floor(max(CASE WHEN rn = mx THEN p END) * 1000 + 0.5)
+                AS BIGINT) AS p_milli,
+           CAST(floor(max(CASE WHEN rn = mx THEN z / p END) * 1000 + 0.5)
+                AS BIGINT) AS forecast_milli
+    FROM r CROSS JOIN (SELECT max(rn) AS mx FROM r) m
+    """,
+    tags=("timeseries", "forecast", "croston", "intermittent"),
+)
+def timeseries_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSTON'S METHOD for intermittent demand — the forecaster
+    supply chains reach for when a series is MOSTLY ZEROS (spare
+    parts, long-tail SKUs) and plain EWMA systematically lags: two
+    coupled exponential smoothers (alpha 0.2), one over the nonzero
+    demand SIZES and one over the INTER-DEMAND intervals, with the
+    rate forecast z/p. Convention pinned here (and replayed by the
+    oracle): state initializes at the first demand day with p = 1 and
+    updates only on demand days, interval = calendar-day gap. Like
+    the EWMA/Holt entries this is a true recursion no window frame
+    expresses: the fact collapses to the sparse demand-day frame
+    (part-filtered, ONE partial-agg exchange), the calendar-bounded
+    series packs into one sorted array, and F.aggregate threads the
+    two-smoother state through executor-side; the oracle runs the
+    identical recurrence as a recursive CTE, so the final state —
+    which depends on every step — is matched exactly. Output is the
+    trained state + forecast; BIGINT demand sums keep both engines'
+    recurrences starting from identical doubles."""
+    dd = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 97 == 0)
+        .groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("d"))
+    )
+    packed = dd.agg(
+        F.sort_array(F.collect_list(F.struct("day", "d"))).alias("series")
+    )
+    folded = packed.select(
+        F.size("series").cast("long").alias("n_demand_days"),
+        F.aggregate(
+            F.col("series"),
+            F.named_struct(
+                F.lit("z"), F.lit(0.0),
+                F.lit("p"), F.lit(0.0),
+                F.lit("prev"), F.lit(None).cast("date"),
+                F.lit("n"), F.lit(0).cast("long"),
+            ),
+            lambda acc, x: F.named_struct(
+                F.lit("z"),
+                F.when(acc["n"] == 0, x["d"].cast("double")).otherwise(
+                    F.lit(0.2) * x["d"] + F.lit(0.8) * acc["z"]
+                ),
+                F.lit("p"),
+                F.when(acc["n"] == 0, F.lit(1.0)).otherwise(
+                    F.lit(0.2) * F.datediff(x["day"], acc["prev"])
+                    + F.lit(0.8) * acc["p"]
+                ),
+                F.lit("prev"), x["day"],
+                F.lit("n"), acc["n"] + 1,
+            ),
+        ).alias("st"),
+    )
+    return folded.select(
+        "n_demand_days",
+        F.floor(F.col("st.z") * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("z_milli"),
+        F.floor(F.col("st.p") * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("p_milli"),
+        F.floor(F.col("st.z") / F.col("st.p") * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("forecast_milli"),
+    )
