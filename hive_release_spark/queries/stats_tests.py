@@ -582,3 +582,177 @@ def agg_approx_top_k_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item", "cnt", F.col("rk").cast("long").alias("rk"))
         .orderBy("rk")
     )
+
+
+@register(
+    "dq_freshness_lag",
+    oracle="""
+    WITH g AS (SELECT max(ts) AS global_max FROM events),
+    s AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 max(ts) AS src_max
+          FROM events GROUP BY 1)
+    SELECT event_type, n,
+           CAST(date_diff('microsecond', src_max, g.global_max)
+                // 1000000 AS BIGINT) AS staleness_sec,
+           CASE WHEN date_diff('microsecond', src_max, g.global_max)
+                     // 1000000 > 86400
+                THEN 1 ELSE 0 END AS stale_flag
+    FROM s CROSS JOIN g
+    ORDER BY event_type
+    """,
+    tags=("dq", "freshness", "monitoring"),
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-FRESHNESS MONITOR — per-stream staleness without wall
+    clock: each event type's newest timestamp lags the GLOBAL newest
+    by its ingestion delay, which is how a pipeline health check is
+    phrased when the job itself must stay deterministic (now() would
+    make the result unreproducible and untestable; the freshest
+    stream defines 'now'). A feed whose staleness crosses the 24h
+    threshold flags — the alert that catches a dead producer before
+    downstream joins silently lose its rows. One scan, one grouped
+    aggregate, the 1-row global max attached by broadcast; lag is
+    exact integer seconds in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("global_max"))
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.max("ts").alias("src_max")
+    )
+    lag = F.floor(
+        (
+            F.unix_micros(F.col("global_max").cast("timestamp"))
+            - F.unix_micros(F.col("src_max").cast("timestamp"))
+        )
+        / 1000000
+    ).cast("long")
+    return (
+        s.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n",
+            lag.alias("staleness_sec"),
+            F.when(lag > 86400, 1).otherwise(0).alias("stale_flag"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "retention_halflife_fit",
+    oracle="""
+    WITH d AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+               FROM events GROUP BY 1, 2),
+    f AS (SELECT user_id, min(day) AS fday FROM d GROUP BY 1),
+    g AS (SELECT max(day) AS gmax FROM d),
+    coh AS (SELECT f.user_id, f.fday FROM f CROSS JOIN g
+            WHERE f.fday <= g.gmax - INTERVAL 14 DAY),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS cohort_n FROM coh),
+    act AS (
+      SELECT date_diff('day', c.fday, d.day) AS k,
+             CAST(count(DISTINCT d.user_id) AS BIGINT) AS actives
+      FROM d JOIN coh c ON d.user_id = c.user_id
+      WHERE date_diff('day', c.fday, d.day) BETWEEN 1 AND 14
+      GROUP BY 1),
+    pts AS (
+      SELECT CAST(k AS DOUBLE) AS k,
+             ln(CAST(actives AS DOUBLE) / cohort_n) AS lr
+      FROM act CROSS JOIN nn WHERE actives > 0),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(k) AS sk,
+                 sum(lr) AS sl, sum(k * k) AS skk, sum(k * lr) AS skl
+          FROM pts),
+    fit AS (
+      SELECT n, (n * skl - sk * sl) / (n * skk - sk * sk) AS b,
+             (sl - (n * skl - sk * sl) / (n * skk - sk * sk) * sk) / n
+               AS a
+      FROM s)
+    SELECT n AS n_points,
+           (SELECT cohort_n FROM nn) AS cohort_n,
+           CAST(floor(b * 1000000 + 0.5) AS BIGINT) AS slope_micro,
+           CAST(floor(a * 1000000 + 0.5) AS BIGINT) AS intercept_micro,
+           CASE WHEN b < 0
+                THEN CAST(floor(-ln(2) / b * 1000 + 0.5) AS BIGINT)
+                ELSE -1 END AS halflife_days_milli
+    FROM fit
+    """,
+    tags=("analytics", "retention", "fit", "churn"),
+)
+def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION HALF-LIFE — fit exponential decay to the day-k
+    retention curve (ln r_k = a + b*k, k = 1..14) and report the
+    churn half-life -ln2/b: the single number a growth review wants
+    from the retention triangle the cohort entry renders. Eligible
+    cohort = users with a full 14-day observation window (no
+    right-censoring bias); rates are exact distinct-user ratios; the
+    log-linear fit is the same sufficient-statistics closed form as
+    ml_linear_regression on a <= 14-point frame. On this fixture's
+    uniform traffic the curve is near-flat, so b can legitimately be
+    >= 0 — the half-life then reports the -1 sentinel rather than a
+    nonsense negative horizon (documented; NULL would break the
+    integer column's driver hash). Shapes: user-day collapse, first
+    day per user, one cohort join — all key-partitioned; the fit
+    itself is constant work."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    d.persist()
+    f = d.groupBy("user_id").agg(F.min("day").alias("fday"))
+    g = d.agg(F.max("day").alias("gmax"))
+    coh = (
+        f.crossJoin(F.broadcast(g))
+        .filter(F.col("fday") <= F.date_sub(F.col("gmax"), 14))
+        .select("user_id", "fday")
+    )
+    nn = coh.agg(F.count("*").alias("cohort_n"))
+    act = (
+        d.join(coh, "user_id")
+        .withColumn("k", F.datediff("day", "fday"))
+        .filter((F.col("k") >= 1) & (F.col("k") <= 14))
+        .groupBy("k")
+        .agg(F.countDistinct("user_id").alias("actives"))
+    )
+    pts = (
+        act.crossJoin(F.broadcast(nn))
+        .filter(F.col("actives") > 0)
+        .select(
+            F.col("k").cast("double").alias("k"),
+            F.log(
+                F.col("actives").cast("double") / F.col("cohort_n")
+            ).alias("lr"),
+        )
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sk"),
+        F.sum("lr").alias("sl"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+        F.sum(F.col("k") * F.col("lr")).alias("skl"),
+    )
+    b = (F.col("n") * F.col("skl") - F.col("sk") * F.col("sl")) / (
+        F.col("n") * F.col("skk") - F.col("sk") * F.col("sk")
+    )
+    a = (F.col("sl") - b * F.col("sk")) / F.col("n")
+    import math
+
+    return (
+        s.crossJoin(F.broadcast(nn))
+        .select(
+            F.col("n").alias("n_points"),
+            "cohort_n",
+            F.floor(b * 1000000 + F.lit(0.5)).cast("long").alias(
+                "slope_micro"
+            ),
+            F.floor(a * 1000000 + F.lit(0.5)).cast("long").alias(
+                "intercept_micro"
+            ),
+            F.when(
+                b < 0,
+                F.floor(F.lit(-math.log(2)) / b * 1000 + F.lit(0.5)).cast(
+                    "long"
+                ),
+            )
+            .otherwise(F.lit(-1).cast("long"))
+            .alias("halflife_days_milli"),
+        )
+    )
