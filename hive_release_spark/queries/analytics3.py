@@ -2922,3 +2922,115 @@ def customer_repurchase_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "orders_price_index",
+    oracle="""
+    WITH pm AS (
+      SELECT l_partkey AS part,
+             CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2),
+    base AS (
+      SELECT part, cents AS c0, qty AS q0,
+             CAST(cents AS DOUBLE) / qty AS p0
+      FROM pm WHERE month = DATE '1996-01-01'),
+    cur AS (
+      SELECT pm.month, pm.part,
+             CAST(pm.cents AS DOUBLE) / pm.qty AS pt,
+             pm.qty AS qt, b.p0, b.q0
+      FROM pm JOIN base b ON pm.part = b.part
+      WHERE pm.month > DATE '1996-01-01'),
+    idx AS (
+      SELECT month,
+             CAST(count(*) AS BIGINT) AS n_parts,
+             sum(pt * q0) / sum(p0 * q0) AS laspeyres,
+             sum(pt * qt) / sum(p0 * qt) AS paasche
+      FROM cur GROUP BY 1)
+    SELECT month, n_parts,
+           CAST(floor(laspeyres * 1000 + 0.5) AS BIGINT)
+             AS laspeyres_milli,
+           CAST(floor(paasche * 1000 + 0.5) AS BIGINT) AS paasche_milli,
+           CAST(floor(sqrt(laspeyres * paasche) * 1000 + 0.5) AS BIGINT)
+             AS fisher_milli
+    FROM idx ORDER BY month
+    """,
+    tags=("analytics", "economics", "price_index"),
+)
+def orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE INDEX SERIES — Laspeyres (base-period basket), Paasche
+    (current basket), and their Fisher geometric mean, monthly over
+    1996 with January as base: the standard answer to "are our
+    per-unit prices inflating, holding MIX constant?" that a raw
+    revenue/quantity ratio cannot give (mix shift masquerades as
+    price change — exactly what Laspeyres' fixed basket removes).
+    Unit prices are exact-cents/exact-quantity ratios per
+    (part, month); only parts present in BOTH base and current month
+    enter each month's basket (the common-basket rule); the weighted
+    sums collapse part-month grain to 11 index rows. One fact pass
+    to the part-month frame, one join against the base-month slice
+    (broadcastable at any SF — it is one month of parts), milli
+    folds on O(1) index values."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    pm = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.trunc("l_shipdate", "month").alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+    )
+    pm.persist()
+    base = pm.filter(F.col("month") == "1996-01-01").select(
+        "part",
+        (F.col("cents").cast("double") / F.col("qty")).alias("p0"),
+        F.col("qty").alias("q0"),
+    )
+    cur = (
+        pm.filter(F.col("month") > "1996-01-01")
+        .join(F.broadcast(base), "part")
+        .select(
+            "month",
+            (F.col("cents").cast("double") / F.col("qty")).alias("pt"),
+            F.col("qty").alias("qt"),
+            "p0",
+            "q0",
+        )
+    )
+    idx = cur.groupBy("month").agg(
+        F.count("*").alias("n_parts"),
+        (
+            F.sum(F.col("pt") * F.col("q0"))
+            / F.sum(F.col("p0") * F.col("q0"))
+        ).alias("laspeyres"),
+        (
+            F.sum(F.col("pt") * F.col("qt"))
+            / F.sum(F.col("p0") * F.col("qt"))
+        ).alias("paasche"),
+    )
+    return idx.select(
+        "month",
+        "n_parts",
+        F.floor(F.col("laspeyres") * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("laspeyres_milli"),
+        F.floor(F.col("paasche") * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("paasche_milli"),
+        F.floor(
+            F.sqrt(F.col("laspeyres") * F.col("paasche")) * 1000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("fisher_milli"),
+    ).orderBy("month")

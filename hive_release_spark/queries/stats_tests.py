@@ -756,3 +756,95 @@ def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("halflife_days_milli"),
         )
     )
+
+
+@register(
+    "stats_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sy,
+             CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+                      * CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) AS syy
+      FROM orders GROUP BY 1),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(sy) AS BIGINT) AS syt,
+             sum(syy) AS syyt,
+             sum(CAST(sy AS DOUBLE) * sy / n) AS sgm
+      FROM g),
+    ss AS (
+      SELECT k, nt,
+             (sgm - CAST(syt AS DOUBLE) * syt / nt) / 10000.0 AS ssb,
+             (syyt - sgm) / 10000.0 AS ssw,
+             (syyt - CAST(syt AS DOUBLE) * syt / nt) / 10000.0 AS sst
+      FROM t)
+    SELECT k AS n_groups, nt AS n_rows,
+           k - 1 AS dof_between, nt - k AS dof_within,
+           CAST(floor((ssb / (k - 1)) / (ssw / (nt - k)) * 1000 + 0.5)
+                AS BIGINT) AS f_milli,
+           CAST(floor(ssb / sst * 1000000 + 0.5) AS BIGINT)
+             AS eta2_micro
+    FROM ss
+    """,
+    tags=("stats", "hypothesis", "anova"),
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA across the five order priorities — the k-group
+    generalization of the two-sample entries (F = between-group /
+    within-group mean square, plus the eta-squared effect size). The
+    sums-of-squares identities keep everything sufficient-statistic
+    shaped: SSB = sum(sy_g^2/n_g) - sy^2/N and SSW = sum(syy_g) - the
+    same group term, so ONE grouped aggregate over exact BIGINT cents
+    (squares as DECIMAL/HUGEINT — the regression entry's overflow
+    lesson) collapses the fact to five rows and the F statistic is
+    constant work. The /1e4 rescale converts cents^2 to currency^2
+    identically in both engines before the folds."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("grp"), cents.alias("y"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+            .cast("double")
+            .alias("syy"),
+        )
+    )
+    t = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("nt"),
+        F.sum("sy").alias("syt"),
+        F.sum("syy").alias("syyt"),
+        F.sum(F.col("sy").cast("double") * F.col("sy") / F.col("n")).alias(
+            "sgm"
+        ),
+    )
+    ssb = (F.col("sgm") - F.col("syt").cast("double") * F.col("syt") / F.col("nt")) / 10000.0
+    ssw = (F.col("syyt") - F.col("sgm")) / 10000.0
+    sst = (
+        F.col("syyt")
+        - F.col("syt").cast("double") * F.col("syt") / F.col("nt")
+    ) / 10000.0
+    return t.select(
+        F.col("k").alias("n_groups"),
+        F.col("nt").alias("n_rows"),
+        (F.col("k") - 1).alias("dof_between"),
+        (F.col("nt") - F.col("k")).alias("dof_within"),
+        F.floor(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("nt") - F.col("k")))
+            * 1000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("f_milli"),
+        F.floor(ssb / sst * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("eta2_micro"),
+    )
