@@ -816,3 +816,60 @@ def sql_select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+@register(
+    "sql_named_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+                AS BIGINT) AS running_cents,
+           CAST(floor(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        OVER w3
+                      * 10.0 / count(*) OVER w3 + 0.5) AS BIGINT)
+             AS avg3_milli
+    FROM orders
+    WHERE o_custkey % 500 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, rn
+    """,
+    tags=("sql", "extension", "named_window"),
+)
+def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause — define partition/order specs once and
+    reference them from several window functions (two named windows:
+    the default running frame and a trailing-3 frame over the same
+    ordering): the de-duplication ergonomics long analytic queries
+    rely on. Both engines parse the IDENTICAL SQL text. (Spark 4 does
+    not yet accept SQL:2011's refine-in-place `(w ROWS BETWEEN ...)`
+    form — probed, PARSE_SYNTAX_ERROR — so the entry pins the portable
+    two-name spelling.) Money stays BIGINT cents inside the window
+    sums (a windowed avg of raw doubles hit the .xx5 shortest-repr
+    rounding split at sf0.1); the trailing average folds once from
+    exact longs. Both windows share one partitioning, so the physical
+    plan is the same shared-exchange window stack the unnamed
+    spelling produces."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+                    AS BIGINT) AS running_cents,
+               CAST(floor(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            OVER w3
+                          * 10.0 / count(*) OVER w3 + 0.5) AS BIGINT)
+                 AS avg3_milli
+        FROM orders
+        WHERE o_custkey % 500 = 0
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey),
+               w3 AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, rn
+        """
+    )

@@ -848,3 +848,100 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("eta2_micro"),
     )
+
+
+@register(
+    "stats_spearman_corr",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem),
+    rx AS (
+      SELECT x, 2 * COALESCE(sum(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS r2
+      FROM (SELECT x, CAST(count(*) AS BIGINT) AS c FROM pts GROUP BY 1)),
+    ry AS (
+      SELECT y, 2 * COALESCE(sum(c) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS r2
+      FROM (SELECT y, CAST(count(*) AS BIGINT) AS c FROM pts GROUP BY 1)),
+    rr AS (
+      SELECT rx.r2 AS a, ry.r2 AS b
+      FROM pts JOIN rx ON pts.x = rx.x JOIN ry ON pts.y = ry.y),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS sa,
+             CAST(sum(b) AS BIGINT) AS sb,
+             CAST(sum(CAST(a AS HUGEINT) * a) AS DOUBLE) AS saa,
+             CAST(sum(CAST(b AS HUGEINT) * b) AS DOUBLE) AS sbb,
+             CAST(sum(CAST(a AS HUGEINT) * b) AS DOUBLE) AS sab
+      FROM rr)
+    SELECT n,
+           CAST(floor((n * sab - CAST(sa AS DOUBLE) * sb)
+                      / sqrt((n * saa - CAST(sa AS DOUBLE) * sa)
+                             * (n * sbb - CAST(sb AS DOUBLE) * sb))
+                      * 1000000 + 0.5) AS BIGINT) AS spearman_micro
+    FROM s
+    """,
+    tags=("stats", "correlation", "rank", "robust"),
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION between line quantity and price —
+    the robust, monotonicity-not-linearity complement of Pearson
+    (outliers and curvature can't inflate it), composed WITHOUT a
+    per-row rank sort: each variable's midranks come from its
+    value-collapsed count frame (the Mann-Whitney identity — 2*rank
+    = 2*cum_excl + cnt + 1 keeps ranks integer), the rank maps join
+    back by value (quantity's 50-value map broadcasts; price's rides
+    the existing value collapse), and Pearson-on-ranks reduces to six
+    sufficient statistics — rank squares as DECIMAL/HUGEINT (they
+    clear long at ~1e6 rows), one closed-form fold. At 100 TB this is
+    two value-cardinality collapses + one co-partitioned join, not a
+    global sort."""
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    pts.persist()
+
+    def rank_map(col: str):
+        c = pts.groupBy(col).agg(F.count("*").alias("c"))
+        w = W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
+        return c.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias("r2"),
+        )
+
+    rx = rank_map("x").withColumnRenamed("r2", "a")
+    ry = rank_map("y").withColumnRenamed("r2", "b")
+    rr = pts.join(F.broadcast(rx), "x").join(ry, "y")
+    ad = F.col("a").cast("decimal(19,0)")
+    bd = F.col("b").cast("decimal(19,0)")
+    s = rr.agg(
+        F.count("*").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(ad * F.col("a")).cast("double").alias("saa"),
+        F.sum(bd * F.col("b")).cast("double").alias("sbb"),
+        F.sum(ad * F.col("b")).cast("double").alias("sab"),
+    )
+    num = F.col("n") * F.col("sab") - F.col("sa").cast("double") * F.col("sb")
+    den = F.sqrt(
+        (F.col("n") * F.col("saa") - F.col("sa").cast("double") * F.col("sa"))
+        * (
+            F.col("n") * F.col("sbb")
+            - F.col("sb").cast("double") * F.col("sb")
+        )
+    )
+    return s.select(
+        "n",
+        F.floor(num / den * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("spearman_micro"),
+    )
