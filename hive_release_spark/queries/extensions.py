@@ -873,3 +873,63 @@ def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_custkey, rn
         """
     )
+
+
+@register(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("source", "xml", "roundtrip"),
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML DATASOURCE roundtrip, oracle-gated for losslessness: the
+    events table is written as XML (Spark 4's native xml format — the
+    spark-xml donation, rowTag records) into the warehouse and read
+    BACK, and the aggregate over the re-read rows must hash-match the
+    oracle computed from the original parquet — any row drop, type
+    coercion, or encoding mangling in the XML path breaks the gate.
+    This closes the one self-describing text format the format matrix
+    (CSV/JSON/^A/regex/ORC/parquet/avro-gated) did not cover; the
+    value column rides as exact cents inside the aggregate so the
+    float-to-text-to-float XML trip cannot introduce ulps into the
+    hash (XML serializes shortest-repr decimal, which reparses to the
+    identical double — but the cents discipline makes the entry
+    independent of that guarantee). Scale note: XML write/read is a
+    plain FileFormat — partitioned, splittable on rowTag boundaries,
+    same parallelism story as JSON."""
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = os.path.join(
+        "spark-warehouse",
+        f"xml_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    (
+        ev.withColumn("ts", F.col("ts").cast("string"))
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "event")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .load(path)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )

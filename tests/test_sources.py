@@ -163,3 +163,53 @@ def test_csv_malformed_record_tolerance(spark, tmp_path):
         ).option("mode", "DROPMALFORMED").csv(p)
     )
     assert sorted(r.id for r in dropped.collect()) == [1, 3]
+
+
+def test_parquet_codec_matrix_roundtrips(spark, tmp_path):
+    """Every compression codec the deployment might set
+    (spark.sql.parquet.compression.codec) must roundtrip losslessly
+    and actually produce non-empty, codec-tagged files — a silent
+    fallback to uncompressed is a storage-cost regression at 100 TB."""
+    import glob
+    import os
+
+    from hive_release_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").limit(500)
+    expect = sorted(map(tuple, li.collect()))
+    for codec, tag in (
+        ("snappy", "snappy"),
+        ("zstd", "zstd"),
+        ("gzip", "gz"),
+        ("lz4", "lz4hadoop"),
+    ):
+        path = str(tmp_path / f"codec_{codec}")
+        li.write.mode("overwrite").option("compression", codec).parquet(
+            path
+        )
+        files = glob.glob(os.path.join(path, f"*.{tag}.parquet"))
+        assert files, f"no {codec}-tagged parquet files in {path}"
+        assert all(os.path.getsize(f) > 0 for f in files)
+        back = sorted(map(tuple, spark.read.parquet(path).collect()))
+        assert back == expect, f"{codec} roundtrip mismatch"
+
+
+def test_xml_roundtrip_preserves_rows_and_schema(spark, tmp_path):
+    """Spark 4's native XML format: write/read the documents table and
+    compare full row sets (ids, text, metadata) — the entry-level
+    aggregate gate (source_xml_roundtrip) plus this row-level check
+    cover both corruption classes (drops and mangling)."""
+    from hive_release_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "docs_xml")
+    docs.write.mode("overwrite").format("xml").option(
+        "rowTag", "doc"
+    ).save(path)
+    back = spark.read.format("xml").option("rowTag", "doc").load(path)
+    assert sorted(back.columns) == sorted(docs.columns)
+    a = sorted(map(tuple, docs.select(*sorted(docs.columns)).collect()))
+    b = sorted(map(tuple, back.select(*sorted(docs.columns)).collect()))
+    assert a == b
