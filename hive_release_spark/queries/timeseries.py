@@ -1042,3 +1042,155 @@ def timeseries_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("forecast_milli"),
     )
+
+
+@register(
+    "timeseries_holt_winters",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
+      FROM lineitem GROUP BY 1),
+    idx AS (SELECT x, row_number() OVER (ORDER BY day) AS rn FROM d),
+    init AS (
+      SELECT avg(CASE WHEN rn <= 7 THEN CAST(x AS DOUBLE) END) AS m1,
+             avg(CASE WHEN rn BETWEEN 8 AND 14
+                      THEN CAST(x AS DOUBLE) END) AS m2
+      FROM idx WHERE rn <= 14),
+    s0 AS (
+      SELECT list(CAST(x AS DOUBLE) - init.m1 ORDER BY rn) AS s
+      FROM idx CROSS JOIN init WHERE rn <= 7),
+    r AS (
+      SELECT CAST(14 AS BIGINT) AS rn, init.m2 AS l,
+             (init.m2 - init.m1) / 7 AS b, s0.s AS s
+      FROM init CROSS JOIN s0
+      UNION ALL
+      SELECT i.rn,
+             CAST(0.2 AS DOUBLE) * (i.x - r.s[CAST((i.rn - 1) % 7 AS INTEGER) + 1])
+               + CAST(0.8 AS DOUBLE) * (r.l + r.b),
+             CAST(0.05 AS DOUBLE)
+               * (CAST(0.2 AS DOUBLE)
+                    * (i.x - r.s[CAST((i.rn - 1) % 7 AS INTEGER) + 1])
+                  + CAST(0.8 AS DOUBLE) * (r.l + r.b) - r.l)
+               + CAST(0.95 AS DOUBLE) * r.b,
+             list_transform(range(1, 8), j -> CASE
+               WHEN j = CAST((i.rn - 1) % 7 AS INTEGER) + 1 THEN
+                 CAST(0.1 AS DOUBLE)
+                   * (i.x - (CAST(0.2 AS DOUBLE)
+                               * (i.x - r.s[CAST((i.rn - 1) % 7 AS INTEGER) + 1])
+                             + CAST(0.8 AS DOUBLE) * (r.l + r.b)))
+                 + CAST(0.9 AS DOUBLE) * r.s[j]
+               ELSE r.s[j] END)
+      FROM idx i JOIN r ON i.rn = r.rn + 1),
+    fin AS (SELECT * FROM r ORDER BY rn DESC LIMIT 1)
+    SELECT rn AS n_days,
+           CAST(floor(l * 1000 + 0.5) AS BIGINT) AS level_milli,
+           CAST(floor(b * 1000 + 0.5) AS BIGINT) AS trend_milli,
+           CAST(floor(s[CAST(rn % 7 AS INTEGER) + 1] * 1000 + 0.5)
+                AS BIGINT) AS next_season_milli,
+           CAST(floor((l + b + s[CAST(rn % 7 AS INTEGER) + 1]) * 1000
+                      + 0.5) AS BIGINT) AS forecast_milli
+    FROM fin
+    """,
+    tags=("timeseries", "forecast", "holt_winters", "seasonal"),
+)
+def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDITIVE HOLT-WINTERS with weekly seasonality on daily shipped
+    quantity — the capstone of the forecasting ladder (naive /
+    seasonal-naive backtest, EWMA, Holt, Croston, now triple
+    smoothing), and the hardest recursion the engine runs: the state
+    is a STRUCT carrying level, trend, and a 7-slot seasonal ARRAY,
+    one slot rewritten per step (alpha .2, beta .05, gamma .1;
+    textbook two-week initialization — level = week-2 mean, trend =
+    (week2-week1)/7, seasonals = week-1 deviations, recursion starts
+    day 15). The calendar-bounded day series folds through one
+    F.aggregate pass with the array updated via an index-matched
+    transform; the oracle replays the identical recurrence as a
+    recursive CTE carrying a LIST column (every literal CAST AS
+    DOUBLE — the Croston decimal-literal lesson), so the final state
+    and one-step forecast — which depend on every one of the ~2.5k
+    steps — match exactly. Output: trained state + h=1 forecast."""
+    d = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("x"))
+    )
+    packed = d.agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("sv")
+    ).select(F.transform("sv", lambda t: t["x"].cast("double")).alias("xs"))
+
+    m1 = F.aggregate(
+        F.slice("xs", 1, 7), F.lit(0.0), lambda a, x: a + x
+    ) / 7.0
+    m2 = F.aggregate(
+        F.slice("xs", 8, 7), F.lit(0.0), lambda a, x: a + x
+    ) / 7.0
+    init = packed.select(
+        "xs",
+        m1.alias("m1"),
+        m2.alias("m2"),
+        F.size("xs").cast("long").alias("n_days"),
+    ).select(
+        "n_days",
+        F.slice(
+            F.transform("xs", lambda x: x - F.col("m1")), 1, 7
+        ).alias("s0"),
+        F.col("m2").alias("l0"),
+        ((F.col("m2") - F.col("m1")) / 7).alias("b0"),
+        F.slice("xs", 15, 1000000).alias("rest"),
+    )
+    mseq = lambda t: ((t - 1) % 7 + 1).cast("integer")  # noqa: E731
+
+    def step(acc, x):
+        t = acc["t"] + 1
+        m = mseq(t)
+        sm = F.element_at(acc["s"], m)
+        lnew = F.lit(0.2) * (x - sm) + F.lit(0.8) * (acc["l"] + acc["b"])
+        bnew = F.lit(0.05) * (lnew - acc["l"]) + F.lit(0.95) * acc["b"]
+        snew = F.transform(
+            acc["s"],
+            lambda sj, j: F.when(
+                (j + 1) == m,
+                F.lit(0.1) * (x - lnew) + F.lit(0.9) * sj,
+            ).otherwise(sj),
+        )
+        return F.named_struct(
+            F.lit("l"), lnew,
+            F.lit("b"), bnew,
+            F.lit("s"), snew,
+            F.lit("t"), t,
+        )
+
+    folded = init.select(
+        "n_days",
+        F.aggregate(
+            F.col("rest"),
+            F.named_struct(
+                F.lit("l"), F.col("l0"),
+                F.lit("b"), F.col("b0"),
+                F.lit("s"), F.col("s0"),
+                F.lit("t"), F.lit(14).cast("long"),
+            ),
+            step,
+        ).alias("st"),
+    )
+    nxt = (F.col("st.t") % 7 + 1).cast("integer")
+    return folded.select(
+        F.col("st.t").alias("n_days"),
+        F.floor(F.col("st.l") * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("level_milli"),
+        F.floor(F.col("st.b") * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("trend_milli"),
+        F.floor(F.element_at(F.col("st.s"), nxt) * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("next_season_milli"),
+        F.floor(
+            (F.col("st.l") + F.col("st.b") + F.element_at(F.col("st.s"), nxt))
+            * 1000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("forecast_milli"),
+    )
