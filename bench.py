@@ -69,6 +69,10 @@ HEADLINE = (
     "sample_importance_dsir",  # persisted tokenize pass + broadcast LM score join (new r5)
     "ds_late_delivery_chain",  # q72 fact-fact shuffle + 4-dim broadcast chain (new r5)
     "events_ab_cuped",         # sufficient-statistics experimentation readout (new r5)
+    "stats_ks_two_sample",     # collapsed-frame ECDF hypothesis test (new r5)
+    "ml_linear_regression",    # one-scan sufficient-statistics model fit (new r5)
+    "sim_ann_sq8",             # int8 scalar-quantized ANN, integer-dot shortlist (new r5)
+    "ml_item_item_cf",         # basket-matrix cosine recommender (new r5)
 )
 
 
