@@ -136,16 +136,20 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 # CORRECTNESS_r05 and any r5 addition (r5 additions are NOT windowed
 # on arrival this round: displacing backlog entries would push the
 # never-witnessed count back over the ≤26 target).
-# The continued-r5 session then added 22 more entries (stats_* tests,
-# timeseries ACF/CCF, ml_* in-engine models, sim_ann_sq8,
+# The continued-r5 session then added 36 more entries (hypothesis
+# tests + ANOVA + Spearman + subsample-CI + power calc, ACF/CCF/
+# Croston/Holt-Winters, the ml_* in-engine model family, sim_ann_sq8,
 # search_tfidf_cosine, graph_jaccard_neighbors, text_ttr_hapax,
-# text_script_profile, emb_mean_shift_drift, sql_values_inline,
-# window_regr_slope, stream_watermark_late_drop,
-# agg_approx_top_k_contract) — all swept, all joining the backlog
-# BEHIND the 26 named leftovers; `python tools/witness_ledger.py`
-# stays the authoritative never-witnessed list (159 at this count —
-# r6/r7 windows drain it at 50/round, repaired-and-contract-changed
-# entries first, then registry order).
+# text_script_profile, emb_mean_shift_drift, sql_values_inline /
+# sql_select_except / sql_named_window, window_regr_slope,
+# stream_watermark_late_drop, source_xml_roundtrip, dq_freshness_lag,
+# retention_halflife_fit, orders_price_index, events_did_analysis,
+# agg_approx_top_k_contract) — all swept on all five axes, all
+# joining the backlog BEHIND the 26 named leftovers; `python
+# tools/witness_ledger.py` stays the authoritative never-witnessed
+# list (173 at the 343-entry registry — r6+ windows drain it at
+# 50/round, repaired-and-contract-changed entries first, then
+# registry order).
 DRIVER_WINDOW = [
     # repaired this round (ADVICE r4) — contract changed, witness first
     "window_exclude_current",
