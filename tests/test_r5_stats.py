@@ -240,3 +240,112 @@ def test_jsd_matches_direct_reference(spark):
             jsd += 0.5 * q * math.log2(q / m)
     assert abs(row["jsd"] - jsd) < 1e-4
     assert row["union_terms"] == len(terms)
+
+
+def test_croston_matches_sequential_reference(spark):
+    """The fold state (sizes smoother, interval smoother, forecast)
+    equals a plain sequential implementation of Croston's recursion
+    at the pinned convention (alpha .2, p0 = 1 at first demand)."""
+    import math
+
+    from hive_release_spark.queries import REGISTRY
+
+    rows = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .filter(F.col("l_partkey") % 97 == 0)
+        .groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("d"))
+        .orderBy("day")
+        .collect()
+    )
+    z = p = prev = None
+    for r in rows:
+        if z is None:
+            z, p = float(r["d"]), 1.0
+        else:
+            z = 0.2 * r["d"] + 0.8 * z
+            p = 0.2 * (r["day"] - prev).days + 0.8 * p
+        prev = r["day"]
+    out = REGISTRY["timeseries_croston"].fn(spark, SF_SMOKE).collect()[0]
+    assert out["n_demand_days"] == len(rows)
+    assert out["z_milli"] == math.floor(z * 1000 + 0.5)
+    assert out["p_milli"] == math.floor(p * 1000 + 0.5)
+    assert out["forecast_milli"] == math.floor(z / p * 1000 + 0.5)
+
+
+def test_holt_winters_matches_sequential_reference(spark):
+    """The triple-smoother final state and h=1 forecast equal a plain
+    sequential implementation (alpha .2, beta .05, gamma .1, two-week
+    textbook init, weekly season)."""
+    import math
+
+    from hive_release_spark.queries import REGISTRY
+
+    rows = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("x"))
+        .orderBy("day")
+        .collect()
+    )
+    xs = [float(r["x"]) for r in rows]
+    m1 = sum(xs[:7]) / 7.0
+    m2 = sum(xs[7:14]) / 7.0
+    level, trend = m2, (m2 - m1) / 7
+    s = [x - m1 for x in xs[:7]]
+    t = 14
+    for x in xs[14:]:
+        t += 1
+        m = (t - 1) % 7
+        lnew = 0.2 * (x - s[m]) + 0.8 * (level + trend)
+        trend = 0.05 * (lnew - level) + 0.95 * trend
+        s[m] = 0.1 * (x - lnew) + 0.9 * s[m]
+        level = lnew
+    nxt = t % 7
+    out = (
+        REGISTRY["timeseries_holt_winters"].fn(spark, SF_SMOKE).collect()[0]
+    )
+    assert out["n_days"] == t == len(xs)
+    assert out["level_milli"] == math.floor(level * 1000 + 0.5)
+    assert out["trend_milli"] == math.floor(trend * 1000 + 0.5)
+    assert out["next_season_milli"] == math.floor(s[nxt] * 1000 + 0.5)
+    assert out["forecast_milli"] == math.floor(
+        (level + trend + s[nxt]) * 1000 + 0.5
+    )
+
+
+def test_spearman_matches_numpy_rank_corr(spark):
+    """Midrank-composed Spearman equals numpy Pearson on explicitly
+    computed average ranks."""
+    import numpy as np
+
+    from hive_release_spark.queries import REGISTRY
+
+    rows = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select(
+            F.col("l_quantity").cast("long").alias("x"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        )
+        .collect()
+    )
+    x = np.array([r["x"] for r in rows], dtype=np.float64)
+    y = np.array([r["y"] for r in rows], dtype=np.float64)
+
+    def midranks(v):
+        order = np.argsort(v, kind="mergesort")
+        ranks = np.empty(len(v))
+        sv = v[order]
+        i = 0
+        while i < len(v):
+            j = i
+            while j < len(v) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2
+            i = j
+        return ranks
+
+    expect = np.corrcoef(midranks(x), midranks(y))[0, 1]
+    out = REGISTRY["stats_spearman_corr"].fn(spark, SF_SMOKE).collect()[0]
+    assert out["n"] == len(rows)
+    assert abs(out["spearman_micro"] / 1e6 - expect) < 1e-5, (out, expect)
