@@ -945,3 +945,136 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("spearman_micro"),
     )
+
+
+_ERF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _erf_sql(x: str) -> str:
+    """Abramowitz-Stegun 7.1.26 erf approximation as SQL text over a
+    non-negative expression ``x`` — spelled ONCE and reused verbatim
+    in the oracle so both engines run the identical polynomial."""
+    a1, a2, a3, a4, a5 = _ERF_A
+    t = f"(1.0 / (1.0 + 0.3275911 * ({x})))"
+    poly = (
+        f"({a1} * {t} + {a2} * {t} * {t} + {a3} * {t} * {t} * {t}"
+        f" + {a4} * {t} * {t} * {t} * {t}"
+        f" + {a5} * {t} * {t} * {t} * {t} * {t})"
+    )
+    return f"(1.0 - {poly} * exp(-({x}) * ({x})))"
+
+
+@register(
+    "stats_fdr_bh",
+    oracle=f"""
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS k
+      FROM orders GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                 CAST(sum(k) AS BIGINT) AS kt FROM g),
+    z AS (
+      SELECT grp, n, k,
+             (CAST(k AS DOUBLE) / n - CAST(kt AS DOUBLE) / nt)
+               / sqrt(CAST(kt AS DOUBLE) / nt
+                      * (1.0 - CAST(kt AS DOUBLE) / nt) / n) AS zv
+      FROM g CROSS JOIN t),
+    p AS (
+      SELECT grp, n, k, zv,
+             1.0 - {_erf_sql("abs(zv) / sqrt(2.0)")} AS pv
+      FROM z),
+    ranked AS (
+      SELECT grp, n, k, zv, pv,
+             row_number() OVER (ORDER BY pv, grp) AS rk,
+             count(*) OVER () AS m
+      FROM p),
+    cut AS (
+      SELECT COALESCE(max(CASE WHEN pv <= rk * 0.10 / m
+                               THEN rk END) OVER (), 0) AS max_rk
+      FROM ranked LIMIT 1)
+    SELECT grp, n, k,
+           CAST(floor(zv * 1000 + 0.5) AS BIGINT) AS z_milli,
+           CAST(floor(pv * 1000000 + 0.5) AS BIGINT) AS p_micro,
+           CAST(rk AS BIGINT) AS rk,
+           CASE WHEN rk <= cut.max_rk THEN 1 ELSE 0 END AS rejected
+    FROM ranked CROSS JOIN cut
+    ORDER BY rk
+    """,
+    tags=("stats", "hypothesis", "fdr", "multiple_testing"),
+)
+def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-HOCHBERG FDR CORRECTION — the step every dashboard
+    that fires a FAMILY of hypothesis tests needs before alerting
+    (five one-vs-rest two-proportion tests here: does a priority
+    class's F-status rate deviate from pooled? at q = .10 each
+    p-value is compared to rank/m * q and everything at or below the
+    LARGEST passing rank rejects — the step-up rule). The normal CDF
+    needs erf, which neither engine exposes portably — so the
+    Abramowitz-Stegun 7.1.26 polynomial is spelled ONCE as shared SQL
+    text and run IDENTICALLY in both engines (|rel err| < 1.5e-7,
+    folded at micro). Shape: one grouped aggregate to 5 cells, the
+    rest is window algebra on the hypothesis-family frame — m is
+    tiny by definition, so BH costs nothing at any corpus scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("k"),
+    )
+    t = g.agg(F.sum("n").alias("nt"), F.sum("k").alias("kt"))
+    p0 = F.col("kt").cast("double") / F.col("nt")
+    zv = (F.col("k").cast("double") / F.col("n") - p0) / F.sqrt(
+        p0 * (1.0 - p0) / F.col("n")
+    )
+    z = g.crossJoin(F.broadcast(t)).withColumn("zv", zv)
+    x = F.abs(F.col("zv")) / F.sqrt(F.lit(2.0))
+    tt = 1.0 / (1.0 + 0.3275911 * x)
+    a1, a2, a3, a4, a5 = _ERF_A
+    poly = (
+        a1 * tt
+        + a2 * tt * tt
+        + a3 * tt * tt * tt
+        + a4 * tt * tt * tt * tt
+        + a5 * tt * tt * tt * tt * tt
+    )
+    erf = 1.0 - poly * F.exp(-x * x)
+    p = z.withColumn("pv", 1.0 - erf)
+    ranked = p.select(
+        "grp",
+        "n",
+        "k",
+        "zv",
+        "pv",
+        F.row_number().over(W.orderBy("pv", "grp")).alias("rk"),
+        F.count("*").over(W.partitionBy()).alias("m"),
+    )
+    cut = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("pv") <= F.col("rk") * 0.10 / F.col("m"),
+                    F.col("rk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("max_rk")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cut))
+        .select(
+            "grp",
+            "n",
+            "k",
+            F.floor(F.col("zv") * 1000 + F.lit(0.5))
+            .cast("long")
+            .alias("z_milli"),
+            F.floor(F.col("pv") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("p_micro"),
+            F.col("rk").cast("long").alias("rk"),
+            F.when(F.col("rk") <= F.col("max_rk"), 1)
+            .otherwise(0)
+            .alias("rejected"),
+        )
+        .orderBy("rk")
+    )
