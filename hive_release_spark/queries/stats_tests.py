@@ -1078,3 +1078,142 @@ def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+@register(
+    "stats_randomization_test",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             (strpos('0123456789abcdef',
+                substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+               % 2 AS arm,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id),
+    obs AS (
+      SELECT CAST(sum(CASE WHEN arm = 1 THEN conv END) AS DOUBLE)
+               / count(CASE WHEN arm = 1 THEN 1 END)
+             - CAST(sum(CASE WHEN arm = 0 THEN conv END) AS DOUBLE)
+               / count(CASE WHEN arm = 0 THEN 1 END) AS d_obs
+      FROM u),
+    perm AS (
+      SELECT t.b,
+             (strpos('0123456789abcdef',
+                substr(md5('perm' || CAST(t.b AS VARCHAR) || ':'
+                           || CAST(u.user_id AS VARCHAR)), 1, 1)) - 1)
+               % 2 AS arm,
+             u.conv
+      FROM u, range(0, 32) t(b)),
+    pd AS (
+      SELECT b,
+             CAST(sum(CASE WHEN arm = 1 THEN conv END) AS DOUBLE)
+               / count(CASE WHEN arm = 1 THEN 1 END)
+             - CAST(sum(CASE WHEN arm = 0 THEN conv END) AS DOUBLE)
+               / count(CASE WHEN arm = 0 THEN 1 END) AS d_b
+      FROM perm GROUP BY b),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS b_total,
+             CAST(count(*) FILTER (abs(d_b) >= abs(obs.d_obs))
+                  AS BIGINT) AS n_extreme,
+             max(obs.d_obs) AS d_obs
+      FROM pd CROSS JOIN obs)
+    SELECT b_total, n_extreme,
+           CAST(floor(d_obs * 1000000 + 0.5) AS BIGINT) AS d_obs_micro,
+           CAST(floor((1.0 + n_extreme) / (1.0 + b_total) * 1000 + 0.5)
+                AS BIGINT) AS p_milli
+    FROM s
+    """,
+    tags=("stats", "hypothesis", "randomization", "resampling"),
+)
+def stats_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOMIZATION (permutation) TEST for the experiment's rate
+    difference — the assumption-free alternative to the normal
+    approximation the uplift z-test leans on: re-label every user 32
+    times with independent salted-md5 coins and ask how often a
+    re-labeled world produces a difference at least as extreme as the
+    observed one; p = (1+extreme)/(1+B), the add-one permutation
+    estimator. Determinism is the whole design: "random" relabelings
+    are hash functions of (salt, user), so reruns and engines agree
+    exactly — the same trick as the subsample-CI and A/B-arm entries,
+    extended to a full resampling INFERENCE procedure. Shape: the
+    corpus collapses to the user-conversion frame ONCE; the 32x
+    fan-out explodes that collapsed frame (never the raw events), and
+    each world reduces map-side to 2 cells — 64 aggregate rows of
+    exact counts total, diffs are single divisions."""
+    ev = load_table(spark, sf_dir, "events")
+    arm_of = lambda prefix: (  # noqa: E731
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(prefix), 1, 1),
+        )
+        - 1
+    ) % 2
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    ).withColumn(
+        "arm",
+        arm_of(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))),
+    )
+    u.persist()
+
+    def rate_diff(df):
+        return df.agg(
+            (
+                F.sum(F.when(F.col("arm") == 1, F.col("conv"))).cast(
+                    "double"
+                )
+                / F.count(F.when(F.col("arm") == 1, 1))
+                - F.sum(F.when(F.col("arm") == 0, F.col("conv"))).cast(
+                    "double"
+                )
+                / F.count(F.when(F.col("arm") == 0, 1))
+            ).alias("d")
+        )
+
+    obs = rate_diff(u).withColumnRenamed("d", "d_obs")
+    perm = u.withColumn(
+        "b", F.explode(F.array(*[F.lit(i) for i in range(32)]))
+    ).withColumn(
+        "arm",
+        arm_of(
+            F.concat(
+                F.lit("perm"),
+                F.col("b").cast("string"),
+                F.lit(":"),
+                F.col("user_id").cast("string"),
+            )
+        ),
+    )
+    pd_ = perm.groupBy("b").agg(
+        (
+            F.sum(F.when(F.col("arm") == 1, F.col("conv"))).cast("double")
+            / F.count(F.when(F.col("arm") == 1, 1))
+            - F.sum(F.when(F.col("arm") == 0, F.col("conv"))).cast(
+                "double"
+            )
+            / F.count(F.when(F.col("arm") == 0, 1))
+        ).alias("d_b")
+    )
+    s = pd_.crossJoin(F.broadcast(obs)).agg(
+        F.count("*").alias("b_total"),
+        F.count(
+            F.when(F.abs(F.col("d_b")) >= F.abs(F.col("d_obs")), 1)
+        ).alias("n_extreme"),
+        F.max("d_obs").alias("d_obs"),
+    )
+    return s.select(
+        "b_total",
+        "n_extreme",
+        F.floor(F.col("d_obs") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("d_obs_micro"),
+        F.floor(
+            (1.0 + F.col("n_extreme")) / (1.0 + F.col("b_total")) * 1000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("p_milli"),
+    )
