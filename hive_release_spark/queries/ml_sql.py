@@ -897,3 +897,277 @@ def ml_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+@register(
+    "ml_boosted_stumps",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_discount * 100) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sy,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) AS syy
+      FROM lineitem GROUP BY 1, 2),
+    aq AS (
+      SELECT q, CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(sy) AS BIGINT) AS sy, sum(syy) AS syy
+      FROM cells GROUP BY 1),
+    ac AS (
+      SELECT q,
+             CAST(sum(n) OVER w AS BIGINT) AS nl,
+             CAST(sum(sy) OVER w AS BIGINT) AS syl,
+             sum(syy) OVER w AS syyl,
+             CAST(sum(n) OVER () AS BIGINT) AS nt,
+             CAST(sum(sy) OVER () AS BIGINT) AS syt,
+             sum(syy) OVER () AS syyt
+      FROM aq
+      WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)),
+    a1 AS (
+      SELECT q, nl, nt, syt, syyt,
+             CAST(syl AS DOUBLE) / nl AS leaf_l,
+             (CAST(syt AS DOUBLE) - syl) / (nt - nl) AS leaf_r,
+             (syyl - CAST(syl AS DOUBLE) * syl / nl)
+             + ((syyt - syyl)
+                - (CAST(syt AS DOUBLE) - syl) * (CAST(syt AS DOUBLE) - syl)
+                  / (nt - nl)) AS sse
+      FROM ac WHERE nl < nt),
+    best1 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (ORDER BY sse, q) AS rn FROM a1)
+      WHERE rn = 1),
+    bres AS (
+      SELECT c.d,
+             CAST(sum(c.n) AS BIGINT) AS n,
+             sum(c.sy - c.n * CASE WHEN c.q <= b.q THEN b.leaf_l
+                                   ELSE b.leaf_r END) AS sr,
+             sum(c.syy
+                 - 2 * CASE WHEN c.q <= b.q THEN b.leaf_l
+                            ELSE b.leaf_r END * c.sy
+                 + c.n * CASE WHEN c.q <= b.q THEN b.leaf_l
+                              ELSE b.leaf_r END
+                       * CASE WHEN c.q <= b.q THEN b.leaf_l
+                              ELSE b.leaf_r END) AS srr
+      FROM cells c CROSS JOIN best1 b GROUP BY c.d),
+    bc AS (
+      SELECT d,
+             CAST(sum(n) OVER w AS BIGINT) AS nl,
+             sum(sr) OVER w AS srl,
+             sum(srr) OVER w AS srrl,
+             CAST(sum(n) OVER () AS BIGINT) AS nt,
+             sum(sr) OVER () AS srt,
+             sum(srr) OVER () AS srrt
+      FROM bres
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)),
+    b1 AS (
+      SELECT d, nl, nt, srrt,
+             srl / nl AS leaf_l,
+             (srt - srl) / (nt - nl) AS leaf_r,
+             (srrl - srl * srl / nl)
+             + ((srrt - srrl)
+                - (srt - srl) * (srt - srl) / (nt - nl)) AS sse
+      FROM bc WHERE nl < nt),
+    best2 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (ORDER BY sse, d) AS rn FROM b1)
+      WHERE rn = 1)
+    SELECT 1 AS stage, 'quantity' AS feature,
+           b.q AS threshold, b.nl AS n_left,
+           CAST(floor(b.leaf_l / 100.0 * 1000 + 0.5) AS BIGINT)
+             AS leaf_left_milli,
+           CAST(floor(b.leaf_r / 100.0 * 1000 + 0.5) AS BIGINT)
+             AS leaf_right_milli,
+           CAST(floor((b.syyt - CAST(b.syt AS DOUBLE) * b.syt / b.nt)
+                      / b.nt / 10000.0 * 1000 + 0.5) AS BIGINT)
+             AS mse_before_milli,
+           CAST(floor(b.sse / b.nt / 10000.0 * 1000 + 0.5) AS BIGINT)
+             AS mse_after_milli
+    FROM best1 b
+    UNION ALL
+    SELECT 2, 'discount', b2.d, b2.nl,
+           CAST(floor(b2.leaf_l / 100.0 * 1000 + 0.5) AS BIGINT),
+           CAST(floor(b2.leaf_r / 100.0 * 1000 + 0.5) AS BIGINT),
+           CAST(floor(b2.srrt / b2.nt / 10000.0 * 1000 + 0.5) AS BIGINT),
+           CAST(floor(b2.sse / b2.nt / 10000.0 * 1000 + 0.5) AS BIGINT)
+    FROM best2 b2
+    ORDER BY stage
+    """,
+    tags=("ml", "tree", "boosting", "gbdt"),
+)
+def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO GRADIENT-BOOSTING ROUNDS of SSE decision stumps — round 1
+    fits price on quantity, round 2 fits the RESIDUALS on discount:
+    the additive-model training loop of every GBDT library, executed
+    with ONE fact pass total. The trick is the (quantity, discount)
+    HISTOGRAM-CELL frame (bounded by value-cardinality product, ~550
+    cells): round 1 marginalizes it over discount; round 2 needs
+    per-cell residual moments, which decompose ALGEBRAICALLY —
+    Sr = Sy - n*leaf(side), Srr = Syy - 2*leaf*Sy + n*leaf^2 — so no
+    residual is ever materialized per row and the second round reads
+    the SAME cell frame joined to round 1's 1-row broadcast. Every
+    input moment is exact (BIGINT cents, DECIMAL squares); the leaf
+    values and SSE algebra are identical expression trees in both
+    engines. Output: per round, the split, leaves, and the mse
+    before/after — mse must fall monotonically, which the parity test
+    asserts. At 100 TB: high-cardinality features pre-bin to quantile
+    buckets (the equi-depth path) and the same algebra applies."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    cells = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").cast("long").alias("q"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+            cents.alias("y"),
+        )
+        .groupBy("q", "d")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+            .cast("double")
+            .alias("syy"),
+        )
+    )
+    cells.persist()
+    aq = cells.groupBy("q").agg(
+        F.sum("n").alias("n"), F.sum("sy").alias("sy"), F.sum("syy").alias("syy")
+    )
+    wc = W.orderBy("q").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wa = W.partitionBy()
+    ac = aq.select(
+        "q",
+        F.sum("n").over(wc).alias("nl"),
+        F.sum("sy").over(wc).alias("syl"),
+        F.sum("syy").over(wc).alias("syyl"),
+        F.sum("n").over(wa).alias("nt"),
+        F.sum("sy").over(wa).alias("syt"),
+        F.sum("syy").over(wa).alias("syyt"),
+    )
+    leaf_l = F.col("syl").cast("double") / F.col("nl")
+    leaf_r = (F.col("syt").cast("double") - F.col("syl")) / (
+        F.col("nt") - F.col("nl")
+    )
+    sse1 = (
+        F.col("syyl") - F.col("syl").cast("double") * F.col("syl") / F.col("nl")
+    ) + (
+        (F.col("syyt") - F.col("syyl"))
+        - (F.col("syt").cast("double") - F.col("syl"))
+        * (F.col("syt").cast("double") - F.col("syl"))
+        / (F.col("nt") - F.col("nl"))
+    )
+    a1 = (
+        ac.filter(F.col("nl") < F.col("nt"))
+        .select(
+            "q",
+            "nl",
+            "nt",
+            "syt",
+            "syyt",
+            leaf_l.alias("leaf_l"),
+            leaf_r.alias("leaf_r"),
+            sse1.alias("sse"),
+        )
+    )
+    best1 = (
+        a1.withColumn("rn", F.row_number().over(W.orderBy("sse", "q")))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    b = F.broadcast(
+        best1.select(
+            F.col("q").alias("t1"),
+            F.col("leaf_l").alias("bl"),
+            F.col("leaf_r").alias("br"),
+        )
+    )
+    leaf = F.when(F.col("q") <= F.col("t1"), F.col("bl")).otherwise(
+        F.col("br")
+    )
+    bres = (
+        cells.crossJoin(b)
+        .groupBy("d")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum(F.col("sy") - F.col("n") * leaf).alias("sr"),
+            F.sum(
+                F.col("syy")
+                - 2 * leaf * F.col("sy")
+                + F.col("n") * leaf * leaf
+            ).alias("srr"),
+        )
+    )
+    wd = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    bc = bres.select(
+        "d",
+        F.sum("n").over(wd).alias("nl"),
+        F.sum("sr").over(wd).alias("srl"),
+        F.sum("srr").over(wd).alias("srrl"),
+        F.sum("n").over(wa).alias("nt"),
+        F.sum("sr").over(wa).alias("srt"),
+        F.sum("srr").over(wa).alias("srrt"),
+    )
+    leaf2_l = F.col("srl") / F.col("nl")
+    leaf2_r = (F.col("srt") - F.col("srl")) / (F.col("nt") - F.col("nl"))
+    sse2 = (
+        F.col("srrl") - F.col("srl") * F.col("srl") / F.col("nl")
+    ) + (
+        (F.col("srrt") - F.col("srrl"))
+        - (F.col("srt") - F.col("srl"))
+        * (F.col("srt") - F.col("srl"))
+        / (F.col("nt") - F.col("nl"))
+    )
+    b1 = (
+        bc.filter(F.col("nl") < F.col("nt"))
+        .select(
+            "d",
+            "nl",
+            "nt",
+            "srrt",
+            leaf2_l.alias("leaf_l"),
+            leaf2_r.alias("leaf_r"),
+            sse2.alias("sse"),
+        )
+    )
+    best2 = (
+        b1.withColumn("rn", F.row_number().over(W.orderBy("sse", "d")))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    fold_leaf = lambda c: F.floor(c / 100.0 * 1000 + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+    fold_mse = lambda c: F.floor(  # noqa: E731
+        c / 10000.0 * 1000 + F.lit(0.5)
+    ).cast("long")
+    r1 = best1.select(
+        F.lit(1).alias("stage"),
+        F.lit("quantity").alias("feature"),
+        F.col("q").alias("threshold"),
+        F.col("nl").alias("n_left"),
+        fold_leaf(F.col("leaf_l")).alias("leaf_left_milli"),
+        fold_leaf(F.col("leaf_r")).alias("leaf_right_milli"),
+        fold_mse(
+            (
+                F.col("syyt")
+                - F.col("syt").cast("double") * F.col("syt") / F.col("nt")
+            )
+            / F.col("nt")
+        ).alias("mse_before_milli"),
+        fold_mse(F.col("sse") / F.col("nt")).alias("mse_after_milli"),
+    )
+    r2 = best2.select(
+        F.lit(2).alias("stage"),
+        F.lit("discount").alias("feature"),
+        F.col("d").alias("threshold"),
+        F.col("nl").alias("n_left"),
+        fold_leaf(F.col("leaf_l")).alias("leaf_left_milli"),
+        fold_leaf(F.col("leaf_r")).alias("leaf_right_milli"),
+        fold_mse(F.col("srrt") / F.col("nt")).alias("mse_before_milli"),
+        fold_mse(F.col("sse") / F.col("nt")).alias("mse_after_milli"),
+    )
+    return r1.unionByName(r2).orderBy("stage")

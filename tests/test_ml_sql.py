@@ -146,3 +146,22 @@ def test_naive_bayes_beats_uniform_chance(spark):
         assert 0 <= r["n_correct"] <= r["n_test"]
     again = REGISTRY["ml_naive_bayes_langid"].fn(spark, SF_SMOKE).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_boosted_stumps_mse_decreases_monotonically(spark):
+    """Boosting must help: each round's mse_after < its mse_before,
+    and round 2's mse_before equals round 1's mse_after (the residual
+    handoff is lossless — the algebraic residual-moment decomposition
+    did not leak mass)."""
+    rows = {
+        r["stage"]: r
+        for r in REGISTRY["ml_boosted_stumps"].fn(spark, SF_SMOKE).collect()
+    }
+    r1, r2 = rows[1], rows[2]
+    assert r1["mse_after_milli"] < r1["mse_before_milli"], r1
+    assert r2["mse_after_milli"] < r2["mse_before_milli"], r2
+    assert abs(r2["mse_before_milli"] - r1["mse_after_milli"]) <= 1, (
+        r1,
+        r2,
+    )
+    assert r1["feature"] == "quantity" and r2["feature"] == "discount"
