@@ -136,7 +136,7 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 # CORRECTNESS_r05 and any r5 addition (r5 additions are NOT windowed
 # on arrival this round: displacing backlog entries would push the
 # never-witnessed count back over the ≤26 target).
-# The continued-r5 session then added 36 more entries (hypothesis
+# The continued-r5 session then added 39 more entries (hypothesis
 # tests + ANOVA + Spearman + subsample-CI + power calc, ACF/CCF/
 # Croston/Holt-Winters, the ml_* in-engine model family, sim_ann_sq8,
 # search_tfidf_cosine, graph_jaccard_neighbors, text_ttr_hapax,
@@ -147,9 +147,10 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 # agg_approx_top_k_contract) — all swept on all five axes, all
 # joining the backlog BEHIND the 26 named leftovers; `python
 # tools/witness_ledger.py` stays the authoritative never-witnessed
-# list (173 at the 343-entry registry — r6+ windows drain it at
+# list (176 at the 346-entry registry — r6+ windows drain it at
 # 50/round, repaired-and-contract-changed entries first, then
-# registry order).
+# registry order). Late additions past that comment: stats_fdr_bh,
+# stats_randomization_test, ml_boosted_stumps.
 DRIVER_WINDOW = [
     # repaired this round (ADVICE r4) — contract changed, witness first
     "window_exclude_current",
