@@ -662,15 +662,22 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
                  sum(lr) AS sl, sum(k * k) AS skk, sum(k * lr) AS skl
           FROM pts),
     fit AS (
-      SELECT n, (n * skl - sk * sl) / (n * skk - sk * sk) AS b,
-             (sl - (n * skl - sk * sl) / (n * skk - sk * sk) * sk) / n
-               AS a
+      SELECT n,
+             CASE WHEN n * skk - sk * sk > 0
+                  THEN (n * skl - sk * sl) / (n * skk - sk * sk) END AS b,
+             CASE WHEN n * skk - sk * sk > 0
+                  THEN (sl - (n * skl - sk * sl)
+                             / (n * skk - sk * sk) * sk) / n END AS a
       FROM s)
     SELECT n AS n_points,
            (SELECT cohort_n FROM nn) AS cohort_n,
-           CAST(floor(b * 1000000 + 0.5) AS BIGINT) AS slope_micro,
-           CAST(floor(a * 1000000 + 0.5) AS BIGINT) AS intercept_micro,
-           CASE WHEN b < 0
+           CASE WHEN b IS NULL THEN -999999999
+                ELSE CAST(floor(b * 1000000 + 0.5) AS BIGINT) END
+             AS slope_micro,
+           CASE WHEN a IS NULL THEN -999999999
+                ELSE CAST(floor(a * 1000000 + 0.5) AS BIGINT) END
+             AS intercept_micro,
+           CASE WHEN b IS NOT NULL AND b < 0
                 THEN CAST(floor(-ln(2) / b * 1000 + 0.5) AS BIGINT)
                 ELSE -1 END AS halflife_days_milli
     FROM fit
@@ -729,25 +736,31 @@ def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("k") * F.col("k")).alias("skk"),
         F.sum(F.col("k") * F.col("lr")).alias("skl"),
     )
-    b = (F.col("n") * F.col("skl") - F.col("sk") * F.col("sl")) / (
+    deg = (
         F.col("n") * F.col("skk") - F.col("sk") * F.col("sk")
+    ) > 0
+    b = F.when(
+        deg,
+        (F.col("n") * F.col("skl") - F.col("sk") * F.col("sl"))
+        / (F.col("n") * F.col("skk") - F.col("sk") * F.col("sk")),
     )
-    a = (F.col("sl") - b * F.col("sk")) / F.col("n")
+    a = F.when(deg, (F.col("sl") - b * F.col("sk")) / F.col("n"))
     import math
 
+    sentinel = F.lit(-999999999).cast("long")
     return (
         s.crossJoin(F.broadcast(nn))
         .select(
             F.col("n").alias("n_points"),
             "cohort_n",
-            F.floor(b * 1000000 + F.lit(0.5)).cast("long").alias(
-                "slope_micro"
-            ),
-            F.floor(a * 1000000 + F.lit(0.5)).cast("long").alias(
-                "intercept_micro"
-            ),
+            F.when(b.isNull(), sentinel)
+            .otherwise(F.floor(b * 1000000 + F.lit(0.5)).cast("long"))
+            .alias("slope_micro"),
+            F.when(a.isNull(), sentinel)
+            .otherwise(F.floor(a * 1000000 + F.lit(0.5)).cast("long"))
+            .alias("intercept_micro"),
             F.when(
-                b < 0,
+                b.isNotNull() & (b < 0),
                 F.floor(F.lit(-math.log(2)) / b * 1000 + F.lit(0.5)).cast(
                     "long"
                 ),
