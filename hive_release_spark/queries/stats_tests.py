@@ -1230,3 +1230,107 @@ def stats_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p_milli"),
     )
+
+
+@register(
+    "stats_weibull_fit",
+    oracle="""
+    WITH lat AS (
+      SELECT l_orderkey,
+             CAST(date_diff('day', min(l_shipdate), max(l_shipdate))
+                  AS BIGINT) + 1 AS t
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM lat),
+    ec AS (
+      SELECT t, CAST(sum(c) OVER (ORDER BY t) AS BIGINT) AS cum, nt
+      FROM (SELECT t, CAST(count(*) AS BIGINT) AS c
+            FROM lat GROUP BY 1) CROSS JOIN tot),
+    pts AS (
+      SELECT ln(CAST(t AS DOUBLE)) AS x,
+             ln(-ln(1.0 - CAST(cum AS DOUBLE) / nt)) AS y
+      FROM ec WHERE cum < nt AND t > 1),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+                 sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+          FROM pts),
+    fit AS (
+      SELECT n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS k,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS c
+      FROM s)
+    SELECT n AS n_points,
+           (SELECT nt FROM tot) AS n_orders,
+           CAST(floor(k * 1000 + 0.5) AS BIGINT) AS shape_milli,
+           CAST(floor(exp(-c / k) * 1000 + 0.5) AS BIGINT)
+             AS scale_days_milli
+    FROM fit
+    """,
+    tags=("stats", "survival", "weibull", "reliability"),
+)
+def stats_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIBULL RELIABILITY FIT on the order shipping SPAN (days from
+    an order's first to last shipped line — the fixture generates
+    shipdate independently of orderdate, so order-to-ship 'latency'
+    goes negative and only the within-order span is a real duration;
+    found the hard way, 3093 negative rows at sf0.01) — the
+    parametric complement of the Kaplan-Meier entry: a Weibull
+    k/lambda summarizes the whole curve (k < 1 burn-in, k = 1
+    memoryless, k > 1 wear-out). The classic linearization
+    ln(-ln S(t)) = k ln t - k ln lambda turns the fit into the same
+    sufficient-statistics closed form as the other regressions, over
+    the ECDF of the COLLAPSED span-value frame (one cum window on
+    ~distinct-day rows; t = 1 is excluded — ln t = 0 contributes no
+    slope information and its atom dominates this discrete fixture —
+    as is the S = 0 endpoint whose double log is undefined). Exact
+    integer spans, exact cumulative longs, identical log pipelines
+    before the milli folds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lat = li.groupBy("l_orderkey").agg(
+        (F.datediff(F.max("l_shipdate"), F.min("l_shipdate")) + 1)
+        .cast("long")
+        .alias("t")
+    )
+    tot = lat.agg(F.count("*").alias("nt"))
+    ec = (
+        lat.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            F.sum("c")
+            .over(
+                W.orderBy("t").rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+            )
+            .alias("cum"),
+            "nt",
+        )
+    )
+    pts = ec.filter(
+        (F.col("cum") < F.col("nt")) & (F.col("t") > 1)
+    ).select(
+        F.log(F.col("t").cast("double")).alias("x"),
+        F.log(
+            -F.log(1.0 - F.col("cum").cast("double") / F.col("nt"))
+        ).alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    k = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    c = (F.col("sy") - k * F.col("sx")) / F.col("n")
+    return s.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_points"),
+        F.col("nt").alias("n_orders"),
+        F.floor(k * 1000 + F.lit(0.5)).cast("long").alias("shape_milli"),
+        F.floor(F.exp(-c / k) * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("scale_days_milli"),
+    )
