@@ -1334,3 +1334,72 @@ def stats_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("scale_days_milli"),
     )
+
+
+@register(
+    "stats_qq_deciles",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_totalprice AS v,
+             sum(CASE WHEN o_orderpriority = '{_A}' THEN 1 ELSE 0 END) AS na_at,
+             sum(CASE WHEN o_orderpriority = '{_B}' THEN 1 ELSE 0 END) AS nb_at
+      FROM orders
+      WHERE o_orderpriority IN ('{_A}', '{_B}')
+      GROUP BY 1),
+    c AS (
+      SELECT v,
+             CAST(sum(na_at) OVER w AS BIGINT) AS ca,
+             CAST(sum(nb_at) OVER w AS BIGINT) AS cb,
+             CAST(sum(na_at) OVER () AS BIGINT) AS ta,
+             CAST(sum(nb_at) OVER () AS BIGINT) AS tb
+      FROM s WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW))
+    SELECT p AS decile,
+           min(CASE WHEN ca >= (ta * p + 9) // 10 THEN v END) AS q_urgent,
+           min(CASE WHEN cb >= (tb * p + 9) // 10 THEN v END) AS q_low,
+           min(CASE WHEN cb >= (tb * p + 9) // 10 THEN v END)
+             - min(CASE WHEN ca >= (ta * p + 9) // 10 THEN v END) AS gap
+    FROM c CROSS JOIN range(1, 10) t(p)
+    GROUP BY p ORDER BY p
+    """,
+    tags=("stats", "quantile", "qq", "ecdf"),
+)
+def stats_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-Q DECILE COMPARISON of the two order-price samples — WHERE
+    the distributions differ, not just the maximum gap the KS entry
+    reports (a location shift moves every decile; a tail difference
+    moves only the top ones). Type-1 (inverse-ECDF) quantiles: q_p =
+    the smallest value whose cumulative count clears ceil(p*n/10),
+    computed for BOTH samples from the SAME collapsed per-value
+    cumulative frame the KS test already builds — the 9 deciles ride
+    one exploded cross join of that frame, and ceil stays pure
+    integer ((n*p+9) div 10), so the selected quantiles are raw
+    fixture doubles both engines agree on bit-for-bit (no rounding
+    anywhere). One fact shuffle total."""
+    s = _two_sample_counts(spark, sf_dir)
+    w_cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
+    c = s.select(
+        "v",
+        F.sum("na_at").over(w_cum).alias("ca"),
+        F.sum("nb_at").over(w_cum).alias("cb"),
+        F.sum("na_at").over(w_all).alias("ta"),
+        F.sum("nb_at").over(w_all).alias("tb"),
+    )
+    e = c.withColumn(
+        "p", F.explode(F.array(*[F.lit(i) for i in range(1, 10)]))
+    )
+    thr_a = F.floor((F.col("ta") * F.col("p") + 9) / 10)
+    thr_b = F.floor((F.col("tb") * F.col("p") + 9) / 10)
+    qa = F.min(F.when(F.col("ca") >= thr_a, F.col("v")))
+    qb = F.min(F.when(F.col("cb") >= thr_b, F.col("v")))
+    return (
+        e.groupBy("p")
+        .agg(
+            qa.alias("q_urgent"),
+            qb.alias("q_low"),
+            (qb - qa).alias("gap"),
+        )
+        .select(F.col("p").alias("decile"), "q_urgent", "q_low", "gap")
+        .orderBy("decile")
+    )
