@@ -97,3 +97,20 @@ def test_markov_model_is_broadcast_onto_test(spark):
     transitions; the lead window is the only user-shaped exchange."""
     plan = _plan(REGISTRY["ml_markov_next_event"].fn(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_select_except_prunes_scan_schema(spark):
+    """sql_select_except's entire point at 100 TB is that the star-
+    minus projection reaches the scan: the excluded columns must NOT
+    appear in the parquet ReadSchema."""
+    plan = _plan(
+        REGISTRY["sql_select_except"].fn(spark, SF_SMOKE), mode="formatted"
+    )
+    import re
+
+    m = re.search(r"ReadSchema: (.+)", plan)
+    assert m, plan
+    schema = m.group(1)
+    assert "o_orderstatus" not in schema, schema
+    assert "o_totalprice" not in schema, schema
+    assert "o_orderkey" in schema, schema
