@@ -1604,3 +1604,77 @@ def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipeline_incremental_dedup",
+    oracle="""
+    WITH base AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+    new_batch AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+    surv AS (
+      SELECT md5(text) AS h, min(doc_id) AS survivor_id
+      FROM base GROUP BY 1),
+    batch_dedup AS (
+      SELECT md5(text) AS h, min(doc_id) AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_in_batch
+      FROM new_batch GROUP BY 1),
+    merged AS (
+      SELECT b.doc_id, b.h, b.n_in_batch,
+             CASE WHEN s.h IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM batch_dedup b LEFT JOIN surv s ON b.h = s.h)
+    SELECT CAST((SELECT count(*) FROM new_batch) AS BIGINT)
+             AS batch_rows,
+           CAST(count(*) AS BIGINT) AS batch_distinct,
+           CAST(sum(is_new) AS BIGINT) AS accepted_new,
+           CAST(count(*) - sum(is_new) AS BIGINT)
+             AS rejected_known,
+           CAST((SELECT count(*) FROM surv) AS BIGINT)
+             AS corpus_before,
+           CAST((SELECT count(*) FROM surv) + sum(is_new) AS BIGINT)
+             AS corpus_after
+    FROM merged
+    """,
+    tags=("llm", "dedup", "incremental", "pipeline"),
+)
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL DEDUP INGEST — the production shape a corpus update
+    actually runs: a NEW batch (the doc_id%10 slice standing in for
+    today's crawl) dedups WITHIN itself, then joins against the
+    EXISTING corpus's survivor hash set — never re-deduping the full
+    corpus (the full recompute is O(corpus) per day; the incremental
+    path is O(batch) + one join against a hash frame that at 100 TB
+    lives as a bucketed table, making the membership join
+    shuffle-free on the corpus side). The report is the ingest
+    ledger: batch rows -> batch-distinct -> accepted-new vs
+    rejected-known, plus corpus cardinality before/after. Everything
+    is exact counts over md5 content keys; min-id survivors keep both
+    engines' choices deterministic. The two driver-side .count()
+    actions are bounded scalars (batch size, survivor cardinality —
+    the persisted survivor frame is read once for the count and once
+    for the join), the documented bounded-collect discipline."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    surv = base.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("survivor_id")
+    )
+    surv.persist()
+    batch_dedup = new_batch.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("n_in_batch"),
+    )
+    merged = batch_dedup.join(
+        surv.select("h", F.lit(1).alias("known")), "h", "left"
+    ).withColumn(
+        "is_new", F.when(F.col("known").isNull(), 1).otherwise(0)
+    )
+    batch_rows = new_batch.count()
+    corpus_before = surv.count()
+    return merged.agg(
+        F.lit(batch_rows).cast("long").alias("batch_rows"),
+        F.count("*").alias("batch_distinct"),
+        F.sum("is_new").alias("accepted_new"),
+        (F.count("*") - F.sum("is_new")).alias("rejected_known"),
+        F.lit(corpus_before).cast("long").alias("corpus_before"),
+        (F.lit(corpus_before) + F.sum("is_new")).alias("corpus_after"),
+    )

@@ -1403,3 +1403,95 @@ def stats_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p").alias("decile"), "q_urgent", "q_low", "gap")
         .orderBy("decile")
     )
+
+
+@register(
+    "sample_stratified_neyman",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(count(*) AS BIGINT) AS nh,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sy,
+             CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+                      * CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) AS syy
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT stratum, nh,
+             sqrt((syy - CAST(sy AS DOUBLE) * sy / nh) / (nh - 1))
+               / 100.0 AS sh
+      FROM g),
+    t AS (SELECT sum(nh * sh) AS tot FROM s)
+    SELECT stratum, nh,
+           CAST(floor(sh * 1000 + 0.5) AS BIGINT) AS sd_milli,
+           CAST(floor(1000.0 * nh * sh / t.tot + 0.5) AS BIGINT)
+             AS alloc_of_1000,
+           CAST(floor(nh * sh / t.tot * 1000000 + 0.5) AS BIGINT)
+             AS weight_micro
+    FROM s CROSS JOIN t
+    ORDER BY stratum
+    """,
+    tags=("stats", "sampling", "stratified", "neyman"),
+)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN OPTIMAL ALLOCATION for stratified sampling — how many
+    samples each stratum deserves from a fixed budget: n_h
+    proportional to N_h * S_h, so big AND volatile strata get more
+    (proportional allocation ignores the variance term and
+    systematically over-samples homogeneous strata — the difference
+    is exactly why survey methodology exists). Complements the
+    engine's stratified/weighted/reservoir SAMPLERS with the
+    allocation PLANNER that should feed them. Per-stratum means and
+    variances come from one grouped aggregate of exact BIGINT cents
+    (squares as DECIMAL — the shared overflow discipline); the
+    allocation for a nominal budget of 1000 plus the raw weights fold
+    once. One scan, five rows, constant post-work."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("stratum"), cents.alias("y"))
+        .groupBy("stratum")
+        .agg(
+            F.count("*").alias("nh"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+            .cast("double")
+            .alias("syy"),
+        )
+    )
+    sh = (
+        F.sqrt(
+            (
+                F.col("syy")
+                - F.col("sy").cast("double") * F.col("sy") / F.col("nh")
+            )
+            / (F.col("nh") - 1)
+        )
+        / 100.0
+    )
+    s = g.select("stratum", "nh", sh.alias("sh"))
+    t = s.agg(F.sum(F.col("nh") * F.col("sh")).alias("tot"))
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "stratum",
+            "nh",
+            F.floor(F.col("sh") * 1000 + F.lit(0.5))
+            .cast("long")
+            .alias("sd_milli"),
+            F.floor(
+                1000.0 * F.col("nh") * F.col("sh") / F.col("tot")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("alloc_of_1000"),
+            F.floor(
+                F.col("nh") * F.col("sh") / F.col("tot") * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("weight_micro"),
+        )
+        .orderBy("stratum")
+    )
