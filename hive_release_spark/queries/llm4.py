@@ -1678,3 +1678,106 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(corpus_before).cast("long").alias("corpus_before"),
         (F.lit(corpus_before) + F.sum("is_new")).alias("corpus_after"),
     )
+
+
+@register(
+    "pipeline_quality_ablation",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, n_chars,
+             CASE WHEN n_chars >= 20
+                   AND len(string_split(text, ' ')) >= 5
+                  THEN 1 ELSE 0 END AS f_len,
+             CASE WHEN CAST(length(regexp_replace(text, '[^A-Za-z]',
+                                                  '', 'g')) AS DOUBLE)
+                       / n_chars >= 0.5
+                  THEN 1 ELSE 0 END AS f_alpha
+      FROM documents),
+    surv AS (SELECT min(doc_id) AS doc_id FROM documents
+             GROUP BY md5(text)),
+    flags AS (
+      SELECT d.doc_id, d.f_len, d.f_alpha,
+             CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_uniq
+      FROM d LEFT JOIN surv s ON d.doc_id = s.doc_id),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM flags)
+    SELECT f_len, f_alpha, f_uniq,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(floor(CAST(count(*) AS DOUBLE) / tot.nt * 1000000 + 0.5)
+                AS BIGINT) AS share_micro,
+           CASE WHEN f_len = 1 AND f_alpha = 1 AND f_uniq = 1
+                THEN 1 ELSE 0 END AS survives_all
+    FROM flags CROSS JOIN tot
+    GROUP BY f_len, f_alpha, f_uniq, tot.nt
+    ORDER BY f_len, f_alpha, f_uniq
+    """,
+    tags=("llm", "pipeline", "quality", "ablation"),
+)
+def pipeline_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-FILTER ABLATION LEDGER — the 2^3-cell breakdown of
+    which filter combinations pass/fail each document (length gate,
+    alpha-ratio gate, exact-dup survivorship): the review any filter
+    stack needs before shipping, because the MARGINAL cells are the
+    decisions — "docs failing ONLY dedup" are recoverable rewrites,
+    "docs failing ONLY alpha" may be a language the ratio mishandles,
+    and a filter whose solo-failure cell is empty is dead weight.
+    Flags are scan-side expressions plus the one survivor join the
+    exact-dedup entry already defines; the rollup is 8 cells with
+    exact shares. Complements pipeline_corpus_build (which reports
+    only the surviving funnel) with the full inclusion-exclusion
+    picture."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("n_chars") >= 20)
+            & (F.size(F.split("text", " ")) >= 5),
+            1,
+        )
+        .otherwise(0)
+        .alias("f_len"),
+        F.when(
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast(
+                "double"
+            )
+            / F.col("n_chars")
+            >= 0.5,
+            1,
+        )
+        .otherwise(0)
+        .alias("f_alpha"),
+        F.md5("text").alias("h"),
+    )
+    surv = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("surv_id")
+    )
+    flags = d.join(surv, "h").withColumn(
+        "f_uniq",
+        F.when(F.col("doc_id") == F.col("surv_id"), 1).otherwise(0),
+    )
+    tot = flags.agg(F.count("*").alias("nt"))
+    return (
+        flags.crossJoin(F.broadcast(tot))
+        .groupBy("f_len", "f_alpha", "f_uniq", "nt")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "f_len",
+            "f_alpha",
+            "f_uniq",
+            "n_docs",
+            F.floor(
+                F.col("n_docs").cast("double") / F.col("nt") * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("share_micro"),
+            F.when(
+                (F.col("f_len") == 1)
+                & (F.col("f_alpha") == 1)
+                & (F.col("f_uniq") == 1),
+                1,
+            )
+            .otherwise(0)
+            .alias("survives_all"),
+        )
+        .orderBy("f_len", "f_alpha", "f_uniq")
+    )
