@@ -3139,3 +3139,142 @@ def events_did_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("c_post") - F.col("c_pre"))
         ).alias("did_micro"),
     )
+
+
+@register(
+    "orders_abc_xyz_matrix",
+    oracle="""
+    WITH p AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1),
+    r AS (
+      SELECT l_partkey, cents,
+             CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                                   ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_cents,
+             CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+      FROM p),
+    abc AS (
+      SELECT l_partkey, cents, total_cents,
+             CASE WHEN CAST(cum_cents AS DOUBLE) / total_cents <= 0.80
+                    THEN 'A'
+                  WHEN CAST(cum_cents AS DOUBLE) / total_cents <= 0.95
+                    THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM r),
+    m AS (
+      SELECT l_partkey, date_trunc('month', l_shipdate) AS mo,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2),
+    v AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS nm,
+             CAST(sum(q) AS BIGINT) AS sq,
+             CAST(sum(CAST(q AS HUGEINT) * q) AS DOUBLE) AS sqq
+      FROM m GROUP BY 1),
+    xyz AS (
+      SELECT l_partkey,
+             CASE WHEN nm < 2 THEN 'Z'
+                  WHEN sqrt((sqq - CAST(sq AS DOUBLE) * sq / nm)
+                            / (nm - 1))
+                       / (CAST(sq AS DOUBLE) / nm) < 0.5 THEN 'X'
+                  WHEN sqrt((sqq - CAST(sq AS DOUBLE) * sq / nm)
+                            / (nm - 1))
+                       / (CAST(sq AS DOUBLE) / nm) < 1.0 THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM v)
+    SELECT abc.abc_class, xyz.xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(floor(CAST(sum(abc.cents) AS DOUBLE)
+                      / max(abc.total_cents) * 1000000 + 0.5)
+                AS BIGINT) AS revenue_share_micro
+    FROM abc JOIN xyz ON abc.l_partkey = xyz.l_partkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("analytics", "abc_xyz", "inventory", "segmentation"),
+)
+def orders_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ SEGMENTATION MATRIX — the standard inventory policy
+    grid: revenue importance (the ABC entry's cumulative-share
+    classes) CROSSED with demand predictability (XYZ from the
+    coefficient of variation of monthly quantity: X < 0.5 steady,
+    Y < 1 variable, Z erratic or too short to judge) — AX items get
+    tight service levels and automation, CZ items get made-to-order,
+    and the matrix IS that decision table. Both classifications are
+    exact-integer sufficient statistics per part (cents for revenue,
+    quantity moments as DECIMAL/HUGEINT for CV); single-month parts
+    fall to Z by convention in both engines (an undefined CV is
+    operationally 'unpredictable'). Shapes: the two per-part frames
+    collapse the fact independently and join on the part key —
+    value-cardinality work after one fact pass each; the 9-cell
+    rollup is constant."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).alias("cents")
+    )
+    w = W.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wa = W.partitionBy()
+    r = p.select(
+        "l_partkey",
+        "cents",
+        F.sum("cents").over(w).alias("cum_cents"),
+        F.sum("cents").over(wa).alias("total_cents"),
+    )
+    share = F.col("cum_cents").cast("double") / F.col("total_cents")
+    abc = r.select(
+        "l_partkey",
+        "cents",
+        "total_cents",
+        F.when(share <= 0.80, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    m = li.groupBy(
+        "l_partkey", F.trunc("l_shipdate", "month").alias("mo")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    v = m.groupBy("l_partkey").agg(
+        F.count("*").alias("nm"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q").cast("decimal(19,0)") * F.col("q"))
+        .cast("double")
+        .alias("sqq"),
+    )
+    cv = F.sqrt(
+        (
+            F.col("sqq")
+            - F.col("sq").cast("double") * F.col("sq") / F.col("nm")
+        )
+        / (F.col("nm") - 1)
+    ) / (F.col("sq").cast("double") / F.col("nm"))
+    xyz = v.select(
+        "l_partkey",
+        F.when(F.col("nm") < 2, "Z")
+        .when(cv < 0.5, "X")
+        .when(cv < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.floor(
+                F.sum("cents").cast("double")
+                / F.max("total_cents")
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("revenue_share_micro"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )
