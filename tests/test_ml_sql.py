@@ -165,3 +165,33 @@ def test_boosted_stumps_mse_decreases_monotonically(spark):
         r2,
     )
     assert r1["feature"] == "quantity" and r2["feature"] == "discount"
+
+
+def test_neyman_allocation_is_consistent(spark):
+    """Allocation weights sum to 1 (micro) and the nominal-1000
+    allocation sums to 1000 +/- rounding slack; every stratum with
+    rows gets a row."""
+    out = (
+        REGISTRY["sample_stratified_neyman"].fn(spark, SF_SMOKE).collect()
+    )
+    assert len(out) == 5
+    assert abs(sum(r["weight_micro"] for r in out) - 1_000_000) <= 5
+    assert abs(sum(r["alloc_of_1000"] for r in out) - 1000) <= 5
+    assert all(r["nh"] > 0 and r["sd_milli"] > 0 for r in out)
+
+
+def test_quality_ablation_cells_partition_the_corpus(spark):
+    """The 2^3 ablation cells are a PARTITION of the corpus: counts
+    sum to the table size, shares to ~1, and the survives_all flag
+    marks exactly the all-ones cell."""
+    out = (
+        REGISTRY["pipeline_quality_ablation"].fn(spark, SF_SMOKE).collect()
+    )
+    total = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r["n_docs"] for r in out) == total
+    assert abs(sum(r["share_micro"] for r in out) - 1_000_000) <= len(out)
+    for r in out:
+        expect = int(
+            r["f_len"] == 1 and r["f_alpha"] == 1 and r["f_uniq"] == 1
+        )
+        assert r["survives_all"] == expect
