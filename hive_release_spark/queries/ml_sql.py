@@ -1171,3 +1171,118 @@ def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold_mse(F.col("sse") / F.col("nt")).alias("mse_after_milli"),
     )
     return r1.unionByName(r2).orderBy("stage")
+
+
+@register(
+    "ml_regression_calibration",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+      FROM pts),
+    fit AS (
+      SELECT (n * sxy - CAST(sx AS DOUBLE) * sy)
+               / (n * sxx - CAST(sx AS DOUBLE) * sx) AS b1,
+             (sy - (n * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (n * sxx - CAST(sx AS DOUBLE) * sx) * sx)
+               / CAST(n AS DOUBLE) AS b0
+      FROM s),
+    bins AS (
+      SELECT least(9, (x - 1) // 5) AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sxb,
+             CAST(sum(y) AS BIGINT) AS syb
+      FROM pts GROUP BY 1)
+    SELECT bucket, n,
+           CAST(floor((fit.b0 + fit.b1 * (CAST(sxb AS DOUBLE) / n))
+                      / 100.0 * 1000 + 0.5) AS BIGINT)
+             AS avg_pred_milli,
+           CAST(floor(CAST(syb AS DOUBLE) / n / 100.0 * 1000 + 0.5)
+                AS BIGINT) AS avg_actual_milli,
+           CAST(floor(((fit.b0 + fit.b1 * (CAST(sxb AS DOUBLE) / n))
+                       - CAST(syb AS DOUBLE) / n)
+                      / 100.0 * 1000 + 0.5) AS BIGINT) AS bias_milli
+    FROM bins CROSS JOIN fit
+    ORDER BY bucket
+    """,
+    tags=("ml", "regression", "calibration", "diagnostics"),
+)
+def ml_regression_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL CALIBRATION TABLE for the in-engine regression — the
+    residual-by-feature-bucket diagnostic every model review runs
+    before trusting a fit (a model can have great global R^2 and
+    still be systematically biased in the tails; the per-bucket
+    bias column IS that check, and for price-vs-quantity the linear
+    fit's curvature bias is exactly what shows up). The simple-
+    regression closed form (the regr_* 2x2 case) trains in the same
+    one-scan sufficient-statistics pass; prediction averages per
+    bucket need NO per-row scoring — avg(pred) = b0 + b1*avg(x) by
+    linearity, so the calibration table is pure algebra over exact
+    per-bucket integer sums joined to the 1-row fitted model.
+    Fixed-width quantity buckets keep binning deterministic (no
+    ntile ties). Train/eval on the same frame is deliberate: this
+    entry diagnoses FIT SHAPE, not generalization (the split
+    entries own that)."""
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    b1 = (
+        F.col("n") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    fit = s.select(
+        b1.alias("b1"),
+        (
+            (F.col("sy") - b1 * F.col("sx")) / F.col("n").cast("double")
+        ).alias("b0"),
+    )
+    bins = pts.groupBy(
+        F.least(F.lit(9), F.floor((F.col("x") - 1) / 5)).alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sxb"),
+        F.sum("y").alias("syb"),
+    )
+    pred = F.col("b0") + F.col("b1") * (
+        F.col("sxb").cast("double") / F.col("n")
+    )
+    actual = F.col("syb").cast("double") / F.col("n")
+    return (
+        bins.crossJoin(F.broadcast(fit))
+        .select(
+            "bucket",
+            "n",
+            F.floor(pred / 100.0 * 1000 + F.lit(0.5))
+            .cast("long")
+            .alias("avg_pred_milli"),
+            F.floor(actual / 100.0 * 1000 + F.lit(0.5))
+            .cast("long")
+            .alias("avg_actual_milli"),
+            F.floor((pred - actual) / 100.0 * 1000 + F.lit(0.5))
+            .cast("long")
+            .alias("bias_milli"),
+        )
+        .orderBy("bucket")
+    )

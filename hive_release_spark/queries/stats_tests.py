@@ -1495,3 +1495,68 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+@register(
+    "events_fano_factor",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS scc
+      FROM d GROUP BY 1)
+    SELECT event_type, n_days, sc AS n_events,
+           CAST(floor((scc - CAST(sc AS DOUBLE) * sc / n_days)
+                      / (n_days - 1)
+                      / (CAST(sc AS DOUBLE) / n_days) * 1000 + 0.5)
+                AS BIGINT) AS fano_milli,
+           CASE WHEN (scc - CAST(sc AS DOUBLE) * sc / n_days)
+                     / (n_days - 1)
+                     / (CAST(sc AS DOUBLE) / n_days) > 1.5
+                THEN 1 ELSE 0 END AS bursty_flag
+    FROM s ORDER BY event_type
+    """,
+    tags=("stats", "point_process", "burstiness", "fano"),
+)
+def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FANO FACTOR (variance/mean of daily counts) per event stream —
+    the point-process dispersion diagnostic: a Poisson arrival
+    process has F = 1, F >> 1 means BURSTY traffic (batch jobs,
+    retries, bot storms — capacity must be planned on bursts, and
+    anomaly thresholds calibrated per-stream), F < 1 means more
+    regular than chance (rate-limited or scheduled). One day-grain
+    collapse feeds per-stream sufficient statistics (counts exact,
+    squares as HUGEINT/DECIMAL); the 1.5 burst flag uses the same
+    double both engines derive. Complements the daily-anomaly z-score
+    entry (which assumes a dispersion; this MEASURES it)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    s = d.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c"))
+        .cast("double")
+        .alias("scc"),
+    )
+    fano = (
+        (
+            F.col("scc")
+            - F.col("sc").cast("double") * F.col("sc") / F.col("n_days")
+        )
+        / (F.col("n_days") - 1)
+        / (F.col("sc").cast("double") / F.col("n_days"))
+    )
+    return s.select(
+        "event_type",
+        "n_days",
+        F.col("sc").alias("n_events"),
+        F.floor(fano * 1000 + F.lit(0.5)).cast("long").alias("fano_milli"),
+        F.when(fano > 1.5, 1).otherwise(0).alias("bursty_flag"),
+    ).orderBy("event_type")
