@@ -450,3 +450,120 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+@register(
+    "graph_assortativity",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b2.l_partkey AS pb
+      FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+                        AND a.l_partkey < b2.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    edges AS (SELECT pa AS a, pb AS b FROM pairs
+              UNION SELECT pb, pa FROM pairs),
+    deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY a),
+    de AS (
+      SELECT da.d AS x, db.d AS y
+      FROM edges e JOIN deg da ON e.a = da.a JOIN deg db ON e.b = db.a),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+      FROM de)
+    SELECT m AS n_directed_edges,
+           CAST(floor((m * sxy - CAST(sx AS DOUBLE) * sy)
+                      / sqrt((m * sxx - CAST(sx AS DOUBLE) * sx)
+                             * (m * syy - CAST(sy AS DOUBLE) * sy))
+                      * 1000000 + 0.5) AS BIGINT)
+             AS assortativity_micro
+    FROM s
+    """,
+    tags=("graph", "assortativity", "network", "basket"),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY of the co-purchase graph — Pearson
+    correlation of endpoint degrees over the (symmetrized) edge list:
+    positive means hubs connect to hubs (social-network style),
+    negative means hubs connect to leaves (the hub-and-spoke /
+    technological signature) — and for a recommender substrate the
+    sign says whether popular items co-occur with each other or with
+    the long tail, which changes how popularity normalization (the
+    CF entry's cosine) behaves. One formula over the skinny edge
+    frame with two degree joins (broadcastable); degrees are exact
+    longs, moments as HUGEINT/DECIMAL before the shared closed-form
+    correlation (symmetrized edges make the x/y marginals identical,
+    the standard undirected convention). Same graph construction as
+    the Adamic-Adar / Jaccard / CF family — one substrate, five
+    lenses."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bframe = li.select("l_orderkey", "l_partkey").distinct()
+    b2 = bframe.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        bframe.join(
+            b2, (bframe.l_orderkey == b2.ok) & (bframe.l_partkey < b2.pb)
+        )
+        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    edges = pairs.select(
+        F.col("pa").alias("a"), F.col("pb").alias("b")
+    ).unionByName(
+        pairs.select(F.col("pb").alias("a"), F.col("pa").alias("b"))
+    )
+    edges.persist()
+    deg = edges.groupBy("a").agg(F.count("*").alias("d"))
+    de = (
+        edges.join(
+            F.broadcast(deg.select(F.col("a"), F.col("d").alias("x"))),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("a").alias("b"), F.col("d").alias("y"))
+            ),
+            "b",
+        )
+        .select("x", "y")
+    )
+    s = de.agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx").cast("double") * F.col(
+        "sy"
+    )
+    den = F.sqrt(
+        (
+            F.col("m") * F.col("sxx")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * (
+            F.col("m") * F.col("syy")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return s.select(
+        F.col("m").alias("n_directed_edges"),
+        F.floor(num / den * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("assortativity_micro"),
+    )

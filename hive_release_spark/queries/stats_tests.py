@@ -1560,3 +1560,102 @@ def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(fano * 1000 + F.lit(0.5)).cast("long").alias("fano_milli"),
         F.when(fano > 1.5, 1).otherwise(0).alias("bursty_flag"),
     ).orderBy("event_type")
+
+
+@register(
+    "dq_outlier_tukey_fences",
+    oracle="""
+    WITH c AS (
+      SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER () AS BIGINT) AS nt
+      FROM (SELECT o_totalprice AS v, CAST(count(*) AS BIGINT) AS cnt
+            FROM orders GROUP BY 1)),
+    q AS (
+      SELECT min(CASE WHEN cum >= (nt + 3) // 4 THEN v END) AS q1,
+             min(CASE WHEN cum >= (3 * nt + 3) // 4 THEN v END) AS q3,
+             max(nt) AS nt
+      FROM c),
+    f AS (
+      SELECT q1, q3, nt,
+             q1 - 1.5 * (q3 - q1) AS lo,
+             q3 + 1.5 * (q3 - q1) AS hi
+      FROM q)
+    SELECT f.nt AS n_rows, f.q1, f.q3, f.lo AS fence_lo, f.hi AS fence_hi,
+           CAST(count(CASE WHEN o.o_totalprice < f.lo THEN 1 END)
+                AS BIGINT) AS n_below,
+           CAST(count(CASE WHEN o.o_totalprice > f.hi THEN 1 END)
+                AS BIGINT) AS n_above
+    FROM orders o CROSS JOIN f
+    GROUP BY f.nt, f.q1, f.q3, f.lo, f.hi
+    """,
+    tags=("dq", "outlier", "tukey", "profiling"),
+)
+def dq_outlier_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUKEY IQR FENCES on order price — the boxplot outlier rule
+    (outside Q1-1.5*IQR / Q3+1.5*IQR) that complements the MAD and
+    z-score anomaly entries: quartile-based fences are what data
+    profilers and BI boxplots actually draw, and the below/above
+    counts are the triage numbers. Type-1 quartiles come from the
+    same integer-ceil ECDF selection as the Q-Q entry (pure-long
+    thresholds over the collapsed value frame), the fences are raw
+    fixture doubles through identical arithmetic, and the outlier
+    counts are exact — the only second pass is the fence-count scan
+    with the 1-row fence frame broadcast onto it."""
+    o = load_table(spark, sf_dir, "orders")
+    c = (
+        o.groupBy(F.col("o_totalprice").alias("v"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "v",
+            F.sum("cnt")
+            .over(
+                W.orderBy("v").rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+            )
+            .alias("cum"),
+            F.sum("cnt").over(W.partitionBy()).alias("nt"),
+        )
+    )
+    q = c.agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.floor((F.col("nt") + 3) / 4), F.col("v")
+            )
+        ).alias("q1"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.floor((3 * F.col("nt") + 3) / 4),
+                F.col("v"),
+            )
+        ).alias("q3"),
+        F.max("nt").alias("nt"),
+    )
+    f = q.select(
+        "q1",
+        "q3",
+        "nt",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        o.crossJoin(F.broadcast(f))
+        .groupBy("nt", "q1", "q3", "lo", "hi")
+        .agg(
+            F.count(
+                F.when(F.col("o_totalprice") < F.col("lo"), 1)
+            ).alias("n_below"),
+            F.count(
+                F.when(F.col("o_totalprice") > F.col("hi"), 1)
+            ).alias("n_above"),
+        )
+        .select(
+            F.col("nt").alias("n_rows"),
+            "q1",
+            "q3",
+            F.col("lo").alias("fence_lo"),
+            F.col("hi").alias("fence_hi"),
+            "n_below",
+            "n_above",
+        )
+    )
