@@ -1286,3 +1286,164 @@ def ml_regression_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "ml_regression_kfold_cv",
+    oracle="""
+    WITH pts AS (
+      SELECT (strpos('0123456789abcdef',
+                substr(md5('cv:' || CAST(l_orderkey AS VARCHAR) || ':'
+                           || CAST(l_linenumber AS VARCHAR)), 1, 1)) - 1)
+               % 4 AS fold,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem),
+    f AS (
+      SELECT fold, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM pts GROUP BY 1),
+    g AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS sx,
+             CAST(sum(sy) AS BIGINT) AS sy, sum(sxx) AS sxx,
+             sum(sxy) AS sxy, sum(syy) AS syy
+      FROM f),
+    tr AS (
+      SELECT f.fold, f.n AS n_test, f.sx AS tsx, f.sy AS tsy,
+             f.sxx AS tsxx, f.sxy AS tsxy, f.syy AS tsyy,
+             g.n - f.n AS n_tr, g.sx - f.sx AS rsx, g.sy - f.sy AS rsy,
+             g.sxx - f.sxx AS rsxx, g.sxy - f.sxy AS rsxy
+      FROM f CROSS JOIN g),
+    fit AS (
+      SELECT fold, n_test, tsx, tsy, tsxx, tsxy, tsyy,
+             (n_tr * rsxy - CAST(rsx AS DOUBLE) * rsy)
+               / (n_tr * rsxx - CAST(rsx AS DOUBLE) * rsx) AS b1,
+             (rsy - (n_tr * rsxy - CAST(rsx AS DOUBLE) * rsy)
+                    / (n_tr * rsxx - CAST(rsx AS DOUBLE) * rsx) * rsx)
+               / CAST(n_tr AS DOUBLE) AS b0
+      FROM tr)
+    SELECT fold, n_test,
+           CAST(floor(sqrt((tsyy + n_test * b0 * b0 + b1 * b1 * tsxx
+                            - 2 * b0 * tsy - 2 * b1 * tsxy
+                            + 2 * b0 * b1 * tsx) / n_test)
+                      / 100.0 * 1000 + 0.5) AS BIGINT) AS rmse_milli,
+           CAST(floor(b1 / 100.0 * 1000000 + 0.5) AS BIGINT)
+             AS b1_micro
+    FROM fit ORDER BY fold
+    """,
+    tags=("ml", "regression", "cross_validation", "evaluation"),
+)
+def ml_regression_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-FOLD CROSS-VALIDATION of the in-engine regression with ZERO
+    extra data passes — the trick is that sufficient statistics
+    SUBTRACT: each fold's training moments are the global sums minus
+    that fold's sums, so one grouped aggregate by (md5-assigned) fold
+    trains all four held-out models at once, and each fold's test
+    RMSE expands algebraically from its own moments
+    (SSE = Syy + n*b0^2 + b1^2*Sxx - 2*b0*Sy - 2*b1*Sxy + 2*b0*b1*Sx)
+    — no per-row prediction ever materializes. This is the honest
+    generalization readout the same-frame calibration entry defers
+    to, and the leave-fold-out pattern scales to any K at constant
+    cost. Deterministic fold assignment (salted md5 of the row key),
+    exact integer inputs, DECIMAL moments, identical closed forms."""
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        (
+            (
+                F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("cv:"),
+                                F.col("l_orderkey").cast("string"),
+                                F.lit(":"),
+                                F.col("l_linenumber").cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                )
+                - 1
+            )
+            % 4
+        ).alias("fold"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    f = pts.groupBy("fold").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(xd * F.col("x")).cast("double").alias("sxx"),
+        F.sum(xd * F.col("y")).cast("double").alias("sxy"),
+        F.sum(yd * F.col("y")).cast("double").alias("syy"),
+    )
+    f.persist()
+    g = f.agg(
+        F.sum("n").alias("gn"),
+        F.sum("sx").alias("gsx"),
+        F.sum("sy").alias("gsy"),
+        F.sum("sxx").alias("gsxx"),
+        F.sum("sxy").alias("gsxy"),
+        F.sum("syy").alias("gsyy"),
+    )
+    tr = f.crossJoin(F.broadcast(g)).select(
+        "fold",
+        F.col("n").alias("n_test"),
+        F.col("sx").alias("tsx"),
+        F.col("sy").alias("tsy"),
+        F.col("sxx").alias("tsxx"),
+        F.col("sxy").alias("tsxy"),
+        F.col("syy").alias("tsyy"),
+        (F.col("gn") - F.col("n")).alias("n_tr"),
+        (F.col("gsx") - F.col("sx")).alias("rsx"),
+        (F.col("gsy") - F.col("sy")).alias("rsy"),
+        (F.col("gsxx") - F.col("sxx")).alias("rsxx"),
+        (F.col("gsxy") - F.col("sxy")).alias("rsxy"),
+    )
+    b1 = (
+        F.col("n_tr") * F.col("rsxy")
+        - F.col("rsx").cast("double") * F.col("rsy")
+    ) / (
+        F.col("n_tr") * F.col("rsxx")
+        - F.col("rsx").cast("double") * F.col("rsx")
+    )
+    b0 = (F.col("rsy") - b1 * F.col("rsx")) / F.col("n_tr").cast("double")
+    fit = tr.select(
+        "fold",
+        "n_test",
+        "tsx",
+        "tsy",
+        "tsxx",
+        "tsxy",
+        "tsyy",
+        b1.alias("b1"),
+        b0.alias("b0"),
+    )
+    sse = (
+        F.col("tsyy")
+        + F.col("n_test") * F.col("b0") * F.col("b0")
+        + F.col("b1") * F.col("b1") * F.col("tsxx")
+        - 2 * F.col("b0") * F.col("tsy")
+        - 2 * F.col("b1") * F.col("tsxy")
+        + 2 * F.col("b0") * F.col("b1") * F.col("tsx")
+    )
+    return fit.select(
+        "fold",
+        "n_test",
+        F.floor(
+            F.sqrt(sse / F.col("n_test")) / 100.0 * 1000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rmse_milli"),
+        F.floor(F.col("b1") / 100.0 * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("b1_micro"),
+    ).orderBy("fold")
