@@ -114,3 +114,42 @@ def test_select_except_prunes_scan_schema(spark):
     assert "o_orderstatus" not in schema, schema
     assert "o_totalprice" not in schema, schema
     assert "o_orderkey" in schema, schema
+
+
+def test_kfold_cv_reuses_persisted_fold_moments(spark):
+    """ml_regression_kfold_cv computes fold moments ONCE: the global
+    sums and the per-fold training stats must both read the persisted
+    fold frame (InMemoryTableScan), never re-scan the fact."""
+    plan = _plan(REGISTRY["ml_regression_kfold_cv"].fn(spark, SF_SMOKE))
+    n = plan.count("InMemoryTableScan")
+    assert n >= 2, f"expected cached fold-moment reuse, got {n}\n{plan}"
+    # (the plan text also shows the cache's stored build lineage, so a
+    # raw FileScan count over-counts; the two InMemoryTableScans are
+    # the actual executed reads)
+
+
+def test_incremental_dedup_reuses_persisted_survivor_frame(spark):
+    """pipeline_incremental_dedup reads the survivor hash frame for
+    both the membership join and the corpus count — one build, cached
+    reuse."""
+    plan = _plan(
+        REGISTRY["pipeline_incremental_dedup"].fn(spark, SF_SMOKE)
+    )
+    assert plan.count("InMemoryTableScan") >= 1, plan
+
+
+def test_assortativity_degrees_ride_broadcasts(spark):
+    """graph_assortativity attaches endpoint degrees via two broadcast
+    joins of the skinny degree frame — a SortMergeJoin on the edge
+    list would shuffle it twice."""
+    plan = _plan(REGISTRY["graph_assortativity"].fn(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_boosted_stumps_round2_reads_cached_cells(spark):
+    """ml_boosted_stumps's second round must read the persisted
+    histogram-cell frame, not re-scan the fact — the one-pass claim
+    is the entry's entire scale story."""
+    plan = _plan(REGISTRY["ml_boosted_stumps"].fn(spark, SF_SMOKE))
+    n = plan.count("InMemoryTableScan")
+    assert n >= 2, f"expected cell-frame reuse across rounds, got {n}\n{plan}"
