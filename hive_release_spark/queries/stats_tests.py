@@ -1659,3 +1659,199 @@ def dq_outlier_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_above",
         )
     )
+
+
+@register(
+    "stats_granger_lite",
+    oracle="""
+    WITH d AS (SELECT CAST(l_shipdate AS DATE) AS dd,
+                      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y,
+                      CAST(count(*) AS BIGINT) AS x
+               FROM lineitem GROUP BY 1),
+    r AS (SELECT y, x, row_number() OVER (ORDER BY dd) AS rn FROM d),
+    p AS (
+      SELECT a.y AS y, b.y AS y1, b.x AS x1
+      FROM r a JOIN r b ON b.rn = a.rn - 1),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y1) AS BIGINT) AS s1,
+             CAST(sum(x1) AS BIGINT) AS s2,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(y1 AS HUGEINT) * y1) AS DOUBLE) AS s11,
+             CAST(sum(CAST(y1 AS HUGEINT) * x1) AS DOUBLE) AS s12,
+             CAST(sum(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s22,
+             CAST(sum(CAST(y1 AS HUGEINT) * y) AS DOUBLE) AS s1y,
+             CAST(sum(CAST(x1 AS HUGEINT) * y) AS DOUBLE) AS s2y,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM p),
+    rr AS (
+      SELECT *,
+             (n * s1y - CAST(s1 AS DOUBLE) * sy)
+               / (n * s11 - CAST(s1 AS DOUBLE) * s1) AS br,
+             s11 * s22 - s12 * s12 AS mA,
+             s1 * s22 - s12 * s2 AS mB,
+             s1 * s12 - s11 * s2 AS mC,
+             s1y * s22 - s12 * s2y AS mD,
+             s1y * s12 - s11 * s2y AS mE,
+             s1 * s2y - s1y * s2 AS mF,
+             s11 * s2y - s1y * s12 AS mG
+      FROM s),
+    u AS (
+      SELECT *,
+             (sy - br * s1) / CAST(n AS DOUBLE) AS ar,
+             (sy * mA - s1 * mD + s2 * mE)
+               / (n * mA - s1 * mB + s2 * mC) AS b0,
+             (n * mD - sy * mB + s2 * mF)
+               / (n * mA - s1 * mB + s2 * mC) AS b1,
+             (n * mG - s1 * mF + sy * mC)
+               / (n * mA - s1 * mB + s2 * mC) AS b2
+      FROM rr),
+    sse AS (
+      SELECT n,
+             syy - (ar * sy + br * s1y)
+               - ar * (sy - ar * n - br * s1)
+               - br * (s1y - ar * s1 - br * s11) AS sse_r,
+             syy - (b0 * sy + b1 * s1y + b2 * s2y) AS sse_u
+      FROM u)
+    SELECT n AS n_days,
+           CAST(floor(sse_r / n / 1.0 + 0.5) AS BIGINT) AS mse_restricted,
+           CAST(floor(sse_u / n / 1.0 + 0.5) AS BIGINT)
+             AS mse_unrestricted,
+           CAST(floor((sse_r - sse_u) / (sse_u / (n - 3)) * 1000 + 0.5)
+                AS BIGINT) AS f_milli
+    FROM sse
+    """,
+    tags=("stats", "granger", "econometrics", "timeseries"),
+)
+def stats_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRANGER-STYLE PREDICTABILITY TEST (one lag) — does yesterday's
+    line COUNT improve today's quantity forecast beyond yesterday's
+    quantity itself? The econometric question behind every
+    leading-indicator claim, answered by the nested-model F:
+    restricted y ~ y_lag vs unrestricted y ~ y_lag + x_lag, F =
+    (SSE_r - SSE_u) / (SSE_u / (n-3)). Both fits are the engine's
+    sufficient-statistics closed forms (simple slope; the 3x3 Cramer
+    minors the multiple-regression entry pins), and BOTH SSEs expand
+    algebraically — the restricted one via the residual-moment
+    identity, the unrestricted via b'X'y — so the whole test is one
+    lag-join over the collapsed day frame plus constant algebra.
+    Exact-integer series; the only doubles are the shared expression
+    trees. (A full Granger test runs more lags — same machinery,
+    longer minors.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.groupBy(F.to_date("l_shipdate").alias("dd")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("y"),
+        F.count("*").alias("x"),
+    )
+    r = d.select(
+        "y", "x", F.row_number().over(W.orderBy("dd")).alias("rn")
+    )
+    r.persist()
+    b = r.select(
+        (F.col("rn") + 1).alias("rn"),
+        F.col("y").alias("y1"),
+        F.col("x").alias("x1"),
+    )
+    p = r.join(b, "rn").select("y", "y1", "x1")
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = p.agg(
+        F.count("*").alias("n"),
+        F.sum("y1").alias("s1"),
+        F.sum("x1").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(d19("y1") * F.col("y1")).cast("double").alias("s11"),
+        F.sum(d19("y1") * F.col("x1")).cast("double").alias("s12"),
+        F.sum(d19("x1") * F.col("x1")).cast("double").alias("s22"),
+        F.sum(d19("y1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(d19("x1") * F.col("y")).cast("double").alias("s2y"),
+        F.sum(d19("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    br = (
+        F.col("n") * F.col("s1y")
+        - F.col("s1").cast("double") * F.col("sy")
+    ) / (
+        F.col("n") * F.col("s11")
+        - F.col("s1").cast("double") * F.col("s1")
+    )
+    rr = s.withColumns(
+        {
+            "br": br,
+            "mA": F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12"),
+            "mB": F.col("s1") * F.col("s22") - F.col("s12") * F.col("s2"),
+            "mC": F.col("s1") * F.col("s12") - F.col("s11") * F.col("s2"),
+            "mD": F.col("s1y") * F.col("s22") - F.col("s12") * F.col("s2y"),
+            "mE": F.col("s1y") * F.col("s12") - F.col("s11") * F.col("s2y"),
+            "mF": F.col("s1") * F.col("s2y") - F.col("s1y") * F.col("s2"),
+            "mG": F.col("s11") * F.col("s2y") - F.col("s1y") * F.col("s12"),
+        }
+    )
+    det = (
+        F.col("n") * F.col("mA")
+        - F.col("s1") * F.col("mB")
+        + F.col("s2") * F.col("mC")
+    )
+    u = rr.withColumns(
+        {
+            "ar": (F.col("sy") - F.col("br") * F.col("s1"))
+            / F.col("n").cast("double"),
+            "b0": (
+                F.col("sy") * F.col("mA")
+                - F.col("s1") * F.col("mD")
+                + F.col("s2") * F.col("mE")
+            )
+            / det,
+            "b1": (
+                F.col("n") * F.col("mD")
+                - F.col("sy") * F.col("mB")
+                + F.col("s2") * F.col("mF")
+            )
+            / det,
+            "b2": (
+                F.col("n") * F.col("mG")
+                - F.col("s1") * F.col("mF")
+                + F.col("sy") * F.col("mC")
+            )
+            / det,
+        }
+    )
+    sse_r = (
+        F.col("syy")
+        - (F.col("ar") * F.col("sy") + F.col("br") * F.col("s1y"))
+        - F.col("ar")
+        * (
+            F.col("sy")
+            - F.col("ar") * F.col("n")
+            - F.col("br") * F.col("s1")
+        )
+        - F.col("br")
+        * (
+            F.col("s1y")
+            - F.col("ar") * F.col("s1")
+            - F.col("br") * F.col("s11")
+        )
+    )
+    sse_u = F.col("syy") - (
+        F.col("b0") * F.col("sy")
+        + F.col("b1") * F.col("s1y")
+        + F.col("b2") * F.col("s2y")
+    )
+    sse = u.select(
+        "n", sse_r.alias("sse_r"), sse_u.alias("sse_u")
+    )
+    return sse.select(
+        F.col("n").alias("n_days"),
+        F.floor(F.col("sse_r") / F.col("n") / 1.0 + F.lit(0.5))
+        .cast("long")
+        .alias("mse_restricted"),
+        F.floor(F.col("sse_u") / F.col("n") / 1.0 + F.lit(0.5))
+        .cast("long")
+        .alias("mse_unrestricted"),
+        F.floor(
+            (F.col("sse_r") - F.col("sse_u"))
+            / (F.col("sse_u") / (F.col("n") - 3))
+            * 1000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("f_milli"),
+    )
