@@ -1855,3 +1855,136 @@ def stats_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("f_milli"),
     )
+
+
+@register(
+    "stats_simpson_check",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             (strpos('0123456789abcdef',
+                substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+               % 2 AS arm,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(CASE WHEN event_type = 'purchase' AND value >= 180
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id),
+    seg AS (
+      SELECT CASE WHEN n_events <= 15 THEN 'light'
+                  WHEN n_events <= 25 THEN 'medium'
+                  ELSE 'heavy' END AS segment,
+             arm, conv
+      FROM u),
+    cells AS (
+      SELECT segment, arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS k
+      FROM seg GROUP BY 1, 2),
+    per_seg AS (
+      SELECT segment,
+             CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN arm = 1 THEN k END) AS DOUBLE)
+               / sum(CASE WHEN arm = 1 THEN n END)
+             - CAST(sum(CASE WHEN arm = 0 THEN k END) AS DOUBLE)
+               / sum(CASE WHEN arm = 0 THEN n END) AS diff
+      FROM cells GROUP BY 1),
+    overall AS (
+      SELECT CAST(sum(CASE WHEN arm = 1 THEN k END) AS DOUBLE)
+               / sum(CASE WHEN arm = 1 THEN n END)
+             - CAST(sum(CASE WHEN arm = 0 THEN k END) AS DOUBLE)
+               / sum(CASE WHEN arm = 0 THEN n END) AS diff
+      FROM cells)
+    SELECT s.segment, s.n1 AS n_treat, s.n0 AS n_control,
+           CAST(floor(s.diff * 1000000 + 0.5) AS BIGINT) AS diff_micro,
+           CAST(floor(o.diff * 1000000 + 0.5) AS BIGINT)
+             AS overall_diff_micro,
+           CASE WHEN (s.diff > 0) <> (o.diff > 0) THEN 1 ELSE 0 END
+             AS reversal_flag
+    FROM per_seg s CROSS JOIN overall o
+    ORDER BY s.segment
+    """,
+    tags=("stats", "simpson", "causal", "diagnostics"),
+)
+def stats_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPSON'S-PARADOX REVERSAL CHECK — per-segment treatment
+    effects against the pooled effect, with a flag wherever the SIGN
+    flips: the aggregation trap every pooled dashboard metric walks
+    into when segment mix differs between arms (the pooled diff can
+    contradict every stratum's truth), and the reason the DID/CUPED
+    entries stratify at all. Segments are activity tiers from the
+    user-event collapse; cells are exact counts (the same salted-md5
+    arm and conversion definition as the uplift entry — one
+    experiment, one more lens); diffs are single divisions of exact
+    longs folded at micro. One scan to user grain, one tiny cell
+    rollup, a 3+1-row comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))
+                ),
+                1,
+                1,
+            ),
+        )
+        - 1
+    ) % 2
+    u = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 180),
+                1,
+            ).otherwise(0)
+        ).alias("conv"),
+    ).withColumn("arm", arm)
+    seg = u.select(
+        F.when(F.col("n_events") <= 15, "light")
+        .when(F.col("n_events") <= 25, "medium")
+        .otherwise("heavy")
+        .alias("segment"),
+        "arm",
+        "conv",
+    )
+    cells = seg.groupBy("segment", "arm").agg(
+        F.count("*").alias("n"), F.sum("conv").alias("k")
+    )
+    cells.persist()
+
+    def diff_expr():
+        k1 = F.sum(F.when(F.col("arm") == 1, F.col("k"))).cast("double")
+        n1 = F.sum(F.when(F.col("arm") == 1, F.col("n")))
+        k0 = F.sum(F.when(F.col("arm") == 0, F.col("k"))).cast("double")
+        n0 = F.sum(F.when(F.col("arm") == 0, F.col("n")))
+        return k1 / n1 - k0 / n0, n1, n0
+
+    d, n1, n0 = diff_expr()
+    per_seg = cells.groupBy("segment").agg(
+        n1.alias("n_treat"), n0.alias("n_control"), d.alias("diff")
+    )
+    d2, _, _ = diff_expr()
+    overall = cells.agg(d2.alias("odiff"))
+    return (
+        per_seg.crossJoin(F.broadcast(overall))
+        .select(
+            "segment",
+            "n_treat",
+            "n_control",
+            F.floor(F.col("diff") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("diff_micro"),
+            F.floor(F.col("odiff") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("overall_diff_micro"),
+            F.when(
+                (F.col("diff") > 0) != (F.col("odiff") > 0), 1
+            )
+            .otherwise(0)
+            .alias("reversal_flag"),
+        )
+        .orderBy("segment")
+    )
