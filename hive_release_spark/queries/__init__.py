@@ -147,15 +147,16 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 # agg_approx_top_k_contract) — all swept on all five axes, all
 # joining the backlog BEHIND the 26 named leftovers; `python
 # tools/witness_ledger.py` stays the authoritative never-witnessed
-# list (187 at the 357-entry registry — r6+ windows drain it at
-# 50/round, repaired-and-contract-changed entries first, then
+# list (189 at the final 359-entry registry — r6+ windows drain it
+# at 50/round, repaired-and-contract-changed entries first, then
 # registry order). Late additions past that comment: stats_fdr_bh,
 # stats_randomization_test, ml_boosted_stumps, stats_weibull_fit,
 # stats_qq_deciles, pipeline_incremental_dedup,
 # sample_stratified_neyman, pipeline_quality_ablation,
 # orders_abc_xyz_matrix, events_fano_factor,
 # ml_regression_calibration, dq_outlier_tukey_fences,
-# graph_assortativity, ml_regression_kfold_cv.
+# graph_assortativity, ml_regression_kfold_cv, stats_granger_lite,
+# stats_simpson_check.
 DRIVER_WINDOW = [
     # repaired this round (ADVICE r4) — contract changed, witness first
     "window_exclude_current",
