@@ -157,60 +157,72 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 # ml_regression_calibration, dq_outlier_tukey_fences,
 # graph_assortativity, ml_regression_kfold_cv, stats_granger_lite,
 # stats_simpson_check.
+# Round-6 selection (VERDICT r5 "Next round" #1, all 50 from the
+# 139-entry never-witnessed ledger — `python tools/witness_ledger.py`):
+#   * CORRECTNESS_r05 was 50/50 hash-green, so there are no repaired
+#     rows to re-witness this round;
+#   * the 26 leftovers promised by the r5 comment above take the first
+#     26 slots (the r5 "first claim" commitment);
+#   * the remaining 24 slots fill in witness-ledger (registry) order.
+# fn_misc_surface already carries a driver row (witnessed r4 rows-only;
+# its r5 oracle upgrade is covered by tools/check + parity pytest), so
+# it does NOT get a slot while the backlog saturates the window.
+# After this round the ledger should stand at 89; r7/r8 windows drain
+# the remainder in the same order. Registry growth is FROZEN in r6
+# (VERDICT r5 #2): repairs + rows-only→oracle conversions only.
 DRIVER_WINDOW = [
-    # repaired this round (ADVICE r4) — contract changed, witness first
-    "window_exclude_current",
-    "corpus_heaps_fit",
-    "join_asof_nearest",
-    "stream_distinct_sketch",
-    "events_rolling_active_sketch",
-    "agg_hll_intersect_estimate",
-    # bench HEADLINE members still unwitnessed
-    "events_rolling_active_users",
-    "graph_pagerank",
-    # never-witnessed backlog, registry order
-    "agg_min_max_by",
-    "window_groups_frame",
-    "fn_bitwise",
-    "fn_array_surface",
-    "fn_map_surface",
-    "agg_bool_family",
-    "fn_trig",
-    "fn_hof_surface",
-    "fn_map_hof",
-    "fn_try_family",
-    "agg_filter_clause",
-    "dedup_containment_pairs",
-    "stream_stream_left_join",
-    "agg_percentile_approx_contract",
-    "agg_count_min_contract",
-    "ds_cross_channel_customers",
-    "sql_recursive_calendar",
-    "fn_sql_macro",
-    "sql_pipe_syntax",
-    "sql_lateral_alias",
-    "agg_mode_deterministic",
-    "agg_listagg",
-    "fn_collation_ci",
-    "agg_corr_matrix",
-    "emb_pca_contract",
-    "text_pmi_top_pairs",
-    "dedup_graph_degrees",
-    "corpus_length_histogram",
-    "sim_hard_negatives",
-    "emb_matryoshka_recall",
-    "emb_cluster_separation",
-    "sim_mmr_rerank",
-    "search_bm25_rank",
-    "sim_rrf_fusion",
-    "text_chunk_sliding",
-    "decontaminate_fuzzy",
-    "ds_channel_rollup",
-    "events_gap_stats",
-    "customer_rfm_segments",
-    "basket_part_affinity",
-    "events_daily_anomaly",
-    "orders_status_transitions",
+    # the 26 leftovers named in the r5 comment — first claim honored
+    "supplier_pareto",
+    "orders_backlog_curve",
+    "events_hourly_seasonality",
+    "orders_priority_mix_shift",
+    "events_user_lifecycle",
+    "region_nation_share",
+    "part_type_hhi",
+    "user_state_scd2",
+    "customer_interval_coverage",
+    "sample_weighted",
+    "orders_equidepth_histogram",
+    "events_sessionize_ids",
+    "events_attribution_last_touch",
+    "funnel_conversion_window",
+    "orders_trend_forecast",
+    "dq_distribution_drift_psi",
+    "window_running_distinct",
+    "customer_cohort_ltv",
+    "events_longest_streak",
+    "events_stickiness_dau_mau",
+    "events_anomaly_mad",
+    "dq_benford_first_digit",
+    "events_changepoint_cusum",
+    "customer_gini_revenue",
+    "graph_triangles",
+    "dedup_cluster_size_histogram",
+    # never-witnessed backlog, witness-ledger (registry) order
+    "window_exclude_group_ties",
+    "window_regr_slope",
+    "dedup_record_linkage",
+    "events_survival_km",
+    "window_moving_median",
+    "orders_stl_decompose",
+    "part_price_elasticity",
+    "orders_pareto_frontier",
+    "events_top_paths",
+    "agg_trimmed_stats",
+    "events_ab_uplift",
+    "dq_reconciliation",
+    "dq_key_skew_profile",
+    "events_attribution_position",
+    "events_ab_cuped",
+    "dq_column_profile",
+    "orders_abc_classification",
+    "events_markov_stationary",
+    "supplier_concentration_hhi",
+    "dq_business_rules",
+    "orders_ship_latency",
+    "customer_segment_migration",
+    "customer_repurchase_cycle",
+    "orders_price_index",
 ]
 
 
