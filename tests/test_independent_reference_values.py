@@ -1,0 +1,249 @@
+"""Independent-formulation reference values for the bespoke
+statistical entries (VERDICT r5 "Next round" #3).
+
+The oracle gate proves Spark == DuckDB, but both sides of that gate
+were written by the same hand from the same reading of the textbook —
+the r4 Heaps-law bug proved a shared misreading stays green. Every
+test here recomputes the statistic from a SEPARATE formulation
+(pandas/numpy deviations-from-mean, ``np.polyfit``/``lstsq`` SVD fits,
+``math.erf`` exact normal CDF, pandas midranks) on the pinned sf0.001
+parquet loaded WITHOUT Spark, then compares the engine's collected
+output. A shared misreading of the math now has to fool three
+independent implementations to stay green.
+
+Tolerances: engine outputs are floor(x*k + 0.5) integer folds of
+doubles; the reference uses a genuinely different summation order
+(deviations vs sufficient statistics, SVD vs normal equations), so a
++-1 slack on the folded integer absorbs representation drift while
+still catching any semantic error (the smallest possible misreading —
+an off-by-one dof, a dropped tie correction — moves these statistics
+by whole fold units).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hive_release_spark.queries import REGISTRY
+from tests.conftest import SF_SMOKE
+
+_A, _B = "1-URGENT", "5-LOW"
+
+
+@pytest.fixture(scope="module")
+def orders_pd():
+    return pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def lineitem_pd():
+    return pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+
+
+def _fold(x: float, k: float) -> int:
+    return math.floor(x * k + 0.5)
+
+
+def _run(spark, name: str):
+    return REGISTRY[name].fn(spark, SF_SMOKE).collect()
+
+
+# ---------------------------------------------------------------- KS
+
+
+def test_ks_two_sample_vs_numpy_ecdf(spark, orders_pd):
+    a = np.sort(
+        orders_pd.loc[orders_pd.o_orderpriority == _A, "o_totalprice"].values
+    )
+    b = np.sort(
+        orders_pd.loc[orders_pd.o_orderpriority == _B, "o_totalprice"].values
+    )
+    support = np.union1d(a, b)
+    # right-continuous ECDFs evaluated on the pooled support
+    fa = np.searchsorted(a, support, side="right") / len(a)
+    fb = np.searchsorted(b, support, side="right") / len(b)
+    d = float(np.max(np.abs(fa - fb)))
+    out = _run(spark, "stats_ks_two_sample")[0]
+    assert out["n_a"] == len(a) and out["n_b"] == len(b)
+    assert abs(out["ks_d_micro"] - _fold(d, 1e6)) <= 1
+
+
+# ------------------------------------------------------ Mann-Whitney
+
+
+def test_mann_whitney_vs_pandas_midranks(spark, orders_pd):
+    sub = orders_pd[orders_pd.o_orderpriority.isin([_A, _B])]
+    ranks = sub.o_totalprice.rank(method="average")
+    is_a = (sub.o_orderpriority == _A).values
+    na, nb = int(is_a.sum()), int((~is_a).sum())
+    r_a = float(ranks.values[is_a].sum())
+    u_a = r_a - na * (na + 1) / 2.0
+    _, counts = np.unique(sub.o_totalprice.values, return_counts=True)
+    ties = float((counts.astype(np.float64) ** 3 - counts).sum())
+    n = na + nb
+    sigma = math.sqrt(na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1.0))))
+    z = (u_a - na * nb / 2.0) / sigma
+    out = _run(spark, "stats_mann_whitney")[0]
+    assert out["n_a"] == na and out["n_b"] == nb
+    assert out["u2_a"] == round(2 * u_a)
+    assert abs(out["z_milli"] - _fold(z, 1e3)) <= 1
+
+
+# --------------------------------------------------------- chi-square
+
+
+def test_chi_square_vs_pandas_crosstab(spark, orders_pd):
+    ct = pd.crosstab(orders_pd.o_orderpriority, orders_pd.o_orderstatus)
+    obs = ct.values.astype(np.float64)
+    nt = obs.sum()
+    expected = np.outer(obs.sum(axis=1), obs.sum(axis=0)) / nt
+    chi2 = float(((obs - expected) ** 2 / expected).sum())
+    r, c = obs.shape
+    dof = (r - 1) * (c - 1)
+    v = math.sqrt(chi2 / (nt * min(r - 1, c - 1)))
+    out = _run(spark, "stats_chi_square")[0]
+    assert out["n"] == int(nt) and out["dof"] == dof
+    assert abs(out["chi2_milli"] - _fold(chi2, 1e3)) <= 1
+    assert abs(out["v_micro"] - _fold(v, 1e6)) <= 1
+
+
+# ------------------------------------------------------------- ANOVA
+
+
+def test_anova_oneway_vs_deviations_from_mean(spark, orders_pd):
+    # engine works on exact cents; mirror the quantization, then use the
+    # DEVIATIONS formulation (engine uses sufficient-statistic identity)
+    y = np.round(orders_pd.o_totalprice.values * 100) / 100.0
+    groups = [
+        y[(orders_pd.o_orderpriority == g).values]
+        for g in sorted(orders_pd.o_orderpriority.unique())
+    ]
+    k = len(groups)
+    nt = sum(len(g) for g in groups)
+    grand = float(np.concatenate(groups).mean())
+    ssb = float(sum(len(g) * (g.mean() - grand) ** 2 for g in groups))
+    ssw = float(sum(((g - g.mean()) ** 2).sum() for g in groups))
+    sst = float(((np.concatenate(groups) - grand) ** 2).sum())
+    f = (ssb / (k - 1)) / (ssw / (nt - k))
+    eta2 = ssb / sst
+    out = _run(spark, "stats_anova_oneway")[0]
+    assert out["n_groups"] == k and out["n_rows"] == nt
+    assert out["dof_between"] == k - 1 and out["dof_within"] == nt - k
+    assert abs(out["f_milli"] - _fold(f, 1e3)) <= 1
+    assert abs(out["eta2_micro"] - _fold(eta2, 1e6)) <= 1
+
+
+# ---------------------------------------------------------- Spearman
+
+
+def test_spearman_vs_pandas_rank_pearson(spark, lineitem_pd):
+    x = lineitem_pd.l_quantity.astype(np.int64)
+    y = np.round(lineitem_pd.l_extendedprice.values * 100).astype(np.int64)
+    rx = pd.Series(x).rank(method="average").values
+    ry = pd.Series(y).rank(method="average").values
+    rho = float(np.corrcoef(rx, ry)[0, 1])
+    out = _run(spark, "stats_spearman_corr")[0]
+    assert out["n"] == len(x)
+    assert abs(out["spearman_micro"] - _fold(rho, 1e6)) <= 2
+
+
+# ------------------------------------------------------------ FDR-BH
+
+
+def test_fdr_bh_vs_exact_erf_step_up(spark, orders_pd):
+    """The engine shares an Abramowitz-Stegun erf POLYNOMIAL between
+    Spark and DuckDB (|rel err| < 1.5e-7); this reference uses Python's
+    EXACT ``math.erf``, so a transcription error in the shared
+    polynomial text cannot hide."""
+    g = (
+        orders_pd.groupby("o_orderpriority")
+        .agg(
+            n=("o_orderstatus", "size"),
+            k=("o_orderstatus", lambda s: int((s == "F").sum())),
+        )
+        .reset_index()
+        .rename(columns={"o_orderpriority": "grp"})
+    )
+    nt, kt = int(g.n.sum()), int(g.k.sum())
+    p0 = kt / nt
+    g["zv"] = (g.k / g.n - p0) / np.sqrt(p0 * (1 - p0) / g.n)
+    g["pv"] = [1.0 - math.erf(abs(z) / math.sqrt(2.0)) for z in g.zv]
+    g = g.sort_values(["pv", "grp"]).reset_index(drop=True)
+    g["rk"] = np.arange(1, len(g) + 1)
+    m = len(g)
+    passing = g.rk[g.pv <= g.rk * 0.10 / m]
+    max_rk = int(passing.max()) if len(passing) else 0
+    out = {r["grp"]: r for r in _run(spark, "stats_fdr_bh")}
+    assert len(out) == m
+    for _, row in g.iterrows():
+        o = out[row.grp]
+        assert o["n"] == row.n and o["k"] == row.k
+        assert o["rk"] == row.rk
+        assert abs(o["z_milli"] - _fold(row.zv, 1e3)) <= 1
+        # A-S polynomial error < 1.5e-7 in erf -> < 0.15 micro in p
+        assert abs(o["p_micro"] - _fold(row.pv, 1e6)) <= 1
+        assert o["rejected"] == int(row.rk <= max_rk)
+
+
+# ------------------------------------------------------ Weibull fit
+
+
+def test_weibull_fit_vs_numpy_polyfit(spark, lineitem_pd):
+    """Engine fits ln(-ln S) = k ln t + c by sufficient-statistic
+    normal equations; the reference refits the SAME linearization with
+    ``np.polyfit`` (SVD least squares) from a pandas-built ECDF."""
+    span = (
+        lineitem_pd.groupby("l_orderkey")
+        .l_shipdate.agg(lambda s: (s.max() - s.min()).days + 1)
+        .values
+    )
+    n = len(span)
+    t_vals, counts = np.unique(span, return_counts=True)
+    cum = np.cumsum(counts)
+    keep = (cum < n) & (t_vals > 1)
+    x = np.log(t_vals[keep].astype(np.float64))
+    yv = np.log(-np.log(1.0 - cum[keep] / n))
+    k, c = np.polyfit(x, yv, 1)
+    out = _run(spark, "stats_weibull_fit")[0]
+    assert out["n_points"] == int(keep.sum())
+    assert out["n_orders"] == n
+    assert abs(out["shape_milli"] - _fold(float(k), 1e3)) <= 1
+    assert abs(out["scale_days_milli"] - _fold(math.exp(-c / k), 1e3)) <= 1
+
+
+# ----------------------------------------------------- Granger-lite
+
+
+def test_granger_lite_vs_numpy_lstsq(spark, lineitem_pd):
+    """Engine solves both nested models by Cramer minors over
+    sufficient statistics; the reference builds the lagged day frame
+    in pandas and fits both models with ``np.linalg.lstsq``."""
+    day = (
+        lineitem_pd.assign(dd=lineitem_pd.l_shipdate.dt.date)
+        .groupby("dd")
+        .agg(y=("l_quantity", "sum"), x=("l_quantity", "size"))
+        .sort_index()
+    )
+    y = day.y.values[1:].astype(np.float64)
+    y1 = day.y.values[:-1].astype(np.float64)
+    x1 = day.x.values[:-1].astype(np.float64)
+    n = len(y)
+
+    def sse(design: np.ndarray) -> float:
+        beta, *_ = np.linalg.lstsq(design, y, rcond=None)
+        resid = y - design @ beta
+        return float(resid @ resid)
+
+    ones = np.ones(n)
+    sse_r = sse(np.column_stack([ones, y1]))
+    sse_u = sse(np.column_stack([ones, y1, x1]))
+    f = (sse_r - sse_u) / (sse_u / (n - 3))
+    out = _run(spark, "stats_granger_lite")[0]
+    assert out["n_days"] == n
+    assert abs(out["mse_restricted"] - _fold(sse_r / n, 1)) <= 1
+    assert abs(out["mse_unrestricted"] - _fold(sse_u / n, 1)) <= 1
+    assert abs(out["f_milli"] - _fold(f, 1e3)) <= 1
