@@ -209,8 +209,9 @@ def fn_misc_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("fn_misc_xpath", tags=("functions", "no_oracle"))
 def fn_misc_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only remainder of the old fn_misc_surface (r5 split): the
-    families with NO DuckDB equivalent or definitional SQL form —
+    """TERMINALLY rows-only (VERDICT r5 #4 accepts this one as
+    terminal): the remainder of the old fn_misc_surface (r5 split) —
+    the families with NO DuckDB equivalent or definitional SQL form —
     xpath_string (XML extraction), sentences (locale tokenizer),
     soundex (phonetic code), crc32 and xxhash64 (checksum/hash
     families; their exact values are Spark-implementation constants).

@@ -43,3 +43,45 @@ def test_pca_projection_decorrelates(spark):
     c = np.cov(P.T)
     off = c - np.diag(np.diag(c))
     assert np.abs(off).max() < 1e-3  # components ~orthogonal in sample
+
+
+def test_power_iteration_matches_sequential_numpy_replay(spark):
+    """Independent check for the oracle-gated power-iteration entry:
+    the DISTRIBUTED quantized recurrence (posexplode + hash-agg per
+    iteration) must equal a sequential numpy replay of the same
+    definition, EXACTLY — both snap state to the 1e-6 grid, so there
+    is no tolerance to hide a plumbing error in. The oracle proves
+    Spark == DuckDB; this proves both == the written-down recurrence.
+    The fixture spectrum is near-isotropic (lambda2/lambda1 ~ 0.93),
+    so 6 iterations yield a top-spectrum Krylov iterate, not the
+    converged eigenvector — the Rayleigh bounds pin that honestly."""
+    import math
+
+    from hive_release_spark.llm.clustering import power_iteration_project
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = power_iteration_project(emb, n_iter=6, nq=20).collect()
+    got = np.array([r.pc1_micro for r in sorted(out, key=lambda r: r.vec_id)])
+    rayleigh = out[0].rayleigh_micro / 1e6
+
+    X = np.array(
+        [list(map(float, r.embedding)) for r in emb.orderBy("vec_id").collect()]
+    )
+    n, d = X.shape
+    q = lambda a: np.floor(a * 1e6 + 0.5) / 1e6  # noqa: E731
+    mean = q(X.mean(axis=0))
+    Xc = X - mean
+    v = np.full(d, 1.0 / math.sqrt(d))
+    r_seq = 0.0
+    for _ in range(6):
+        w = q(Xc.T @ (Xc @ v) / n)
+        r_seq = float(v @ w)
+        v = q(w / math.sqrt(float(w @ w)))
+    want = np.floor(Xc[:20] @ v * 1e6 + 0.5).astype(np.int64)
+    assert np.array_equal(got, want), (got[:5], want[:5])
+    assert abs(rayleigh - r_seq) <= 2e-6, (rayleigh, r_seq)
+
+    # the iterate must sit inside the covariance spectrum's top band
+    eigval = np.linalg.eigvalsh((X.T @ X) / n - np.outer(X.mean(axis=0), X.mean(axis=0)))
+    assert rayleigh <= eigval[-1] * (1 + 1e-3)
+    assert rayleigh >= eigval[-8]  # climbed into the top-8 of 64
