@@ -322,3 +322,81 @@ def test_span_chunk_dedup_matches_python_model(spark, texts):
         for r in span_chunk_dedup(df, k=k).collect()
     }
     assert got == want
+
+
+def _hot_shingle_corpus(spark, n_clusters=3, cluster_size=4):
+    """Near-dup clusters sharing an 8-token base + a GLOBAL trailing
+    trigram every document carries (boilerplate) — the hot-shingle /
+    hot-bucket regime the df cap exists for. Each doc: 8 base tokens,
+    1 unique tail, 3 global tokens -> 10 trigram shingles of which 6
+    (base) + 1 (global) are shared within a cluster and exactly the
+    global one is shared corpus-wide."""
+    rows, doc_id = [], 0
+    for gi in range(n_clusters):
+        base = [f"w{gi}_{j}" for j in range(8)]
+        for c in range(cluster_size):
+            text = " ".join(base + [f"tail{gi}_{c}", "zz1", "zz2", "zz3"])
+            rows.append((doc_id, text))
+            doc_id += 1
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_jaccard_max_df_drops_hot_shingle_keeps_recall(spark):
+    """The cap must (a) drop the corpus-wide hot shingle — visible as
+    every surviving pair's intersection shrinking by exactly that
+    shingle — while (b) keeping recall on non-hot pairs unchanged at a
+    threshold with margin (VERDICT r5 #5: the SCALE.md df>K prose as a
+    tested parameter)."""
+    from hive_release_spark.llm.dedup import jaccard_pairs
+
+    docs = _hot_shingle_corpus(spark)
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, n=3, threshold=0.4).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, n=3, threshold=0.4, max_df=4).collect()
+    }
+    # recall unchanged: same pair SET (all within-cluster pairs)
+    want_pairs = {
+        (a, b)
+        for g in range(3)
+        for a in range(g * 4, g * 4 + 4)
+        for b in range(a + 1, g * 4 + 4)
+    }
+    assert set(exact) == want_pairs
+    assert set(capped) == want_pairs
+    # hot shingle dropped: 7 shared shingles -> 6, so 7/13 -> 6/14
+    for p in want_pairs:
+        assert abs(exact[p] - 7 / 13) < 1e-6
+        assert abs(capped[p] - 6 / 14) < 1e-6
+
+
+def test_minhash_max_df_subset_and_recall_on_clusters(spark):
+    """LSH bucket cap: capped output must be a subset of the uncapped
+    output, and within-cluster recall must be unchanged — true
+    near-dups collide in several (cluster-sized) buckets, so dropping
+    any corpus-wide hot bucket cannot lose them."""
+    from hive_release_spark.llm.dedup import minhash_lsh_pairs
+
+    docs = _hot_shingle_corpus(spark)
+    kw = dict(num_hashes=32, bands=8, n=3, threshold=0.4)
+    uncapped = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, **kw).collect()}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, max_df=4, **kw).collect()
+    }
+    assert capped <= uncapped
+    assert capped == uncapped  # recall unchanged on this fixture
+    # exact verification means no false positives: every emitted pair is
+    # a true within-cluster near-dup (banding is allowed to MISS pairs —
+    # LSH is approximate — but the cap may not lose any that banding found)
+    want_pairs = {
+        (a, b)
+        for g in range(3)
+        for a in range(g * 4, g * 4 + 4)
+        for b in range(a + 1, g * 4 + 4)
+    }
+    assert uncapped <= want_pairs
+    assert len(uncapped) >= len(want_pairs) // 2  # banding finds the bulk
