@@ -75,6 +75,41 @@ HEADLINE = (
     "ml_item_item_cf",         # basket-matrix cosine recommender (new r5)
 )
 
+# Rotating leg (r6, VERDICT r5 #6): the headline covers ~11% of the
+# registry, so perf regressions elsewhere were invisible. Each round
+# this tuple swaps to ~40 never-benched entries spread across §2
+# families (same rotation idea as DRIVER_WINDOW in
+# queries/__init__.py) — one timed median-of-3 per entry, stamped into
+# BENCH_DETAIL.json["rotating"]; the final driver-parsed line carries
+# the leg's total + count only (the per-query map would regrow the
+# line past the stdout-tail budget, the r4 parsed:null lesson).
+# r6 selection: family-spread from the never-benched set, trial-timed
+# so no single entry dominates (the 78 s HOF all-pairs cosine this
+# trial surfaced is fixed — see llm/similarity.cosine_pairs_blas).
+ROTATING_LEG = (
+    "q8_market_share", "q9_product_profit", "q17_small_quantity_revenue",
+    "q22_dormant_customers",
+    "ds_spend_growth_pairs", "ds_worst_return_ratios",
+    "ds_sales_deviation_rank",
+    "agg_percentile", "agg_distinct", "agg_grouping_id",
+    "window_range_interval", "window_running_distinct",
+    "window_moving_median",
+    "join_full_outer", "join_theta_residual",
+    "dedup_embedding_cosine", "dedup_semantic_cells", "sim_ann_ivf",
+    "emb_pca_project", "dedup_simhash_banded",
+    "events_sessionize_ids", "customer_cohort_ltv", "events_top_paths",
+    "orders_stl_decompose", "dq_distribution_drift_psi",
+    "stats_spearman_corr", "stats_anova_oneway",
+    "stats_randomization_test",
+    "ml_boosted_stumps", "ml_knn_label_accuracy",
+    "timeseries_holt_winters", "timeseries_autocorr",
+    "join_range_bucketed",
+    "graph_jaccard_neighbors",
+    "stream_stream_full_join", "stream_watermark_late_drop",
+    "sql_recursive_calendar", "udtf_stack", "fn_json",
+    "dq_key_skew_profile",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -128,6 +163,14 @@ def main() -> None:
         median5[name] = round(sorted(runs[name])[1], 3)
         per_query[name] = round(min(runs[name]), 3)
 
+    # rotating leg: median-of-3 per entry (kinder to the long tail than
+    # min — a leg entry is benched once per several rounds, so a
+    # one-off stall shouldn't be immortalized as its number)
+    rotating: dict[str, float] = {}
+    for name in ROTATING_LEG:
+        rotating[name] = round(sorted(run(name) for _ in range(3))[1], 3)
+    rotating_total = round(sum(rotating.values()), 3)
+
     total = round(sum(per_query.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
@@ -137,6 +180,8 @@ def main() -> None:
         "queries": per_query,
         "median_heavy5": median5,
         "position_sec": position,
+        "rotating": rotating,
+        "rotating_total_sec": rotating_total,
         "sf": sf_val,
     }
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
@@ -155,6 +200,8 @@ def main() -> None:
                 "queries": {k: round(v, 2) for k, v in per_query.items()},
                 "sf": sf_val,
                 "n_queries": len(per_query),
+                "rotating_total_sec": rotating_total,
+                "n_rotating": len(rotating),
             },
             separators=(",", ":"),
         )

@@ -205,10 +205,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "similarity"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: all pairs with cosine ≥ 0.4 (brute force here;
-    ``cosine_pairs(block_col=...)`` is the blocked scale path)."""
+    """Embedding near-dup: all pairs with cosine ≥ 0.4, on the BLAS
+    block-matmul path since r6 (the HOF self-join twin
+    ``cosine_pairs`` evaluated a 64-term fold per PAIR — 78 s vs
+    ~1.5 s at sf0.1; same oracle, same output).
+    ``cosine_pairs(block_col=...)`` remains the blocked scale path."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs(emb, threshold=0.4)
+    return similarity.cosine_pairs_blas(emb, threshold=0.4)
 
 
 @register(

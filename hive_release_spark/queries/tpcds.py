@@ -741,3 +741,174 @@ def ds_sales_deviation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+@register(
+    "ds_returns_adjusted_spend",
+    oracle="""
+    WITH net AS (
+      SELECT l_orderkey,
+             CAST(sum(CASE WHEN l_returnflag <> 'R'
+                      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS net_cents,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS gross_cents,
+             CAST(count(*) FILTER (l_returnflag = 'R') AS BIGINT)
+               AS ret_lines
+      FROM lineitem GROUP BY 1),
+    c AS (
+      SELECT o.o_custkey,
+             CAST(sum(net_cents) AS BIGINT) AS net_cents,
+             CAST(sum(gross_cents) AS BIGINT) AS gross_cents,
+             CAST(sum(ret_lines) AS BIGINT) AS returned_lines
+      FROM orders o JOIN net ON o.o_orderkey = net.l_orderkey
+      GROUP BY 1)
+    SELECT o_custkey, net_cents, gross_cents, returned_lines,
+           CAST(row_number() OVER (ORDER BY net_cents DESC, o_custkey)
+                AS BIGINT) AS rn
+    FROM c ORDER BY rn LIMIT 10
+    """,
+    tags=("tpcds", "returns", "join", "topk", "plan_quality"),
+)
+def ds_returns_adjusted_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q93 shape (VERDICT r5 stretch #8) — "returns-adjusted
+    sales": each customer's spend counted NET of returned items.  The
+    spec joins store_sales to store_returns per (item, ticket) — a
+    fact-FACT join whose returns side re-reads a second fact table;
+    in this schema the returns ledger is folded into the fact
+    (l_returnflag), so the net/gross/returned splits are conditional
+    aggregates of ONE lineitem scan collapsed to order grain, and the
+    only remaining fact-fact work is the natural lineitem⋈orders
+    orderkey shuffle to reach customer grain.  Plan-pinned: each fact
+    scanned exactly once (the spec plan reads sales twice).  Money
+    rides as exact BIGINT cents end-to-end; top-10 with the custkey
+    tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    net = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.when(F.col("l_returnflag") != "R", cents).otherwise(0)
+        ).alias("net_cents"),
+        F.sum(cents).alias("gross_cents"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("ret_lines"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = (
+        o.join(net, o.o_orderkey == net.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("net_cents").alias("net_cents"),
+            F.sum("gross_cents").alias("gross_cents"),
+            F.sum("ret_lines").alias("returned_lines"),
+        )
+    )
+    w = W.orderBy(F.col("net_cents").desc(), "o_custkey")
+    return (
+        c.select(
+            "o_custkey",
+            "net_cents",
+            "gross_cents",
+            "returned_lines",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 10)
+        .orderBy("rn")
+    )
+
+
+@register(
+    "ds_three_channel_ratio",
+    oracle="""
+    WITH ln AS (
+      SELECT l_orderkey, l_suppkey % 3 AS channel,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem WHERE l_returnflag <> 'R'),
+    j AS (
+      SELECT o.o_custkey,
+             CAST(extract('year' FROM o.o_orderdate) AS BIGINT) AS yr,
+             ln.channel, ln.qty
+      FROM ln JOIN orders o ON ln.l_orderkey = o.o_orderkey),
+    g AS (
+      SELECT o_custkey, yr,
+             CAST(sum(CASE WHEN channel = 0 THEN qty ELSE 0 END)
+                  AS BIGINT) AS ch0_qty,
+             CAST(sum(CASE WHEN channel = 1 THEN qty ELSE 0 END)
+                  AS BIGINT) AS ch1_qty,
+             CAST(sum(CASE WHEN channel = 2 THEN qty ELSE 0 END)
+                  AS BIGINT) AS ch2_qty
+      FROM j GROUP BY 1, 2
+      HAVING ch0_qty > 0 AND (ch1_qty + ch2_qty) > 0)
+    SELECT o_custkey, yr, ch0_qty, ch1_qty, ch2_qty,
+           CAST(floor(CAST(ch0_qty AS DOUBLE) / (ch1_qty + ch2_qty)
+                      * 1000000 + 0.5) AS BIGINT) AS ratio_micro,
+           rn
+    FROM (SELECT *, CAST(row_number() OVER (
+            ORDER BY CAST(ch0_qty AS DOUBLE) / (ch1_qty + ch2_qty) DESC,
+                     o_custkey, yr) AS BIGINT) AS rn
+          FROM g)
+    WHERE rn <= 20 ORDER BY rn
+    """,
+    tags=("tpcds", "anti", "conditional", "single_scan", "plan_quality"),
+)
+def ds_three_channel_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q78 shape (VERDICT r5 stretch #8) — per-customer-year
+    cross-channel quantity ratio over UNRETURNED sales.  The spec
+    computes three per-channel CTEs, each "sales LEFT JOIN returns
+    WHERE return IS NULL" (an anti join), then FULL-joins the three —
+    six fact reads and three anti-join exchanges; here the channels
+    (the l_suppkey%3 split standing in for store/web/catalog) and the
+    anti-join (the folded returns ledger: l_returnflag <> 'R') are a
+    FILTER plus conditional aggregates over ONE lineitem scan, joined
+    once to orders for the customer-year key — the 6-scan plan
+    collapses to 2 scans and one fact-fact shuffle.  Quantities are
+    integral, so the channel ratio divides exact BIGINTs (one micro
+    fold) and the top-20 ranking is engine-exact with the
+    (custkey, yr) tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") != "R"
+    )
+    ln = li.select(
+        "l_orderkey",
+        (F.col("l_suppkey") % 3).alias("channel"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+    )
+    ch = lambda c: F.sum(  # noqa: E731
+        F.when(F.col("channel") == c, F.col("qty")).otherwise(0)
+    )
+    g = (
+        ln.join(o, ln.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "yr")
+        .agg(
+            ch(0).alias("ch0_qty"),
+            ch(1).alias("ch1_qty"),
+            ch(2).alias("ch2_qty"),
+        )
+        .filter(
+            (F.col("ch0_qty") > 0)
+            & ((F.col("ch1_qty") + F.col("ch2_qty")) > 0)
+        )
+    )
+    ratio = F.col("ch0_qty").cast("double") / (
+        F.col("ch1_qty") + F.col("ch2_qty")
+    )
+    w = W.orderBy(ratio.desc(), "o_custkey", "yr")
+    return (
+        g.select(
+            "o_custkey",
+            "yr",
+            "ch0_qty",
+            "ch1_qty",
+            "ch2_qty",
+            F.floor(ratio * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("ratio_micro"),
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 20)
+        .orderBy("rn")
+    )

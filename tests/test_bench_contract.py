@@ -38,3 +38,15 @@ def test_final_summary_line_fits_driver_tail():
         separators=(",", ":"),
     )
     assert len(worst) < 1600, len(worst)
+
+
+def test_rotating_leg_names_resolve_disjoint_from_headline():
+    from bench import HEADLINE, ROTATING_LEG
+    from hive_release_spark.queries import REGISTRY
+
+    missing = [n for n in ROTATING_LEG if n not in REGISTRY]
+    assert not missing, missing
+    assert len(set(ROTATING_LEG)) == len(ROTATING_LEG)
+    overlap = set(ROTATING_LEG) & set(HEADLINE)
+    assert not overlap, overlap
+    assert 30 <= len(ROTATING_LEG) <= 50

@@ -248,3 +248,24 @@ def test_search_eval_reuses_broadcast_query_frame(spark):
         "BroadcastNestedLoopJoin"
     ) >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_ds_returns_adjusted_spend_single_fact_scans(spark):
+    """q93 shape: the returns ledger is folded into the fact, so net
+    and gross must come from ONE lineitem scan (the spec plan reads
+    the sales fact twice via the returns join)."""
+    plan = _plan(REGISTRY["ds_returns_adjusted_spend"].fn(spark, SF_SMOKE))
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+    assert plan.count("orders.parquet") == 1, plan.count("orders.parquet")
+    assert "CartesianProduct" not in plan
+
+
+def test_ds_three_channel_ratio_collapses_six_scans(spark):
+    """q78 shape: three channels x (sales + returns anti join) = six
+    spec-plan fact reads; the conditional-agg formulation must be two
+    scans (lineitem, orders) with the returnflag filter pushed to the
+    lineitem scan."""
+    plan = _plan(REGISTRY["ds_three_channel_ratio"].fn(spark, SF_SMOKE))
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+    assert plan.count("orders.parquet") == 1, plan.count("orders.parquet")
+    assert "Not(EqualTo(l_returnflag,R))" in plan, plan[:4000]
