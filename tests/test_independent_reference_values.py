@@ -247,3 +247,145 @@ def test_granger_lite_vs_numpy_lstsq(spark, lineitem_pd):
     assert abs(out["mse_restricted"] - _fold(sse_r / n, 1)) <= 1
     assert abs(out["mse_unrestricted"] - _fold(sse_u / n, 1)) <= 1
     assert abs(out["f_milli"] - _fold(f, 1e3)) <= 1
+
+
+@pytest.fixture(scope="module")
+def events_pd():
+    return pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+
+
+# --------------------------------------------------------------- PSI
+
+
+def test_psi_vs_pandas_reference(spark, orders_pd):
+    yrs = orders_pd.o_orderdate.dt.year
+    sub = orders_pd[yrs.isin([1995, 1996])]
+    bucket = np.minimum(np.floor(sub.o_totalprice.values / 50000), 9).astype(int)
+    yr = yrs[yrs.isin([1995, 1996])].values
+    na = pd.Series(bucket[yr == 1995]).value_counts()
+    nb = pd.Series(bucket[yr == 1996]).value_counts()
+    present = sorted(set(na.index) | set(nb.index))
+    ta, tb = int(na.sum()), int(nb.sum())
+    psi = 0.0
+    for b in present:
+        pa = (na.get(b, 0) + 0.5) / (ta + 5.0)
+        pb = (nb.get(b, 0) + 0.5) / (tb + 5.0)
+        psi += (pa - pb) * math.log(pa / pb)
+    out = _run(spark, "dq_distribution_drift_psi")[0]
+    assert out["n_1995"] == ta and out["n_1996"] == tb
+    assert abs(out["psi"] - psi) < 2e-6
+    assert out["drifted"] == (psi > 0.1)
+
+
+# --------------------------------------------------------- MAD flags
+
+
+def test_anomaly_mad_vs_numpy_medians(spark, events_pd):
+    n = events_pd.groupby(events_pd.ts.dt.date).size()
+    med = float(np.median(n.values))
+    mad = float(np.median(np.abs(n.values - med)))
+    out = {r["day"]: r for r in _run(spark, "events_anomaly_mad")}
+    assert len(out) == len(n)
+    for day, cnt in n.items():
+        o = out[day]
+        assert o["n"] == cnt
+        z = (cnt - med) / (1.4826 * mad)
+        assert abs(o["robust_z"] - z) < 2e-4, (day, o["robust_z"], z)
+        assert o["is_anomaly"] == (abs(cnt - med) > 3 * 1.4826 * mad)
+
+
+# ----------------------------------------------------------- Benford
+
+
+def test_benford_vs_pandas_first_digits(spark, orders_pd):
+    v = orders_pd.o_totalprice.values
+    v = v[v >= 1]
+    digits = np.array([int(str(int(math.floor(x)))[0]) for x in v])
+    counts = pd.Series(digits).value_counts()
+    total = int(counts.sum())
+    out = {r["d"]: r for r in _run(spark, "dq_benford_first_digit")}
+    assert set(out) == set(counts.index)
+    for d, obs in counts.items():
+        exp = total * math.log10(1.0 + 1.0 / d)
+        o = out[d]
+        assert o["obs"] == obs
+        assert abs(o["expected"] - exp) < 0.01 + 1e-9
+        assert abs(o["chi2_term"] - (obs - exp) ** 2 / exp) < 2e-4
+
+
+# ------------------------------------------------------------- CUSUM
+
+
+def test_cusum_vs_numpy_running_deviations(spark, events_pd):
+    n = events_pd.groupby(events_pd.ts.dt.date).size().sort_index()
+    mu = float(n.values.mean())
+    cusum = np.cumsum(n.values - mu)
+    peak_days = {
+        day
+        for day, c in zip(n.index, cusum)
+        if abs(c) == np.abs(cusum).max()
+    }
+    out = {r["day"]: r for r in _run(spark, "events_changepoint_cusum")}
+    assert len(out) == len(n)
+    for day, c in zip(n.index, cusum):
+        o = out[day]
+        assert abs(o["cusum"] - c) < 2e-4, (day, o["cusum"], c)
+        assert o["is_changepoint"] == (day in peak_days)
+
+
+# -------------------------------------------------------------- Gini
+
+
+def test_gini_vs_sorted_rank_formula(spark, orders_pd):
+    cents = (
+        orders_pd.assign(c=np.round(orders_pd.o_totalprice.values * 100).astype(np.int64))
+        .groupby("o_custkey")
+        .c.sum()
+    )
+    per = cents.reset_index().sort_values(["c", "o_custkey"])
+    x = per.c.values.astype(np.float64)
+    n = len(x)
+    i = np.arange(1, n + 1)
+    gini = 2.0 * float((i * x).sum()) / (n * x.sum()) - (n + 1.0) / n
+    out = _run(spark, "customer_gini_revenue")[0]
+    assert out["n"] == n
+    assert abs(out["total_revenue"] - x.sum() / 100.0) < 0.01 + 1e-9
+    assert abs(out["gini"] - gini) < 2e-6
+
+
+# ------------------------------------------------------ Kaplan-Meier
+
+
+def test_survival_km_vs_sequential_product_limit(spark, events_pd):
+    g = events_pd.groupby("user_id")
+    first = g.ts.min().dt.date
+    last = g.ts.max().dt.date
+    conv_mask = (events_pd.event_type == "purchase") & (events_pd.value >= 180)
+    conv = events_pd[conv_mask].groupby("user_id").ts.min().dt.date
+    rows = []
+    for uid in first.index:
+        if uid in conv.index:
+            rows.append(((conv[uid] - first[uid]).days, 1))
+        else:
+            rows.append(((last[uid] - first[uid]).days, 0))
+    df = pd.DataFrame(rows, columns=["t", "ev"])
+    bytime = (
+        df.groupby("t")
+        .agg(d=("ev", "sum"), n=("ev", "size"))
+        .sort_index()
+    )
+    bytime["c"] = bytime.n - bytime.d
+    at_risk = int(bytime.n.sum())
+    s, out_rows = 1.0, {}
+    for t, r in bytime.iterrows():
+        s *= 1.0 - r.d / at_risk if r.d < at_risk else 0.0
+        if r.d >= at_risk:
+            s = 0.0
+        out_rows[t] = (int(r.d), int(r.c), at_risk, s)
+        at_risk -= int(r.d) + int(r.c)
+    out = {r["t"]: r for r in _run(spark, "events_survival_km")}
+    assert set(out) == set(out_rows)
+    for t, (d, c, n_risk, s_hat) in out_rows.items():
+        o = out[t]
+        assert (o["d"], o["c"], o["n_risk"]) == (d, c, n_risk), (t, o)
+        assert abs(o["s_hat"] - s_hat) < 2e-6, (t, o["s_hat"], s_hat)
