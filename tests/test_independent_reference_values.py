@@ -389,3 +389,181 @@ def test_survival_km_vs_sequential_product_limit(spark, events_pd):
         o = out[t]
         assert (o["d"], o["c"], o["n_risk"]) == (d, c, n_risk), (t, o)
         assert abs(o["s_hat"] - s_hat) < 2e-6, (t, o["s_hat"], s_hat)
+
+
+# -------------------------------------------------- equi-depth hist
+
+
+def test_equidepth_histogram_vs_sorted_split(spark, orders_pd):
+    per = orders_pd.sort_values(["o_totalprice", "o_orderkey"]).reset_index(
+        drop=True
+    )
+    n = len(per)
+    base, rem = divmod(n, 10)
+    sizes = [base + 1 if i < rem else base for i in range(10)]
+    out = {r["bucket"]: r for r in _run(spark, "orders_equidepth_histogram")}
+    start = 0
+    for i, sz in enumerate(sizes, start=1):
+        chunk = per.o_totalprice.values[start : start + sz]
+        start += sz
+        o = out[i]
+        assert o["n_orders"] == sz
+        assert abs(o["lo"] - chunk.min()) < 0.005 + 1e-9
+        assert abs(o["hi"] - chunk.max()) < 0.005 + 1e-9
+        assert abs(o["bucket_value"] - chunk.sum()) < 0.01 + 1e-6
+
+
+# ----------------------------------------------------- trend (OLS)
+
+
+def test_trend_forecast_vs_numpy_polyfit(spark, orders_pd):
+    t = (orders_pd.o_orderdate.dt.year - 1995) * 12 + (
+        orders_pd.o_orderdate.dt.month - 1
+    )
+    m = (
+        orders_pd.assign(t=t)
+        .groupby("t")
+        .o_totalprice.sum()
+        .round(2)
+        .sort_index()
+    )
+    slope, icept = np.polyfit(m.index.values.astype(float), m.values, 1)
+    out = _run(spark, "orders_trend_forecast")[0]
+    assert out["n_months"] == len(m)
+    assert abs(out["slope"] - slope) < 2e-4
+    assert abs(out["icept"] - icept) < 0.02
+    assert (
+        abs(out["forecast_next"] - (icept + slope * (m.index.max() + 1)))
+        < 0.05
+    )
+
+
+# ---------------------------------------------------------- streaks
+
+
+def test_longest_streak_vs_python_islands(spark, events_pd):
+    sub = events_pd[events_pd.user_id % 9 == 0]
+    ud = (
+        sub.assign(day=sub.ts.dt.date)[["user_id", "day"]]
+        .drop_duplicates()
+        .sort_values(["user_id", "day"])
+    )
+    want = {}
+    for uid, grp in ud.groupby("user_id"):
+        days = list(grp.day)
+        streaks, cur = [], 1
+        for a, b in zip(days, days[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        want[uid] = (len(days), max(streaks), len(streaks))
+    out = {r["user_id"]: r for r in _run(spark, "events_longest_streak")}
+    assert set(out) == set(want)
+    for uid, (active, longest, n_streaks) in want.items():
+        o = out[uid]
+        assert (o["active_days"], o["longest_streak"], o["n_streaks"]) == (
+            active,
+            longest,
+            n_streaks,
+        ), (uid, o)
+
+
+# ------------------------------------------------------- DAU / MAU
+
+
+def test_stickiness_vs_pandas_trailing_window(spark, events_pd):
+    ud = (
+        events_pd.assign(day=events_pd.ts.dt.date)[["day", "user_id"]]
+        .drop_duplicates()
+    )
+    days = sorted(ud.day.unique())
+    out = {r["day"]: r for r in _run(spark, "events_stickiness_dau_mau")}
+    assert set(out) == set(days)
+    for d in days:
+        dau = ud[ud.day == d].user_id.nunique()
+        lo = d - pd.Timedelta(days=27).to_pytimedelta()
+        mau = ud[(ud.day >= lo) & (ud.day <= d)].user_id.nunique()
+        o = out[d]
+        assert (o["dau"], o["mau"]) == (dau, mau), (d, o)
+        assert abs(o["stickiness"] - dau / mau) < 2e-6
+
+
+# ------------------------------------------------------- STL-lite
+
+
+def test_stl_decompose_vs_pandas_rolling(spark, orders_pd):
+    daily = (
+        orders_pd.assign(day=orders_pd.o_orderdate.dt.date)
+        .groupby("day")
+        .o_totalprice.sum()
+        .sort_index()
+    )
+    trend = daily.rolling(7, center=True, min_periods=1).mean()
+    detr = daily - trend
+    dow = pd.Series(
+        [(pd.Timestamp(d).dayofweek + 1) % 7 for d in daily.index],
+        index=daily.index,
+    )
+    seasonal = detr.groupby(dow).transform("mean")
+    resid = detr - seasonal
+    out = {r["day"]: r for r in _run(spark, "orders_stl_decompose")}
+    assert set(out) == set(daily.index)
+    for d in daily.index:
+        o = out[d]
+        assert o["dow"] == dow[d]
+        assert abs(o["rev"] - daily[d]) < 0.01 + 1e-6
+        assert abs(o["trend"] - trend[d]) < 2e-4
+        assert abs(o["seasonal"] - seasonal[d]) < 2e-4
+        assert abs(o["resid"] - resid[d]) < 4e-4
+
+
+# ------------------------------------------------- price elasticity
+
+
+def test_price_elasticity_vs_numpy_per_brand(spark, lineitem_pd):
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet")
+    j = lineitem_pd.merge(
+        part[["p_partkey", "p_brand", "p_retailprice"]],
+        left_on="l_partkey",
+        right_on="p_partkey",
+    )
+    out = {r["p_brand"]: r for r in _run(spark, "part_price_elasticity")}
+    assert set(out) == set(j.p_brand.unique())
+    for brand, grp in j.groupby("p_brand"):
+        lp = np.log(grp.p_retailprice.values)
+        lq = np.log(grp.l_quantity.values)
+        slope, icept = np.polyfit(lp, lq, 1)
+        pred = icept + slope * lp
+        ss_res = float(((lq - pred) ** 2).sum())
+        ss_tot = float(((lq - lq.mean()) ** 2).sum())
+        r2 = 1.0 - ss_res / ss_tot
+        o = out[brand]
+        assert o["n"] == len(grp)
+        assert abs(o["elasticity"] - slope) < 2e-4, (brand, o, slope)
+        assert abs(o["intercept"] - icept) < 2e-4
+        assert abs(o["r2"] - r2) < 2e-4
+
+
+# ----------------------------------------------- trimmed/winsorized
+
+
+def test_trimmed_stats_vs_numpy_percentiles(spark, orders_pd):
+    out = {r["o_orderpriority"]: r for r in _run(spark, "agg_trimmed_stats")}
+    for pri, grp in orders_pd.groupby("o_orderpriority"):
+        g = grp.sort_values(["o_totalprice", "o_orderkey"]).reset_index(
+            drop=True
+        )
+        x = g.o_totalprice.values
+        n = len(x)
+        pr = np.arange(n) / (n - 1)
+        inside = (pr >= 0.05) & (pr <= 0.95)
+        p05, p95 = np.percentile(x, [5, 95])  # linear interpolation
+        wins = np.clip(x, p05, p95)
+        o = out[pri]
+        assert o["n"] == n
+        assert abs(o["mean_raw"] - x.mean()) < 2e-4
+        assert abs(o["mean_trimmed"] - x[inside].mean()) < 2e-4
+        assert abs(o["mean_winsorized"] - wins.mean()) < 2e-4
