@@ -567,3 +567,136 @@ def test_trimmed_stats_vs_numpy_percentiles(spark, orders_pd):
         assert abs(o["mean_raw"] - x.mean()) < 2e-4
         assert abs(o["mean_trimmed"] - x[inside].mean()) < 2e-4
         assert abs(o["mean_winsorized"] - wins.mean()) < 2e-4
+
+
+# -------------------------------------------- Markov stationary dist
+
+
+def test_markov_stationary_vs_python_chain(spark, events_pd):
+    ev = events_pd.sort_values(["user_id", "ts", "event_id"])
+    trans = {}
+    for _, grp in ev.groupby("user_id"):
+        types = list(grp.event_type)
+        for a, b in zip(types, types[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+    from_tot = {}
+    for (a, _), n in trans.items():
+        from_tot[a] = from_tot.get(a, 0) + n
+    p = {(a, b): n / from_tot[a] for (a, b), n in trans.items()}
+    x = {a: 1.0 / len(from_tot) for a in from_tot}
+    for _ in range(3):
+        nxt = {}
+        for (a, b), pv in p.items():
+            if a in x:
+                nxt[b] = nxt.get(b, 0.0) + x[a] * pv
+        x = nxt
+    total = sum(trans.values())
+    out = {r["event_type"]: r for r in _run(spark, "events_markov_stationary")}
+    want_keys = set(x) & set(from_tot)
+    assert set(out) == want_keys
+    for et in want_keys:
+        o = out[et]
+        assert abs(o["stationary_p"] - x[et]) < 2e-6, (et, o, x[et])
+        assert o["n_obs"] == from_tot[et]
+        assert abs(o["obs_share"] - from_tot[et] / total) < 2e-6
+
+
+# ---------------------------------------------------------- HHI
+
+
+def test_hhi_vs_pandas_share_squares(spark, lineitem_pd):
+    sup = pd.read_parquet(f"{SF_SMOKE}/supplier.parquet")
+    nat = pd.read_parquet(f"{SF_SMOKE}/nation.parquet")
+    # quantize with decimal HALF_UP on the shortest double repr — the
+    # one place the reference must mirror Spark's round() semantics
+    # (numpy's banker's rounding splits exact half-cents differently);
+    # the HHI algebra under test is downstream of the quantization
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cents = np.array(
+        [
+            int(
+                Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+            )
+            for x in lineitem_pd.l_extendedprice.values
+            * (1 - lineitem_pd.l_discount.values)
+            * 100
+        ],
+        dtype=np.int64,
+    )
+    li = lineitem_pd.assign(cents=cents)
+    j = li.merge(
+        sup[["s_suppkey", "s_nationkey"]],
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+    ).merge(nat[["n_nationkey", "n_name"]], left_on="s_nationkey", right_on="n_nationkey")
+    per = j.groupby(["n_name", "l_suppkey"]).cents.sum()
+    out = {r["n_name"]: r for r in _run(spark, "supplier_concentration_hhi")}
+    assert set(out) == set(per.index.get_level_values(0))
+    for nation, grp in per.groupby(level=0):
+        c = grp.values.astype(np.float64)
+        total = c.sum()
+        hhi = float((c**2).sum()) / total**2
+        n = len(c)
+        o = out[nation]
+        assert o["n_suppliers"] == n
+        assert abs(o["revenue"] - total / 100.0) < 0.01 + 1e-6
+        assert abs(o["hhi"] - hhi) < 2e-6
+        assert abs(o["top_share"] - c.max() / total) < 2e-6
+        norm = 1.0 if n == 1 else (hhi - 1.0 / n) / (1 - 1.0 / n)
+        assert abs(o["hhi_normalized"] - norm) < 2e-6
+
+
+# ------------------------------------------------------ Tukey fences
+
+
+def test_tukey_fences_vs_sorted_type1_quartiles(spark, orders_pd):
+    x = np.sort(orders_pd.o_totalprice.values)
+    n = len(x)
+    q1 = x[-(-n // 4) - 1]          # ceil(n/4)-th smallest
+    q3 = x[-(-(3 * n) // 4) - 1]    # ceil(3n/4)-th smallest
+    iqr = q3 - q1
+    lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+    out = _run(spark, "dq_outlier_tukey_fences")[0]
+    assert out["n_rows"] == n
+    assert out["q1"] == q1 and out["q3"] == q3
+    assert abs(out["fence_lo"] - lo) < 1e-9
+    assert abs(out["fence_hi"] - hi) < 1e-9
+    assert out["n_below"] == int((x < lo).sum())
+    assert out["n_above"] == int((x > hi).sum())
+
+
+# ----------------------------------------------------- A/B uplift
+
+
+def test_ab_uplift_vs_hashlib_assignment(spark, events_pd):
+    import hashlib
+
+    conv = (
+        events_pd.assign(
+            c=(
+                (events_pd.event_type == "purchase")
+                & (events_pd.value >= 180)
+            ).astype(int)
+        )
+        .groupby("user_id")
+        .c.max()
+    )
+    arm = {
+        uid: int(hashlib.md5(f"exp1:{uid}".encode()).hexdigest()[0], 16) % 2
+        for uid in conv.index
+    }
+    arms = pd.Series(arm)
+    n0 = int((arms == 0).sum())
+    n1 = int((arms == 1).sum())
+    c0 = int(conv[arms[arms == 0].index].sum())
+    c1 = int(conv[arms[arms == 1].index].sum())
+    r0, r1 = c0 / n0, c1 / n1
+    pooled = (c0 + c1) / (n0 + n1)
+    z = (r1 - r0) / math.sqrt(pooled * (1 - pooled) * (1 / n0 + 1 / n1))
+    out = _run(spark, "events_ab_uplift")[0]
+    assert (out["n0"], out["c0"], out["n1"], out["c1"]) == (n0, c0, n1, c1)
+    assert abs(out["rate_control"] - r0) < 2e-6
+    assert abs(out["rate_treatment"] - r1) < 2e-6
+    assert abs(out["abs_uplift"] - (r1 - r0)) < 2e-6
+    assert abs(out["z_score"] - z) < 2e-4
