@@ -700,3 +700,167 @@ def test_ab_uplift_vs_hashlib_assignment(spark, events_pd):
     assert abs(out["rate_treatment"] - r1) < 2e-6
     assert abs(out["abs_uplift"] - (r1 - r0)) < 2e-6
     assert abs(out["z_score"] - z) < 2e-4
+
+
+# ------------------------------------------------------ price index
+
+
+def test_price_index_vs_pandas_baskets(spark, lineitem_pd):
+    li = lineitem_pd[
+        (lineitem_pd.l_shipdate >= "1996-01-01")
+        & (lineitem_pd.l_shipdate < "1997-01-01")
+    ]
+    pm = (
+        li.assign(
+            month=li.l_shipdate.values.astype("datetime64[M]"),
+            cents=np.round(li.l_extendedprice.values * 100).astype(np.int64),
+            qty=li.l_quantity.values.astype(np.int64),
+        )
+        .groupby(["l_partkey", "month"])
+        .agg(cents=("cents", "sum"), qty=("qty", "sum"))
+        .reset_index()
+    )
+    base = pm[pm.month == np.datetime64("1996-01")].set_index("l_partkey")
+    out = {str(r["month"]): r for r in _run(spark, "orders_price_index")}
+    months = sorted(m for m in pm.month.unique() if m > np.datetime64("1996-01"))
+    assert len(out) == len(months)
+    for m in months:
+        cur = pm[pm.month == m]
+        cur = cur[cur.l_partkey.isin(base.index)]
+        pt = cur.cents.values / cur.qty.values
+        qt = cur.qty.values.astype(np.float64)
+        b = base.loc[cur.l_partkey]
+        p0 = b.cents.values / b.qty.values
+        q0 = b.qty.values.astype(np.float64)
+        laspeyres = float((pt * q0).sum() / (p0 * q0).sum())
+        paasche = float((pt * qt).sum() / (p0 * qt).sum())
+        o = out[str(pd.Timestamp(m).date())]
+        assert o["n_parts"] == len(cur)
+        assert abs(o["laspeyres_milli"] - _fold(laspeyres, 1e3)) <= 1
+        assert abs(o["paasche_milli"] - _fold(paasche, 1e3)) <= 1
+        assert (
+            abs(o["fisher_milli"] - _fold(math.sqrt(laspeyres * paasche), 1e3))
+            <= 1
+        )
+
+
+# ------------------------------------------------ diff-in-differences
+
+
+def test_did_vs_hashlib_four_cells(spark, events_pd):
+    import hashlib
+
+    arm = events_pd.user_id.map(
+        lambda uid: int(hashlib.md5(f"exp1:{uid}".encode()).hexdigest()[0], 16)
+        % 2
+    )
+    post = (events_pd.ts >= pd.Timestamp("2024-01-16")).astype(int)
+    conv = (events_pd.event_type == "purchase").astype(int)
+    cells = pd.DataFrame(
+        {"arm": arm, "post": post, "user_id": events_pd.user_id, "conv": conv}
+    )
+    rate = {}
+    tot_users = tot_purch = 0
+    for (a, p), grp in cells.groupby(["arm", "post"]):
+        n_u = grp.user_id.nunique()
+        n_p = int(grp.conv.sum())
+        rate[(a, p)] = n_p / n_u
+        tot_users += n_u
+        tot_purch += n_p
+    did = (rate[(1, 1)] - rate[(1, 0)]) - (rate[(0, 1)] - rate[(0, 0)])
+    out = _run(spark, "events_did_analysis")[0]
+    assert out["total_user_periods"] == tot_users
+    assert out["total_purchases"] == tot_purch
+    assert abs(out["t_pre_micro"] - _fold(rate[(1, 0)], 1e6)) <= 1
+    assert abs(out["t_post_micro"] - _fold(rate[(1, 1)], 1e6)) <= 1
+    assert abs(out["c_pre_micro"] - _fold(rate[(0, 0)], 1e6)) <= 1
+    assert abs(out["c_post_micro"] - _fold(rate[(0, 1)], 1e6)) <= 1
+    assert abs(out["did_micro"] - _fold(did, 1e6)) <= 2
+
+
+# ------------------------------------------------- interval coverage
+
+
+def test_interval_coverage_vs_python_sweep(spark, orders_pd, lineitem_pd):
+    end = lineitem_pd.groupby("l_orderkey").l_shipdate.max().dt.date
+    o = orders_pd[orders_pd.o_custkey % 10 == 0]
+    # inner join: orders with no line items never form an interval
+    o = o[o.o_orderkey.isin(end.index)]
+    iv = pd.DataFrame(
+        {
+            "cust": o.o_custkey.values,
+            "start": o.o_orderdate.dt.date.values,
+            "end": end.loc[o.o_orderkey].values,
+        }
+    )
+    out = {r["o_custkey"]: r for r in _run(spark, "customer_interval_coverage")}
+    assert set(out) == set(iv.cust.unique())
+    for cust, grp in iv.groupby("cust"):
+        spans = sorted(zip(grp.start, grp.end))
+        merged = []
+        for s, e in spans:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        covered = sum((e - s).days + 1 for s, e in merged)
+        o_row = out[cust]
+        assert o_row["n_intervals"] == len(spans)
+        assert o_row["n_merged"] == len(merged), (cust, merged)
+        assert o_row["covered_days"] == covered
+
+
+# ------------------------------------------------------- cohort LTV
+
+
+def test_cohort_ltv_vs_pandas_curves(spark, orders_pd):
+    m = (orders_pd.o_orderdate.dt.year - 1995) * 12 + (
+        orders_pd.o_orderdate.dt.month - 1
+    )
+    f = orders_pd.assign(
+        m=m, cents=np.round(orders_pd.o_totalprice.values * 100).astype(np.int64)
+    )
+    f["cohort_m"] = f.groupby("o_custkey").m.transform("min")
+    f["age_m"] = f.m - f.cohort_m
+    per = (
+        f.groupby(["cohort_m", "age_m"])
+        .agg(rev=("cents", "sum"), active=("o_custkey", "nunique"))
+        .reset_index()
+    )
+    sizes = f.groupby("cohort_m").o_custkey.nunique()
+    out = {
+        (r["cohort_m"], r["age_m"]): r for r in _run(spark, "customer_cohort_ltv")
+    }
+    want = per[per.cohort_m < 6]
+    assert len(out) == len(want)
+    for cm, grp in want.groupby("cohort_m"):
+        grp = grp.sort_values("age_m")
+        cum = 0
+        for _, row in grp.iterrows():
+            cum += row.rev
+            o = out[(cm, row.age_m)]
+            assert o["cohort_n"] == sizes[cm]
+            assert o["active"] == row.active
+            ltv = cum / (100.0 * sizes[cm])
+            assert abs(o["cum_ltv_per_user"] - ltv) < 0.005 + 1e-9
+
+
+# ----------------------------------------------------- moving median
+
+
+def test_moving_median_vs_pandas_rolling(spark, orders_pd):
+    daily = (
+        orders_pd.assign(day=orders_pd.o_orderdate.dt.date)
+        .groupby("day")
+        .o_totalprice.sum()
+        .sort_index()
+    )
+    trailing = daily.rolling(7, min_periods=1).median()
+    centered = daily.rolling(7, center=True, min_periods=1).median()
+    out = {r["day"]: r for r in _run(spark, "window_moving_median")}
+    assert set(out) == set(daily.index)
+    for d in daily.index:
+        o = out[d]
+        assert abs(o["rev"] - daily[d]) < 0.01 + 1e-6
+        assert abs(o["med_trailing7"] - trailing[d]) < 2e-4, (d, o)
+        assert abs(o["med_centered7"] - centered[d]) < 2e-4, (d, o)
