@@ -864,3 +864,87 @@ def test_moving_median_vs_pandas_rolling(spark, orders_pd):
         assert abs(o["rev"] - daily[d]) < 0.01 + 1e-6
         assert abs(o["med_trailing7"] - trailing[d]) < 2e-4, (d, o)
         assert abs(o["med_centered7"] - centered[d]) < 2e-4, (d, o)
+
+
+# ------------------------------------------------------- Fano factor
+
+
+def test_fano_factor_vs_pandas_var_over_mean(spark, events_pd):
+    d = (
+        events_pd.assign(day=events_pd.ts.dt.date)
+        .groupby(["event_type", "day"])
+        .size()
+    )
+    out = {r["event_type"]: r for r in _run(spark, "events_fano_factor")}
+    for et, counts in d.groupby(level=0):
+        c = counts.values.astype(np.float64)
+        fano = c.var(ddof=1) / c.mean()
+        o = out[et]
+        assert o["n_days"] == len(c)
+        assert o["n_events"] == int(c.sum())
+        assert abs(o["fano_milli"] - _fold(fano, 1e3)) <= 1
+        assert o["bursty_flag"] == int(fano > 1.5)
+
+
+# ------------------------------------------------ rolling OLS slope
+
+
+def test_window_regr_slope_vs_numpy_polyfit(spark, orders_pd):
+    sub = orders_pd[orders_pd.o_custkey % 100 == 0].copy()
+    sub["cents"] = np.round(sub.o_totalprice.values * 100).astype(np.int64)
+    sub = sub.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    sub["rn"] = sub.groupby("o_custkey").cumcount() + 1
+    out = {
+        (r["o_custkey"], r["rn"]): r for r in _run(spark, "window_regr_slope")
+    }
+    n_checked = 0
+    for cust, grp in sub.groupby("o_custkey"):
+        rns = grp.rn.values
+        cents = grp.cents.values.astype(np.float64)
+        for i in range(1, len(rns)):  # rn >= 2
+            lo = max(0, i - 4)
+            x, y = rns[lo : i + 1].astype(np.float64), cents[lo : i + 1]
+            slope = np.polyfit(x, y, 1)[0] / 100.0  # cents -> currency
+            o = out[(cust, rns[i])]
+            assert abs(o["slope_milli"] - _fold(slope, 1e3)) <= 1, (
+                cust,
+                rns[i],
+                o,
+                slope,
+            )
+            n_checked += 1
+    assert n_checked == len(out)
+
+
+# ---------------------------------------------------- triangle stats
+
+
+def test_triangle_stats_vs_python_sets(spark):
+    """The near-dup pair list is itself oracle-gated + property-tested
+    (jaccard_pairs); this checks the TRIANGLE algebra on top of it —
+    adjacency sets, wedge counts d*(d-1)/2, the 3T/wedges clustering
+    coefficient — against a plain Python set implementation."""
+    from hive_release_spark.llm import dedup as ddp
+    from hive_release_spark.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in ddp.jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    ]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # count each triangle once: common neighbors ABOVE both endpoints
+    tri = 0
+    for a, b in pairs:
+        hi = max(a, b)
+        tri += sum(1 for c in adj[a] & adj[b] if c > hi)
+    wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    out = _run(spark, "graph_triangles")[0]
+    assert out["n_nodes"] == len(adj)
+    assert out["n_edges"] == len(pairs)
+    assert out["n_triangles"] == tri, (out["n_triangles"], tri)
+    want_cc = 0.0 if wedges == 0 else 3.0 * tri / wedges
+    assert abs(out["clustering_coeff"] - want_cc) < 2e-6
