@@ -948,3 +948,98 @@ def test_triangle_stats_vs_python_sets(spark):
     assert out["n_triangles"] == tri, (out["n_triangles"], tri)
     want_cc = 0.0 if wedges == 0 else 3.0 * tri / wedges
     assert abs(out["clustering_coeff"] - want_cc) < 2e-6
+
+
+# ------------------------------------------------------- sessionize
+
+
+def test_sessionize_vs_python_gap_walk(spark, events_pd):
+    sub = events_pd[events_pd.user_id % 11 == 0].sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    sec = lambda t: int(pd.Timestamp(t).timestamp())  # noqa: E731
+    want = {}
+    for uid, grp in sub.groupby("user_id"):
+        sess_n, prev = 0, None
+        sessions = {}
+        for _, r in grp.iterrows():
+            if prev is None or sec(r.ts) - sec(prev) > 1800:
+                sess_n += 1
+            prev = r.ts
+            sessions.setdefault(sess_n, []).append(r)
+        for sn, rows in sessions.items():
+            tss = [r.ts for r in rows]
+            want[(uid, sn)] = (
+                len(rows),
+                min(tss),
+                sec(max(tss)) - sec(min(tss)),
+                round(sum(r.value for r in rows), 2),
+            )
+    out = {
+        (r["user_id"], r["session_n"]): r
+        for r in _run(spark, "events_sessionize_ids")
+    }
+    assert set(out) == set(want)
+    for key, (n, start, dur, val) in want.items():
+        o = out[key]
+        assert o["n_events"] == n
+        assert pd.Timestamp(o["session_start"]) == start
+        assert o["duration_s"] == dur
+        assert abs(o["session_value"] - val) < 0.005 + 1e-9
+
+
+# ---------------------------------------------- last-touch attribution
+
+
+def test_last_touch_vs_python_scan(spark, events_pd):
+    views = events_pd[events_pd.event_type == "view"]
+    out = {
+        r["event_id"]: r for r in _run(spark, "events_attribution_last_touch")
+    }
+    purchases = events_pd[events_pd.event_type == "purchase"]
+    assert set(out) == set(purchases.event_id)
+    sec = lambda t: int(pd.Timestamp(t).timestamp())  # noqa: E731
+    for _, p in purchases.iterrows():
+        cand = views[(views.user_id == p.user_id) & (views.ts <= p.ts)]
+        o = out[p.event_id]
+        if len(cand):
+            best = cand.sort_values("ts").iloc[-1]
+            assert o["view_id"] == best.event_id, (p.event_id, o)
+            assert o["lag_s"] == sec(p.ts) - sec(best.ts)
+        else:
+            assert o["view_id"] is None and o["lag_s"] is None
+        assert abs(o["credited_value"] - round(p.value, 2)) < 0.005 + 1e-9
+
+
+# ------------------------------------------------- 72h-bounded funnel
+
+
+def test_funnel_window_vs_python_steps(spark, events_pd):
+    win = pd.Timedelta(hours=72)
+    n_view = n_click = n_purch = 0
+    for _, grp in events_pd.groupby("user_id"):
+        v = grp[grp.event_type == "view"]
+        if not len(v):
+            continue
+        n_view += 1
+        t1 = v.ts.min()
+        c = grp[
+            (grp.event_type == "click") & (grp.ts > t1) & (grp.ts <= t1 + win)
+        ]
+        if not len(c):
+            continue
+        n_click += 1
+        t2 = c.ts.min()
+        p = grp[
+            (grp.event_type == "purchase")
+            & (grp.ts > t2)
+            & (grp.ts <= t2 + win)
+        ]
+        if len(p):
+            n_purch += 1
+    out = _run(spark, "funnel_conversion_window")[0]
+    assert (out["n_view"], out["n_click_72h"], out["n_purchase_72h"]) == (
+        n_view,
+        n_click,
+        n_purch,
+    )
