@@ -1043,3 +1043,131 @@ def test_funnel_window_vs_python_steps(spark, events_pd):
         n_click,
         n_purch,
     )
+
+
+# ------------------------------------------------ cluster histogram
+
+
+def test_cluster_size_histogram_vs_union_find(spark):
+    """Connected components re-derived by a textbook union-find over
+    the (already gated) near-dup pair list, then the same size
+    histogram — checks the min-label propagation + survivor math
+    independently of both the Spark loop and the recursive-CTE
+    oracle."""
+    from hive_release_spark.catalog import load_table
+    from hive_release_spark.llm import dedup as ddp
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in ddp.jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    from collections import Counter
+
+    comp_sizes = Counter(find(x) for x in parent)
+    hist = Counter(comp_sizes.values())
+    out = {r["cluster_size"]: r for r in _run(spark, "dedup_cluster_size_histogram")}
+    assert set(out) == set(hist)
+    for size, n_clusters in hist.items():
+        o = out[size]
+        assert o["n_clusters"] == n_clusters
+        assert o["docs_dropped"] == (size - 1) * n_clusters
+
+
+# ----------------------------------------------------- top paths
+
+
+def test_top_paths_vs_python_sessions(spark, events_pd):
+    from collections import Counter
+
+    sub = events_pd.sort_values(["user_id", "ts", "event_id"])
+    paths = Counter()
+    for _, grp in sub.groupby("user_id"):
+        sess, prev = [], None
+        for _, r in grp.iterrows():
+            if prev is not None and (
+                (r.ts - prev).total_seconds() * 1e6
+                > 6 * 3600 * 1e6 - 0.5  # micros, mirror unix_micros diff
+            ):
+                paths[">".join(sess[:5])] += 1
+                sess = []
+            sess.append(r.event_type)
+            prev = r.ts
+        if sess:
+            paths[">".join(sess[:5])] += 1
+    top = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    out = [(r["path"], r["n_sessions"]) for r in _run(spark, "events_top_paths")]
+    assert out == top, (out[:5], top[:5])
+
+
+# ------------------------------------------------- ABC classification
+
+
+def test_abc_classification_vs_python_cumshare(spark, lineitem_pd):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cents = np.array(
+        [
+            int(Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+            for x in lineitem_pd.l_extendedprice.values
+            * (1 - lineitem_pd.l_discount.values)
+            * 100
+        ],
+        dtype=np.int64,
+    )
+    per = (
+        lineitem_pd.assign(cents=cents)
+        .groupby("l_partkey")
+        .cents.sum()
+        .reset_index()
+        .sort_values(["cents", "l_partkey"], ascending=[False, True])
+    )
+    total = int(per.cents.sum())
+    cum = per.cents.cumsum().values
+    share = cum / total
+    cls = np.where(share <= 0.80, "A", np.where(share <= 0.95, "B", "C"))
+    out = {r["abc_class"]: r for r in _run(spark, "orders_abc_classification")}
+    for c in ("A", "B", "C"):
+        mask = cls == c
+        o = out[c]
+        assert o["n_parts"] == int(mask.sum())
+        assert abs(o["revenue"] - per.cents.values[mask].sum() / 100.0) < 0.01
+        assert (
+            abs(o["revenue_share"] - per.cents.values[mask].sum() / total)
+            < 2e-6
+        )
+
+
+# ------------------------------------------------- column profile
+
+
+def test_column_profile_vs_pandas_aggregates(spark, orders_pd):
+    out = {r["col_name"]: r for r in _run(spark, "dq_column_profile")}
+    n = len(orders_pd)
+    for col in ("o_orderkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority"):
+        s = orders_pd[col]
+        o = out[col]
+        assert o["n_rows"] == n
+        assert o["n_null"] == int(s.isna().sum())
+        assert o["n_distinct"] == s.nunique()
+    assert out["o_orderkey"]["min_str"] == str(int(orders_pd.o_orderkey.min()))
+    assert out["o_totalprice"]["max_str"] == (
+        "%.2f" % orders_pd.o_totalprice.max()
+    )
+    assert out["o_orderdate"]["min_str"] == str(
+        orders_pd.o_orderdate.min().date()
+    )
