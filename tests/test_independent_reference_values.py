@@ -1171,3 +1171,118 @@ def test_column_profile_vs_pandas_aggregates(spark, orders_pd):
     assert out["o_orderdate"]["min_str"] == str(
         orders_pd.o_orderdate.min().date()
     )
+
+
+# --------------------------------------------------- business rules
+
+
+def test_business_rules_vs_pandas_predicates(spark, orders_pd, lineitem_pd):
+    j = lineitem_pd.merge(
+        orders_pd[["o_orderkey", "o_orderdate"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    n = len(j)
+    lat_ok = (j.l_shipdate >= j.o_orderdate) & (
+        j.l_shipdate <= j.o_orderdate + pd.Timedelta(days=120)
+    )
+    want = {
+        "ship_within_120d": int((~lat_ok).sum()),
+        "discount_in_0_50pct": int(
+            (~((j.l_discount >= 0) & (j.l_discount <= 0.5))).sum()
+        ),
+        "quantity_1_to_50": int(
+            (~((j.l_quantity >= 1) & (j.l_quantity <= 50))).sum()
+        ),
+        "tax_nonnegative": int((j.l_tax < 0).sum()),
+        "price_positive": int((j.l_extendedprice <= 0).sum()),
+    }
+    out = {r["rule"]: r for r in _run(spark, "dq_business_rules")}
+    assert set(out) == set(want)
+    for rule, v in want.items():
+        o = out[rule]
+        assert o["n_checked"] == n
+        assert o["n_violations"] == v, (rule, o, v)
+        assert abs(o["violation_rate"] - v / n) < 2e-6
+
+
+# ----------------------------------------------------- ship latency
+
+
+def test_ship_latency_vs_numpy_percentiles(spark, orders_pd, lineitem_pd):
+    j = lineitem_pd.merge(
+        orders_pd[["o_orderkey", "o_orderdate", "o_orderpriority"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    lat = (j.l_shipdate.dt.date - j.o_orderdate.dt.date).apply(
+        lambda d: d.days
+    )
+    out = {r["o_orderpriority"]: r for r in _run(spark, "orders_ship_latency")}
+    for pri, grp in lat.groupby(j.o_orderpriority):
+        x = grp.values.astype(np.float64)
+        o = out[pri]
+        assert o["n_lines"] == len(x)
+        assert o["min_days"] == int(x.min())
+        assert o["max_days"] == int(x.max())
+        assert abs(o["avg_days"] - x.mean()) < 2e-4
+        for col, q in (("p50_days", 50), ("p90_days", 90), ("p99_days", 99)):
+            assert abs(o[col] - np.percentile(x, q)) < 2e-4, (pri, col)
+
+
+# ------------------------------------------------ segment migration
+
+
+def test_segment_migration_vs_pandas_full_join(spark, orders_pd):
+    o = orders_pd[orders_pd.o_orderdate.dt.year == 1995]
+    m = (
+        o.assign(
+            half=np.where(o.o_orderdate.dt.month <= 6, 1, 2),
+            cents=np.round(o.o_totalprice.values * 100).astype(np.int64),
+        )
+        .groupby(["o_custkey", "half"])
+        .cents.sum()
+        .reset_index()
+    )
+    m["segment"] = np.where(
+        m.cents >= 50_000_000, "high", np.where(m.cents >= 20_000_000, "mid", "low")
+    )
+    a = m[m.half == 1].set_index("o_custkey").segment
+    b = m[m.half == 2].set_index("o_custkey").segment
+    from collections import Counter
+
+    mig = Counter()
+    for cust in set(a.index) | set(b.index):
+        mig[(a.get(cust, "none"), b.get(cust, "none"))] += 1
+    out = {
+        (r["seg_from"], r["seg_to"]): r["n_customers"]
+        for r in _run(spark, "customer_segment_migration")
+    }
+    assert out == dict(mig)
+
+
+# ---------------------------------------------- repurchase cycle
+
+
+def test_repurchase_cycle_vs_pandas_gaps(spark, orders_pd):
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    o = orders_pd.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    gaps = (
+        o.groupby("o_custkey")
+        .o_orderdate.diff()
+        .dt.days.dropna()
+    )
+    seg = o.o_custkey.map(
+        cust.set_index("c_custkey").c_mktsegment
+    ).loc[gaps.index]
+    out = {
+        r["c_mktsegment"]: r for r in _run(spark, "customer_repurchase_cycle")
+    }
+    for s, grp in gaps.groupby(seg):
+        x = grp.values.astype(np.float64)
+        o_row = out[s]
+        assert o_row["n_gaps"] == len(x)
+        assert abs(o_row["avg_days"] - x.mean()) < 2e-4
+        assert abs(o_row["p50_days"] - np.percentile(x, 50)) < 2e-4
+        assert abs(o_row["p90_days"] - np.percentile(x, 90)) < 2e-4
+        assert o_row["max_days"] == int(x.max())
