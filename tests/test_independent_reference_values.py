@@ -1286,3 +1286,179 @@ def test_repurchase_cycle_vs_pandas_gaps(spark, orders_pd):
         assert abs(o_row["p50_days"] - np.percentile(x, 50)) < 2e-4
         assert abs(o_row["p90_days"] - np.percentile(x, 90)) < 2e-4
         assert o_row["max_days"] == int(x.max())
+
+
+# --------------------------------------------------- supplier Pareto
+
+
+def test_supplier_pareto_vs_python_cumshare(spark, lineitem_pd):
+    rev = (
+        lineitem_pd.assign(
+            r=lineitem_pd.l_extendedprice.values
+            * (1 - lineitem_pd.l_discount.values)
+        )
+        .groupby("l_suppkey")
+        .r.sum()
+        .round(2)
+        .reset_index()
+        .sort_values(["r", "l_suppkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    total = rev.r.sum()
+    cum = rev.r.cumsum().values
+    keep = (cum / total <= 0.5) | (np.arange(1, len(rev) + 1) <= 3)
+    out = [
+        (r["rk"], r["l_suppkey"]) for r in _run(spark, "supplier_pareto")
+    ]
+    want = [
+        (i + 1, int(rev.l_suppkey[i])) for i in range(len(rev)) if keep[i]
+    ]
+    assert out == want
+    shares = {r["rk"]: r["cum_share"] for r in _run(spark, "supplier_pareto")}
+    for i in range(len(rev)):
+        if keep[i]:
+            assert abs(shares[i + 1] - cum[i] / total) < 2e-6
+
+
+# ----------------------------------------------------- backlog curve
+
+
+def test_backlog_curve_vs_python_delta_stream(spark, orders_pd):
+    from collections import Counter
+
+    deltas = Counter()
+    for d in orders_pd.o_orderdate.dt.normalize():
+        deltas[d] += 1
+        deltas[d + pd.Timedelta(days=30)] -= 1
+    out = [(r["day"], r["delta"], r["open_orders"])
+           for r in _run(spark, "orders_backlog_curve")]
+    run = 0
+    want = []
+    for day in sorted(deltas):
+        run += deltas[day]
+        want.append((day.to_pydatetime(), deltas[day], run))
+    assert [(pd.Timestamp(a), b, c) for a, b, c in out] == [
+        (pd.Timestamp(a), b, c) for a, b, c in want
+    ]
+
+
+# ------------------------------------------- hour x iso-dow profile
+
+
+def test_hourly_seasonality_vs_pandas_grid(spark, events_pd):
+    p = events_pd[events_pd.event_type == "purchase"]
+    grid = (
+        p.assign(h=p.ts.dt.hour, d=p.ts.dt.dayofweek + 1)  # iso: Mon=1
+        .groupby(["h", "d"])
+        .agg(n=("value", "size"), avg_value=("value", "mean"))
+    )
+    out = {
+        (r["hour_of_day"], r["iso_dow"]): r
+        for r in _run(spark, "events_hourly_seasonality")
+    }
+    assert set(out) == set(grid.index)
+    for key, row in grid.iterrows():
+        o = out[key]
+        assert o["n"] == row.n
+        assert abs(o["avg_value"] - row.avg_value) < 2e-4
+
+
+# -------------------------------------------------- priority mix shift
+
+
+def test_priority_mix_shift_vs_pandas_shares(spark, orders_pd):
+    yearly = (
+        orders_pd.assign(yr=orders_pd.o_orderdate.dt.year)
+        .groupby(["yr", "o_orderpriority"])
+        .size()
+        .rename("n")
+        .reset_index()
+    )
+    yearly["share"] = yearly.n / yearly.groupby("yr").n.transform("sum")
+    yearly = yearly.sort_values(["o_orderpriority", "yr"])
+    yearly["delta"] = yearly.groupby("o_orderpriority").share.diff()
+    out = {
+        (r["yr"], r["o_orderpriority"]): r
+        for r in _run(spark, "orders_priority_mix_shift")
+    }
+    assert len(out) == len(yearly)
+    for _, row in yearly.iterrows():
+        o = out[(row.yr, row.o_orderpriority)]
+        assert o["n"] == row.n
+        assert abs(o["share"] - row.share) < 2e-6
+        if pd.isna(row.delta):
+            assert o["share_delta"] is None
+        else:
+            assert abs(o["share_delta"] - row.delta) < 2e-6
+
+
+# ------------------------------------------------ user lifecycle
+
+
+def test_user_lifecycle_vs_pandas_aggregates(spark, events_pd):
+    sec = lambda t: int(pd.Timestamp(t).timestamp())  # noqa: E731
+    g = events_pd.groupby("user_id")
+    out = {r["user_id"]: r for r in _run(spark, "events_user_lifecycle")}
+    assert set(out) == set(g.groups)
+    for uid, grp in g:
+        o = out[uid]
+        assert o["n_events"] == len(grp)
+        assert o["active_days"] == grp.ts.dt.normalize().nunique()
+        assert o["span_s"] == sec(grp.ts.max()) - sec(grp.ts.min())
+        assert o["first_event_id"] == grp.event_id.min()
+        assert o["last_event_id"] == grp.event_id.max()
+
+
+# ---------------------------------------------- region/nation shares
+
+
+def test_region_nation_share_vs_pandas_hierarchy(spark, orders_pd):
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    nat = pd.read_parquet(f"{SF_SMOKE}/nation.parquet")
+    reg = pd.read_parquet(f"{SF_SMOKE}/region.parquet")
+    j = (
+        orders_pd.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    rev = (
+        j.groupby(["r_name", "n_name"])
+        .o_totalprice.sum()
+        .round(2)
+    )
+    total = rev.sum()
+    out = {
+        (r["region"], r["nation"]): r
+        for r in _run(spark, "region_nation_share")
+    }
+    assert set(out) == set(rev.index)
+    for (region, nation), r in rev.items():
+        o = out[(region, nation)]
+        assert abs(o["revenue"] - r) < 0.02
+        reg_tot = rev[region].sum()
+        assert abs(o["share_of_region"] - r / reg_tot) < 2e-6
+        assert abs(o["share_of_total"] - r / total) < 2e-6
+
+
+# -------------------------------------------------- part-type HHI
+
+
+def test_part_type_hhi_vs_pandas_shares(spark, lineitem_pd):
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet")
+    j = lineitem_pd.merge(
+        part[["p_partkey", "p_type", "p_brand"]],
+        left_on="l_partkey",
+        right_on="p_partkey",
+    )
+    rev = (
+        j.assign(r=j.l_extendedprice.values * (1 - j.l_discount.values))
+        .groupby(["p_type", "p_brand"])
+        .r.sum()
+    )
+    out = {r["p_type"]: r for r in _run(spark, "part_type_hhi")}
+    assert set(out) == set(rev.index.get_level_values(0))
+    for ptype, grp in rev.groupby(level=0):
+        s = grp.values / grp.values.sum()
+        o = out[ptype]
+        assert o["n_brands"] == len(s)
+        assert abs(o["hhi"] - float((s**2).sum())) < 2e-6
