@@ -1462,3 +1462,213 @@ def test_part_type_hhi_vs_pandas_shares(spark, lineitem_pd):
         o = out[ptype]
         assert o["n_brands"] == len(s)
         assert abs(o["hhi"] - float((s**2).sum())) < 2e-6
+
+
+# --------------------------------------------------------- SCD2 runs
+
+
+def test_scd2_vs_python_run_collapse(spark, events_pd):
+    sub = events_pd[events_pd.user_id % 7 == 0].sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    want = {}
+    for uid, grp in sub.groupby("user_id"):
+        version, prev = 0, None
+        runs = []
+        for _, r in grp.iterrows():
+            if prev is None or r.event_type != prev:
+                version += 1
+                runs.append([r.event_type, r.ts, 0])
+            runs[-1][2] += 1
+            prev = r.event_type
+        for i, (state, start, n) in enumerate(runs, start=1):
+            nxt = runs[i][1] if i < len(runs) else None
+            want[(uid, i)] = (state, start, nxt, n)
+    out = {(r["user_id"], r["version"]): r for r in _run(spark, "user_state_scd2")}
+    assert set(out) == set(want)
+    for key, (state, start, nxt, n) in want.items():
+        o = out[key]
+        assert o["state"] == state and o["n_events"] == n
+        assert pd.Timestamp(o["valid_from"]) == start
+        if nxt is None:
+            assert o["valid_to"] is None
+        else:
+            assert pd.Timestamp(o["valid_to"]) == nxt
+
+
+# --------------------------------------------------- weighted sample
+
+
+def test_sample_weighted_vs_hashlib_exponential_keys(spark):
+    import hashlib
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+
+    def key(doc_id, n_chars):
+        u = (
+            int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) + 1.0
+        ) / 16**8
+        return math.log(u) / n_chars
+
+    docs = docs.assign(k=[key(d, n) for d, n in zip(docs.doc_id, docs.n_chars)])
+    out = {
+        (r["lang"], r["rk"]): r["doc_id"] for r in _run(spark, "sample_weighted")
+    }
+    for lang, grp in docs.groupby("lang"):
+        top = grp.sort_values(["k", "doc_id"], ascending=[False, True]).head(5)
+        for rk, doc_id in enumerate(top.doc_id, start=1):
+            assert out[(lang, rk)] == doc_id, (lang, rk)
+
+
+# ------------------------------------------------ running distinct
+
+
+def test_running_distinct_vs_python_set_walk(spark, events_pd):
+    sub = events_pd[events_pd.user_id % 13 == 0].sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    want = {}
+    for uid, grp in sub.groupby("user_id"):
+        seen = set()
+        for _, r in grp.iterrows():
+            seen.add(r.event_type)
+            want[(uid, r.event_id)] = len(seen)
+    out = {
+        (r["user_id"], r["event_id"]): r["types_seen"]
+        for r in _run(spark, "window_running_distinct")
+    }
+    assert out == want
+
+
+# --------------------------------------- EXCLUDE GROUP / TIES frames
+
+
+def test_exclude_group_ties_vs_python_range_frames(spark, lineitem_pd):
+    sub = lineitem_pd[lineitem_pd.l_suppkey % 100 == 0]
+    # (l_orderkey, l_linenumber) is NOT unique in this fixture slice,
+    # so compare as sorted multisets of rounded rows
+    out = sorted(
+        (
+            r["l_orderkey"],
+            r["l_linenumber"],
+            r["grp_excl_rows"],
+            None if r["grp_excl_sum"] is None else round(r["grp_excl_sum"], 2),
+            r["ties_excl_rows"],
+            round(r["ties_excl_sum"], 2),
+        )
+        for r in _run(spark, "window_exclude_group_ties")
+    )
+    want = []
+    for sk, grp in sub.groupby("l_suppkey"):
+        q = grp.l_quantity.values
+        p = grp.l_extendedprice.values
+        for i in range(len(grp)):
+            in_frame = np.abs(q - q[i]) <= 2
+            gmask = in_frame & (q != q[i])
+            gsum = None if gmask.sum() == 0 else round(float(p[gmask].sum()), 2)
+            want.append(
+                (
+                    int(grp.l_orderkey.values[i]),
+                    int(grp.l_linenumber.values[i]),
+                    int(gmask.sum()),
+                    gsum,
+                    int(gmask.sum()) + 1,
+                    round(float(p[gmask].sum() + p[i]), 2),
+                )
+            )
+    want.sort()
+    assert len(out) == len(want)
+    for o_row, w_row in zip(out, want):
+        assert o_row[:3] == w_row[:3] and o_row[4] == w_row[4], (o_row, w_row)
+        for oi, wi in ((o_row[3], w_row[3]), (o_row[5], w_row[5])):
+            if wi is None:
+                assert oi is None
+            else:
+                assert abs(oi - wi) < 0.02, (o_row, w_row)
+
+
+# ---------------------------------------------------- record linkage
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i]
+        for j, cb in enumerate(b, start=1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_record_linkage_vs_python_blocked_dp(spark):
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet")
+    names = part.groupby("p_name").size()
+    want = []
+    by_block = {}
+    for name in names.index:
+        by_block.setdefault(name.split(" ")[-1], []).append(name)
+    for block, members in by_block.items():
+        for i, a in enumerate(sorted(members)):
+            for b in sorted(members)[i + 1 :]:
+                lev = _levenshtein(a, b)
+                if lev <= 2:
+                    want.append((block, a, b, lev, names[a], names[b]))
+    want.sort()
+    out = [
+        (r["block"], r["name_a"], r["name_b"], r["lev"], r["n_rows_a"], r["n_rows_b"])
+        for r in _run(spark, "dedup_record_linkage")
+    ]
+    assert out == want
+
+
+# ---------------------------------------------------- reconciliation
+
+
+def test_reconciliation_vs_pandas_per_order(spark, orders_pd, lineitem_pd):
+    comp = (
+        lineitem_pd.assign(
+            c=lineitem_pd.l_extendedprice.values
+            * (1 - lineitem_pd.l_discount.values)
+            * (1 + lineitem_pd.l_tax.values)
+        )
+        .groupby("l_orderkey")
+        .c.sum()
+    )
+    j = orders_pd.assign(computed=orders_pd.o_orderkey.map(comp))
+    rel = (j.computed - j.o_totalprice).abs() / j.o_totalprice
+    out = {r["o_orderstatus"]: r for r in _run(spark, "dq_reconciliation")}
+    for status, grp in j.groupby("o_orderstatus"):
+        rg = rel[grp.index]
+        o = out[status]
+        assert o["n_orders"] == len(grp)
+        assert o["n_no_lines"] == int(grp.computed.isna().sum())
+        assert o["n_within_1pct"] == int((rg <= 0.01).sum())
+        assert abs(o["avg_rel_err"] - rg.mean()) < 2e-4
+        assert abs(o["max_rel_err"] - rg.max()) < 2e-4
+
+
+# ------------------------------------------------- key-skew profile
+
+
+def test_key_skew_profile_vs_pandas_value_counts(spark, lineitem_pd, events_pd):
+    specs = {
+        "lineitem.l_partkey": lineitem_pd.l_partkey,
+        "lineitem.l_suppkey": lineitem_pd.l_suppkey,
+        "events.user_id": events_pd.user_id,
+    }
+    out = {r["key_col"]: r for r in _run(spark, "dq_key_skew_profile")}
+    assert set(out) == set(specs)
+    for label, s in specs.items():
+        vc = s.value_counts()
+        o = out[label]
+        assert o["n_rows"] == len(s)
+        assert o["n_keys"] == len(vc)
+        assert o["max_per_key"] == int(vc.max())
+        assert abs(o["p95_per_key"] - np.percentile(vc.values, 95)) < 2e-4
+        avg = len(s) / len(vc)
+        assert abs(o["avg_per_key"] - avg) < 2e-4
+        assert abs(o["skew_ratio"] - vc.max() / avg) < 2e-4
+        top = vc[vc == vc.max()].index.min()  # smallest among most frequent
+        assert o["top_key"] == top
