@@ -417,22 +417,50 @@ def semantic_dedup_pairs(
     of the brute-force ``cosine_pairs`` — the trade is recall limited to
     same-cell pairs, which is the published SemDeDup design (near-dups
     share a cluster by construction of the embedding space). Assignment
-    is the zero-shuffle packed-broadcast attach; the pair join shuffles
-    both sides once on the cell key (high-cardinality at real n_cells;
-    hot cells split by AQE). Deterministic end-to-end → fully
-    DuckDB-replayable (same centroid/argmax contract as ivf_topk)."""
+    is the zero-shuffle packed-broadcast attach; pair emission is ONE
+    ``applyInPandas`` over the cell key (one shuffle) computing each
+    cell's pair block as a single BLAS ``N @ N.T`` — the r6 treatment
+    that took the brute-force twin from 78 s to 0.55 s applied per
+    cell (the HOF self-join it replaces evaluated a d-term fold per
+    PAIR). A cell's matrix is ~√N×d under the n_cells ≈ √N sizing, so
+    the per-group memory is the same order as the pair OUTPUT the cell
+    necessarily materializes; hot cells split by AQE before the group
+    step. Deterministic end-to-end → fully DuckDB-replayable (same
+    centroid/argmax contract as ivf_topk)."""
+    import numpy as np
+    import pandas as pd
+
     assigned = assign_cells(vectors, n_cells, id_col, vec_col)
-    a = assigned.select(
-        "cell", F.col("id").alias("id_a"), F.col("v").alias("va")
-    )
-    b = assigned.select(
-        "cell", F.col("id").alias("id_b"), F.col("v").alias("vb")
-    )
+
+    def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"cell": [], "id_a": [], "id_b": [], "sim": []}
+            ).astype({"cell": "int64", "id_a": "int64", "id_b": "int64",
+                      "sim": "float64"})
+        order = np.argsort(pdf["id"].to_numpy())
+        ids = pdf["id"].to_numpy()[order]
+        X = np.stack(pdf["v"].to_numpy()[order]).astype("float64")
+        nrm = np.linalg.norm(X, axis=1)
+        nrm[nrm == 0] = 1.0
+        S = (X / nrm[:, None]) @ (X / nrm[:, None]).T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = S[iu, ju] >= threshold
+        return pd.DataFrame(
+            {
+                "cell": np.full(int(keep.sum()), int(pdf["cell"].iloc[0])),
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "sim": S[iu[keep], ju[keep]],
+            }
+        )
+
     return (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("sim") >= threshold)
+        assigned.select("cell", "id", "v")
+        .groupBy("cell")
+        .applyInPandas(
+            cell_pairs, schema="cell BIGINT, id_a BIGINT, id_b BIGINT, sim DOUBLE"
+        )
         .select("cell", "id_a", "id_b", F.round("sim", 6).alias("sim"))
     )
 
