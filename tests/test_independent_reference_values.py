@@ -1672,3 +1672,190 @@ def test_key_skew_profile_vs_pandas_value_counts(spark, lineitem_pd, events_pd):
         assert abs(o["skew_ratio"] - vc.max() / avg) < 2e-4
         top = vc[vc == vc.max()].index.min()  # smallest among most frequent
         assert o["top_key"] == top
+
+
+@pytest.fixture(scope="module")
+def documents_pd():
+    return pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+# --------------------------------------------------- Flesch readability
+
+
+def test_readability_vs_python_regex(spark, documents_pd):
+    import re
+
+    out = {r["doc_id"]: r for r in _run(spark, "text_readability")}
+    assert len(out) == len(documents_pd)
+    for _, d in documents_pd.iterrows():
+        words = len(d.text.split(" "))
+        sents = max(len(re.split(r"[.!?]+\s", d.text)), 1)
+        syl = len(re.findall(r"[aeiouy]+", d.text.lower()))
+        o = out[d.doc_id]
+        assert o["n_words"] == words, (d.doc_id, o["n_words"], words)
+        assert o["n_sents"] == sents
+        assert o["n_syllables"] == syl
+        flesch = 206.835 - 1.015 * words / sents - 84.6 * syl / words
+        assert abs(o["flesch"] - flesch) < 2e-4
+
+
+# ---------------------------------------------------- token entropy
+
+
+def test_entropy_quality_vs_python_counter(spark, documents_pd):
+    from collections import Counter
+
+    per_source = {}
+    for _, d in documents_pd.iterrows():
+        counts = Counter(d.text.split(" "))
+        n = sum(counts.values())
+        if len(counts) <= 1:
+            continue
+        h = -sum(c / n * math.log2(c / n) for c in counts.values())
+        per_source.setdefault(d.source, []).append(
+            (h, h / math.log2(len(counts)))
+        )
+    out = {r["source"]: r for r in _run(spark, "text_entropy_quality")}
+    assert set(out) == set(per_source)
+    for src, rows in per_source.items():
+        hs = [h for h, _ in rows]
+        effs = [e for _, e in rows]
+        o = out[src]
+        assert o["n_docs"] == len(rows)
+        assert abs(o["avg_entropy"] - sum(hs) / len(hs)) < 2e-6
+        assert abs(o["min_entropy"] - min(hs)) < 2e-6
+        assert o["n_low_entropy"] == sum(1 for h in hs if h < 3.0)
+        assert abs(o["avg_efficiency"] - sum(effs) / len(effs)) < 2e-6
+
+
+# ------------------------------------------------ TTR / hapax / Herdan
+
+
+def test_ttr_hapax_vs_python_counter(spark, documents_pd):
+    from collections import Counter
+
+    out = {r["source"]: r for r in _run(spark, "text_ttr_hapax")}
+    for src, grp in documents_pd.groupby("source"):
+        counts = Counter(
+            t for text in grp.text for t in text.split(" ")
+        )
+        tokens = sum(counts.values())
+        types = len(counts)
+        hapax = sum(1 for c in counts.values() if c == 1)
+        o = out[src]
+        assert o["n_tokens"] == tokens
+        assert o["n_types"] == types
+        assert o["n_hapax"] == hapax
+        assert abs(o["ttr_micro"] - _fold(types / tokens, 1e6)) <= 1
+        assert abs(o["hapax_micro"] - _fold(hapax / types, 1e6)) <= 1
+        herdan = math.log(types) / math.log(tokens)
+        assert abs(o["herdan_c_micro"] - _fold(herdan, 1e6)) <= 1
+
+
+# ------------------------------------------- local clustering coeff
+
+
+def test_local_clustering_vs_python_adjacency(spark):
+    from hive_release_spark.catalog import load_table
+    from hive_release_spark.llm import dedup as ddp
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in ddp.jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    ]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {r["doc_id"]: r for r in _run(spark, "graph_local_clustering")}
+    assert set(out) == set(adj)
+    edge_set = {frozenset(p) for p in pairs}
+    for v, nbrs in adj.items():
+        d = len(nbrs)
+        nl = sorted(nbrs)
+        tri = sum(
+            1
+            for i in range(len(nl))
+            for j in range(i + 1, len(nl))
+            if frozenset((nl[i], nl[j])) in edge_set
+        )
+        o = out[v]
+        assert o["degree"] == d
+        assert o["n_triangles"] == tri, (v, o, tri)
+        want = 0.0 if d < 2 else 2.0 * tri / (d * (d - 1))
+        assert abs(o["local_coeff"] - want) < 2e-6
+
+
+# ----------------------------------------- co-purchase link prediction
+
+
+def _copurchase_graph(lineitem_pd):
+    baskets = lineitem_pd[["l_orderkey", "l_partkey"]].drop_duplicates()
+    from collections import Counter
+
+    support = Counter()
+    for _, grp in baskets.groupby("l_orderkey"):
+        ps = sorted(grp.l_partkey.unique())
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                support[(ps[i], ps[j])] += 1
+    edges = {p for p, n in support.items() if n >= 2}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return edges, adj
+
+
+def test_adamic_adar_vs_python_sets(spark, lineitem_pd):
+    edges, adj = _copurchase_graph(lineitem_pd)
+    cands = {}
+    nodes = sorted(adj)
+    for w, nbrs in adj.items():
+        nl = sorted(nbrs)
+        for i in range(len(nl)):
+            for j in range(i + 1, len(nl)):
+                u, v = nl[i], nl[j]
+                if (u, v) in edges:
+                    continue
+                n, aa = cands.get((u, v), (0, 0.0))
+                cands[(u, v)] = (n + 1, aa + 1.0 / math.log(len(adj[w])))
+    ranked = sorted(cands.items(), key=lambda kv: (-kv[1][1], kv[0]))[:20]
+    out = [
+        (r["part_a"], r["part_b"], r["n_common"], r["adamic_adar"], r["rk"])
+        for r in _run(spark, "graph_adamic_adar")
+    ]
+    assert len(out) == len(ranked)
+    for o, ((u, v), (n, aa)) in zip(out, ranked):
+        assert (o[0], o[1], o[2]) == (u, v, n), (o, u, v, n)
+        assert abs(o[3] - aa) < 2e-6
+
+
+def test_jaccard_neighbors_vs_python_sets(spark, lineitem_pd):
+    edges, adj = _copurchase_graph(lineitem_pd)
+    cands = {}
+    for w, nbrs in adj.items():
+        nl = sorted(nbrs)
+        for i in range(len(nl)):
+            for j in range(i + 1, len(nl)):
+                u, v = nl[i], nl[j]
+                if (u, v) in edges:
+                    continue
+                cands[(u, v)] = cands.get((u, v), 0) + 1
+    scored = [
+        (u, v, n, len(adj[u]), len(adj[v]), n / (len(adj[u]) + len(adj[v]) - n))
+        for (u, v), n in cands.items()
+    ]
+    ranked = sorted(scored, key=lambda t: (-t[5], t[0], t[1]))[:20]
+    out = [
+        (
+            r["part_a"], r["part_b"], r["n_common"], r["deg_u"], r["deg_v"],
+            r["jaccard_micro"],
+        )
+        for r in _run(spark, "graph_jaccard_neighbors")
+    ]
+    assert len(out) == len(ranked)
+    for o, w in zip(out, ranked):
+        assert o[:5] == w[:5], (o, w)
+        assert abs(o[5] - _fold(w[5], 1e6)) <= 1
