@@ -1859,3 +1859,118 @@ def test_jaccard_neighbors_vs_python_sets(spark, lineitem_pd):
     for o, w in zip(out, ranked):
         assert o[:5] == w[:5], (o, w)
         assert abs(o[5] - _fold(w[5], 1e6)) <= 1
+
+
+# ---------------------------------------------- packing efficiency
+
+
+def test_pack_efficiency_vs_python_buckets(spark, documents_pd):
+    BUDGET = 512  # _PACK_BUDGET in queries/llm4.py
+    rows = {}
+    for text in documents_pd.text:
+        n = len(text.split(" "))
+        bucket = 2 ** math.ceil(math.log2(max(n, 1)))
+        kept = min(n, BUDGET)
+        trunc = max(n - BUDGET, 0)
+        r = rows.setdefault(bucket, [0, 0, 0, 0.0])
+        r[0] += 1
+        r[1] += n
+        r[2] += trunc
+        r[3] += kept / BUDGET
+    out = {r["bucket"]: r for r in _run(spark, "pack_efficiency_report")}
+    assert set(out) == set(rows)
+    for bucket, (n_docs, tokens, trunc, fill_sum) in rows.items():
+        o = out[bucket]
+        assert o["n_docs"] == n_docs
+        assert o["tokens"] == tokens
+        assert o["tokens_truncated"] == trunc
+        assert abs(o["fill_if_padded"] - fill_sum / n_docs) < 2e-6
+        kept_total = tokens - trunc
+        assert (
+            abs(o["bucket_efficiency"] - kept_total / (n_docs * BUDGET))
+            < 2e-6
+        )
+
+
+# ------------------------------------------------ tokenizer fertility
+
+
+def test_tokenize_fertility_vs_python_regex(spark, documents_pd):
+    import re
+
+    pat = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 ]")
+    agg = {}
+    for _, d in documents_pd.iterrows():
+        bpe = len(pat.findall(d.text))
+        words = len(d.text.split(" "))
+        chars = len(d.text.replace(" ", ""))
+        r = agg.setdefault(d.lang, [0, 0, 0, 0])
+        r[0] += 1
+        r[1] += bpe
+        r[2] += words
+        r[3] += chars
+    out = {r["lang"]: r for r in _run(spark, "tokenize_fertility")}
+    assert set(out) == set(agg)
+    for lang, (n_docs, bpe, words, chars) in agg.items():
+        o = out[lang]
+        assert o["n_docs"] == n_docs
+        assert o["bpe_tokens"] == bpe
+        assert o["words"] == words
+        assert abs(o["fertility"] - bpe / words) < 2e-6
+        assert abs(o["chars_per_token"] - chars / bpe) < 2e-6
+
+
+# ------------------------------------------------ lang-ID confusion
+
+
+def test_langid_confusion_vs_python_rule_chain(spark, documents_pd):
+    markers = [
+        ("en", {"the", "value", "fast"}),
+        ("de", {"der", "und", "nicht"}),
+        ("fr", {"le", "et", "les"}),
+        ("es", {"el", "que", "los"}),
+    ]
+
+    def predict(text):
+        toks = set(text.split(" "))
+        for lang, ms in markers:
+            if toks & ms:
+                return lang
+        return "unknown"
+
+    from collections import Counter
+
+    cells = Counter(
+        (d.lang, predict(d.text)) for _, d in documents_pd.iterrows()
+    )
+    true_tot = Counter()
+    for (lang, _), n in cells.items():
+        true_tot[lang] += n
+    out = {
+        (r["lang"], r["pred"]): r for r in _run(spark, "text_langid_confusion")
+    }
+    assert set(out) == set(cells)
+    for (lang, pred), n in cells.items():
+        o = out[(lang, pred)]
+        assert o["n"] == n
+        assert abs(o["pct_of_true"] - n / true_tot[lang]) < 2e-6
+        assert o["is_correct"] == int(lang == pred)
+
+
+# -------------------------------------------------- embedding whitening
+
+
+def test_emb_whitening_vs_numpy_standardize(spark):
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    X = np.stack(emb.embedding.values).astype("float64")
+    mu = X.mean(axis=0)
+    sd = X.std(axis=0, ddof=1)  # sample stddev, both engines
+    W_ = (X - mu) / sd
+    ids = emb.vec_id.values
+    out = {r["vec_id"]: r for r in _run(spark, "emb_whitening")}
+    probe = ids < 20
+    assert set(out) == set(ids[probe])
+    for i in np.nonzero(probe)[0]:
+        o = out[ids[i]]
+        assert abs(o["wnorm"] - np.linalg.norm(W_[i])) < 2e-6
+        assert abs(o["wsum"] - W_[i].sum()) < 2e-6
