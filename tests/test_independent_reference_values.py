@@ -1974,3 +1974,123 @@ def test_emb_whitening_vs_numpy_standardize(spark):
         o = out[ids[i]]
         assert abs(o["wnorm"] - np.linalg.norm(W_[i])) < 2e-6
         assert abs(o["wsum"] - W_[i].sum()) < 2e-6
+
+
+# ------------------------------------------- power / sample size calc
+
+
+def test_power_two_proportions_vs_closed_form(spark, events_pd):
+    k = int((events_pd.event_type == "purchase").sum())
+    n = len(events_pd)
+    p1 = k / n
+    p2 = p1 * 1.10
+    z = 1.959964 + 0.841621
+    n_arm = math.ceil(
+        z * z * (p1 * (1 - p1) + p2 * (1 - p2)) / (p1 - p2) ** 2
+    )
+    out = _run(spark, "stats_power_two_proportions")[0]
+    assert out["n_purchases"] == k and out["n_events"] == n
+    assert abs(out["p1_micro"] - _fold(p1, 1e6)) <= 1
+    assert abs(out["p2_micro"] - _fold(p2, 1e6)) <= 1
+    assert abs(out["n_per_arm_80pct"] - n_arm) <= 1
+
+
+# --------------------------------------------- Q-Q decile comparison
+
+
+def test_qq_deciles_vs_sorted_type1_quantiles(spark, orders_pd):
+    a = np.sort(
+        orders_pd.loc[orders_pd.o_orderpriority == _A, "o_totalprice"].values
+    )
+    b = np.sort(
+        orders_pd.loc[orders_pd.o_orderpriority == _B, "o_totalprice"].values
+    )
+
+    def q(x, p):  # smallest value whose cum count clears ceil(p*n/10)
+        thr = -(-len(x) * p // 10)
+        return x[int(thr) - 1]
+
+    out = {r["decile"]: r for r in _run(spark, "stats_qq_deciles")}
+    assert set(out) == set(range(1, 10))
+    for p in range(1, 10):
+        o = out[p]
+        assert o["q_urgent"] == q(a, p), (p, o)
+        assert o["q_low"] == q(b, p)
+        assert abs(o["gap"] - (q(b, p) - q(a, p))) < 1e-9
+
+
+# ---------------------------------------------- Simpson reversal check
+
+
+def test_simpson_check_vs_python_strata(spark, events_pd):
+    import hashlib
+
+    u = events_pd.groupby("user_id").agg(n_events=("event_id", "size"))
+    conv = (
+        events_pd.assign(
+            c=(
+                (events_pd.event_type == "purchase")
+                & (events_pd.value >= 180)
+            ).astype(int)
+        )
+        .groupby("user_id")
+        .c.max()
+    )
+    u["conv"] = conv
+    u["arm"] = [
+        int(hashlib.md5(f"exp1:{uid}".encode()).hexdigest()[0], 16) % 2
+        for uid in u.index
+    ]
+    u["segment"] = np.where(
+        u.n_events <= 15, "light", np.where(u.n_events <= 25, "medium", "heavy")
+    )
+    def diff(df):
+        t, c = df[df.arm == 1], df[df.arm == 0]
+        return t.conv.sum() / len(t) - c.conv.sum() / len(c)
+
+    overall = diff(u)
+    out = {r["segment"]: r for r in _run(spark, "stats_simpson_check")}
+    assert set(out) == set(u.segment.unique())
+    for seg, grp in u.groupby("segment"):
+        o = out[seg]
+        assert o["n_treat"] == int((grp.arm == 1).sum())
+        assert o["n_control"] == int((grp.arm == 0).sum())
+        d = diff(grp)
+        assert abs(o["diff_micro"] - _fold(d, 1e6)) <= 1
+        assert abs(o["overall_diff_micro"] - _fold(overall, 1e6)) <= 1
+        assert o["reversal_flag"] == int((d > 0) != (overall > 0))
+
+
+# ------------------------------------------------ retention half-life
+
+
+def test_retention_halflife_vs_numpy_loglinear(spark, events_pd):
+    d = (
+        events_pd.assign(day=events_pd.ts.dt.normalize())[["user_id", "day"]]
+        .drop_duplicates()
+    )
+    first = d.groupby("user_id").day.min()
+    gmax = d.day.max()
+    cohort = first[first <= gmax - pd.Timedelta(days=14)]
+    k_actives = {}
+    dd = d[d.user_id.isin(cohort.index)].copy()
+    dd["k"] = (dd.day - dd.user_id.map(cohort)).dt.days
+    dd = dd[(dd.k >= 1) & (dd.k <= 14)]
+    k_actives = dd.groupby("k").user_id.nunique()
+    pts = [
+        (float(k), math.log(a / len(cohort)))
+        for k, a in k_actives.items()
+        if a > 0
+    ]
+    x = np.array([p[0] for p in pts])
+    y = np.array([p[1] for p in pts])
+    b, a_ = np.polyfit(x, y, 1)
+    out = _run(spark, "retention_halflife_fit")[0]
+    assert out["n_points"] == len(pts)
+    assert out["cohort_n"] == len(cohort)
+    assert abs(out["slope_micro"] - _fold(b, 1e6)) <= 1
+    assert abs(out["intercept_micro"] - _fold(a_, 1e6)) <= 1
+    if b < 0:
+        assert abs(out["halflife_days_milli"] - _fold(-math.log(2) / b, 1e3)) <= 1
+    else:
+        assert out["halflife_days_milli"] == -1
