@@ -2094,3 +2094,110 @@ def test_retention_halflife_vs_numpy_loglinear(spark, events_pd):
         assert abs(out["halflife_days_milli"] - _fold(-math.log(2) / b, 1e3)) <= 1
     else:
         assert out["halflife_days_milli"] == -1
+
+
+# ------------------------------------------------- item-item CF
+
+
+def test_item_item_cf_vs_python_cosine(spark, lineitem_pd):
+    from collections import Counter
+
+    baskets = lineitem_pd[["l_orderkey", "l_partkey"]].drop_duplicates()
+    deg = baskets.groupby("l_partkey").size()
+    co = Counter()
+    for _, grp in baskets.groupby("l_orderkey"):
+        ps = sorted(grp.l_partkey.unique())
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                co[(ps[i], ps[j])] += 1
+    scored = [
+        (a, b, c, int(deg[a]), int(deg[b]), c / math.sqrt(deg[a] * deg[b]))
+        for (a, b), c in co.items()
+        if c >= 2
+    ]
+    ranked = sorted(scored, key=lambda t: (-t[5], t[0], t[1]))[:20]
+    out = [
+        (
+            r["part_a"], r["part_b"], r["n_cobaskets"], r["deg_a"],
+            r["deg_b"], r["cosine_micro"], r["rk"],
+        )
+        for r in _run(spark, "ml_item_item_cf")
+    ]
+    assert len(out) == len(ranked)
+    for o, w in zip(out, ranked):
+        assert o[:5] == w[:5], (o, w)
+        assert abs(o[5] - _fold(w[5], 1e6)) <= 1
+
+
+# -------------------------------------------------- basket rules
+
+
+def test_basket_rules_vs_python_apriori(spark, lineitem_pd):
+    from collections import Counter
+
+    baskets = lineitem_pd[["l_orderkey", "l_partkey"]].drop_duplicates()
+    n_baskets = baskets.l_orderkey.nunique()
+    deg = baskets.groupby("l_partkey").size()
+    co = Counter()
+    for _, grp in baskets.groupby("l_orderkey"):
+        ps = sorted(grp.l_partkey.unique())
+        for a in ps:
+            for b in ps:
+                if a != b:
+                    co[(a, b)] += 1
+    scored = [
+        (
+            a, b, c, int(deg[a]), int(deg[b]),
+            c / deg[a],
+            c * n_baskets / (deg[a] * deg[b]),
+        )
+        for (a, b), c in co.items()
+        if c >= 3
+    ]
+    ranked = sorted(scored, key=lambda t: (-t[6], t[0], t[1]))[:20]
+    out = [
+        (
+            r["antecedent"], r["consequent"], r["support_n"], r["n_a"],
+            r["n_b"], r["confidence_micro"], r["lift_milli"],
+        )
+        for r in _run(spark, "ml_basket_rules")
+    ]
+    assert len(out) == len(ranked)
+    for o, w in zip(out, ranked):
+        assert o[:5] == w[:5], (o, w)
+        assert abs(o[5] - _fold(w[5], 1e6)) <= 1
+        assert abs(o[6] - _fold(w[6], 1e3)) <= 1
+
+
+# --------------------------------------------- Markov next-event
+
+
+def test_markov_next_event_vs_python_split(spark, events_pd):
+    from collections import Counter
+
+    ev = events_pd.sort_values(["user_id", "ts", "event_id"])
+    train, test = Counter(), Counter()
+    for uid, grp in ev.groupby("user_id"):
+        types = list(grp.event_type)
+        tgt = train if uid % 2 == 0 else test
+        for a, b in zip(types, types[1:]):
+            tgt[(a, b)] += 1
+    model = {}
+    for (a, b), c in train.items():
+        cur = model.get(a)  # (pred, count); ties broken on event name asc
+        if cur is None or c > cur[1] or (c == cur[1] and b < cur[0]):
+            model[a] = (b, c)
+    model = {a: bc[0] for a, bc in model.items()}
+    stats = {}
+    for (a, b), c in test.items():
+        if a not in model:
+            continue
+        n, k = stats.get(a, (0, 0))
+        stats[a] = (n + c, k + (c if b == model[a] else 0))
+    out = {r["prev"]: r for r in _run(spark, "ml_markov_next_event")}
+    assert set(out) == set(stats)
+    for a, (n, k) in stats.items():
+        o = out[a]
+        assert o["predicted"] == model[a]
+        assert o["n_test"] == n and o["n_correct"] == k
+        assert abs(o["acc_micro"] - _fold(k / n, 1e6)) <= 1
