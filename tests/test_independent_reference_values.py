@@ -2201,3 +2201,84 @@ def test_markov_next_event_vs_python_split(spark, events_pd):
         assert o["predicted"] == model[a]
         assert o["n_test"] == n and o["n_correct"] == k
         assert abs(o["acc_micro"] - _fold(k / n, 1e6)) <= 1
+
+
+# ---------------------------------------------- rolling correlation
+
+
+def test_rolling_corr_vs_pandas_windows(spark, orders_pd, events_pd):
+    o = (
+        orders_pd.assign(day=orders_pd.o_orderdate.dt.date)
+        .groupby("day")
+        .o_totalprice.sum()
+    )
+    e = (
+        events_pd.assign(day=events_pd.ts.dt.date)
+        .groupby("day")
+        .value.sum()
+    )
+    days = sorted(set(o.index) & set(e.index))
+    x = np.array([o[d] for d in days])
+    y = np.array([e[d] for d in days])
+    out = {r["day"]: r for r in _run(spark, "timeseries_rolling_corr")}
+    assert set(out) == set(days)
+    for i, d in enumerate(days):
+        lo = max(0, i - 13)
+        xs, ys = x[lo : i + 1], y[lo : i + 1]
+        n = len(xs)
+        o_row = out[d]
+        assert o_row["n"] == n
+        varx = n * (xs**2).sum() - xs.sum() ** 2
+        vary = n * (ys**2).sum() - ys.sum() ** 2
+        if n < 3 or varx <= 0 or vary <= 0:
+            assert o_row["corr_14d"] is None
+        else:
+            want = float(np.corrcoef(xs, ys)[0, 1])
+            assert abs(o_row["corr_14d"] - want) < 2e-4, (d, o_row, want)
+
+
+# --------------------------------------------------- calendar gapfill
+
+
+def test_gap_fill_vs_python_spine(spark, events_pd):
+    sub = events_pd[
+        (events_pd.event_type == "purchase") & (events_pd.value >= 190)
+    ]
+    base = (
+        sub.assign(
+            hr=sub.ts.dt.floor("h"),
+            cents=np.round(sub.value.values * 100).astype(np.int64),
+        )
+        .groupby("hr")
+        .cents.sum()
+    )
+    mn, mx = base.index.min(), base.index.max()
+    n_hours = int((mx - mn).total_seconds() // 3600)
+    spine = [mn + pd.Timedelta(hours=i) for i in range(n_hours + 1)]
+    vals = [base.get(h) for h in spine]
+    out = {pd.Timestamp(r["hr"]): r for r in _run(spark, "timeseries_gap_fill")}
+    assert set(out) == set(spine)
+    known = [(i, v) for i, v in enumerate(vals) if v is not None]
+    for i, h in enumerate(spine):
+        o = out[h]
+        assert o["is_gap"] == int(vals[i] is None)
+        prev = max(((j, v) for j, v in known if j <= i), default=None,
+                   key=lambda t: t[0])
+        nxt = min(((j, v) for j, v in known if j >= i), default=None,
+                  key=lambda t: t[0])
+        if vals[i] is not None:
+            assert abs(o["rev"] - vals[i] / 100.0) < 0.01
+            assert abs(o["rev_interp"] - math.floor(vals[i] + 0.5) / 100) < 0.01
+        else:
+            assert o["rev"] is None
+            if prev is not None and nxt is not None:
+                pi, pv = prev
+                ni, nv = nxt
+                want = math.floor(pv + (nv - pv) * (i - pi) / (ni - pi) + 0.5) / 100
+                assert abs(o["rev_interp"] - want) < 0.011, (h, o, want)
+            else:
+                assert o["rev_interp"] is None
+        if prev is not None:
+            assert abs(o["rev_locf"] - prev[1] / 100.0) < 0.01
+        else:
+            assert o["rev_locf"] is None
