@@ -2282,3 +2282,63 @@ def test_gap_fill_vs_python_spine(spark, events_pd):
             assert abs(o["rev_locf"] - prev[1] / 100.0) < 0.01
         else:
             assert o["rev_locf"] is None
+
+
+# ----------------------------------------------- naive backtests
+
+
+def test_backtest_naive_vs_python_lags(spark, orders_pd):
+    daily = (
+        orders_pd.assign(
+            day=orders_pd.o_orderdate.dt.normalize(),
+            cents=np.round(orders_pd.o_totalprice.values * 100).astype(
+                np.int64
+            ),
+        )
+        .groupby("day")
+        .cents.sum()
+        .sort_index()
+    )
+    c = daily.values.astype(np.float64)
+    out = {r["method"]: r for r in _run(spark, "timeseries_backtest_naive")}
+    for method, k in (("naive_lag1", 1), ("seasonal_lag7", 7)):
+        actual, fcst = c[k:], c[:-k]
+        o = out[method]
+        assert o["n_forecasts"] == len(actual)
+        mae = np.abs(actual - fcst).mean() / 100
+        rmse = math.sqrt((((actual - fcst) / 100) ** 2).mean())
+        mape = (np.abs(actual - fcst) / actual).mean()
+        assert abs(o["mae"] - mae) < 0.01
+        assert abs(o["rmse"] - rmse) < 0.01
+        assert abs(o["mape"] - mape) < 2e-6
+
+
+# -------------------------------------------- monthly percentiles
+
+
+def test_monthly_percentiles_vs_numpy(spark, orders_pd):
+    mon = orders_pd.o_orderdate.dt.strftime("%Y-%m")
+    out = {r["mon"]: r for r in _run(spark, "orders_monthly_percentiles")}
+    assert set(out) == set(mon.unique())
+    for m, grp in orders_pd.o_totalprice.groupby(mon):
+        x = grp.values
+        o = out[m]
+        assert o["n_orders"] == len(x)
+        for col, q in (("p50", 50), ("p90", 90), ("p99", 99)):
+            assert abs(o[col] - np.percentile(x, q)) < 2e-4, (m, col)
+        assert abs(o["p100"] - x.max()) < 0.005 + 1e-9
+
+
+# ----------------------------------------------- freshness staleness
+
+
+def test_freshness_lag_vs_pandas_max(spark, events_pd):
+    sec = lambda t: pd.Timestamp(t).value // 1000  # microseconds
+    gmax = events_pd.ts.max()
+    out = {r["event_type"]: r for r in _run(spark, "dq_freshness_lag")}
+    for et, grp in events_pd.groupby("event_type"):
+        o = out[et]
+        assert o["n"] == len(grp)
+        want = (sec(gmax) - sec(grp.ts.max())) // 1_000_000
+        assert o["staleness_sec"] == want, (et, o, want)
+        assert o["stale_flag"] == int(want > 86400)
