@@ -2342,3 +2342,44 @@ def test_freshness_lag_vs_pandas_max(spark, events_pd):
         want = (sec(gmax) - sec(grp.ts.max())) // 1_000_000
         assert o["staleness_sec"] == want, (et, o, want)
         assert o["stale_flag"] == int(want > 86400)
+
+
+# ---------------------------------------- regression calibration
+
+
+def test_regression_calibration_vs_numpy_fit(spark, lineitem_pd):
+    x = lineitem_pd.l_quantity.values.astype(np.float64)
+    y = np.round(lineitem_pd.l_extendedprice.values * 100)
+    b1, b0 = np.polyfit(x, y, 1)
+    bucket = np.minimum(9, ((x - 1) // 5)).astype(int)
+    out = {r["bucket"]: r for r in _run(spark, "ml_regression_calibration")}
+    assert set(out) == set(np.unique(bucket))
+    for b in np.unique(bucket):
+        m = bucket == b
+        o = out[b]
+        assert o["n"] == int(m.sum())
+        pred = (b0 + b1 * x[m].mean()) / 100.0
+        actual = y[m].mean() / 100.0
+        assert abs(o["avg_pred_milli"] - _fold(pred, 1e3)) <= 1
+        assert abs(o["avg_actual_milli"] - _fold(actual, 1e3)) <= 1
+        assert abs(o["bias_milli"] - _fold(pred - actual, 1e3)) <= 2
+
+
+# ------------------------------------------- embedding drift monitor
+
+
+def test_mean_shift_drift_vs_numpy_welch(spark):
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    X = np.stack(emb.embedding.values).astype("float64")
+    g = emb.vec_id.values % 2
+    A, B = X[g == 0], X[g == 1]
+    out = {r["dim"]: r for r in _run(spark, "emb_mean_shift_drift")}
+    assert set(out) == set(range(1, X.shape[1] + 1))
+    for dim in range(X.shape[1]):
+        a, b = A[:, dim], B[:, dim]
+        diff = a.mean() - b.mean()
+        se = math.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+        o = out[dim + 1]
+        assert (o["n0"], o["n1"]) == (len(a), len(b))
+        assert abs(o["mean_diff_micro"] - _fold(diff, 1e6)) <= 1
+        assert abs(o["welch_t_milli"] - _fold(diff / se, 1e3)) <= 1
