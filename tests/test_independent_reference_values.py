@@ -2383,3 +2383,118 @@ def test_mean_shift_drift_vs_numpy_welch(spark):
         assert (o["n0"], o["n1"]) == (len(a), len(b))
         assert abs(o["mean_diff_micro"] - _fold(diff, 1e6)) <= 1
         assert abs(o["welch_t_milli"] - _fold(diff / se, 1e3)) <= 1
+
+
+# ------------------------------------------------- RAKE keywords
+
+
+def test_rake_phrases_vs_python_reference(spark, documents_pd):
+    from collections import Counter
+
+    # induced delimiters: 8 most frequent tokens, ties by token asc
+    freq = Counter(
+        t for text in documents_pd.text for t in text.split(" ")
+    )
+    delim = {
+        t
+        for t, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    }
+    phrases = []  # (doc_id, [words])
+    for _, d in documents_pd.iterrows():
+        run = []
+        for t in d.text.split(" "):
+            if t in delim:
+                if run:
+                    phrases.append(run)
+                run = []
+            else:
+                run.append(t)
+        if run:
+            phrases.append(run)
+    wfreq, wdeg = Counter(), Counter()
+    for ws in phrases:
+        for t in ws:
+            wfreq[t] += 1
+            wdeg[t] += len(ws)
+    best = {}
+    occur = Counter()
+    for ws in phrases:
+        phrase = " ".join(ws)
+        score = sum(wdeg[t] / wfreq[t] for t in ws)
+        occur[phrase] += 1
+        cur = best.get(phrase)
+        if cur is None or score > cur[0]:
+            best[phrase] = (score, len(ws))
+    ranked = sorted(
+        ((s, ln, p) for p, (s, ln) in best.items()),
+        key=lambda t: (-t[0], t[2]),
+    )[:15]
+    out = [
+        (r["phrase"], r["plen"], r["n_occur"], r["rake_score"], r["rk"])
+        for r in _run(spark, "text_rake_phrases")
+    ]
+    assert len(out) == len(ranked)
+    for o, (score, plen, phrase) in zip(out, ranked):
+        assert o[0] == phrase, (o, phrase)
+        assert o[1] == plen
+        assert o[2] == occur[phrase]
+        assert abs(o[3] - score) < 2e-6
+
+
+# --------------------------------------------------- ABC-XYZ matrix
+
+
+def test_abc_xyz_matrix_vs_python_cells(spark, lineitem_pd):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cents = np.array(
+        [
+            int(Decimal(repr(v)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+            for v in lineitem_pd.l_extendedprice.values
+            * (1 - lineitem_pd.l_discount.values)
+            * 100
+        ],
+        dtype=np.int64,
+    )
+    per = (
+        lineitem_pd.assign(cents=cents)
+        .groupby("l_partkey")
+        .cents.sum()
+        .reset_index()
+        .sort_values(["cents", "l_partkey"], ascending=[False, True])
+    )
+    total = int(per.cents.sum())
+    share = per.cents.cumsum().values / total
+    per["abc"] = np.where(share <= 0.80, "A", np.where(share <= 0.95, "B", "C"))
+
+    mq = (
+        lineitem_pd.assign(
+            mo=lineitem_pd.l_shipdate.values.astype("datetime64[M]"),
+            q=lineitem_pd.l_quantity.values.astype(np.int64),
+        )
+        .groupby(["l_partkey", "mo"])
+        .q.sum()
+    )
+    xyz = {}
+    for pk, grp in mq.groupby(level=0):
+        v = grp.values.astype(np.float64)
+        if len(v) < 2:
+            xyz[pk] = "Z"
+        else:
+            cv = v.std(ddof=1) / v.mean()
+            xyz[pk] = "X" if cv < 0.5 else ("Y" if cv < 1.0 else "Z")
+    per["xyz"] = per.l_partkey.map(xyz)
+    cellrev = per.groupby(["abc", "xyz"]).cents.sum()
+    cellcnt = per.groupby(["abc", "xyz"]).size()
+    out = {
+        (r["abc_class"], r["xyz_class"]): r
+        for r in _run(spark, "orders_abc_xyz_matrix")
+    }
+    assert set(out) == set(cellcnt.index)
+    for cell in cellcnt.index:
+        o = out[cell]
+        assert o["n_parts"] == cellcnt[cell]
+        assert (
+            abs(o["revenue_share_micro"] - _fold(cellrev[cell] / total, 1e6))
+            <= 1
+        )
