@@ -2498,3 +2498,83 @@ def test_abc_xyz_matrix_vs_python_cells(spark, lineitem_pd):
             abs(o["revenue_share_micro"] - _fold(cellrev[cell] / total, 1e6))
             <= 1
         )
+
+
+# ---------------------------------------------------------- BM25
+
+
+def test_bm25_vs_python_reference(spark, documents_pd):
+    from collections import Counter
+
+    terms = ("spark", "table", "query")
+    dl, tf = {}, {}
+    for _, d in documents_pd.iterrows():
+        toks = d.text.split(" ")
+        dl[d.doc_id] = len(toks)
+        c = Counter(t for t in toks if t in terms)
+        if c:
+            tf[d.doc_id] = c
+    n_docs = len(documents_pd)
+    avg_len = sum(dl.values()) / n_docs
+    df = Counter(t for c in tf.values() for t in c)
+    scored = []
+    for doc, c in tf.items():
+        s = 0.0
+        for t, f in c.items():
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl[doc] / avg_len))
+        scored.append((doc, s))
+    ranked = sorted(scored, key=lambda t: (-t[1], t[0]))[:20]
+    out = [(r["doc_id"], r["bm25"], r["rk"]) for r in _run(spark, "search_bm25_rank")]
+    assert len(out) == len(ranked)
+    for o, (doc, s) in zip(out, ranked):
+        assert o[0] == doc, (o, doc)
+        assert abs(o[1] - s) < 2e-6
+
+
+# ------------------------------------------------------ RRF fusion
+
+
+def test_rrf_fusion_vs_numpy_two_rankers(spark):
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    X = np.stack(emb.embedding.values).astype("float64")
+    ids = emb.vec_id.values
+
+    def topk(M, k):
+        nrm = np.linalg.norm(M, axis=1)
+        nrm[nrm == 0] = 1.0
+        N = M / nrm[:, None]
+        S = N @ N.T
+        ranks = {}
+        for qi in np.nonzero(ids < 10)[0]:
+            order = sorted(
+                (i for i in range(len(ids)) if ids[i] != ids[qi]),
+                key=lambda i: (-S[qi, i], ids[i]),
+            )[:k]
+            for rk, i in enumerate(order, start=1):
+                ranks[(ids[qi], ids[i])] = rk
+        return ranks
+
+    fr = topk(X, 10)
+    tr = topk(X[:, :16], 10)
+    fused = {}
+    for key in set(fr) | set(tr):
+        fused[key] = (0 if key not in fr else 1.0 / (60 + fr[key])) + (
+            0 if key not in tr else 1.0 / (60 + tr[key])
+        )
+    want = []
+    for q in sorted({k[0] for k in fused}):
+        cand = sorted(
+            ((v, n) for (qq, n), v in fused.items() if qq == q),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        for rk, (v, n) in enumerate(cand, start=1):
+            want.append((q, n, round(v, 6), rk))
+    out = [
+        (r["query_id"], r["neighbor_id"], r["rrf"], r["rk"])
+        for r in _run(spark, "sim_rrf_fusion")
+    ]
+    assert len(out) == len(want)
+    for o, w in zip(out, want):
+        assert (o[0], o[1], o[3]) == (w[0], w[1], w[3]), (o, w)
+        assert abs(o[2] - w[2]) < 2e-6
