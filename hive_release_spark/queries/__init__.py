@@ -167,9 +167,16 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 # fn_misc_surface already carries a driver row (witnessed r4 rows-only;
 # its r5 oracle upgrade is covered by tools/check + parity pytest), so
 # it does NOT get a slot while the backlog saturates the window.
-# After this round the ledger should stand at 89; r7/r8 windows drain
-# the remainder in the same order. Registry growth is FROZEN in r6
-# (VERDICT r5 #2): repairs + rows-only→oracle conversions only.
+# After this round the ledger stands at 91 (141 − 50; the two r6
+# TPC-DS stretch entries joined the backlog on arrival). r7's first
+# claim: any entry red in CORRECTNESS_r06, then the ledger in
+# registry order — `python tools/witness_ledger.py` stays
+# authoritative (the text/search/SQL-surface block around
+# sql_group_order_all … graph_assortativity is next up). r8 takes the
+# remaining ~41 plus per-family representatives once the backlog
+# drops under 50 (test_entry_contract enforces both regimes).
+# Registry growth was FROZEN in r6 (VERDICT r5 #2) except the two
+# judge-invited stretch shapes: repairs + conversions only.
 DRIVER_WINDOW = [
     # the 26 leftovers named in the r5 comment — first claim honored
     "supplier_pareto",
