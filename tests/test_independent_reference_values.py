@@ -2578,3 +2578,68 @@ def test_rrf_fusion_vs_numpy_two_rankers(spark):
     for o, w in zip(out, want):
         assert (o[0], o[1], o[3]) == (w[0], w[1], w[3]), (o, w)
         assert abs(o[2] - w[2]) < 2e-6
+
+
+# ---------------------------------------------------- MMR rerank
+
+
+def test_mmr_rerank_vs_numpy_greedy(spark):
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    X = np.stack(emb.embedding.values).astype("float64")
+    ids = emb.vec_id.values
+    nrm = np.linalg.norm(X, axis=1)
+    nrm[nrm == 0] = 1.0
+    N = X / nrm[:, None]
+    S = N @ N.T
+    out = {r["query_id"]: r for r in _run(spark, "sim_mmr_rerank")}
+    for qi in np.nonzero(ids < 8)[0]:
+        cand = sorted(
+            (i for i in range(len(ids)) if ids[i] != ids[qi]),
+            key=lambda i: (-S[qi, i], ids[i]),
+        )[:10]
+        picked = []
+        scores = []
+        for _ in range(3):
+            best = None
+            for i in cand:
+                if i in picked:
+                    continue
+                if not picked:
+                    s = S[qi, i]
+                else:
+                    s = 0.7 * S[qi, i] - 0.3 * max(S[i, p] for p in picked)
+                if best is None or s > best[0] + 1e-15 or (
+                    abs(s - best[0]) <= 1e-15 and ids[i] < ids[best[1]]
+                ):
+                    best = (s, i)
+            picked.append(best[1])
+            scores.append(best[0])
+        o = out[ids[qi]]
+        assert (o["s1_id"], o["s2_id"], o["s3_id"]) == tuple(
+            ids[p] for p in picked
+        ), (ids[qi], o)
+        for col, s in zip(("s1_score", "s2_score", "s3_score"), scores):
+            assert abs(o[col] - s) < 2e-6
+
+
+# ------------------------------------------------ threshold sweep
+
+
+def test_threshold_sweep_vs_python_filter(spark):
+    from hive_release_spark.catalog import load_table
+    from hive_release_spark.llm import dedup as ddp
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = [
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ddp.jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    ]
+    out = {
+        round(r["threshold"], 2): r for r in _run(spark, "dedup_threshold_sweep")
+    }
+    for i in range(5):
+        t = (5 + i) / 10.0
+        sel = [(a, b) for a, b, j in pairs if j >= t]
+        o = out[round(t, 2)]
+        assert o["n_pairs"] == len(sel)
+        assert o["n_docs_dropped"] == len({b for _, b in sel})
