@@ -2643,3 +2643,111 @@ def test_threshold_sweep_vs_python_filter(spark):
         o = out[round(t, 2)]
         assert o["n_pairs"] == len(sel)
         assert o["n_docs_dropped"] == len({b for _, b in sel})
+
+
+# --------------------------------------------------- PMI collocations
+
+
+def test_pmi_top_pairs_vs_python_counts(spark, documents_pd):
+    from collections import Counter
+
+    big, uni1, uni2 = Counter(), Counter(), Counter()
+    n_big = 0
+    for text in documents_pd.text:
+        w = text.split(" ")
+        for a, b in zip(w, w[1:]):
+            big[(a, b)] += 1
+            uni1[a] += 1
+            uni2[b] += 1
+            n_big += 1
+    scored = [
+        (a, b, c, math.log(c * n_big / (uni1[a] * uni2[b])))
+        for (a, b), c in big.items()
+        if c >= 5
+    ]
+    ranked = sorted(scored, key=lambda t: (-t[3], t[0], t[1]))[:20]
+    out = [
+        (r["w1"], r["w2"], r["c_xy"], r["pmi"])
+        for r in _run(spark, "text_pmi_top_pairs")
+    ]
+    assert len(out) == len(ranked)
+    for o, w in zip(out, ranked):
+        assert o[:3] == w[:3], (o, w)
+        assert abs(o[3] - w[3]) < 2e-6
+
+
+# ---------------------------------------------------------- Zipf fit
+
+
+def test_zipf_fit_vs_numpy_rank_frequency(spark, documents_pd):
+    from collections import Counter
+
+    freq = Counter(t for text in documents_pd.text for t in text.split(" "))
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    f = np.array([c for _, c in ranked], dtype=np.float64)
+    r = np.arange(1, len(f) + 1, dtype=np.float64)
+    slope, icept = np.polyfit(np.log(r), np.log(f), 1)
+    pred = icept + slope * np.log(r)
+    ss_res = float(((np.log(f) - pred) ** 2).sum())
+    ss_tot = float(((np.log(f) - np.log(f).mean()) ** 2).sum())
+    r2 = 1 - ss_res / ss_tot
+    out = _run(spark, "corpus_zipf_fit")[0]
+    assert out["vocab_size"] == len(f)
+    assert abs(out["zipf_slope"] - slope) < 2e-4
+    assert abs(out["fit_r2"] - r2) < 2e-4
+
+
+# ------------------------------------------------------ bigram LM
+
+
+def test_lm_score_vs_python_addone(spark, documents_pd):
+    from collections import Counter
+
+    big, ch = Counter(), Counter()
+    vocab = set()
+    doc_bigrams = {}
+    for _, d in documents_pd.iterrows():
+        w = d.text.split(" ")
+        vocab.update(w)
+        pairs = list(zip(w, w[1:]))
+        if pairs:
+            doc_bigrams[d.doc_id] = pairs
+        for a, b in pairs:
+            big[(a, b)] += 1
+            ch[a] += 1
+    V = len(vocab)
+    out = {r["doc_id"]: r for r in _run(spark, "text_lm_score")}
+    assert set(out) == set(doc_bigrams)
+    for doc, pairs in doc_bigrams.items():
+        lps = [
+            math.log((big[(a, b)] + 1) / (ch[a] + V)) for a, b in pairs
+        ]
+        o = out[doc]
+        assert o["n_bigrams"] == len(pairs)
+        assert abs(o["avg_logprob"] - sum(lps) / len(lps)) < 2e-6
+
+
+# ---------------------------------------------------------- Heaps fit
+
+
+def test_heaps_fit_vs_python_growth_curve(spark, documents_pd):
+    seen = set()
+    xs, ys = [], []
+    cum_tok = cum_vocab = 0
+    for _, d in documents_pd.sort_values("doc_id").iterrows():
+        w = d.text.split(" ")
+        cum_tok += len(w)
+        new = set(w) - seen
+        cum_vocab += len(new)
+        seen |= new
+        xs.append(math.log(cum_tok))
+        ys.append(math.log(cum_vocab))
+    beta, icept = np.polyfit(xs, ys, 1)
+    pred = icept + beta * np.array(xs)
+    y = np.array(ys)
+    r2 = 1 - float(((y - pred) ** 2).sum()) / float(((y - y.mean()) ** 2).sum())
+    out = _run(spark, "corpus_heaps_fit")[0]
+    assert out["n_points"] == len(xs)
+    assert abs(out["beta"] - beta) < 2e-4
+    assert abs(out["k"] - math.exp(icept)) < 2e-3
+    assert abs(out["r2"] - r2) < 2e-4
