@@ -2751,3 +2751,115 @@ def test_heaps_fit_vs_python_growth_curve(spark, documents_pd):
     assert abs(out["beta"] - beta) < 2e-4
     assert abs(out["k"] - math.exp(icept)) < 2e-3
     assert abs(out["r2"] - r2) < 2e-4
+
+
+# ---------------------------------------------- embedding eval trio
+
+
+def _np_embeddings():
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    X = np.stack(emb.embedding.values).astype("float64")
+    return emb.vec_id.values, emb.label.values, X
+
+
+def _np_cosine_matrix(X):
+    nrm = np.linalg.norm(X, axis=1)
+    nrm[nrm == 0] = 1.0
+    N = X / nrm[:, None]
+    return N @ N.T
+
+
+def test_hard_negatives_vs_numpy(spark):
+    ids, labels, X = _np_embeddings()
+    S = _np_cosine_matrix(X)
+    out = {}
+    for r in _run(spark, "sim_hard_negatives"):
+        out.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["neighbor_label"], r["sim"])
+        )
+    for qi in np.nonzero(ids < 20)[0]:
+        cand = sorted(
+            (i for i in range(len(ids)) if labels[i] != labels[qi]),
+            key=lambda i: (-S[qi, i], ids[i]),
+        )[:5]
+        rows = sorted(out[ids[qi]])
+        assert [r[1] for r in rows] == [ids[i] for i in cand], ids[qi]
+        for (rk, nid, nlab, sim), i in zip(rows, cand):
+            assert nlab == labels[i]
+            assert abs(sim - S[qi, i]) < 2e-6
+
+
+def test_matryoshka_recall_vs_numpy(spark):
+    ids, _, X = _np_embeddings()
+    Sf = _np_cosine_matrix(X)
+    St = _np_cosine_matrix(X[:, :16])
+
+    def top5(S, qi):
+        return [
+            ids[i]
+            for i in sorted(
+                (i for i in range(len(ids)) if ids[i] != ids[qi]),
+                key=lambda i: (-S[qi, i], ids[i]),
+            )[:5]
+        ]
+
+    out = {r["query_id"]: r for r in _run(spark, "emb_matryoshka_recall")}
+    for qi in np.nonzero(ids < 20)[0]:
+        overlap = len(set(top5(Sf, qi)) & set(top5(St, qi)))
+        o = out[ids[qi]]
+        assert o["n_overlap"] == overlap, (ids[qi], o, overlap)
+        assert abs(o["recall_at_5"] - round(overlap / 5.0, 2)) < 1e-9
+
+
+def test_cluster_separation_vs_numpy(spark):
+    _, labels, X = _np_embeddings()
+    out = {r["label"]: r for r in _run(spark, "emb_cluster_separation")}
+    cents = {l: X[labels == l].mean(axis=0) for l in np.unique(labels)}
+    for l in np.unique(labels):
+        mask = labels == l
+        mean_dist = float(
+            np.linalg.norm(X[mask] - cents[l], axis=1).mean()
+        )
+        min_gap = min(
+            float(np.linalg.norm(cents[l] - cents[m]))
+            for m in cents
+            if m != l
+        )
+        o = out[l]
+        assert o["n"] == int(mask.sum())
+        assert abs(o["mean_dist"] - mean_dist) < 2e-6
+        assert abs(o["nearest_centroid_gap"] - min_gap) < 2e-6
+        assert abs(o["compactness_ratio"] - mean_dist / min_gap) < 2e-5
+
+
+# -------------------------------------------------- containment pairs
+
+
+def test_containment_vs_python_shingle_sets(spark, documents_pd):
+    sets = {}
+    for _, d in documents_pd.iterrows():
+        w = d.text.split(" ")
+        sh = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+        if sh:
+            sets[d.doc_id] = sh
+    want = []
+    docs = sorted(sets)
+    for a in docs:
+        for b in docs:
+            if a == b:
+                continue
+            na, nb = len(sets[a]), len(sets[b])
+            if na > nb or (na == nb and a >= b):
+                continue  # A must be the smaller side (ties by id)
+            common = len(sets[a] & sets[b])
+            if common / na >= 0.8:
+                want.append((a, b, round(common / na, 6)))
+    want.sort()
+    out = [
+        (r["doc_small"], r["doc_big"], r["containment"])
+        for r in _run(spark, "dedup_containment_pairs")
+    ]
+    assert len(out) == len(want)
+    for o, w in zip(out, want):
+        assert o[:2] == w[:2], (o, w)
+        assert abs(o[2] - w[2]) < 2e-6
