@@ -2863,3 +2863,62 @@ def test_containment_vs_python_shingle_sets(spark, documents_pd):
     for o, w in zip(out, want):
         assert o[:2] == w[:2], (o, w)
         assert abs(o[2] - w[2]) < 2e-6
+
+
+# --------------------------------------------------- corr matrix
+
+
+def test_corr_matrix_vs_numpy(spark, lineitem_pd):
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    C = np.corrcoef(lineitem_pd[cols].values.T)
+    names = {
+        (0, 1): "qty_price", (0, 2): "qty_disc", (0, 3): "qty_tax",
+        (1, 2): "price_disc", (1, 3): "price_tax", (2, 3): "disc_tax",
+    }
+    out = _run(spark, "agg_corr_matrix")[0]
+    assert out["n"] == len(lineitem_pd)
+    for (i, j), name in names.items():
+        assert abs(out[name] - C[i, j]) < 2e-6, (name, out[name], C[i, j])
+
+
+# ----------------------------------------------- degree histogram
+
+
+def test_graph_degrees_vs_python_counter(spark):
+    from collections import Counter
+
+    from hive_release_spark.catalog import load_table
+    from hive_release_spark.llm import dedup as ddp
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in ddp.jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    ]
+    deg = Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    hist = Counter(deg.values())
+    out = {r["degree"]: r["n_docs"] for r in _run(spark, "dedup_graph_degrees")}
+    assert out == dict(hist)
+
+
+# ------------------------------------------------ length histogram
+
+
+def test_length_histogram_vs_python_buckets(spark, documents_pd):
+    from collections import Counter
+
+    n_docs, tokens = Counter(), Counter()
+    for text in documents_pd.text:
+        n = len(text.split(" "))
+        n_docs[n // 16] += 1
+        tokens[n // 16] += n
+    out = {r["bucket"]: r for r in _run(spark, "corpus_length_histogram")}
+    assert set(out) == set(n_docs)
+    for b in n_docs:
+        o = out[b]
+        assert o["bucket_lo"] == b * 16
+        assert o["n_docs"] == n_docs[b]
+        assert o["total_tokens"] == tokens[b]
