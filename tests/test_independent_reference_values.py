@@ -2922,3 +2922,88 @@ def test_length_histogram_vs_python_buckets(spark, documents_pd):
         assert o["bucket_lo"] == b * 16
         assert o["n_docs"] == n_docs[b]
         assert o["total_tokens"] == tokens[b]
+
+
+# ------------------------------------------- sorted-neighborhood SNM
+
+
+def test_sorted_neighborhood_vs_python_window(spark):
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet")
+    counts = part.groupby("p_name").size()
+    order = sorted(counts.index, key=lambda n: (n[::-1], n))
+    want = []
+    for i, a in enumerate(order):
+        for d in (1, 2):
+            if i + d < len(order):
+                b = order[i + d]
+                lev = _levenshtein(a, b)
+                if lev <= 2:
+                    want.append(
+                        (a, b, d, lev, int(counts[a]), int(counts[b]))
+                    )
+    want.sort()
+    out = [
+        (
+            r["name_a"], r["name_b"], r["win_dist"], r["lev"],
+            r["n_rows_a"], r["n_rows_b"],
+        )
+        for r in _run(spark, "dedup_sorted_neighborhood")
+    ]
+    assert out == want
+
+
+# ------------------------------------------- embedding quality gate
+
+
+def test_emb_quality_report_vs_numpy_norms(spark):
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    X = np.stack(emb.embedding.values).astype("float64")
+    nrm = np.linalg.norm(X, axis=1)
+    nan_rows = np.isnan(X).any(axis=1)
+    mu = nrm[~nan_rows].mean()
+    sd = nrm[~nan_rows].std(ddof=0)
+    out = {r["label"]: r for r in _run(spark, "emb_quality_report")}
+    for l in np.unique(emb.label.values):
+        m = emb.label.values == l
+        o = out[l]
+        assert o["n_vecs"] == int(m.sum())
+        assert o["n_with_nan"] == int(nan_rows[m].sum())
+        assert o["n_zero_norm"] == int((nrm[m] == 0).sum())
+        outliers = (~nan_rows[m]) & (np.abs(nrm[m] - mu) > 3 * sd)
+        assert o["n_norm_outliers"] == int(outliers.sum())
+        assert abs(o["mean_norm"] - nrm[m].mean()) < 2e-6
+        assert abs(o["min_norm"] - nrm[m].min()) < 2e-6
+        assert abs(o["max_norm"] - nrm[m].max()) < 2e-6
+
+
+# ------------------------------------------------ payload dedup math
+
+
+def test_payload_dedup_vs_hashlib_sha256(spark, documents_pd):
+    import hashlib
+    from collections import Counter, defaultdict
+
+    groups = defaultdict(list)
+    for _, d in documents_pd.iterrows():
+        modality = ["image", "audio", "video"][d.doc_id % 3]
+        payload = d.text.encode()
+        groups[(modality, hashlib.sha256(payload).hexdigest())].append(
+            len(payload)
+        )
+    per_mod = Counter()
+    stats = {}
+    for (modality, _), sizes in groups.items():
+        u, a, dropped, saved = stats.get(modality, (0, 0, 0, 0))
+        stats[modality] = (
+            u + 1,
+            a + len(sizes),
+            dropped + len(sizes) - 1,
+            saved + (len(sizes) - 1) * max(sizes),
+        )
+    out = {r["modality"]: r for r in _run(spark, "multimodal_payload_dedup")}
+    assert set(out) == set(stats)
+    for modality, (u, a, dropped, saved) in stats.items():
+        o = out[modality]
+        assert (
+            o["n_unique"], o["n_assets"], o["n_dropped"], o["bytes_saved"]
+        ) == (u, a, dropped, saved), (modality, o)
