@@ -3007,3 +3007,82 @@ def test_payload_dedup_vs_hashlib_sha256(spark, documents_pd):
         assert (
             o["n_unique"], o["n_assets"], o["n_dropped"], o["bytes_saved"]
         ) == (u, a, dropped, saved), (modality, o)
+
+
+# ------------------------------------------------ retrieval scorecard
+
+
+def test_search_eval_metrics_vs_numpy(spark):
+    ids, labels, X = _np_embeddings()
+    S = _np_cosine_matrix(X)
+    out = {r["query_id"]: r for r in _run(spark, "search_eval_metrics")}
+    for qi in np.nonzero(ids < 8)[0]:
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != ids[qi]),
+            key=lambda i: (-S[qi, i], ids[i]),
+        )[:10]
+        rel = [labels[i] == labels[qi] for i in order]
+        hits = sum(rel)
+        total_rel = int(
+            sum(
+                1
+                for i in range(len(ids))
+                if ids[i] != ids[qi] and labels[i] == labels[qi]
+            )
+        )
+        mrr = max(
+            (1.0 / (rk + 1) for rk, r in enumerate(rel) if r), default=0.0
+        )
+        dcg = sum(
+            1.0 / math.log2(rk + 2) for rk, r in enumerate(rel) if r
+        )
+        idcg = sum(
+            1.0 / math.log2(i + 1) for i in range(1, min(total_rel, 10) + 1)
+        )
+        o = out[ids[qi]]
+        assert o["hits_10"] == hits
+        assert o["total_rel"] == total_rel
+        assert abs(o["recall_10"] - hits / total_rel) < 2e-6
+        assert abs(o["mrr"] - mrr) < 2e-6
+        assert abs(o["ndcg_10"] - dcg / idcg) < 2e-6
+
+
+# -------------------------------------------- Dirichlet QL ranking
+
+
+def test_query_likelihood_vs_python_reference(spark, documents_pd):
+    """Independent check of the DECOMPOSED Dirichlet form against the
+    NAIVE textbook form score = sum_t log((tf + mu*P_t)/(dlen + mu)) —
+    catching exactly the class of decomposition error the oracle
+    (which replays the decomposition) cannot."""
+    from collections import Counter
+
+    from hive_release_spark.queries.llm3 import _QL_MU, _QL_TERMS
+
+    mu = _QL_MU
+    dl, tf = {}, {}
+    cf = Counter()
+    total = 0
+    for _, d in documents_pd.iterrows():
+        toks = d.text.split(" ")
+        dl[d.doc_id] = len(toks)
+        total += len(toks)
+        c = Counter(t for t in toks if t in _QL_TERMS)
+        tf[d.doc_id] = c
+        cf.update(c)
+    scored = []
+    for doc, n in dl.items():
+        s = 0.0
+        for t in _QL_TERMS:
+            p_t = cf[t] / total
+            s += math.log((tf[doc].get(t, 0) + mu * p_t) / (n + mu))
+        scored.append((doc, s))
+    ranked = sorted(scored, key=lambda t: (-t[1], t[0]))[:20]
+    out = [
+        (r["doc_id"], r["ql_score"], r["rk"])
+        for r in _run(spark, "search_query_likelihood")
+    ]
+    assert len(out) == len(ranked)
+    for o, (doc, s) in zip(out, ranked):
+        assert o[0] == doc, (o, doc)
+        assert abs(o[1] - s) < 2e-6
