@@ -3086,3 +3086,67 @@ def test_query_likelihood_vs_python_reference(spark, documents_pd):
     for o, (doc, s) in zip(out, ranked):
         assert o[0] == doc, (o, doc)
         assert abs(o[1] - s) < 2e-6
+
+
+# ----------------------------------------- exact-gram decontamination
+
+
+def test_decontaminate_ngram_vs_python_sets(spark, documents_pd):
+    grams = {}
+    for _, d in documents_pd.iterrows():
+        w = d.text.split(" ")
+        grams[d.doc_id] = {
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        }
+    ev = set()
+    for doc, g in grams.items():
+        if doc % 41 == 0:
+            ev |= g
+    out = {r["doc_id"]: r for r in _run(spark, "decontaminate_ngram")}
+    train = [d for d in grams if d % 41 != 0]
+    # the entry emits every train doc (LEFT join keeps gram-less docs)
+    all_train = [d for d in documents_pd.doc_id if d % 41 != 0]
+    assert set(out) == set(all_train)
+    for doc in train:
+        hits = len(grams[doc] & ev)
+        o = out[doc]
+        assert o["n_hit_grams"] == hits, (doc, o, hits)
+        assert o["contaminated"] == (hits > 0)
+
+
+# ---------------------------------------------- DSIR importance scores
+
+
+def test_dsir_vs_python_hashed_lm(spark, documents_pd):
+    import hashlib
+    from collections import Counter
+
+    B = 64
+
+    def bucket(term):
+        return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % B
+
+    raw, tgt = Counter(), Counter()
+    doc_buckets = {}
+    nr = nt = 0
+    for _, d in documents_pd.iterrows():
+        bs = [bucket(t) for t in d.text.split(" ")]
+        doc_buckets[d.doc_id] = bs
+        raw.update(bs)
+        nr += len(bs)
+        if d.lang == "en":
+            tgt.update(bs)
+            nt += len(bs)
+    lm = {
+        b: math.log(
+            (tgt.get(b, 0) + 1.0) * (nr + B) / ((raw[b] + 1.0) * (nt + B))
+        )
+        for b in raw
+    }
+    out = {r["doc_id"]: r for r in _run(spark, "sample_importance_dsir")}
+    assert set(out) == set(doc_buckets)
+    for doc, bs in doc_buckets.items():
+        o = out[doc]
+        assert o["n_tok"] == len(bs)
+        score = sum(lm[b] for b in bs) / len(bs)
+        assert abs(o["dsir_score"] - score) < 2e-6, (doc, o, score)
