@@ -3150,3 +3150,138 @@ def test_dsir_vs_python_hashed_lm(spark, documents_pd):
         assert o["n_tok"] == len(bs)
         score = sum(lm[b] for b in bs) / len(bs)
         assert abs(o["dsir_score"] - score) < 2e-6, (doc, o, score)
+
+
+# ------------------------------------------------- inter-event gaps
+
+
+def test_gap_stats_vs_python_lags(spark, events_pd):
+    sec = lambda t: int(pd.Timestamp(t).timestamp())  # noqa: E731
+    sub = events_pd.sort_values(["user_id", "ts", "event_id"])
+    out = {r["user_id"]: r for r in _run(spark, "events_gap_stats")}
+    for uid, grp in sub.groupby("user_id"):
+        ts = list(grp.ts)
+        gaps = [sec(b) - sec(a) for a, b in zip(ts, ts[1:])]
+        o = out[uid]
+        assert o["n_gaps"] == len(gaps)
+        if gaps:
+            assert o["min_gap_s"] == min(gaps)
+            assert o["max_gap_s"] == max(gaps)
+            assert o["total_gap_s"] == sum(gaps)
+
+
+# ------------------------------------------------------- RFM grid
+
+
+def test_rfm_segments_vs_python_ntile(spark, orders_pd):
+    from collections import Counter
+
+    base = orders_pd.groupby("o_custkey").agg(
+        last_order=("o_orderdate", "max"),
+        frequency=("o_orderkey", "size"),
+        monetary=("o_totalprice", lambda s: round(s.sum(), 2)),
+    )
+    base["recency_d"] = (
+        pd.Timestamp("1998-08-01") - base.last_order
+    ).dt.days
+
+    def ntile4(keys):
+        n = len(keys)
+        order = sorted(range(n), key=lambda i: keys[i])
+        sizes = [n // 4 + (1 if i < n % 4 else 0) for i in range(4)]
+        tile = {}
+        start = 0
+        for t, sz in enumerate(sizes, start=1):
+            for i in order[start : start + sz]:
+                tile[i] = t
+            start += sz
+        return tile
+
+    idx = list(base.index)
+    r_inv = ntile4([(base.recency_d[c], c) for c in idx])
+    f_inv = ntile4([(-base.frequency[c], c) for c in idx])
+    m_inv = ntile4([(-base.monetary[c], c) for c in idx])
+    cells_n, cells_v = Counter(), Counter()
+    for i, c in enumerate(idx):
+        key = (5 - r_inv[i], 5 - f_inv[i], 5 - m_inv[i])
+        cells_n[key] += 1
+        cells_v[key] += base.monetary[c]
+    out = {
+        (r["r_score"], r["f_score"], r["m_score"]): r
+        for r in _run(spark, "customer_rfm_segments")
+    }
+    assert set(out) == set(cells_n)
+    for key in cells_n:
+        o = out[key]
+        assert o["n_customers"] == cells_n[key], (key, o)
+        assert abs(o["segment_value"] - round(cells_v[key], 2)) < 0.02
+
+
+# ------------------------------------------------ basket affinity
+
+
+def test_basket_affinity_vs_python_lift(spark, lineitem_pd):
+    from collections import Counter
+
+    items = (
+        lineitem_pd.assign(grp=lineitem_pd.l_partkey % 50)[
+            ["l_orderkey", "grp"]
+        ]
+        .drop_duplicates()
+    )
+    n_orders = items.l_orderkey.nunique()
+    freq = items.groupby("grp").size()
+    co = Counter()
+    for _, grp in items.groupby("l_orderkey"):
+        gs = sorted(grp.grp.unique())
+        for i in range(len(gs)):
+            for j in range(i + 1, len(gs)):
+                co[(gs[i], gs[j])] += 1
+    want = {
+        (a, b): (c, c * n_orders / (freq[a] * freq[b]))
+        for (a, b), c in co.items()
+        if c >= 20
+    }
+    out = {
+        (r["grp_a"], r["grp_b"]): r for r in _run(spark, "basket_part_affinity")
+    }
+    assert set(out) == set(want)
+    for key, (c, lift) in want.items():
+        o = out[key]
+        assert o["c_ab"] == c
+        assert abs(o["lift"] - lift) < 2e-6
+
+
+# ------------------------------------------------- daily z anomalies
+
+
+def test_daily_anomaly_vs_numpy_zscores(spark, events_pd):
+    n = events_pd.groupby(events_pd.ts.dt.normalize()).size()
+    mu = float(n.values.mean())
+    sd = float(n.values.std(ddof=1))
+    out = {pd.Timestamp(r["day"]): r for r in _run(spark, "events_daily_anomaly")}
+    assert set(out) == set(n.index)
+    for day, cnt in n.items():
+        o = out[day]
+        assert o["n"] == cnt
+        assert abs(o["z"] - (cnt - mu) / sd) < 2e-4
+        assert o["is_anomaly"] == (abs(cnt - mu) > 2 * sd)
+
+
+# -------------------------------------------- status transitions
+
+
+def test_status_transitions_vs_python_lags(spark, orders_pd):
+    from collections import Counter
+
+    seq = orders_pd.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    trans = Counter()
+    for _, grp in seq.groupby("o_custkey"):
+        st = list(grp.o_orderstatus)
+        for a, b in zip(st, st[1:]):
+            trans[(a, b)] += 1
+    out = {
+        (r["prev_status"], r["next_status"]): r["n"]
+        for r in _run(spark, "orders_status_transitions")
+    }
+    assert out == dict(trans)
