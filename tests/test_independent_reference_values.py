@@ -3285,3 +3285,38 @@ def test_status_transitions_vs_python_lags(spark, orders_pd):
         for r in _run(spark, "orders_status_transitions")
     }
     assert out == dict(trans)
+
+
+# -------------------------------------------------- Rocchio feedback
+
+
+def test_rocchio_expansion_vs_numpy_two_rounds(spark):
+    ids, _, X = _np_embeddings()
+    S = _np_cosine_matrix(X)
+    out = {}
+    for r in _run(spark, "sim_rocchio_expansion"):
+        out.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["sim"])
+        )
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b) / (na * nb) if na and nb else 0.0
+
+    for qi in np.nonzero(ids < 8)[0]:
+        top3 = sorted(
+            (i for i in range(len(ids)) if ids[i] != ids[qi]),
+            key=lambda i: (-S[qi, i], ids[i]),
+        )[:3]
+        cent = X[top3].mean(axis=0)
+        qv = 0.7 * X[qi] + 0.3 * cent
+        # round 2: cosine of the expanded query vs everyone but itself
+        # (the expanded vector keeps the ORIGINAL query's id)
+        cand = sorted(
+            (i for i in range(len(ids)) if ids[i] != ids[qi]),
+            key=lambda i: (-cos(qv, X[i]), ids[i]),
+        )[:5]
+        rows = sorted(out[ids[qi]])
+        assert [r[1] for r in rows] == [ids[i] for i in cand], ids[qi]
+        for (rk, nid, sim), i in zip(rows, cand):
+            assert abs(sim - cos(qv, X[i])) < 2e-6
