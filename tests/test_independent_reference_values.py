@@ -3320,3 +3320,132 @@ def test_rocchio_expansion_vs_numpy_two_rounds(spark):
         assert [r[1] for r in rows] == [ids[i] for i in cand], ids[qi]
         for (rk, nid, sim), i in zip(rows, cand):
             assert abs(sim - cos(qv, X[i])) < 2e-6
+
+
+# ------------------------------------------------ k-fold CV by moments
+
+
+def test_kfold_cv_vs_numpy_per_row_rmse(spark, lineitem_pd):
+    """The engine never materializes a prediction (SSE expands from
+    held-out moments); this reference fits each fold's complement with
+    np.polyfit and computes RMSE by EXPLICIT per-row prediction — the
+    two derivations agreeing is the strongest check the moment algebra
+    can get."""
+    import hashlib
+
+    folds = np.array(
+        [
+            int(
+                hashlib.md5(f"cv:{ok}:{ln}".encode()).hexdigest()[0], 16
+            )
+            % 4
+            for ok, ln in zip(
+                lineitem_pd.l_orderkey, lineitem_pd.l_linenumber
+            )
+        ]
+    )
+    x = lineitem_pd.l_quantity.values.astype(np.float64)
+    y = np.round(lineitem_pd.l_extendedprice.values * 100)
+    out = {r["fold"]: r for r in _run(spark, "ml_regression_kfold_cv")}
+    assert set(out) == set(np.unique(folds))
+    for k in np.unique(folds):
+        test = folds == k
+        b1, b0 = np.polyfit(x[~test], y[~test], 1)
+        resid = y[test] - (b0 + b1 * x[test])
+        rmse = math.sqrt(float((resid**2).mean())) / 100.0
+        o = out[k]
+        assert o["n_test"] == int(test.sum())
+        assert abs(o["rmse_milli"] - _fold(rmse, 1e3)) <= 1, (k, o, rmse)
+        assert abs(o["b1_micro"] - _fold(b1 / 100.0, 1e6)) <= 1
+
+
+# ----------------------------------------------------- PageRank chain
+
+
+def test_pagerank_vs_python_chain(spark):
+    from hive_release_spark.catalog import load_table
+    from hive_release_spark.llm import dedup as ddp
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in ddp.jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    ]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    p = {v: 1.0 / n for v in adj}
+    for _ in range(3):
+        nxt = {v: 0.0 for v in adj}
+        for v, nbrs in adj.items():
+            share = p[v] / len(nbrs)
+            for u in nbrs:
+                nxt[u] += share
+        p = {v: 0.15 / n + 0.85 * nxt[v] for v in adj}
+    out = {r["doc_id"]: r for r in _run(spark, "graph_pagerank")}
+    assert set(out) == set(adj)
+    for v in adj:
+        o = out[v]
+        assert o["degree"] == len(adj[v])
+        assert abs(o["pagerank"] - p[v]) < 2e-6, (v, o, p[v])
+
+
+# ------------------------------------------------ permutation test
+
+
+def test_randomization_test_vs_hashlib_worlds(spark, events_pd):
+    import hashlib
+
+    conv = (
+        events_pd.assign(c=(events_pd.event_type == "purchase").astype(int))
+        .groupby("user_id")
+        .c.max()
+    )
+
+    def arm(salt, uid):
+        return int(hashlib.md5(f"{salt}{uid}".encode()).hexdigest()[0], 16) % 2
+
+    def diff(armmap):
+        t = [conv[u] for u in conv.index if armmap[u] == 1]
+        c = [conv[u] for u in conv.index if armmap[u] == 0]
+        return sum(t) / len(t) - sum(c) / len(c)
+
+    d_obs = diff({u: arm("exp1:", u) for u in conv.index})
+    n_extreme = 0
+    for b in range(32):
+        d_b = diff({u: arm(f"perm{b}:", u) for u in conv.index})
+        if abs(d_b) >= abs(d_obs):
+            n_extreme += 1
+    out = _run(spark, "stats_randomization_test")[0]
+    assert out["b_total"] == 32
+    assert out["n_extreme"] == n_extreme
+    assert abs(out["d_obs_micro"] - _fold(d_obs, 1e6)) <= 1
+    assert abs(out["p_milli"] - _fold((1 + n_extreme) / 33.0, 1e3)) <= 1
+
+
+# ------------------------------------------------ lagged cross-corr
+
+
+def test_cross_corr_vs_numpy(spark, lineitem_pd):
+    day = (
+        lineitem_pd.assign(dd=lineitem_pd.l_shipdate.dt.date)
+        .groupby("dd")
+        .agg(qty=("l_quantity", "sum"), n=("l_quantity", "size"))
+        .sort_index()
+    )
+    q = day.qty.values.astype(np.float64)
+    n = day.n.values.astype(np.float64)
+    out = {r["lag"]: r for r in _run(spark, "timeseries_cross_corr")}
+    assert set(out) == set(range(-3, 4))
+    for k in range(-3, 4):
+        # pair (x_t, y_{t-k}): x=qty at position i, y=n at position i-k
+        if k >= 0:
+            xs, ys = q[k:], n[: len(n) - k]
+        else:
+            xs, ys = q[: len(q) + k], n[-k:]
+        o = out[k]
+        assert o["n_pairs"] == len(xs)
+        r = float(np.corrcoef(xs, ys)[0, 1])
+        assert abs(o["ccf_micro"] - _fold(r, 1e6)) <= 2, (k, o, r)
