@@ -3449,3 +3449,78 @@ def test_cross_corr_vs_numpy(spark, lineitem_pd):
         assert o["n_pairs"] == len(xs)
         r = float(np.corrcoef(xs, ys)[0, 1])
         assert abs(o["ccf_micro"] - _fold(r, 1e6)) <= 2, (k, o, r)
+
+
+# -------------------------------------------------- repetition rules
+
+
+def test_repetition_score_vs_python_counters(spark, documents_pd):
+    from collections import Counter
+
+    out = {r["doc_id"]: r for r in _run(spark, "text_repetition_score")}
+    assert len(out) == len(documents_pd)
+    for _, d in documents_pd.iterrows():
+        w = d.text.split(" ")
+        dtr = len(set(w)) / len(w)
+        o = out[d.doc_id]
+        assert abs(o["distinct_token_ratio"] - dtr) < 1e-12
+        if len(w) >= 2:
+            bg = Counter(zip(w, w[1:]))
+            share = max(bg.values()) / sum(bg.values())
+            assert abs(o["top_bigram_share"] - share) < 1e-12
+            assert o["is_repetitive"] == (share > 0.2 or dtr < 0.3)
+
+
+# ----------------------------------------------- vocabulary cutoff
+
+
+def test_vocab_cutoff_vs_python_mass(spark, documents_pd):
+    from collections import Counter
+
+    freq = Counter(t for text in documents_pd.text for t in text.split(" "))
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(freq.values())
+    want = []
+    before = 0
+    for rk, (term, f) in enumerate(ranked, start=1):
+        if before / total < 0.9:
+            want.append((term, f, rk))
+        before += f
+    out = [
+        (r["term"], r["freq"], r["rank"])
+        for r in _run(spark, "vocab_coverage_cutoff")
+    ]
+    assert out == want
+
+
+# ---------------------------------------------- quantized k-means
+
+
+def test_kmeans_vs_numpy_lloyd(spark):
+    """Replay the 3 quantized Lloyd iterations sequentially in numpy
+    (init = 8 lowest-id vectors, 6-dp centroid rounding, lowest-cluster
+    tie-break) and require identical final assignments."""
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values(
+        "vec_id"
+    )
+    ids = emb.vec_id.values
+    X = np.stack(emb.embedding.values).astype("float64")
+    cents = [X[i].copy() for i in range(8)]  # lowest ids are 0..7 sorted
+
+    def assign(cents):
+        d = np.stack(
+            [((X - c) ** 2).sum(axis=1) for c in cents], axis=1
+        )
+        # lowest cluster id wins exact ties: argmin picks first max
+        return d.argmin(axis=1)
+
+    for _ in range(3):
+        a = assign(cents)
+        for c in range(8):
+            m = a == c
+            if m.any():
+                cents[c] = np.round(X[m].mean(axis=0), 6)
+    final = assign(cents)
+    out = {r["vec_id"]: r["cluster"] for r in _run(spark, "emb_kmeans")}
+    want = {int(ids[i]): int(final[i]) for i in range(len(ids))}
+    assert out == want
