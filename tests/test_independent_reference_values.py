@@ -3524,3 +3524,84 @@ def test_kmeans_vs_numpy_lloyd(spark):
     out = {r["vec_id"]: r["cluster"] for r in _run(spark, "emb_kmeans")}
     want = {int(ids[i]): int(final[i]) for i in range(len(ids))}
     assert out == want
+
+
+# ---------------------------------------------------- tf-idf family
+
+
+def test_tfidf_top_terms_vs_python(spark, documents_pd):
+    from collections import Counter
+
+    tf = {}
+    df = Counter()
+    for _, d in documents_pd.iterrows():
+        c = Counter(d.text.split(" "))
+        tf[d.doc_id] = c
+        df.update(c.keys())
+    n_docs = len(documents_pd)
+    out = {}
+    for r in _run(spark, "text_tfidf_top_terms"):
+        out.setdefault(r["doc_id"], []).append((r["rk"], r["term"], r["tfidf"]))
+    assert set(out) == set(tf)
+    for doc, c in tf.items():
+        scored = sorted(
+            (
+                (-round(f * math.log((n_docs + 1.0) / (df[t] + 1.0)), 6), t)
+                for t, f in c.items()
+            )
+        )[:3]
+        rows = sorted(out[doc])
+        assert [r[1] for r in rows] == [t for _, t in scored], doc
+        for (rk, t, s), (neg, _) in zip(rows, scored):
+            assert abs(s - (-neg)) < 2e-6
+
+
+def test_tfidf_cosine_vs_python_ltc(spark, documents_pd):
+    from collections import Counter
+
+    terms = ("spark", "table", "query")
+    tf = {}
+    df = Counter()
+    for _, d in documents_pd.iterrows():
+        c = Counter(d.text.split(" "))
+        tf[d.doc_id] = c
+        df.update(c.keys())
+    n_docs = len(tf)
+    qw = {t: math.log(n_docs / df[t]) for t in terms if t in df}
+    qnorm = math.sqrt(sum(v * v for v in qw.values()))
+    scored = []
+    for doc, c in tf.items():
+        wts = {
+            t: (1.0 + math.log(f)) * math.log(n_docs / df[t])
+            for t, f in c.items()
+        }
+        dnorm = math.sqrt(sum(v * v for v in wts.values()))
+        s = sum(
+            wts[t] / dnorm * qw[t] / qnorm for t in qw if t in wts
+        )
+        if s > 0:
+            scored.append((doc, s))
+    ranked = sorted(scored, key=lambda t: (-t[1], t[0]))[:20]
+    out = [
+        (r["doc_id"], r["tfidf_cos"]) for r in _run(spark, "search_tfidf_cosine")
+    ]
+    assert len(out) == len(ranked)
+    for o, (doc, s) in zip(out, ranked):
+        assert o[0] == doc, (o, doc)
+        assert abs(o[1] - s) < 2e-6
+
+
+# ------------------------------------------------- label centroids
+
+
+def test_label_centroids_vs_numpy(spark):
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    X = np.stack(emb.embedding.values).astype("float64")
+    labels = emb.label.values
+    out = {
+        (r["label"], r["pos"]): r["c"] for r in _run(spark, "emb_label_centroids")
+    }
+    for l in np.unique(labels):
+        m = X[labels == l].mean(axis=0)
+        for pos in range(X.shape[1]):
+            assert abs(out[(l, pos + 1)] - round(float(m[pos]), 6)) < 2e-6
