@@ -3605,3 +3605,69 @@ def test_label_centroids_vs_numpy(spark):
         m = X[labels == l].mean(axis=0)
         for pos in range(X.shape[1]):
             assert abs(out[(l, pos + 1)] - round(float(m[pos]), 6)) < 2e-6
+
+
+# --------------------------------------------- quality feature counts
+
+
+def test_text_quality_vs_python_counts(spark, documents_pd):
+    import re
+
+    stop = {"the", "a", "of", "and", "to", "in", "is", "on"}
+    out = {r["doc_id"]: r for r in _run(spark, "text_quality")}
+    assert len(out) == len(documents_pd)
+    for _, d in documents_pd.iterrows():
+        toks = d.text.split(" ")
+        o = out[d.doc_id]
+        assert o["n_chars"] == len(d.text)
+        assert o["n_tokens"] == len(toks)
+        assert o["total_tok_chars"] == sum(len(t) for t in toks)
+        assert o["n_stop"] == sum(1 for t in toks if t in stop)
+        assert o["n_nonalpha"] == len(re.sub(r"[a-z]", "", d.text))
+
+
+# --------------------------------------------------- doc fingerprints
+
+
+def test_fingerprint_vs_hashlib(spark, documents_pd):
+    import hashlib
+
+    out = {r["doc_id"]: r["fingerprint"] for r in _run(spark, "text_fingerprint")}
+    for _, d in documents_pd.iterrows():
+        canon = " ".join(sorted(set(d.text.split(" "))))
+        assert out[d.doc_id] == hashlib.md5(canon.encode()).hexdigest()
+
+
+# ------------------------------------------------------- top bigrams
+
+
+def test_top_ngrams_vs_counter(spark, documents_pd):
+    from collections import Counter
+
+    big = Counter()
+    for text in documents_pd.text:
+        w = text.split(" ")
+        big.update(" ".join(p) for p in zip(w, w[1:]))
+    want = sorted(big.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    out = [(r["ngram"], r["freq"]) for r in _run(spark, "text_ngrams_top")]
+    assert out == want
+
+
+# --------------------------------------------- corpus composition
+
+
+def test_corpus_token_stats_vs_pandas(spark, documents_pd):
+    out = {
+        (r["lang"], r["source"]): r for r in _run(spark, "corpus_token_stats")
+    }
+    grp = documents_pd.assign(
+        n_tok=[len(t.split(" ")) for t in documents_pd.text]
+    ).groupby(["lang", "source"])
+    assert set(out) == set(grp.groups)
+    for key, g in grp:
+        o = out[key]
+        assert o["n_docs"] == len(g)
+        assert o["total_tokens"] == int(g.n_tok.sum())
+        assert o["min_chars"] == int(g.n_chars.min())
+        assert o["max_chars"] == int(g.n_chars.max())
+        assert abs(o["avg_chars"] - g.n_chars.mean()) < 1e-9
