@@ -3671,3 +3671,85 @@ def test_corpus_token_stats_vs_pandas(spark, documents_pd):
         assert o["min_chars"] == int(g.n_chars.min())
         assert o["max_chars"] == int(g.n_chars.max())
         assert abs(o["avg_chars"] - g.n_chars.mean()) < 1e-9
+
+
+# ------------------------------------------ deterministic samplers
+
+
+def test_split_train_eval_vs_python(spark, documents_pd):
+    from collections import Counter
+
+    cells_n, cells_c = Counter(), Counter()
+    for _, d in documents_pd.iterrows():
+        m = d.doc_id % 10
+        split = "train" if m < 8 else ("eval" if m == 8 else "test")
+        cells_n[(d.lang, split)] += 1
+        cells_c[(d.lang, split)] += d.n_chars
+    out = {
+        (r["lang"], r["split"]): r for r in _run(spark, "split_train_eval")
+    }
+    assert set(out) == set(cells_n)
+    for key in cells_n:
+        assert out[key]["n"] == cells_n[key]
+        assert out[key]["chars"] == cells_c[key]
+
+
+def test_domain_mix_resample_vs_python(spark, documents_pd):
+    def n_copies(doc_id, source):
+        frac = {"src0": 2.5, "src1": 0.25, "src2": 1.5, "src3": 0.0}.get(
+            source, 1.0
+        )
+        base = int(frac)
+        extra = 1 if (doc_id * 2654435761) % 1000 < (frac - base) * 1000 else 0
+        return base + extra
+
+    want = []
+    for _, d in documents_pd.sort_values("doc_id").iterrows():
+        for i in range(1, n_copies(d.doc_id, d.source) + 1):
+            want.append((d.doc_id, d.source, i))
+    out = [
+        (r["doc_id"], r["domain"], r["copy_idx"])
+        for r in _run(spark, "domain_mix_resample")
+    ]
+    assert out == want
+
+
+def test_shuffle_shard_assign_vs_hashlib(spark, documents_pd):
+    import hashlib
+
+    rows = []
+    for doc_id in documents_pd.doc_id:
+        h = hashlib.md5(f"s42:{doc_id}".encode()).hexdigest()
+        shard = (int(h[0], 16) * 16 + int(h[1], 16)) % 16
+        rows.append((doc_id, shard, h))
+    by_shard = {}
+    for doc_id, shard, h in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        by_shard.setdefault(shard, []).append(doc_id)
+    pos = {
+        doc: i + 1
+        for docs in by_shard.values()
+        for i, doc in enumerate(docs)
+    }
+    out = {r["doc_id"]: r for r in _run(spark, "shuffle_shard_assign")}
+    assert set(out) == {r[0] for r in rows}
+    for doc_id, shard, h in rows:
+        o = out[doc_id]
+        assert o["shard"] == shard
+        assert o["sort_key"] == h
+        assert o["pos"] == pos[doc_id], (doc_id, o, pos[doc_id])
+
+
+def test_reservoir_group_vs_hashlib(spark, documents_pd):
+    import hashlib
+
+    out = {
+        (r["lang"], r["rk"]): r["doc_id"]
+        for r in _run(spark, "sample_reservoir_group")
+    }
+    for lang, grp in documents_pd.groupby("lang"):
+        keyed = sorted(
+            (hashlib.md5(f"rsv1:{d}".encode()).hexdigest(), d)
+            for d in grp.doc_id
+        )[:5]
+        for rk, (_, doc) in enumerate(keyed, start=1):
+            assert out[(lang, rk)] == doc, (lang, rk)
