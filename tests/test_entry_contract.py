@@ -47,21 +47,38 @@ def test_driver_window_spans_every_survey_family():
     backlog is >= 50, the r4 verdict's rotation rule takes precedence —
     EVERY slot goes to the backlog (a family whose members are all
     already witnessed keeps its latest driver row as authoritative) and
-    a family-rep slot would just delay draining the ledger."""
-    from hive_release_spark.queries import DRIVER_WINDOW, REGISTRY, queries
+    a family-rep slot would just delay draining the ledger.
+
+    ADVICE r6-2 extension: an already-witnessed entry whose CONTRACT
+    changed since its last driver row (declared in CONTRACT_CHANGED)
+    shares first claim with the backlog — "red OR contract-changed" —
+    so the r4/r5 'contract changed, witness first' discipline holds
+    even while the backlog saturates the window."""
+    from hive_release_spark.queries import (
+        CONTRACT_CHANGED,
+        DRIVER_WINDOW,
+        REGISTRY,
+        queries,
+    )
     from tools.witness_ledger import witnessed_names
 
     assert len(DRIVER_WINDOW) == 50
     assert len(set(DRIVER_WINDOW)) == 50
     assert set(DRIVER_WINDOW) <= set(REGISTRY)
     assert list(queries())[:50] == DRIVER_WINDOW
+    # contract-changed declarations must themselves be windowed —
+    # declaring one and not witnessing it would defeat the rule
+    assert set(CONTRACT_CHANGED) <= set(DRIVER_WINDOW)
 
     seen = witnessed_names()
     never = [n for n in REGISTRY if n not in seen]
     if len(never) >= 50:
         # backlog saturates the window: no slot may be wasted on an
-        # already-witnessed entry
-        wasted = [n for n in DRIVER_WINDOW if n in seen]
+        # already-witnessed entry unless its contract changed
+        wasted = [
+            n for n in DRIVER_WINDOW
+            if n in seen and n not in CONTRACT_CHANGED
+        ]
         assert not wasted, f"backlog >= 50 but window re-records: {wasted}"
     else:
         window_tags = {t for n in DRIVER_WINDOW for t in REGISTRY[n].tags}

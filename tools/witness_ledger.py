@@ -21,7 +21,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from hive_release_spark.queries import DRIVER_WINDOW, REGISTRY  # noqa: E402
+from hive_release_spark.queries import (  # noqa: E402
+    CONTRACT_CHANGED,
+    DRIVER_WINDOW,
+    REGISTRY,
+)
 
 ROOT = Path(__file__).resolve().parent.parent
 
@@ -51,7 +55,12 @@ def main() -> None:
         assert not missing, f"window names not in registry: {missing}"
         assert len(DRIVER_WINDOW) == len(set(DRIVER_WINDOW)), "window dupes"
         if len(never) >= 50:
-            outside = [n for n in DRIVER_WINDOW if n in seen]
+            # ADVICE r6-2: contract-changed entries share first claim
+            # with never-witnessed ones ("red OR contract-changed").
+            outside = [
+                n for n in DRIVER_WINDOW
+                if n in seen and n not in CONTRACT_CHANGED
+            ]
             assert not outside, (
                 "never-witnessed backlog >= 50 but window wastes slots on "
                 f"already-witnessed entries: {outside}"
