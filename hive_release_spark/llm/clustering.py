@@ -254,7 +254,10 @@ def power_iteration_project(
     """
     import math
 
-    dim_ = len(emb.select(vec_col).first()[0])
+    first = emb.select(vec_col).first()
+    if first is None:  # .first()[0] would raise a bare TypeError
+        raise ValueError("power_iteration_project: input is empty")
+    dim_ = len(first[0])
     pts = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -303,6 +306,17 @@ def power_iteration_project(
                 rayleigh += v[j] * w[j]
                 norm2 += w[j] * w[j]
             nrm = math.sqrt(norm2)
+            if nrm == 0.0:
+                # all-zero quantized iterate (degenerate mean-centered
+                # input): fail identically and diagnosably on both
+                # engines — Python would ZeroDivisionError here while
+                # the DuckDB replay yields inf/NULL (ADVICE r6-5;
+                # mirrors the kmeans loop's degenerate-input handling)
+                raise ValueError(
+                    "power_iteration_project: quantized iterate collapsed "
+                    "to zero — mean-centered input is degenerate (constant "
+                    "or sub-quantum variance columns)"
+                )
             v = [_quantize(w[j] / nrm) for j in range(dim_)]
         vfin = F.array(*[F.lit(x) for x in v])
         proj = F.aggregate(

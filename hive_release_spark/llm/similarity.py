@@ -115,30 +115,45 @@ def cosine_pairs_blas(
     ONE ``X_block @ N.T`` (vectorized, Arrow-batched — the "Pandas
     UDFs beat per-row by 10-100×" rule applied to the pair bomb).
 
-    Scale posture: the corpus matrix rides a broadcast (n×d doubles).
-    That is NOT the 100 TB all-corpus path — but all-PAIRS output is
-    O(n²) rows, so any n where this entry is feasible at all has a
-    trivially broadcastable matrix (2 000×64 = 1 MB; even 1M×64 =
-    512 MB sits under executor memory while its 10¹² pair output does
-    not). Beyond that, the blocked ``cosine_pairs(block_col=...)`` /
-    LSH / IVF paths are the documented escapes. Pair emission keeps
-    ``id_a < id_b`` inside the kernel so no post-filter shuffles."""
+    EAGER at call time (ADVICE r6-3): building this plan runs a Spark
+    job — the corpus ``toPandas()`` happens HERE, not at the first
+    action on the returned frame, because the normalized matrix must
+    exist before the kernel closure can be constructed. Callers that
+    only want the plan shape (plan tests, registration flows) should
+    use ``cosine_pairs`` instead.
+
+    Scale posture: the corpus matrix rides the TASK CLOSURE (n×d
+    doubles, shipped inside Spark's internally-broadcast task binary,
+    which the ContextCleaner reclaims when the stage is GC'd — unlike
+    an explicit ``sparkContext.broadcast``, which would leak for the
+    session lifetime since a lazily-executed plan has no post-action
+    destroy hook). That is NOT the 100 TB all-corpus path — but
+    all-PAIRS output is O(n²) rows, so any n where this entry is
+    feasible at all has a trivially shippable matrix (2 000×64 = 1 MB;
+    even 1M×64 = 512 MB sits under executor memory while its 10¹²
+    pair output does not). Beyond that, the blocked
+    ``cosine_pairs(block_col=...)`` / LSH / IVF paths are the
+    documented escapes. Pair emission keeps ``id_a < id_b`` inside
+    the kernel so no post-filter shuffles."""
     import numpy as np
     import pandas as pd
 
+    out_schema = "id_a BIGINT, id_b BIGINT, sim DOUBLE"
     src = vectors.select(
         F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
     )
     pdf = src.toPandas()  # documented: bounded by feasibility of n² output
+    if not len(pdf):  # np.stack raises on empty; return an empty typed frame
+        return vectors.sparkSession.createDataFrame([], out_schema)
     ids_all = pdf["id"].to_numpy()
     X = np.stack(pdf["v"].to_numpy()).astype("float64")
     nrm = np.linalg.norm(X, axis=1)
     nrm[nrm == 0] = 1.0
     N = X / nrm[:, None]
-    bc = vectors.sparkSession.sparkContext.broadcast((ids_all, N))
+    closure = (ids_all, N)  # task-closure capture, not an explicit broadcast
 
     def block(batches):
-        b_ids, b_n = bc.value
+        b_ids, b_n = closure
         for batch in batches:
             if not len(batch):
                 continue
@@ -153,7 +168,7 @@ def cosine_pairs_blas(
                 {"id_a": idb[i], "id_b": b_ids[j], "sim": S[i, j]}
             )
 
-    return src.mapInPandas(block, schema="id_a BIGINT, id_b BIGINT, sim DOUBLE").select(
+    return src.mapInPandas(block, schema=out_schema).select(
         "id_a", "id_b", F.round("sim", 6).alias("sim")
     )
 
@@ -409,6 +424,7 @@ def semantic_dedup_pairs(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_rows: int = 1024,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: bucket every vector into
     its nearest-centroid cell, then emit cosine-≥-threshold pairs WITHIN
@@ -419,13 +435,22 @@ def semantic_dedup_pairs(
     share a cluster by construction of the embedding space). Assignment
     is the zero-shuffle packed-broadcast attach; pair emission is ONE
     ``applyInPandas`` over the cell key (one shuffle) computing each
-    cell's pair block as a single BLAS ``N @ N.T`` — the r6 treatment
-    that took the brute-force twin from 78 s to 0.55 s applied per
-    cell (the HOF self-join it replaces evaluated a d-term fold per
-    PAIR). A cell's matrix is ~√N×d under the n_cells ≈ √N sizing, so
-    the per-group memory is the same order as the pair OUTPUT the cell
-    necessarily materializes; hot cells split by AQE before the group
-    step. Deterministic end-to-end → fully DuckDB-replayable (same
+    cell's pair block by BLAS matmul — the r6 treatment that took the
+    brute-force twin from 78 s to 0.55 s applied per cell (the HOF
+    self-join it replaces evaluated a d-term fold per PAIR).
+
+    Hot-cell memory contract (ADVICE r6-1): a whole cell of m rows
+    does land in one Python worker — applyInPandas groups are
+    indivisible, AQE can NOT split them — so the matmul is CHUNKED:
+    only a ``block_rows``×m slice of the similarity matrix is live at
+    once (O(block_rows·m·8B), ~0.8 GB at m=100k with the default
+    1024-row block) instead of the dense m×m (80 GB at m=100k) a
+    single ``N @ N.T`` would allocate. The m×d input matrix itself is
+    the irreducible per-group footprint (~50 MB at m=100k, d=64); a
+    corpus whose single hottest cell outgrows THAT needs more cells
+    (n_cells ≈ √N keeps cells ~√N) — re-celling, not salting, is the
+    escape that preserves the same-cell recall contract.
+    Deterministic end-to-end → fully DuckDB-replayable (same
     centroid/argmax contract as ivf_topk)."""
     import numpy as np
     import pandas as pd
@@ -443,17 +468,25 @@ def semantic_dedup_pairs(
         X = np.stack(pdf["v"].to_numpy()[order]).astype("float64")
         nrm = np.linalg.norm(X, axis=1)
         nrm[nrm == 0] = 1.0
-        S = (X / nrm[:, None]) @ (X / nrm[:, None]).T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = S[iu, ju] >= threshold
-        return pd.DataFrame(
-            {
-                "cell": np.full(int(keep.sum()), int(pdf["cell"].iloc[0])),
-                "id_a": ids[iu[keep]],
-                "id_b": ids[ju[keep]],
-                "sim": S[iu[keep], ju[keep]],
-            }
-        )
+        N = X / nrm[:, None]
+        m = len(ids)
+        cell = int(pdf["cell"].iloc[0])
+        cols = np.arange(m)
+        chunks = []
+        for s in range(0, m, block_rows):
+            e = min(s + block_rows, m)
+            Sb = N[s:e] @ N.T  # block_rows × m slice — never m × m
+            keep = (Sb >= threshold) & (cols[None, :] > np.arange(s, e)[:, None])
+            bi, bj = np.nonzero(keep)
+            chunks.append(pd.DataFrame(
+                {
+                    "cell": np.full(len(bi), cell),
+                    "id_a": ids[s + bi],
+                    "id_b": ids[bj],
+                    "sim": Sb[bi, bj],
+                }
+            ))
+        return pd.concat(chunks, ignore_index=True)
 
     return (
         assigned.select("cell", "id", "v")

@@ -85,3 +85,28 @@ def test_power_iteration_matches_sequential_numpy_replay(spark):
     eigval = np.linalg.eigvalsh((X.T @ X) / n - np.outer(X.mean(axis=0), X.mean(axis=0)))
     assert rayleigh <= eigval[-1] * (1 + 1e-3)
     assert rayleigh >= eigval[-8]  # climbed into the top-8 of 64
+
+
+def test_power_iteration_degenerate_inputs_fail_loudly(spark):
+    """ADVICE r6-5: an empty input or an all-constant (sub-quantum
+    variance) corpus must raise a clear ValueError on the Spark side —
+    previously Python died with TypeError / ZeroDivisionError while the
+    DuckDB replay yielded inf/NULL, a divergent failure mode."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from hive_release_spark.llm.clustering import power_iteration_project
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    empty = spark.createDataFrame([], schema)
+    with pytest.raises(ValueError, match="empty"):
+        power_iteration_project(empty)
+
+    constant = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(20)], schema
+    )
+    with pytest.raises(ValueError, match="degenerate"):
+        power_iteration_project(constant, n_iter=2, nq=5)

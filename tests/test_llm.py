@@ -327,6 +327,11 @@ def test_new_operators_handle_empty_inputs(spark):
     empty_emb = spark.createDataFrame([], emb_schema)
     # stride-sampled centroids from an empty corpus -> no cells, no pairs
     assert similarity.semantic_dedup_pairs(empty_emb, threshold=0.5).count() == 0
+    # the BLAS twin collects eagerly at call time; an empty corpus must
+    # yield an empty typed frame, not an np.stack crash (ADVICE r6-3)
+    blas_empty = similarity.cosine_pairs_blas(empty_emb, threshold=0.5)
+    assert blas_empty.columns == ["id_a", "id_b", "sim"]
+    assert blas_empty.count() == 0
 
     empty_ev = spark.createDataFrame([], "event_id BIGINT, user_id BIGINT, ts TIMESTAMP_NTZ")
     joined = range_join_bucketed(
@@ -334,6 +339,26 @@ def test_new_operators_handle_empty_inputs(spark):
         key="user_id", left_ts="ts", right_ts="vts", window_seconds=60,
     )
     assert joined.count() == 0
+
+
+def test_semantic_dedup_chunked_matmul_matches_single_block(spark):
+    """The per-cell kernel chunks the similarity matmul so only a
+    block_rows x m slice is live (ADVICE r6-1: applyInPandas groups are
+    indivisible, so a hot cell's memory must be bounded INSIDE the
+    kernel). Forcing block_rows below the cell size must exercise the
+    multi-block path and reproduce the single-block pair set exactly."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    one = sorted(
+        similarity.semantic_dedup_pairs(
+            emb, threshold=0.4, n_cells=8, block_rows=1 << 20
+        ).collect()
+    )
+    many = sorted(
+        similarity.semantic_dedup_pairs(
+            emb, threshold=0.4, n_cells=8, block_rows=16
+        ).collect()
+    )
+    assert one == many and len(one) > 0
 
 
 def test_resize_images_plumbing(spark):
