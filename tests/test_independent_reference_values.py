@@ -3753,3 +3753,89 @@ def test_reservoir_group_vs_hashlib(spark, documents_pd):
         )[:5]
         for rk, (_, doc) in enumerate(keyed, start=1):
             assert out[(lang, rk)] == doc, (lang, rk)
+
+
+# ------------------------------------------------- assortativity
+
+
+def test_graph_assortativity_vs_numpy_corrcoef(spark, lineitem_pd):
+    """Degree assortativity of the co-purchase graph recomputed with a
+    genuinely different formulation: collections.Counter degree counts
+    over a Python-set edge list and np.corrcoef (deviations-from-mean
+    path) instead of the engine's HUGEINT sufficient-statistics
+    closed form. VERDICT r6 #4: this entry previously had no
+    non-engine reference anywhere."""
+    from collections import Counter
+    from itertools import combinations
+
+    baskets = {}
+    for ok, pk in lineitem_pd[["l_orderkey", "l_partkey"]].drop_duplicates().itertuples(index=False):
+        baskets.setdefault(ok, set()).add(pk)
+    pair_counts = Counter()
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            pair_counts[(a, b)] += 1
+    und = [p for p, c in pair_counts.items() if c >= 2]
+    edges = und + [(b, a) for a, b in und]
+    deg = Counter(a for a, _ in edges)
+    x = np.array([deg[a] for a, _ in edges], dtype=float)
+    y = np.array([deg[b] for _, b in edges], dtype=float)
+    r = float(np.corrcoef(x, y)[0, 1])
+
+    out = _run(spark, "graph_assortativity")[0]
+    assert out["n_directed_edges"] == len(edges)
+    assert abs(out["assortativity_micro"] - _fold(r, 1e6)) <= 1
+
+
+# ------------------------------------------------------------- BPE
+
+
+def test_bpe_train_merges_vs_sequential_python(spark):
+    """The first 5 BPE merge rules recomputed by a sequential
+    pure-Python trainer (token LISTS merged left-to-right
+    non-overlapping) — no bracket-encoded string replace, no frames.
+    VERDICT r6 #4: this entry previously had no non-engine reference.
+    Exact match required: merge rules are discrete (pair strings and
+    integer counts), there is no float drift to absorb."""
+    import re
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    wf = Counter()
+    token_re = re.compile(r"^[A-Za-z0-9]+$")
+    for text in docs["text"]:
+        for w in text.split(" "):
+            if token_re.match(w):
+                wf[w] += 1
+
+    vocab = {w: tuple(w) for w in wf}
+    rules = []
+    for rnd in range(1, 6):
+        counts = Counter()
+        for w, toks in vocab.items():
+            f = wf[w]
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] += f
+        # argmax count, lexicographic (a, b) tie-break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        rules.append((rnd, a, b, a + b, cnt))
+        merged = {}
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2  # greedy left-to-right, non-overlapping
+                else:
+                    out.append(toks[i])
+                    i += 1
+            merged[w] = tuple(out)
+        vocab = merged
+
+    got = sorted(
+        (r["round"], r["pair_a"], r["pair_b"], r["merged"], r["pair_count"])
+        for r in _run(spark, "bpe_train_merges")
+    )
+    assert got == rules
