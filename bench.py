@@ -130,6 +130,92 @@ ROTATING_LEG = (
 )
 
 
+def skew_leg(spark, sf_dir: str) -> dict[str, float]:
+    """Measured skew-join story (VERDICT r6 #8 stretch): a deliberately
+    Zipf-style skewed join — ~50% of lineitem rows remapped onto ONE
+    supplier key, deterministic xxhash64 coin flip — timed three ways
+    with dim broadcast DISABLED (mirroring the 100 TB regime where the
+    dim outgrows the broadcast ceiling and the join must shuffle):
+
+    - ``plain``: AQE skew split off → the hot key lands in one task
+      (the pathological straggler baseline);
+    - ``aqe``: AQE skew split on with thresholds lowered to fire at
+      bench scale (defaults need 256 MB partitions);
+    - ``salted``: the compile-time ``salted_join`` scatter over 8
+      deterministic salts (operators/skew.py).
+
+    Median-of-3 per arm, stamped into BENCH_DETAIL["skew"] — converts
+    the skew-join plan assertions into a measured number."""
+    from pyspark.sql import functions as F
+
+    from hive_release_spark.catalog import load_table
+    from hive_release_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(
+            F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(2)) == 0,
+            F.lit(1),
+        )
+        .otherwise(F.col("l_suppkey"))
+        .alias("l_suppkey"),
+        "l_quantity",
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+
+    def run_arm(build) -> float:
+        t0 = time.time()
+        (
+            build()
+            .groupBy("s_name")
+            .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("qty"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.time() - t0
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    out: dict[str, float] = {}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        out["plain"] = round(
+            sorted(run_arm(lambda: li.join(supp, "l_suppkey")) for _ in range(3))[1], 3
+        )
+        out["salted"] = round(
+            sorted(
+                run_arm(lambda: salted_join(li, supp, on="l_suppkey", n_salts=8))
+                for _ in range(3)
+            )[1],
+            3,
+        )
+
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+        out["aqe"] = round(
+            sorted(run_arm(lambda: li.join(supp, "l_suppkey")) for _ in range(3))[1], 3
+        )
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -190,6 +276,8 @@ def main() -> None:
         rotating[name] = round(sorted(run(name) for _ in range(3))[1], 3)
     rotating_total = round(sum(rotating.values()), 3)
 
+    skew = skew_leg(spark, sf_dir)
+
     total = round(sum(per_query.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
@@ -201,6 +289,7 @@ def main() -> None:
         "position_sec": position,
         "rotating": rotating,
         "rotating_total_sec": rotating_total,
+        "skew": skew,
         "sf": sf_val,
     }
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
@@ -221,6 +310,7 @@ def main() -> None:
                 "n_queries": len(per_query),
                 "rotating_total_sec": rotating_total,
                 "n_rotating": len(rotating),
+                "skew": skew,
             },
             separators=(",", ":"),
         )

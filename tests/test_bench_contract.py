@@ -34,6 +34,9 @@ def test_final_summary_line_fits_driver_tail():
             "queries": {n: 999.99 for n in HEADLINE},
             "sf": 0.1,
             "n_queries": len(HEADLINE),
+            "rotating_total_sec": 9999.999,
+            "n_rotating": 40,
+            "skew": {"plain": 999.999, "salted": 999.999, "aqe": 999.999},
         },
         separators=(",", ":"),
     )

@@ -162,6 +162,41 @@ def test_size_conditional_broadcast_degrades_to_sort_merge(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_maybe_broadcast_max_bytes_parameter_flips_join_strategy(spark):
+    """VERDICT r6 #6: the broadcast→shuffle dim-join flip as a CALLABLE
+    parameter, both arms plan-witnessed. With session auto-broadcast
+    disabled (so Catalyst can't re-broadcast behind the hint's back),
+    the SAME join flips on max_bytes alone: a ceiling above the dim's
+    size estimate pins BroadcastHashJoin; a 1-byte ceiling drops the
+    hint and the join degrades to SortMergeJoin/ShuffledHashJoin — the
+    strategy a 100x-grown dim gets without any query-code edit."""
+    from hive_release_spark.operators.hints import maybe_broadcast
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "0")
+        wide = orders.join(
+            maybe_broadcast(cust, max_bytes="64m"),
+            orders.o_custkey == cust.c_custkey,
+        )
+        plan_wide = _plan(wide, mode="simple")
+        assert "BroadcastHashJoin" in plan_wide, plan_wide
+
+        tight = orders.join(
+            maybe_broadcast(cust, max_bytes=1),
+            orders.o_custkey == cust.c_custkey,
+        )
+        plan_tight = _plan(tight, mode="simple")
+        assert "BroadcastHashJoin" not in plan_tight, plan_tight
+        assert (
+            "SortMergeJoin" in plan_tight or "ShuffledHashJoin" in plan_tight
+        ), plan_tight
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_maybe_broadcast_parses_byte_confs():
     from hive_release_spark.operators.hints import _parse_bytes
 
