@@ -138,3 +138,103 @@ def test_cell_argmax_gap(sf_dir, n_cells):
         f"{sf_dir} n_cells={n_cells}: best/second-best cell dots differ "
         f"by {gap:.2e} — cell assignment can flip between engines"
     )
+
+
+# ----------------------------------------- quantized recurrences
+
+# The oracle-gated iterative entries (emb_kmeans, emb_pca_project)
+# snap state to a shared grid each round precisely so float drift
+# cannot compound — but each SNAP is itself a boundary: round(avg, 6)
+# flips when avg*1e6 sits a hair from x.5 (and Spark HALF_UP vs DuckDB
+# binary rounding genuinely differ THERE), floor(x*1e6 + 0.5) flips
+# when x*1e6+0.5 grazes an integer, and the argmin assignment flips
+# when two centroid distances collide. Same tripwire discipline: a
+# margin measured in micro-units must clear the ~1e-7-micro engine
+# delta by orders of magnitude. (Measured r7 minima: kmeans round
+# 4.4e-5, argmin gap 6.1e-6, power-iter floor 2.5e-4.)
+
+KMEANS_ROUND_EPS = 1e-6    # micro-units distance from the x.5 boundary
+ARGMIN_GAP_EPS = 1e-9      # squared-L2 gap between best two centroids
+FLOOR_GRID_EPS = 1e-6      # micro-units distance from the floor flip
+
+
+def _sorted_X(sf_dir: str) -> np.ndarray:
+    t = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    return np.stack(t["embedding"].to_numpy()).astype("float64")
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_kmeans_round_and_argmin_margins(sf_dir):
+    """Replays kmeans_assign's exact trajectory (k=8, n_iter=3 — the
+    emb_kmeans entry) and asserts every centroid-mean rounding input
+    and every point's best-vs-second centroid distance gap sits far
+    from its flip boundary."""
+    X = _sorted_X(sf_dir)
+    k, n_iter = 8, 3
+    cents = [X[i].copy() for i in range(k)]
+    for it in range(n_iter + 1):
+        D = ((X[:, None, :] - np.array(cents)[None, :, :]) ** 2).sum(axis=2)
+        Ds = np.sort(D, axis=1)
+        gap = float((Ds[:, 1] - Ds[:, 0]).min())
+        assert gap > ARGMIN_GAP_EPS, (
+            f"{sf_dir} iter {it}: centroid argmin gap {gap:.2e} — "
+            "assignment can flip between engines"
+        )
+        if it == n_iter:
+            break
+        assign = D.argmin(axis=1)
+        new = []
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                avg = members.mean(axis=0)
+                frac = np.abs(avg * 1e6 - np.floor(avg * 1e6) - 0.5)
+                m = float(frac.min())
+                assert m > KMEANS_ROUND_EPS, (
+                    f"{sf_dir} iter {it} cluster {c}: centroid mean sits "
+                    f"{m:.2e} micro-units from the round(.,6) boundary"
+                )
+                new.append(np.round(avg, 6))
+            else:
+                new.append(cents[c])
+        cents = new
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_power_iteration_floor_margins(sf_dir):
+    """Replays power_iteration_project's exact quantized trajectory
+    (n_iter=6, nq=20 — the emb_pca_project entry) and asserts every
+    floor(x*1e6 + 0.5) input — the mean, each iterate, each normalized
+    iterate, the output projections — sits far from an integer of the
+    shifted grid."""
+    import math
+
+    X = _sorted_X(sf_dir)
+    d = X.shape[1]
+    q = lambda a: np.floor(a * 1e6 + 0.5) / 1e6  # noqa: E731
+
+    def check(vals, what):
+        z = np.asarray(vals) * 1e6 + 0.5
+        m = float(np.abs(z - np.rint(z)).min())
+        assert m > FLOOR_GRID_EPS, (
+            f"{sf_dir} {what}: value sits {m:.2e} micro-units from the "
+            "floor flip boundary"
+        )
+
+    mean_raw = X.mean(axis=0)
+    check(mean_raw, "mean")
+    Xc = X - q(mean_raw)
+    v = np.full(d, 1.0 / math.sqrt(d))
+    for it in range(6):
+        dots = Xc @ v
+        w_raw = (Xc * dots[:, None]).mean(axis=0)
+        check(w_raw, f"iterate {it}")
+        w = q(w_raw)
+        nrm = math.sqrt(float((w * w).sum()))
+        check(w / nrm, f"normalized iterate {it}")
+        v = q(w / nrm)
+    check(Xc[:20] @ v, "projections")
