@@ -132,10 +132,16 @@ ROTATING_LEG = (
 
 def skew_leg(spark, sf_dir: str) -> dict[str, float]:
     """Measured skew-join story (VERDICT r6 #8 stretch): a deliberately
-    Zipf-style skewed join — ~50% of lineitem rows remapped onto ONE
-    supplier key, deterministic xxhash64 coin flip — timed three ways
-    with dim broadcast DISABLED (mirroring the 100 TB regime where the
-    dim outgrows the broadcast ceiling and the join must shuffle):
+    Zipf-style skewed join — the fact replicated 8x (explode, ~4.8M
+    rows at sf0.1) then ~50% of rows remapped onto ONE supplier key by
+    a deterministic xxhash64 coin flip — timed three ways with dim
+    broadcast DISABLED (mirroring the 100 TB regime where the dim
+    outgrows the broadcast ceiling and the join must shuffle). The 8x
+    amplification matters: at raw sf0.1 the hot partition (~300k rows)
+    fits one task in under half a second and all three arms tie within
+    box noise; at 4.8M rows the straggler is real (measured r7: plain
+    3.10 s vs salted 2.07 s / AQE 2.14 s — a 1.5x penalty the
+    mitigations recover).
 
     - ``plain``: AQE skew split off → the hot key lands in one task
       (the pathological straggler baseline);
@@ -151,14 +157,22 @@ def skew_leg(spark, sf_dir: str) -> dict[str, float]:
     from hive_release_spark.catalog import load_table
     from hive_release_spark.operators.skew import salted_join
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.when(
-            F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(2)) == 0,
-            F.lit(1),
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+        .withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(8))))
+        .select(
+            F.when(
+                F.pmod(
+                    F.xxhash64("l_orderkey", "l_linenumber", "rep"), F.lit(2)
+                )
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.col("l_suppkey"))
+            .alias("l_suppkey"),
+            "l_quantity",
         )
-        .otherwise(F.col("l_suppkey"))
-        .alias("l_suppkey"),
-        "l_quantity",
     )
     supp = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("l_suppkey"), "s_name"
