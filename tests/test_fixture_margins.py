@@ -238,3 +238,59 @@ def test_power_iteration_floor_margins(sf_dir):
         check(w / nrm, f"normalized iterate {it}")
         v = q(w / nrm)
     check(Xc[:20] @ v, "projections")
+
+
+# ---------------------------------------- parameter drift guard
+
+
+def test_margin_constants_match_entry_registrations():
+    """ADVICE r7-4: the margin tests above hard-code the boundary
+    parameters they guard; if a registry entry's parameters drift, the
+    tripwire would silently keep testing the OLD boundary. Pin the
+    coupling: the constants used here must equal the defaults /
+    call-site literals of the registered entries."""
+    import inspect
+
+    from hive_release_spark.llm.clustering import (
+        _PI_QUANT,
+        kmeans_assign,
+        power_iteration_project,
+    )
+    from hive_release_spark.llm.similarity import lsh_bucket_topk
+    from hive_release_spark.queries import REGISTRY
+
+    # sim_ann_lsh: 8 tables x 4 planes (tested: range(8), n_planes=4)
+    sig = inspect.signature(lsh_bucket_topk)
+    assert sig.parameters["n_planes"].default == 4
+    assert sig.parameters["n_tables"].default == 8
+    lsh_src = inspect.getsource(REGISTRY["sim_ann_lsh"].fn)
+    assert "n_planes=" not in lsh_src and "n_tables=" not in lsh_src, (
+        "sim_ann_lsh overrides LSH defaults — update the margin test"
+    )
+
+    # cosine pair emission threshold 0.4; semantic cells n_cells=8
+    assert "threshold=0.4" in inspect.getsource(
+        REGISTRY["dedup_embedding_cosine"].fn
+    )
+    cells_src = inspect.getsource(REGISTRY["dedup_semantic_cells"].fn)
+    assert "threshold=0.4" in cells_src and "n_cells=8" in cells_src
+
+    # IVF cell counts exercised by test_cell_argmax_gap
+    assert "n_cells=16" in inspect.getsource(REGISTRY["sim_ann_ivf"].fn)
+    assert "n_cells=64" in inspect.getsource(
+        REGISTRY["sim_ann_ivf_bcast"].fn
+    )
+
+    # kmeans k=8, n_iter=3 (emb_kmeans pins them explicitly)
+    ksig = inspect.signature(kmeans_assign)
+    assert ksig.parameters["k"].default == 8
+    assert ksig.parameters["n_iter"].default == 3
+    km_src = inspect.getsource(REGISTRY["emb_kmeans"].fn)
+    assert "k=8" in km_src and "n_iter=3" in km_src, (
+        "emb_kmeans parameters drifted — update the margin test"
+    )
+
+    # power iteration n_iter=6, 1e-6 grid
+    psig = inspect.signature(power_iteration_project)
+    assert psig.parameters["n_iter"].default == 6
+    assert _PI_QUANT == 1_000_000.0
