@@ -139,9 +139,20 @@ def skew_leg(spark, sf_dir: str) -> dict[str, float]:
     outgrows the broadcast ceiling and the join must shuffle). The 8x
     amplification matters: at raw sf0.1 the hot partition (~300k rows)
     fits one task in under half a second and all three arms tie within
-    box noise; at 4.8M rows the straggler is real (measured r7: plain
-    3.10 s vs salted 2.07 s / AQE 2.14 s — a 1.5x penalty the
-    mitigations recover).
+    box noise. The skewed fact is PERSISTED and materialized before
+    any arm is timed (ADVICE r7-2: un-persisted, every arm re-paid the
+    same scan+explode inside its number), so the arms time the
+    shuffle+join alone.
+
+    Honest reading of the number (repeated r7 runs): salted beats
+    plain by a consistent ~10-15% and AQE ~ties plain at this scale —
+    the 2.4M-row hot reduce task overlaps the balanced map work on 32
+    local cores, so wall-clock only sees the straggler's tail. The
+    quantity that actually kills a 100 TB run is the hot PARTITION'S
+    MEMORY (240M rows in one task at 100x = spill/OOM), which no
+    sf0.1 wall-clock can exhibit — the salted/AQE plan tests remain
+    the primary evidence; this leg is the directional witness that
+    the mitigations are not regressions.
 
     - ``plain``: AQE skew split off → the hot key lands in one task
       (the pathological straggler baseline);
@@ -174,6 +185,8 @@ def skew_leg(spark, sf_dir: str) -> dict[str, float]:
             "l_quantity",
         )
     )
+    li = li.persist()
+    li.count()  # materialize the cache outside the timed region
     supp = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("l_suppkey"), "s_name"
     )
@@ -227,6 +240,7 @@ def skew_leg(spark, sf_dir: str) -> dict[str, float]:
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+        li.unpersist()
     return out
 
 

@@ -70,6 +70,27 @@ def test_driver_window_spans_every_survey_family():
     # declaring one and not witnessing it would defeat the rule
     assert set(CONTRACT_CHANGED) <= set(DRIVER_WINDOW)
 
+    # ... and must EXPIRE once witnessed (ADVICE r7-3): when the
+    # latest CORRECTNESS file already records an entry, its declared
+    # contract change has been driver-witnessed — a stale declaration
+    # would let future windows waste slots while the backlog waits.
+    # This goes red the moment the driver lands the next CORRECTNESS
+    # file, forcing the list to be cleared (or repopulated with that
+    # round's own changes) at rotation time — same forcing-function
+    # pattern as the window-rotation tripwire above.
+    import glob
+    import json
+    from pathlib import Path
+
+    latest = sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json")))[-1]
+    with open(latest) as f:
+        latest_names = set(json.load(f))
+    stale = [n for n in CONTRACT_CHANGED if n in latest_names]
+    assert not stale, (
+        f"CONTRACT_CHANGED entries already witnessed in {Path(latest).name} "
+        f"— clear them at rotation: {stale}"
+    )
+
     seen = witnessed_names()
     never = [n for n in REGISTRY if n not in seen]
     if len(never) >= 50:
