@@ -3839,3 +3839,196 @@ def test_bpe_train_merges_vs_sequential_python(spark):
         for r in _run(spark, "bpe_train_merges")
     )
     assert got == rules
+
+
+# ---------------------------------------------- skyline frontier
+
+
+def test_pareto_frontier_vs_numpy_dominance(spark, orders_pd):
+    """Per-customer 2-D skyline recomputed by the LITERAL dominance
+    definition with numpy broadcasting (dominated iff another order is
+    >= on both (date, price) and > on one) — a third implementation
+    next to the engine's two-window sweep and the oracle's NOT EXISTS
+    self-join."""
+    sub = orders_pd[orders_pd.o_custkey % 20 == 0]
+    expect = set()
+    for ck, grp in sub.groupby("o_custkey"):
+        od = pd.to_datetime(grp.o_orderdate).values
+        p = grp.o_totalprice.values
+        dom = (
+            (od[None, :] >= od[:, None])
+            & (p[None, :] >= p[:, None])
+            & ((od[None, :] > od[:, None]) | (p[None, :] > p[:, None]))
+        ).any(axis=1)
+        for ok, price in zip(grp.o_orderkey.values[~dom], p[~dom]):
+            expect.add((ck, int(ok), float(price)))
+
+    got = {
+        (r["o_custkey"], r["o_orderkey"], float(r["price"]))
+        for r in _run(spark, "orders_pareto_frontier")
+    }
+    assert got == expect
+
+
+# --------------------------------------------- sequence packing
+
+
+def test_pack_sequences_vs_pandas_cumsum(spark):
+    """Streaming-concat packing replayed with a pandas shifted cumsum
+    per shard (budget 512, 8 shards, shard = doc_id % 8, docs in
+    doc_id order)."""
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    docs = docs.assign(
+        n_tokens=docs.text.str.split(" ").str.len(),
+        shard=(docs.doc_id % 8).astype(int),
+    ).sort_values("doc_id")
+    docs["before"] = (
+        docs.groupby("shard")["n_tokens"].cumsum() - docs["n_tokens"]
+    )
+    docs["pack_id"] = docs["before"] // 512
+
+    out = {r["doc_id"]: r for r in _run(spark, "pack_sequences")}
+    assert len(out) == len(docs)
+    for row in docs.itertuples(index=False):
+        r = out[row.doc_id]
+        assert (r["shard"], r["pack_id"], r["n_tokens"], r["tokens_before"]) \
+            == (row.shard, row.pack_id, row.n_tokens, row.before), row.doc_id
+
+
+# ---------------------------------------- stratified sampling
+
+
+def test_sample_stratified_vs_hashlib(spark):
+    """The md5-threshold stratified sampler replayed with hashlib:
+    keep iff the first 8 hex chars of md5('v1:'||doc_id) fall under
+    the stratum threshold format(int(rate * 16^8), '08x')."""
+    import hashlib
+
+    rates = {"en": 0.5, "de": 0.25, "fr": 1.0, "zh": 0.125}
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    expect = set()
+    for row in docs.itertuples(index=False):
+        rate = rates.get(row.lang, 0.0)
+        thr = format(min(int(rate * 16**8), 16**8 - 1), "08x")
+        h8 = hashlib.md5(f"v1:{row.doc_id}".encode()).hexdigest()[:8]
+        if h8 < thr:
+            expect.add(row.doc_id)
+
+    got = {r["doc_id"] for r in _run(spark, "sample_stratified")}
+    assert got == expect and len(got) > 0
+
+
+# --------------------------------------------- word-id encoding
+
+
+def test_tokenize_word_ids_vs_counter_vocab(spark):
+    """90%-coverage vocabulary and id encoding replayed with
+    collections.Counter and a sequential cumulative-mass scan: ranks
+    by (freq desc, term), vocab = prefixes whose BEFORE-mass is under
+    0.9 of total, ids = rank with 0 = UNK."""
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    freq = Counter()
+    for text in docs.text:
+        freq.update(text.split(" "))
+    total = sum(freq.values())
+    vocab = {}
+    before = 0
+    for rank, (term, f) in enumerate(
+        sorted(freq.items(), key=lambda kv: (-kv[1], kv[0])), start=1
+    ):
+        if before / total < 0.9:
+            vocab[term] = rank
+        before += f
+
+    out = {r["doc_id"]: r for r in _run(spark, "tokenize_word_ids")}
+    assert len(out) == len(docs)
+    for row in docs.itertuples(index=False):
+        ids = [vocab.get(t, 0) for t in row.text.split(" ")]
+        r = out[row.doc_id]
+        assert r["ids_str"] == " ".join(map(str, ids)), row.doc_id
+        assert r["n_tokens"] == len(ids)
+        assert r["n_unk"] == sum(1 for i in ids if i == 0)
+
+
+# ------------------------------------- fuzzy decontamination
+
+
+def test_decontaminate_fuzzy_vs_exact_shingle_jaccard(spark):
+    """Exact 3-gram-shingle Jaccard cross pairs recomputed with Python
+    sets and an inverted index, XOR-filtered on the eval membership
+    (doc_id % 41 == 0), grouped to (n_eval_matches, max rounded
+    jaccard) per train doc. Verifies the shingle definition, the
+    Jaccard arithmetic, the 0.5 cut, and the eval/train boundary
+    against the engine's MinHash-LSH path."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    sh = {}
+    for row in docs.itertuples(index=False):
+        w = row.text.split(" ")
+        sh[row.doc_id] = {
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        }
+    postings = defaultdict(set)
+    for d, grams in sh.items():
+        for g in grams:
+            postings[g].add(d)
+    cand = {
+        (a, b)
+        for ds in postings.values()
+        for a in ds
+        for b in ds
+        if a < b
+    }
+    hits = defaultdict(list)
+    for a, b in cand:
+        inter = len(sh[a] & sh[b])
+        j = inter / (len(sh[a]) + len(sh[b]) - inter)
+        if j >= 0.5 and (a % 41 == 0) != (b % 41 == 0):
+            train = b if a % 41 == 0 else a
+            hits[train].append(
+                float(
+                    Decimal(repr(j)).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    )
+                )
+            )
+
+    got = {r["doc_id"]: r for r in _run(spark, "decontaminate_fuzzy")}
+    assert set(got) == set(hits)
+    for d, js in hits.items():
+        assert got[d]["n_eval_matches"] == len(js), d
+        assert abs(got[d]["max_jaccard"] - max(js)) < 1e-9, d
+
+
+# ------------------------------------------- int8 quantization
+
+
+def test_emb_normalize_quantize_vs_decimal_half_up(spark):
+    """L2-norm + int8 quantization replayed in numpy with explicit
+    HALF_UP integer rounding (Decimal) — Spark's round() on doubles is
+    decimal-string HALF_UP, numpy's is banker's, so the reference must
+    mirror the former."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = {r["vec_id"]: r for r in _run(spark, "emb_normalize_quantize")}
+    assert len(out) == len(emb)
+    for row in emb.itertuples(index=False):
+        v = [float(x) for x in row.embedding]
+        nrm = math.sqrt(sum(x * x for x in v))
+        q = [
+            int(
+                Decimal(repr(x / nrm * 127)).to_integral_value(
+                    rounding=ROUND_HALF_UP
+                )
+            )
+            for x in v
+        ]
+        r = out[row.vec_id]
+        assert abs(r["l2_norm"] - round(nrm, 6)) < 1e-9, row.vec_id
+        assert r["q8_str"] == " ".join(map(str, q)), row.vec_id
