@@ -4032,3 +4032,123 @@ def test_emb_normalize_quantize_vs_decimal_half_up(spark):
         r = out[row.vec_id]
         assert abs(r["l2_norm"] - round(nrm, 6)) < 1e-9, row.vec_id
         assert r["q8_str"] == " ".join(map(str, q)), row.vec_id
+
+
+# ----------------------------------------------- sliding chunks
+
+
+def test_text_chunk_sliding_vs_python_slices(spark):
+    """64-token / stride-48 sliding chunking replayed with plain Python
+    list slices — chunk count ceil(max(0,(n-64))/48)+1, start ci*48,
+    tail shortening, and the joined chunk text all checked verbatim."""
+    import math
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    expect = {}
+    for row in docs.itertuples(index=False):
+        toks = row.text.split(" ")
+        n = len(toks)
+        last = max(0, math.ceil((n - 64) / 48.0))
+        for ci in range(int(last) + 1):
+            start = ci * 48
+            chunk = toks[start : min(start + 64, n)]
+            expect[(row.doc_id, ci)] = (" ".join(chunk), len(chunk))
+
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["chunk_len"])
+        for r in _run(spark, "text_chunk_sliding")
+    }
+    assert got == expect
+
+
+# ---------------------------------------------- context ngrams
+
+
+def test_text_context_ngrams_vs_counter(spark):
+    """context_ngrams('the', ?) replayed with a Counter over adjacent
+    token pairs; top-20 by (freq desc, word)."""
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    followers = Counter()
+    for text in docs.text:
+        w = text.split(" ")
+        for i in range(len(w) - 1):
+            if w[i] == "the":
+                followers[w[i + 1]] += 1
+    expect = sorted(followers.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    got = [(r["word"], r["freq"]) for r in _run(spark, "text_context_ngrams")]
+    assert got == expect
+
+
+# ----------------------------------------- rolling active users
+
+
+def test_rolling_active_users_vs_python_sets(spark):
+    """Trailing-7-day distinct actives replayed with per-day user sets
+    unioned over the window — no explode, no join, just set algebra."""
+    import datetime
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    by_day = {}
+    for row in ev.itertuples(index=False):
+        day = row.ts.date()
+        by_day.setdefault(day, set()).add(row.user_id)
+    expect = {}
+    for day in by_day:
+        users = set()
+        for back in range(7):
+            users |= by_day.get(day - datetime.timedelta(days=back), set())
+        expect[day] = len(users)
+
+    got = {r["day"]: r["active_7d"] for r in _run(spark, "events_rolling_active_users")}
+    assert got == expect
+
+
+# --------------------------------------- n-gram decontamination
+
+
+def test_decontaminate_ngram_vs_python_sets(spark):
+    """Exact 3-gram decontamination replayed with Python sets: the
+    eval slice's distinct grams, each train doc's distinct-gram
+    intersection count, and the contaminated flag."""
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    grams = {}
+    for row in docs.itertuples(index=False):
+        w = row.text.split(" ")
+        grams[row.doc_id] = {
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        }
+    eval_grams = set()
+    for d, g in grams.items():
+        if d % 41 == 0:
+            eval_grams |= g
+
+    got = {r["doc_id"]: r for r in _run(spark, "decontaminate_ngram")}
+    train_ids = {d for d in grams if d % 41 != 0}
+    assert set(got) == train_ids
+    for d in train_ids:
+        n_hit = len(grams[d] & eval_grams)
+        assert got[d]["n_hit_grams"] == n_hit, d
+        assert got[d]["contaminated"] == (n_hit > 0), d
+
+
+# ------------------------------------------------- bpe pre-token
+
+
+def test_token_bpe_regex_vs_re_findall(spark):
+    """GPT-2-style pre-tokenizer count replayed with re.findall on the
+    same alternation — token classes [a-z]+ | [0-9]+ | single
+    non-alnum-non-space."""
+    import re
+
+    pat = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 ]")
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    docs = docs[docs.doc_id < 300]
+    got = {r["doc_id"]: r for r in _run(spark, "text_token_bpe_regex")}
+    assert set(got) == set(docs.doc_id)
+    for row in docs.itertuples(index=False):
+        r = got[row.doc_id]
+        assert r["n_bpe_tokens"] == len(pat.findall(row.text)), row.doc_id
+        assert r["n_ws_tokens"] == len(row.text.split(" ")), row.doc_id
