@@ -4152,3 +4152,130 @@ def test_token_bpe_regex_vs_re_findall(spark):
         r = got[row.doc_id]
         assert r["n_bpe_tokens"] == len(pat.findall(row.text)), row.doc_id
         assert r["n_ws_tokens"] == len(row.text.split(" ")), row.doc_id
+
+
+# --------------------------------------------- hard negatives
+
+
+def test_sim_hard_negatives_vs_numpy(spark):
+    """Per-query top-5 different-label cosine neighbors recomputed with
+    a numpy matmul and an explicit (sim desc, neighbor_id) sort."""
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values("vec_id")
+    ids = emb.vec_id.to_numpy()
+    labels = emb.label.to_numpy()
+    X = np.stack(emb.embedding.to_numpy()).astype("float64")
+    nrm = np.linalg.norm(X, axis=1)
+    N = X / nrm[:, None]
+    expect = {}
+    for qi in np.where(ids < 20)[0]:
+        sims = N[qi] @ N.T
+        cand = [
+            (float(sims[ci]), int(ids[ci]), labels[ci])
+            for ci in range(len(ids))
+            if labels[ci] != labels[qi]
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (s, nid, lab) in enumerate(cand[:5], start=1):
+            expect[(int(ids[qi]), rank)] = (nid, lab, round(s, 6))
+
+    got = {
+        (r["query_id"], r["rank"]): (
+            r["neighbor_id"], r["neighbor_label"], r["sim"],
+        )
+        for r in _run(spark, "sim_hard_negatives")
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        nid, lab, s = expect[k]
+        gnid, glab, gs = got[k]
+        assert (gnid, glab) == (nid, lab), k
+        assert abs(gs - s) <= 1e-6, k
+
+
+# ------------------------------------------------ normalization
+
+
+def test_text_normalize_vs_python_re(spark):
+    """The canonicalization regex chain replayed with Python re."""
+    import re
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    docs = docs[docs.doc_id < 250]
+    got = {r["doc_id"]: r for r in _run(spark, "text_normalize")}
+    assert set(got) == set(docs.doc_id)
+    for row in docs.itertuples(index=False):
+        norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", row.text.lower())).strip()
+        assert got[row.doc_id]["norm"] == norm, row.doc_id
+        assert got[row.doc_id]["norm_len"] == len(norm), row.doc_id
+
+
+# -------------------------------------------------- pii scrub
+
+
+def test_text_pii_scrub_vs_python_re(spark):
+    """The synthetic-PII construction, match counts, and scrubbed-text
+    md5 replayed with Python re + hashlib."""
+    import hashlib
+    import re
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    email = re.compile(r"[a-z0-9]+@[a-z0-9.]+")
+    phone = re.compile(r"\+1-555-[0-9]{4}")
+    got = {r["doc_id"]: r for r in _run(spark, "text_pii_scrub")}
+    assert set(got) == set(docs.doc_id)
+    for row in docs.itertuples(index=False):
+        s = (
+            f"{row.text} contact user{row.doc_id}@example.com or "
+            f"+1-555-{row.doc_id % 10000:04d}"
+        )
+        scrubbed = phone.sub("<PHONE>", email.sub("<EMAIL>", s))
+        r = got[row.doc_id]
+        assert r["n_email"] == len(email.findall(s)), row.doc_id
+        assert r["n_phone"] == len(phone.findall(s)), row.doc_id
+        assert r["scrub_md5"] == hashlib.md5(scrubbed.encode()).hexdigest(), row.doc_id
+
+
+# ------------------------------------------------- dq summary
+
+
+def test_dq_checks_vs_pandas(spark, orders_pd):
+    """The one-row constraint report recomputed with pandas: row count,
+    NOT NULL violations, PK duplication, FK orphans vs customer."""
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    dup_sizes = orders_pd.groupby("o_orderkey").size()
+    dups = dup_sizes[dup_sizes > 1]
+    custkeys = set(cust.c_custkey)
+    nonnull = orders_pd[orders_pd.o_custkey.notna()]
+    orphans = int((~nonnull.o_custkey.isin(custkeys)).sum())
+
+    r = _run(spark, "dq_checks")[0]
+    assert r["n_rows"] == len(orders_pd)
+    assert r["null_o_custkey"] == int(orders_pd.o_custkey.isna().sum())
+    assert r["null_o_orderdate"] == int(orders_pd.o_orderdate.isna().sum())
+    assert r["dup_keys"] == len(dups)
+    assert r["dup_excess_rows"] == int((dups - 1).sum())
+    assert r["orphans_o_custkey"] == orphans
+
+
+# ----------------------------------------------- train/eval split
+
+
+def test_split_train_eval_vs_pandas(spark):
+    """The deterministic 80/10/10 modulo split recomputed with pandas
+    groupby over (lang, split)."""
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    split = np.where(
+        docs.doc_id % 10 < 8, "train", np.where(docs.doc_id % 10 == 8, "eval", "test")
+    )
+    expect = (
+        docs.assign(split=split)
+        .groupby(["lang", "split"])
+        .agg(n=("doc_id", "size"), chars=("n_chars", "sum"))
+    )
+    got = {
+        (r["lang"], r["split"]): (r["n"], r["chars"])
+        for r in _run(spark, "split_train_eval")
+    }
+    assert set(got) == set(expect.index)
+    for key, row in expect.iterrows():
+        assert got[key] == (row.n, row.chars), key
