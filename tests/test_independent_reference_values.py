@@ -4279,3 +4279,130 @@ def test_split_train_eval_vs_pandas(spark):
     assert set(got) == set(expect.index)
     for key, row in expect.iterrows():
         assert got[key] == (row.n, row.chars), key
+
+
+# ---------------------------------------------- cosine top-k
+
+
+def test_sim_cosine_topk_vs_numpy(spark):
+    """Brute-force cosine top-5 (the ANN family's exact baseline)
+    recomputed with a numpy matmul and (sim desc, neighbor_id) sort."""
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values("vec_id")
+    ids = emb.vec_id.to_numpy()
+    X = np.stack(emb.embedding.to_numpy()).astype("float64")
+    N = X / np.linalg.norm(X, axis=1)[:, None]
+    S = N @ N.T
+    expect = {}
+    for qi in np.where(ids < 20)[0]:
+        cand = [
+            (float(S[qi, ci]), int(ids[ci]))
+            for ci in range(len(ids))
+            if ci != qi
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (s, nid) in enumerate(cand[:5], start=1):
+            expect[(int(ids[qi]), rank)] = (nid, round(s, 6))
+
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in _run(spark, "sim_cosine_topk")
+    }
+    assert set(got) == set(expect)
+    for k, (nid, s) in expect.items():
+        assert got[k][0] == nid, k
+        assert abs(got[k][1] - s) <= 1e-6, k
+
+
+# ------------------------------------------------ bigram langid
+
+
+def test_text_langid_ngram_vs_python_sets(spark):
+    """The character-bigram language scorer replayed with Python set
+    intersections and max over (score, lang) — distinct bigrams,
+    profile overlap counts, lexicographic-largest tie-break."""
+    profiles = {
+        "en": {"th", "he", "er", "va", "ue"},
+        "de": {"de", "un", "ch", "ei", "ie"},
+        "fr": {"le", "es", "en", "qu", "re"},
+        "es": {"el", "os", "la", "de", "ue"},
+    }
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    got = {r["doc_id"]: r["predicted"] for r in _run(spark, "text_langid_ngram")}
+    assert set(got) == set(docs.doc_id)
+    for row in docs.itertuples(index=False):
+        bg = {row.text[i : i + 2] for i in range(len(row.text) - 1)}
+        scores = {lang: len(bg & prof) for lang, prof in profiles.items()}
+        if max(scores.values()) == 0:
+            pred = "unknown"
+        else:
+            pred = max(scores, key=lambda lang: (scores[lang], lang))
+        assert got[row.doc_id] == pred, row.doc_id
+
+
+# ------------------------------------------------ asset packing
+
+
+def test_multimodal_meta_vs_hashlib(spark):
+    """Binary-asset metadata (size, sha256, modality cycle) replayed
+    with hashlib over the utf-8 payload bytes."""
+    import hashlib
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    got = {r["asset_id"]: r for r in _run(spark, "multimodal_meta")}
+    assert set(got) == set(docs.doc_id)
+    modality = ["image", "audio", "video"]
+    for row in docs.itertuples(index=False):
+        payload = row.text.encode("utf-8")
+        r = got[row.doc_id]
+        assert r["n_bytes"] == len(payload), row.doc_id
+        assert r["checksum"] == hashlib.sha256(payload).hexdigest(), row.doc_id
+        assert r["modality"] == modality[row.doc_id % 3], row.doc_id
+
+
+# ---------------------------------------- near-dedup pipeline
+
+
+def test_pipeline_neardedup_vs_union_find(spark):
+    """The fuzzy-dedup pipeline's survivor set replayed with exact
+    shingle-Jaccard pairs and a plain union-find: survivors are the
+    min-doc_id of each connected component (plus all isolated docs),
+    reported with whitespace token counts."""
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    sh = {}
+    for row in docs.itertuples(index=False):
+        w = row.text.split(" ")
+        sh[row.doc_id] = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    parent = {d: d for d in sh}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    from collections import defaultdict
+
+    postings = defaultdict(set)
+    for d, grams in sh.items():
+        for g in grams:
+            postings[g].add(d)
+    for ds in postings.values():
+        # union every candidate pair that clears the threshold
+        for a in ds:
+            for b in ds:
+                if a < b:
+                    inter = len(sh[a] & sh[b])
+                    j = inter / (len(sh[a]) + len(sh[b]) - inter)
+                    if j >= 0.5:
+                        ra, rb = find(a), find(b)
+                        if ra != rb:
+                            parent[max(ra, rb)] = min(ra, rb)
+
+    survivors = {d for d in sh if find(d) == d}
+    got = {r["doc_id"]: r for r in _run(spark, "pipeline_neardedup_corpus")}
+    assert set(got) == survivors
+    lookup = docs.set_index("doc_id")
+    for d in survivors:
+        assert got[d]["n_tokens"] == len(lookup.loc[d, "text"].split(" ")), d
+        assert got[d]["lang"] == lookup.loc[d, "lang"], d
