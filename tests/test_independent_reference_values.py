@@ -4406,3 +4406,113 @@ def test_pipeline_neardedup_vs_union_find(spark):
     for d in survivors:
         assert got[d]["n_tokens"] == len(lookup.loc[d, "text"].split(" ")), d
         assert got[d]["lang"] == lookup.loc[d, "lang"], d
+
+
+# ------------------------------------------------- exact dedup
+
+
+def test_dedup_exact_vs_python_dict(spark):
+    """5-token-prefix exact dedup replayed with a dict: min-id survivor
+    and copy count per content key."""
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    groups = {}
+    for row in docs.itertuples(index=False):
+        key = " ".join(row.text.split(" ")[:5])
+        g = groups.setdefault(key, [0, None])
+        g[0] += 1
+        g[1] = row.doc_id if g[1] is None else min(g[1], row.doc_id)
+
+    got = {r["content_key"]: r for r in _run(spark, "dedup_exact")}
+    assert set(got) == set(groups)
+    for key, (n, survivor) in groups.items():
+        assert got[key]["survivor_id"] == survivor, key
+        assert got[key]["n_copies"] == n, key
+
+
+# ----------------------------------------- exact jaccard pairs
+
+
+def test_jaccard_pairs_both_paths_vs_python_sets(spark):
+    """The exact 3-shingle Jaccard >= 0.5 pair set recomputed with
+    Python sets + an inverted index, then compared against BOTH the
+    plain inverted-index entry and the prefix-filtered entry — the
+    lossless-prefix claim (Bayardo bound) checked against a third
+    implementation, not just oracle equality."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    sh = {}
+    for row in docs.itertuples(index=False):
+        w = row.text.split(" ")
+        sh[row.doc_id] = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+    postings = defaultdict(set)
+    for d, grams in sh.items():
+        for g in grams:
+            postings[g].add(d)
+    expect = {}
+    for ds in postings.values():
+        for a in ds:
+            for b in ds:
+                if a < b and (a, b) not in expect:
+                    inter = len(sh[a] & sh[b])
+                    j = inter / (len(sh[a]) + len(sh[b]) - inter)
+                    if j >= 0.5:
+                        expect[(a, b)] = float(
+                            Decimal(repr(j)).quantize(
+                                Decimal("0.000001"), rounding=ROUND_HALF_UP
+                            )
+                        )
+
+    for entry in ("dedup_jaccard_pairs", "dedup_jaccard_prefix"):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"] for r in _run(spark, entry)
+        }
+        assert set(got) == set(expect), entry
+        for k, j in expect.items():
+            assert abs(got[k] - j) <= 1e-9, (entry, k)
+
+
+# ----------------------------------------------- rule langid
+
+
+def test_text_langid_rules_vs_python(spark):
+    """The marker-token rule chain replayed with Python set checks in
+    the same first-match order (en, de, fr, es, unknown)."""
+    rules = [
+        ("en", {"the", "value", "fast"}),
+        ("de", {"der", "und", "nicht"}),
+        ("fr", {"le", "et", "les"}),
+        ("es", {"el", "que", "los"}),
+    ]
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    got = {r["doc_id"]: r["predicted"] for r in _run(spark, "text_langid")}
+    assert set(got) == set(docs.doc_id)
+    for row in docs.itertuples(index=False):
+        toks = set(row.text.split(" "))
+        pred = next((lang for lang, m in rules if toks & m), "unknown")
+        assert got[row.doc_id] == pred, row.doc_id
+
+
+# ------------------------------------------------ PTF z-score
+
+
+def test_ptf_zscore_vs_numpy_deviations(spark, lineitem_pd):
+    """The applyInPandas per-group z-score replayed with numpy
+    deviations-from-mean (sample std, ddof=1). (l_orderkey,
+    l_linenumber) is NOT unique in the fixture, so the comparison is a
+    sorted multiset of (key, z) triples."""
+    expect = []
+    for (_, _), grp in lineitem_pd.groupby(["l_returnflag", "l_linestatus"]):
+        v = grp.l_quantity.to_numpy(dtype=float)
+        z = (v - v.mean()) / v.std(ddof=1)
+        expect.extend(
+            (int(ok), int(ln), round(float(zz), 4))
+            for ok, ln, zz in zip(grp.l_orderkey, grp.l_linenumber, z)
+        )
+
+    got = sorted(
+        (r["l_orderkey"], r["l_linenumber"], r["z"])
+        for r in _run(spark, "ptf_apply_in_pandas_zscore")
+    )
+    assert got == sorted(expect)
