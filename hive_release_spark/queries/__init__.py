@@ -208,6 +208,24 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 # witnessed r4) keeps its rows-only record; its signature IS xxhash64
 # and is pinned by tests/test_dedup.py simhash property tests.
 
+# r8 rotation recipe (pre-staged; the tripwires enforce each step):
+#   1. CLEAR CONTRACT_CHANGED below (test_entry_contract goes red the
+#      moment CORRECTNESS_r07 lands and its four entries are
+#      witnessed — repopulate only with r8's own contract changes);
+#   2. window = any CORRECTNESS_r07-red rows first, then the 45
+#      remaining never-witnessed entries (`python
+#      tools/witness_ledger.py`): the graph/timeseries/stats/ml tail
+#      from graph_local_clustering through ml_regression_kfold_cv;
+#   3. backlog drops under 50 → the family-coverage regime
+#      re-engages: fill the ~5 free slots with one representative per
+#      §2 family missing from the window's tags (the tripwire's
+#      `required` set names them — scan/topk/join/setop/functions/
+#      udtf/ptf/script/streaming/multimodal/tpch/sketch are the
+#      likely gaps once the tail takes the stats/ml slots);
+#   4. swap bench.py ROTATING_LEG to 40 more never-benched entries
+#      (120/361 benched after r7 — the benched-set ledger lives in
+#      the bench.py comments).
+
 # Entries whose CONTRACT changed since their last driver witness —
 # first claim on window slots even while the never-witnessed backlog
 # saturates the window (ADVICE r6-2; enforced by test_entry_contract).

@@ -4303,14 +4303,16 @@ def test_sim_cosine_topk_vs_numpy(spark):
         for rank, (s, nid) in enumerate(cand[:5], start=1):
             expect[(int(ids[qi]), rank)] = (nid, round(s, 6))
 
-    got = {
-        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
-        for r in _run(spark, "sim_cosine_topk")
-    }
-    assert set(got) == set(expect)
-    for k, (nid, s) in expect.items():
-        assert got[k][0] == nid, k
-        assert abs(got[k][1] - s) <= 1e-6, k
+    # same contract for the JVM-HOF entry and its Arrow pandas-UDF twin
+    for entry in ("sim_cosine_topk", "sim_cosine_topk_arrow"):
+        got = {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+            for r in _run(spark, entry)
+        }
+        assert set(got) == set(expect), entry
+        for k, (nid, s) in expect.items():
+            assert got[k][0] == nid, (entry, k)
+            assert abs(got[k][1] - s) <= 1e-6, (entry, k)
 
 
 # ------------------------------------------------ bigram langid
