@@ -4518,3 +4518,168 @@ def test_ptf_zscore_vs_numpy_deviations(spark, lineitem_pd):
         for r in _run(spark, "ptf_apply_in_pandas_zscore")
     )
     assert got == sorted(expect)
+
+
+# ------------------------------------------------- IVF replay
+
+
+def test_sim_ann_ivf_vs_numpy_replay(spark):
+    """The full inverted-file pipeline replayed in numpy: stride-sampled
+    centroids, argmax cell assignment (larger cell wins dot ties),
+    descending 6-cell probe order, exact-cosine top-5 re-rank with
+    (sim desc, neighbor_id) — every stage of the engine's oracle-gated
+    IVF contract recomputed outside both engines."""
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values("vec_id")
+    ids = emb.vec_id.to_numpy()
+    X = np.stack(emb.embedding.to_numpy()).astype("float64")
+    n_cells, n_probe, k = 16, 6, 5
+    stride = max(1, len(ids) // n_cells)
+    cent_rows = [i for i, v in enumerate(ids) if v % stride == 0][:n_cells]
+    C = X[cent_rows]
+
+    dots = X @ C.T  # n x n_cells
+    # argmax with larger-cell tie-break == max over (sim, cell) structs
+    cells = np.array(
+        [max(range(n_cells), key=lambda c: (dots[i, c], c)) for i in range(len(ids))]
+    )
+    N = X / np.linalg.norm(X, axis=1)[:, None]
+    expect = {}
+    for qi in np.where(ids < 20)[0]:
+        probe = sorted(range(n_cells), key=lambda c: (dots[qi, c], c), reverse=True)[:n_probe]
+        cand = [
+            (float(N[qi] @ N[ci]), int(ids[ci]))
+            for ci in range(len(ids))
+            if cells[ci] in probe and ci != qi
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (s, nid) in enumerate(cand[:k], start=1):
+            expect[(int(ids[qi]), rank)] = (nid, round(s, 6))
+
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in _run(spark, "sim_ann_ivf")
+    }
+    assert set(got) == set(expect)
+    for key, (nid, s) in expect.items():
+        assert got[key][0] == nid, key
+        assert abs(got[key][1] - s) <= 1e-6, key
+
+
+# ------------------------------------------------ span dedup
+
+
+def test_dedup_span_chunks_vs_python_dict(spark):
+    """Chunk-level exact-span dedup replayed with a first-occurrence
+    dict over (doc_id, idx)-ordered 10-token chunks, documents
+    reassembled from survivors."""
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet").sort_values("doc_id")
+    seen = set()
+    expect = {}
+    for row in docs.itertuples(index=False):
+        w = row.text.split(" ")
+        nc = -(-len(w) // 10)
+        kept = []
+        dropped = 0
+        for idx in range(nc):
+            chunk = " ".join(w[idx * 10 : min((idx + 1) * 10, len(w))])
+            if chunk in seen:
+                dropped += 1
+            else:
+                seen.add(chunk)
+                kept.append(chunk)
+        expect[row.doc_id] = (nc, dropped, " ".join(kept))
+
+    got = {r["doc_id"]: r for r in _run(spark, "dedup_span_chunks")}
+    assert set(got) == set(expect)
+    for d, (nc, dropped, text_dedup) in expect.items():
+        r = got[d]
+        assert (r["n_chunks"], r["n_dropped"], r["text_dedup"]) == (
+            nc, dropped, text_dedup,
+        ), d
+
+
+# ------------------------------------------- source overlap
+
+
+def test_source_overlap_vs_python_sets(spark):
+    """The cross-source shared-3-gram matrix replayed with per-source
+    distinct-gram sets and pairwise intersections."""
+    from itertools import combinations
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    grams = {}
+    for row in docs.itertuples(index=False):
+        w = row.text.split(" ")
+        if len(w) >= 3:
+            grams.setdefault(row.source, set()).update(
+                " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+            )
+    expect = {
+        (a, b): len(grams[a] & grams[b])
+        for a, b in combinations(sorted(grams), 2)
+        if grams[a] & grams[b]
+    }
+
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared_grams"]
+        for r in _run(spark, "source_overlap_matrix")
+    }
+    assert got == expect and len(got) > 0
+
+
+# ------------------------------------------------- funnel
+
+
+def test_funnel_conversion_vs_python_walk(spark):
+    """The ordered view→click→purchase funnel replayed with a per-user
+    sorted walk over (ts, event_type) tuples and strict-after firsts."""
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev = ev[ev.event_type.isin(["view", "click", "purchase"])]
+    users_total = ev.user_id.nunique()
+    n_view = n_click = n_purchase = 0
+    for _, grp in ev.groupby("user_id"):
+        seq = sorted(zip(grp.ts, grp.event_type))
+        t1 = next((t for t, e in seq if e == "view"), None)
+        if t1 is None:
+            continue
+        n_view += 1
+        t2 = next((t for t, e in seq if e == "click" and t > t1), None)
+        if t2 is None:
+            continue
+        n_click += 1
+        if any(e == "purchase" and t > t2 for t, e in seq):
+            n_purchase += 1
+
+    r = _run(spark, "funnel_conversion")[0]
+    assert r["users_total"] == users_total
+    assert r["n_view"] == n_view
+    assert r["n_click_after_view"] == n_click
+    assert r["n_purchase_after_click"] == n_purchase
+
+
+# ----------------------------------------------- retention
+
+
+def test_retention_cohorts_vs_python_weeks(spark):
+    """The weekly retention triangle replayed with Monday-truncated
+    per-user week sets."""
+    import datetime
+    from collections import Counter
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    user_weeks = {}
+    for row in ev.itertuples(index=False):
+        d = row.ts.date()
+        monday = d - datetime.timedelta(days=d.weekday())
+        user_weeks.setdefault(row.user_id, set()).add(monday)
+    tri = Counter()
+    for weeks in user_weeks.values():
+        cohort = min(weeks)
+        for wk in weeks:
+            tri[(cohort, (wk - cohort).days // 7)] += 1
+
+    got = {
+        (r["cohort"], r["week_n"]): r["active_users"]
+        for r in _run(spark, "retention_cohorts")
+    }
+    assert got == dict(tri)
