@@ -4683,3 +4683,89 @@ def test_retention_cohorts_vs_python_weeks(spark):
         for r in _run(spark, "retention_cohorts")
     }
     assert got == dict(tri)
+
+
+# -------------------------------------------- SQ8 quantized ANN
+
+
+def test_sim_ann_sq8_vs_numpy_replay(spark):
+    """The scalar-quantization ladder rung replayed in numpy: per-dim
+    min-max int8 codes (floor(x' + 0.5) on the normalized value),
+    integer-dot top-50 shortlist with (approx desc, neighbor_id)
+    ties, exact-cosine top-5 rerank."""
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values("vec_id")
+    ids = emb.vec_id.to_numpy()
+    X = np.stack(emb.embedding.to_numpy()).astype("float64")
+    mn = X.min(axis=0)
+    span = (X.max(axis=0) - mn) / 255.0
+    span_safe = np.where(span > 0, span, 1.0)
+    codes = np.where(
+        span > 0, np.floor((X - mn) / span_safe + 0.5), 0.0
+    ).astype("int64")
+    N = X / np.linalg.norm(X, axis=1)[:, None]
+
+    expect = {}
+    for qi in np.where(ids < 20)[0]:
+        approx = codes @ codes[qi]
+        cand = [
+            (int(approx[ci]), int(ids[ci]), ci)
+            for ci in range(len(ids))
+            if ci != qi
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        short = cand[:50]
+        rer = [
+            (float(N[qi] @ N[ci]), nid, ap) for ap, nid, ci in short
+        ]
+        rer.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (s, nid, ap) in enumerate(rer[:5], start=1):
+            expect[(int(ids[qi]), rank)] = (nid, ap, round(s, 6))
+
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["approx"], r["sim"])
+        for r in _run(spark, "sim_ann_sq8")
+    }
+    assert set(got) == set(expect)
+    for key, (nid, ap, s) in expect.items():
+        gnid, gap, gs = got[key]
+        assert (gnid, gap) == (nid, ap), key
+        assert abs(gs - s) <= 1e-6, key
+
+
+# ------------------------------------------------ binary ANN
+
+
+def test_sim_ann_binary_vs_numpy_replay(spark):
+    """The 1-bit quantization rung replayed in numpy: sign codes,
+    definitional Hamming (count of sign disagreements), top-50
+    shortlist with (hamming asc, neighbor_id) ties, exact-cosine
+    top-5 rerank."""
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values("vec_id")
+    ids = emb.vec_id.to_numpy()
+    X = np.stack(emb.embedding.to_numpy()).astype("float64")
+    bits = X > 0
+    N = X / np.linalg.norm(X, axis=1)[:, None]
+
+    expect = {}
+    for qi in np.where(ids < 20)[0]:
+        ham = (bits != bits[qi]).sum(axis=1)
+        cand = [
+            (int(ham[ci]), int(ids[ci]), ci)
+            for ci in range(len(ids))
+            if ci != qi
+        ]
+        cand.sort(key=lambda t: (t[0], t[1]))
+        rer = [(float(N[qi] @ N[ci]), nid, h) for h, nid, ci in cand[:50]]
+        rer.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (s, nid, h) in enumerate(rer[:5], start=1):
+            expect[(int(ids[qi]), rank)] = (nid, h, round(s, 6))
+
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["hamming"], r["sim"])
+        for r in _run(spark, "sim_ann_binary")
+    }
+    assert set(got) == set(expect)
+    for key, (nid, h, s) in expect.items():
+        gnid, gh, gs = got[key]
+        assert (gnid, gh) == (nid, h), key
+        assert abs(gs - s) <= 1e-6, key
