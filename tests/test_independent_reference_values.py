@@ -4769,3 +4769,198 @@ def test_sim_ann_binary_vs_numpy_replay(spark):
         gnid, gh, gs = got[key]
         assert (gnid, gh) == (nid, h), key
         assert abs(gs - s) <= 1e-6, key
+
+
+# ------------------------------- contract-changed r7 window four
+
+
+def test_dedup_embedding_cosine_vs_numpy(spark):
+    """The BLAS-rewritten all-pairs entry recomputed with one numpy
+    matmul: every (id_a < id_b) pair with cosine >= 0.4."""
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values("vec_id")
+    ids = emb.vec_id.to_numpy()
+    X = np.stack(emb.embedding.to_numpy()).astype("float64")
+    N = X / np.linalg.norm(X, axis=1)[:, None]
+    S = N @ N.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    keep = S[iu, ju] >= 0.4
+    expect = {
+        (int(ids[a]), int(ids[b])): round(float(S[a, b]), 6)
+        for a, b in zip(iu[keep], ju[keep])
+    }
+
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in _run(spark, "dedup_embedding_cosine")
+    }
+    assert set(got) == set(expect)
+    for k, s in expect.items():
+        assert abs(got[k] - s) <= 1e-6, k
+
+
+def test_dedup_semantic_cells_vs_numpy(spark):
+    """The per-cell BLAS entry recomputed in numpy: stride centroids,
+    (dot, cell)-max assignment, within-cell pairs >= 0.4."""
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values("vec_id")
+    ids = emb.vec_id.to_numpy()
+    X = np.stack(emb.embedding.to_numpy()).astype("float64")
+    n_cells = 8
+    stride = max(1, len(ids) // n_cells)
+    cent_rows = [i for i, v in enumerate(ids) if v % stride == 0][:n_cells]
+    dots = X @ X[cent_rows].T
+    cells = np.array(
+        [max(range(n_cells), key=lambda c: (dots[i, c], c)) for i in range(len(ids))]
+    )
+    N = X / np.linalg.norm(X, axis=1)[:, None]
+    S = N @ N.T
+    expect = {}
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if cells[a] == cells[b] and S[a, b] >= 0.4:
+                expect[(int(ids[a]), int(ids[b]))] = (
+                    int(cells[a]), round(float(S[a, b]), 6),
+                )
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["cell"], r["sim"])
+        for r in _run(spark, "dedup_semantic_cells")
+    }
+    assert set(got) == set(expect)
+    for k, (cell, s) in expect.items():
+        assert got[k][0] == cell, k
+        assert abs(got[k][1] - s) <= 1e-6, k
+
+
+def test_sim_ann_lsh_vs_python_replay(spark):
+    """The oracle-converted LSH pipeline recomputed in Python: 8-table
+    4-bit sign signatures over the shared splitmix hyperplane
+    constants (data-independent — importing the constant generator is
+    the erf-polynomial discipline), any-table bucket match, candidate
+    dedup, exact-cosine top-5 rerank."""
+    from hive_release_spark.llm.similarity import _hyperplanes
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values("vec_id")
+    ids = emb.vec_id.to_numpy()
+    X = np.stack(emb.embedding.to_numpy()).astype("float64")
+    d = X.shape[1]
+    buckets = {}
+    for table in range(8):
+        P = np.array(_hyperplanes(d, 4, table))
+        proj = X @ P.T
+        sig = (table << 32) + (
+            (proj > 0).astype("int64") * (2 ** np.arange(4))
+        ).sum(axis=1)
+        for i, s in enumerate(sig):
+            buckets.setdefault(int(s), set()).add(i)
+
+    N = X / np.linalg.norm(X, axis=1)[:, None]
+    expect = {}
+    for qi in np.where(ids < 20)[0]:
+        cand = set()
+        for members in buckets.values():
+            if qi in members:
+                cand |= members
+        cand.discard(qi)
+        rer = sorted(
+            ((float(N[qi] @ N[ci]), int(ids[ci])) for ci in cand),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (s, nid) in enumerate(rer[:5], start=1):
+            expect[(int(ids[qi]), rank)] = (nid, round(s, 6))
+
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in _run(spark, "sim_ann_lsh")
+    }
+    assert set(got) == set(expect)
+    for k, (nid, s) in expect.items():
+        assert got[k][0] == nid, k
+        assert abs(got[k][1] - s) <= 1e-6, k
+
+
+def test_dedup_simhash_banded_vs_hashlib(spark):
+    """The 32-bit banded SimHash pairs recomputed with hashlib: md5-u32
+    token hashes, per-bit +-1 vote over ALL token occurrences, sign
+    signature, brute-force hamming <= 3 pairs."""
+    import hashlib
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    sigs = {}
+    for row in docs.itertuples(index=False):
+        votes = [0] * 32
+        for t in row.text.split(" "):
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            for i in range(32):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        sigs[row.doc_id] = sum(1 << i for i in range(32) if votes[i] > 0)
+
+    keys = sorted(sigs)
+    expect = {}
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            ham = bin(sigs[a] ^ sigs[b]).count("1")
+            if ham <= 3:
+                expect[(a, b)] = ham
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in _run(spark, "dedup_simhash_banded")
+    }
+    assert got == expect
+
+
+# ------------------------------------------- percentile_disc
+
+
+def test_percentile_disc_vs_numpy(spark, lineitem_pd):
+    """PERCENTILE_DISC recomputed per the standard definition
+    (smallest value at cumulative rank ceil(p*n)) plus the
+    interpolating median via np.percentile."""
+    import math
+
+    got = {r["l_returnflag"]: r for r in _run(spark, "agg_percentile_disc")}
+    for flag, grp in lineitem_pd.groupby("l_returnflag"):
+        vals = np.sort(grp.l_quantity.to_numpy())
+        n = len(vals)
+        r = got[flag]
+        assert r["n"] == n
+        for p, col in ((0.25, "q25_disc"), (0.5, "q50_disc"), (0.75, "q75_disc")):
+            assert r[col] == vals[max(math.ceil(p * n), 1) - 1], (flag, p)
+        assert abs(r["q50_cont"] - round(float(np.percentile(vals, 50)), 4)) < 1e-9
+
+
+# --------------------------------------------- script profile
+
+
+def test_text_script_profile_vs_python_re(spark):
+    """The Unicode-script composition recomputed with Python re over
+    the same codepoint-range classes."""
+    import math
+    import re
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    classes = {
+        "n_latin": re.compile("[A-Za-z]"),
+        "n_latin_ext": re.compile("[À-ÿ]"),
+        "n_cjk": re.compile("[一-鿿]"),
+        "n_digit": re.compile("[0-9]"),
+    }
+    agg = {}
+    for row in docs.itertuples(index=False):
+        a = agg.setdefault(row.source, {"n_chars": 0, **{k: 0 for k in classes}})
+        a["n_chars"] += len(row.text)
+        for k, rx in classes.items():
+            a[k] += len(rx.findall(row.text))
+
+    got = {r["source"]: r for r in _run(spark, "text_script_profile")}
+    assert set(got) == set(agg)
+    for src, a in agg.items():
+        r = got[src]
+        for k in ("n_chars", "n_latin", "n_latin_ext", "n_cjk", "n_digit"):
+            assert r[k] == a[k], (src, k)
+        assert r["latin_ratio_micro"] == math.floor(
+            a["n_latin"] / a["n_chars"] * 1e6 + 0.5
+        ), src
+        assert r["cjk_ratio_micro"] == math.floor(
+            a["n_cjk"] / a["n_chars"] * 1e6 + 0.5
+        ), src
