@@ -4964,3 +4964,31 @@ def test_text_script_profile_vs_python_re(spark):
         assert r["cjk_ratio_micro"] == math.floor(
             a["n_cjk"] / a["n_chars"] * 1e6 + 0.5
         ), src
+
+
+# ------------------------------------------ incremental dedup
+
+
+def test_pipeline_incremental_dedup_vs_hashlib(spark):
+    """The incremental-ingest dedup report recomputed with hashlib:
+    base corpus survivors by md5(text), batch-internal dedup, then
+    accepted-new vs rejected-known against the base hash set."""
+    import hashlib
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    base = docs[docs.doc_id % 10 != 0]
+    batch = docs[docs.doc_id % 10 == 0]
+    base_hashes = {hashlib.md5(t.encode()).hexdigest() for t in base.text}
+    batch_hashes = {}
+    for row in batch.itertuples(index=False):
+        h = hashlib.md5(row.text.encode()).hexdigest()
+        batch_hashes.setdefault(h, []).append(row.doc_id)
+    accepted = sum(1 for h in batch_hashes if h not in base_hashes)
+
+    r = _run(spark, "pipeline_incremental_dedup")[0]
+    assert r["batch_rows"] == len(batch)
+    assert r["batch_distinct"] == len(batch_hashes)
+    assert r["accepted_new"] == accepted
+    assert r["rejected_known"] == len(batch_hashes) - accepted
+    assert r["corpus_before"] == len(base_hashes)
+    assert r["corpus_after"] == len(base_hashes) + accepted
