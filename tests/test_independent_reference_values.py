@@ -4992,3 +4992,107 @@ def test_pipeline_incremental_dedup_vs_hashlib(spark):
     assert r["rejected_known"] == len(batch_hashes) - accepted
     assert r["corpus_before"] == len(base_hashes)
     assert r["corpus_after"] == len(base_hashes) + accepted
+
+
+# --------------------------------------------------- PQ replay
+
+
+def test_sim_ann_pq_vs_numpy_replay(spark):
+    """Product quantization replayed in numpy: 8 subspaces of width 8,
+    16 stride-sampled codebook entries, per-subspace (dot, cell)-max
+    codes, ADC scoring (sum over subspaces of the query-slice x
+    codebook-slice dot the code points at), top-5 per query."""
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values("vec_id")
+    ids = emb.vec_id.to_numpy()
+    X = np.stack(emb.embedding.to_numpy()).astype("float64")
+    n_sub, n_cells, k = 8, 16, 5
+    d = X.shape[1]
+    w = d // n_sub
+    stride = max(1, len(ids) // n_cells)
+    cent_rows = [i for i, v in enumerate(ids) if v % stride == 0][:n_cells]
+    C = X[cent_rows]
+
+    codes = np.zeros((len(ids), n_sub), dtype=int)
+    for s in range(n_sub):
+        dots = X[:, s * w : (s + 1) * w] @ C[:, s * w : (s + 1) * w].T
+        for i in range(len(ids)):
+            codes[i, s] = max(range(n_cells), key=lambda c: (dots[i, c], c))
+
+    expect = {}
+    for qi in np.where(ids < 20)[0]:
+        luts = [
+            X[qi, s * w : (s + 1) * w] @ C[:, s * w : (s + 1) * w].T
+            for s in range(n_sub)
+        ]
+        cand = []
+        for ci in range(len(ids)):
+            if ci == qi:
+                continue
+            adc = 0.0
+            for s in range(n_sub):  # fixed ascending-s summation
+                adc += float(luts[s][codes[ci, s]])
+            cand.append((adc, int(ids[ci])))
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (s_, nid) in enumerate(cand[:k], start=1):
+            expect[(int(ids[qi]), rank)] = (nid, round(s_, 6))
+
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in _run(spark, "sim_ann_pq")
+    }
+    assert set(got) == set(expect)
+    for key, (nid, s_) in expect.items():
+        assert got[key][0] == nid, key
+        assert abs(got[key][1] - s_) <= 1e-6, key
+
+
+# ------------------------------------------ multimodal features
+
+
+def test_multimodal_features_vs_hashlib(spark):
+    """The deterministic fake-decoder arithmetic replayed directly from
+    the sha256 digest bytes: width/height/n_frames/feat_norm."""
+    import hashlib
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    got = {r["asset_id"]: r for r in _run(spark, "multimodal_features")}
+    assert set(got) == set(docs.doc_id)
+    modality = ["image", "audio", "video"]
+    for row in docs.itertuples(index=False):
+        d = hashlib.sha256(row.text.encode("utf-8")).digest()
+        r = got[row.doc_id]
+        assert r["modality"] == modality[row.doc_id % 3], row.doc_id
+        assert r["width"] == 64 + d[0] % 192, row.doc_id
+        assert r["height"] == 64 + d[1] % 192, row.doc_id
+        assert r["n_frames"] == 1 + d[2] % 32, row.doc_id
+        assert abs(
+            r["feat_norm"] - round(int.from_bytes(d[3:7], "big") / 2**32, 6)
+        ) < 1e-12, row.doc_id
+
+
+# --------------------------------------------- frame sampling
+
+
+def test_multimodal_frame_sample_vs_hashlib(spark):
+    """The 1->N frame-sampling shape replayed with hashlib: video
+    assets only (doc_id % 3 == 2), every-4th frame index up to the
+    decoded n_frames, per-frame digest of (payload, idx)."""
+    import hashlib
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    expect = {}
+    for row in docs.itertuples(index=False):
+        if row.doc_id % 3 != 2:
+            continue
+        payload = row.text.encode("utf-8")
+        n_frames = 1 + hashlib.sha256(payload).digest()[2] % 32
+        for i in range(0, n_frames, 4):
+            expect[(row.doc_id, i)] = hashlib.sha256(
+                payload + f":{i}".encode()
+            ).hexdigest()
+
+    got = {
+        (r["asset_id"], r["frame_idx"]): r["frame_checksum"]
+        for r in _run(spark, "multimodal_frame_sample")
+    }
+    assert got == expect and len(got) > 0
