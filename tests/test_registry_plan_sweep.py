@@ -1,7 +1,15 @@
 """Registry-wide physical-plan anti-pattern sweep.
 
-Every registry entry's plan at sf0.001 is scanned for the two
-operators that mark a does-not-scale query:
+ONE pass builds every registry entry's formatted plan at sf0.001 and
+checks the repo-wide NEGATIVE guarantees the scale story rests on.
+The per-entry plan/property tests pin the POSITIVE shapes
+(broadcasts, pushdowns, partial aggs); this sweep catches a
+regression in ANY of the 361 entries — including ones no targeted
+plan test covers. Building 361 plans costs ~2 min (a handful of
+entries run driver-loop jobs at plan-build time); that is the price
+of the blanket guarantee.
+
+Checks:
 
 - ``CartesianProduct`` — an un-broadcast cross join; O(n*m) row pairs
   with no pruning. The repo's cross-join entries ride
@@ -16,43 +24,71 @@ operators that mark a does-not-scale query:
   udtf_python is the deliberate Python-UDTF extension-surface demo
   (Spark 4 plans UDTFs as BatchEvalPythonUDTF — there is no Arrow
   UDTF mode) and is the only allowed hit.
-
-The per-entry plan/property tests pin the POSITIVE shapes (broadcasts,
-pushdowns, partial aggs); this sweep pins the repo-wide NEGATIVE
-guarantee the scale story rests on, so a regression in ANY of the 361
-entries — including ones no targeted plan test covers — fails loudly.
-Building 361 plans costs ~2 min (a handful of entries run driver-loop
-jobs at plan-build time); that is the price of the blanket guarantee.
+- **Full-width scans of wide tables** — a parquet scan whose
+  ReadSchema lists EVERY column of a >4-column fixture table means
+  column pruning failed; at 100 TB that is the difference between
+  reading the whole table and reading the projected slice. One
+  legitimate hit: pipeline_dedup_quality consumes all 5 documents
+  columns by construction (md5+tokens over text, lang/source
+  projection, n_chars quality gate).
 """
 
 from __future__ import annotations
 
+import re
+
+import pyarrow.parquet as pq
+
 from hive_release_spark.queries import REGISTRY
 from tests.conftest import SF_SMOKE
 
-# entry -> patterns it is allowed to contain, with the reason above
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+# entry -> findings it is allowed to produce, with the reasons above
 ALLOWED = {
-    "udtf_python": {"BatchEvalPython"},   # deliberate Python-UDTF surface
-    "join_cross": {"CartesianProduct"},   # semantically a cross join
+    "udtf_python": {"BatchEvalPython"},
+    "join_cross": {"CartesianProduct"},
+    "pipeline_dedup_quality": {"fullscan:documents"},
 }
 
 PATTERNS = ("CartesianProduct", "BatchEvalPython")
+SCAN_RX = re.compile(
+    r"Scan parquet.*?Location:.*?/(\w+)\.parquet.*?ReadSchema: struct<(.*?)>",
+    re.S,
+)
 
 
-def test_no_cartesian_or_rowwise_python_anywhere(spark):
+def test_registry_plan_sweep(spark):
+    ncols = {
+        t: len(pq.read_schema(f"{SF_SMOKE}/{t}.parquet").names)
+        for t in TABLES
+    }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "simple"
+        "formatted"
     )
     violations: dict[str, list[str]] = {}
+    scans_matched = 0
     for name, q in REGISTRY.items():
         plan = q.fn(spark, SF_SMOKE)._jdf.queryExecution().explainString(mode)
-        hits = [
-            p for p in PATTERNS
-            if p in plan and p not in ALLOWED.get(name, set())
-        ]
-        if hits:
-            violations[name] = hits
+        findings = [p for p in PATTERNS if p in plan]
+        for m in SCAN_RX.finditer(plan):
+            tbl, schema = m.group(1), m.group(2)
+            if tbl not in ncols:
+                continue
+            scans_matched += 1
+            read = len(re.findall(r"\w+:", schema)) if schema.strip() else 0
+            if read >= ncols[tbl] > 4:
+                findings.append(f"fullscan:{tbl}")
+        bad = [f for f in set(findings) if f not in ALLOWED.get(name, set())]
+        if bad:
+            violations[name] = sorted(bad)
+    # the scan regex matching nothing would make the pruning check
+    # vacuous — the registry reads parquet hundreds of times
+    assert scans_matched > 300, scans_matched
     assert not violations, (
-        "plan anti-patterns found (un-broadcast cross join or "
-        f"row-at-a-time Python UDF): {violations}"
+        "plan anti-patterns found (un-broadcast cross join, row-at-a-time "
+        f"Python UDF, or unpruned wide-table scan): {violations}"
     )
