@@ -31,11 +31,20 @@ Checks:
   legitimate hit: pipeline_dedup_quality consumes all 5 documents
   columns by construction (md5+tokens over text, lang/source
   projection, n_chars quality gate).
+- **Exchange-count growth** vs tools/plan_exchange_ledger.json — each
+  Exchange is a shuffle; an entry whose plan gained one regressed the
+  operative scale cost even if results stay correct. After a
+  DELIBERATE plan change, regenerate the ledger with
+  ``python tools/gen_exchange_ledger.py`` so the growth is a
+  conscious, reviewed decision, never a silent one. (Counts shrinking
+  passes — strictly better.)
 """
 
 from __future__ import annotations
 
+import json
 import re
+from pathlib import Path
 
 import pyarrow.parquet as pq
 
@@ -59,6 +68,8 @@ SCAN_RX = re.compile(
     r"Scan parquet.*?Location:.*?/(\w+)\.parquet.*?ReadSchema: struct<(.*?)>",
     re.S,
 )
+EXCHANGE_RX = re.compile(r"\(\d+\) Exchange")
+LEDGER = Path(__file__).resolve().parent.parent / "tools" / "plan_exchange_ledger.json"
 
 
 def test_registry_plan_sweep(spark):
@@ -66,6 +77,7 @@ def test_registry_plan_sweep(spark):
         t: len(pq.read_schema(f"{SF_SMOKE}/{t}.parquet").names)
         for t in TABLES
     }
+    ledger = json.loads(LEDGER.read_text())
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
@@ -82,6 +94,14 @@ def test_registry_plan_sweep(spark):
             read = len(re.findall(r"\w+:", schema)) if schema.strip() else 0
             if read >= ncols[tbl] > 4:
                 findings.append(f"fullscan:{tbl}")
+        n_ex = len(EXCHANGE_RX.findall(plan))
+        if name not in ledger:
+            findings.append("no-ledger-row (run tools/gen_exchange_ledger.py)")
+        elif n_ex > ledger[name]:
+            findings.append(
+                f"exchanges-grew:{ledger[name]}->{n_ex} "
+                "(shuffle regression — if deliberate, regenerate the ledger)"
+            )
         bad = [f for f in set(findings) if f not in ALLOWED.get(name, set())]
         if bad:
             violations[name] = sorted(bad)
@@ -90,5 +110,5 @@ def test_registry_plan_sweep(spark):
     assert scans_matched > 300, scans_matched
     assert not violations, (
         "plan anti-patterns found (un-broadcast cross join, row-at-a-time "
-        f"Python UDF, or unpruned wide-table scan): {violations}"
+        f"Python UDF, unpruned wide-table scan, or shuffle growth): {violations}"
     )
