@@ -127,7 +127,13 @@ def cosine_pairs_blas(
     which the ContextCleaner reclaims when the stage is GC'd — unlike
     an explicit ``sparkContext.broadcast``, which would leak for the
     session lifetime since a lazily-executed plan has no post-action
-    destroy hook). That is NOT the 100 TB all-corpus path — but
+    destroy hook). The honest cost of that trade (ADVICE r7-1): the
+    closure is re-pickled into the task binary on EVERY action over
+    the returned frame, where the explicit broadcast shipped once per
+    session — at the large end of feasible n (≈1M×64 = 512 MB) that
+    is a per-action driver serialization stall. Callers that execute
+    the same pair frame repeatedly should persist the OUTPUT, not
+    re-run the plan. That is NOT the 100 TB all-corpus path — but
     all-PAIRS output is O(n²) rows, so any n where this entry is
     feasible at all has a trivially shippable matrix (2 000×64 = 1 MB;
     even 1M×64 = 512 MB sits under executor memory while its 10¹²

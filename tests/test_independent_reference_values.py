@@ -5096,3 +5096,154 @@ def test_multimodal_frame_sample_vs_hashlib(spark):
         for r in _run(spark, "multimodal_frame_sample")
     }
     assert got == expect and len(got) > 0
+
+
+# --------------------------------------------- MatchPath PTF
+
+
+def test_matchpath_vs_python_regex_trace(spark, events_pd):
+    """The MatchPath PTF replayed without the engine: per user, sort
+    events by (ts, event_id) in plain pandas, build the E/P/O symbol
+    string in a Python loop, and let ``re.finditer`` walk 'EP'
+    non-overlapping — the registry entry's regex engine and its
+    lead/lag oracle must both agree with this third trace. Exercises
+    the ordering contract (mergesort tie-break on event_id) and the
+    0-based match_pos annotation of ``operators/matchpath.py``."""
+    import re
+
+    expect = set()
+    for user_id, g in events_pd.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        syms = "".join(
+            "E" if t == "error" else "P" if t == "purchase" else "O"
+            for t in g["event_type"]
+        )
+        ids = g["event_id"].to_numpy()
+        for m in re.finditer("EP", syms):
+            for i in range(m.start(), m.end()):
+                expect.add((int(user_id), int(ids[i]), i - m.start()))
+
+    got = {
+        (r["user_id"], r["event_id"], r["match_pos"])
+        for r in _run(spark, "ptf_matchpath")
+    }
+    assert got == expect and len(got) > 0
+
+
+# ------------------------------------ connected components entry
+
+
+def test_connected_components_entry_vs_union_find(spark):
+    """``dedup_connected_components`` replayed without either engine:
+    exact 3-token-shingle Jaccard >= 0.5 pairs recomputed with Python
+    sets, components labeled by a textbook union-find (smaller root
+    wins, so the component label IS the min doc_id), restricted — like
+    the entry — to docs that appear in at least one pair. Both the
+    engine's min-label propagation and the DuckDB recursive-CTE
+    closure must agree with this third formulation."""
+    from collections import defaultdict
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    sh = {}
+    for row in docs.itertuples(index=False):
+        w = row.text.split(" ")
+        sh[row.doc_id] = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    postings = defaultdict(set)
+    for d, grams in sh.items():
+        for g in grams:
+            postings[g].add(d)
+    edges = set()
+    for ds in postings.values():
+        for a in ds:
+            for b in ds:
+                if a < b:
+                    inter = len(sh[a] & sh[b])
+                    if inter / (len(sh[a]) + len(sh[b]) - inter) >= 0.5:
+                        edges.add((a, b))
+
+    nodes = {d for e in edges for d in e}
+    parent = {d: d for d in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    expect = {(d, find(d), find(d) == d) for d in nodes}
+    got = {
+        (r["doc_id"], r["component"], r["is_survivor"])
+        for r in _run(spark, "dedup_connected_components")
+    }
+    assert got == expect and len(got) > 0
+
+
+# ------------------------------------- ingest pipeline slices
+
+
+def test_pipeline_dedup_quality_vs_hashlib(spark, documents_pd):
+    """The dedup→quality pipeline slice replayed with hashlib + dict:
+    md5-exact dedup with min-id survivor, then the token/char quality
+    gate, then the training projection."""
+    import hashlib
+
+    best = {}
+    for row in documents_pd.itertuples(index=False):
+        h = hashlib.md5(row.text.encode("utf-8")).hexdigest()
+        if h not in best or row.doc_id < best[h].doc_id:
+            best[h] = row
+    expect = {
+        int(r.doc_id): (r.lang, r.source, len(r.text.split(" ")))
+        for r in best.values()
+        if len(r.text.split(" ")) >= 5 and r.n_chars >= 20
+    }
+    got = {
+        r["doc_id"]: (r["lang"], r["source"], r["n_tokens"])
+        for r in _run(spark, "pipeline_dedup_quality")
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_pipeline_corpus_build_vs_python(spark, documents_pd):
+    """The flagship normalize→quality→dedup→yield chain replayed with
+    re + hashlib + plain dicts, including the left-join zero-fill for
+    (lang, source) cells whose every doc fails the gate."""
+    import hashlib
+    import re as _re
+
+    feats = []
+    for row in documents_pd.itertuples(index=False):
+        norm = _re.sub(" +", " ", _re.sub(r"[^a-z0-9 ]", " ", row.text.lower())).strip()
+        feats.append(
+            (int(row.doc_id), row.lang, row.source, norm,
+             len(norm.split(" ")), len(norm))
+        )
+    surv = {}
+    for doc_id, lang, source, norm, n_tok, n_len in feats:
+        if n_tok >= 10 and n_len >= 50:
+            h = hashlib.md5(norm.encode("utf-8")).hexdigest()
+            if h not in surv or doc_id < surv[h][0]:
+                surv[h] = (doc_id, lang, source, n_tok)
+    expect = {}
+    for doc_id, lang, source, norm, n_tok, n_len in feats:
+        cell = expect.setdefault((lang, source), [0, 0, 0, 0])
+        cell[0] += 1
+        cell[1] += int(n_tok >= 10 and n_len >= 50)
+    for doc_id, lang, source, n_tok in surv.values():
+        cell = expect[(lang, source)]
+        cell[2] += 1
+        cell[3] += n_tok
+
+    got = {
+        (r["lang"], r["source"]): [
+            r["docs_in"], r["docs_q"], r["docs_kept"], r["tokens_kept"]
+        ]
+        for r in _run(spark, "pipeline_corpus_build")
+    }
+    assert got == {k: list(v) for k, v in expect.items()} and len(got) > 0

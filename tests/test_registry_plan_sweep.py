@@ -105,6 +105,10 @@ def test_registry_plan_sweep(spark):
         bad = [f for f in set(findings) if f not in ALLOWED.get(name, set())]
         if bad:
             violations[name] = sorted(bad)
+    # a deleted/renamed entry leaves a dead ledger row the growth check
+    # never reads — flag it so the ledger is regenerated, not left stale
+    for dead in sorted(set(ledger) - set(REGISTRY)):
+        violations[dead] = ["stale-ledger-row (run tools/gen_exchange_ledger.py)"]
     # the scan regex matching nothing would make the pruning check
     # vacuous — the registry reads parquet hundreds of times
     assert scans_matched > 300, scans_matched

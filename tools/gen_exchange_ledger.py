@@ -25,11 +25,17 @@ OUT = Path(__file__).resolve().parent / "plan_exchange_ledger.json"
 
 
 def main() -> None:
+    # conf mirrors tests/conftest.py's session exactly: Exchange-node
+    # counts are partition-count-independent, but keeping the confs
+    # identical removes the question rather than relying on that.
     spark = get_session(
         app_name="gen_exchange_ledger",
-        master="local[8]",
-        shuffle_partitions=8,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.ui.enabled": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
