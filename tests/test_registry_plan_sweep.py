@@ -84,6 +84,12 @@ def test_registry_plan_sweep(spark):
     violations: dict[str, list[str]] = {}
     scans_matched = 0
     for name, q in REGISTRY.items():
+        # CacheManager substitutes any LIVE cached subtree into new plans
+        # (several entries persist frames at call time and never unpersist
+        # — session-lifetime caches), which changes Exchange counts with
+        # whatever ran before. Clear per entry so every count is the
+        # clean-session plan — cache-state- and test-order-independent.
+        spark.catalog.clearCache()
         plan = q.fn(spark, SF_SMOKE)._jdf.queryExecution().explainString(mode)
         findings = [p for p in PATTERNS if p in plan]
         for m in SCAN_RX.finditer(plan):

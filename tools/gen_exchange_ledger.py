@@ -43,6 +43,10 @@ def main() -> None:
     )
     ledger = {}
     for name, q in REGISTRY.items():
+        # mirror the sweep: clean cache per entry, so counts are the
+        # clean-session plans, independent of registry iteration order
+        # (CacheManager substitutes live call-time persists otherwise)
+        spark.catalog.clearCache()
         plan = q.fn(spark, "/root/testdata/sf0.001")._jdf.queryExecution().explainString(mode)
         ledger[name] = len(EXCHANGE_RX.findall(plan))
     OUT.write_text(json.dumps(ledger, indent=0, sort_keys=True) + "\n")
