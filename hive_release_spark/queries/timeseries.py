@@ -392,7 +392,7 @@ def timeseries_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                / 100.0 AS rev
       FROM orders GROUP BY 1),
-    idx AS (SELECT month, rev,
+    idx AS MATERIALIZED (SELECT month, rev,
                    row_number() OVER (ORDER BY month) AS rn FROM m),
     r AS (
       SELECT rn, month, rev, rev AS s FROM idx WHERE rn = 1
@@ -577,7 +577,7 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                / 100.0 AS rev
       FROM orders GROUP BY 1),
-    idx AS (SELECT month, rev,
+    idx AS MATERIALIZED (SELECT month, rev,
                    row_number() OVER (ORDER BY month) AS rn FROM m),
     r AS (
       SELECT rn, month, rev, rev AS l, CAST(0 AS DOUBLE) AS b
@@ -957,7 +957,7 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
       FROM lineitem WHERE l_partkey % 97 = 0
       GROUP BY 1),
-    idx AS (SELECT day, d, row_number() OVER (ORDER BY day) AS rn FROM dd),
+    idx AS MATERIALIZED (SELECT day, d, row_number() OVER (ORDER BY day) AS rn FROM dd),
     r AS (
       SELECT rn, day, CAST(d AS DOUBLE) AS z, CAST(1.0 AS DOUBLE) AS p
       FROM idx WHERE rn = 1
@@ -1051,7 +1051,7 @@ def timeseries_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(l_shipdate AS DATE) AS day,
              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
       FROM lineitem GROUP BY 1),
-    idx AS (SELECT x, row_number() OVER (ORDER BY day) AS rn FROM d),
+    idx AS MATERIALIZED (SELECT x, row_number() OVER (ORDER BY day) AS rn FROM d),
     init AS (
       SELECT avg(CASE WHEN rn <= 7 THEN CAST(x AS DOUBLE) END) AS m1,
              avg(CASE WHEN rn BETWEEN 8 AND 14
