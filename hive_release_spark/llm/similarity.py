@@ -221,32 +221,50 @@ def lsh_bucket_topk(
     near-orthogonal data). Candidates are deduped, exact-cosine
     re-ranked. Approximate; each query touches only its buckets — the
     100 TB path (tune n_planes up for bigger corpora: bucket size ~
-    n/2^n_planes per table)."""
+    n/2^n_planes per table).
 
-    def signature(vec: Column, table: int) -> Column:
-        planes = _hyperplanes(dim, n_planes, table)
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(x) for x in plane]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                > 0,
-                F.lit(1 << i),
-            ).otherwise(0)
-            for i, plane in enumerate(planes)
-        ]
-        # table id in the high bits keeps buckets disjoint across tables
-        return F.aggregate(F.array(*bits), F.lit(table << 32), lambda acc, x: acc + x)
+    Signature kernel (r7, the cosine_pairs_blas lesson applied one
+    entry over): the sign bits were interpreted HOF folds — 64-term
+    ``aggregate(zip_with(...))`` per bit × n_tables·n_planes bits per
+    row, ~2 000 lambda evaluations/vector and the dominant cost of the
+    whole entry (6× the re-rank at sf0.1). Now ONE ``X @ P[t].T`` per
+    table per Arrow batch inside ``mapInPandas`` — identical bucket
+    integers: the planes are the same splitmix constants, and
+    ``tests/test_fixture_margins.py`` pins every projection's distance
+    from zero orders of magnitude above BLAS-vs-sequential-fold
+    summation drift at all fixture SFs (the independent replay in
+    test_independent_reference_values.py computes signatures with the
+    same matmul). The constant matrix (n_tables×n_planes×dim doubles,
+    ~16 KB at the defaults) rides the task closure; the n_tables-way
+    posting expansion happens inside the kernel, replacing the
+    explode."""
+    import numpy as np
+    import pandas as pd
+
+    planes_all = [
+        np.array(_hyperplanes(dim, n_planes, t), dtype="float64")
+        for t in range(n_tables)
+    ]
+    bit_weights = (1 << np.arange(n_planes, dtype="int64")).astype("int64")
 
     def with_buckets(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        sigs = F.array(*[signature(F.col(vc), t) for t in range(n_tables)])
-        return df.select(idc, vc, F.explode(sigs).alias("bucket"))
+        out_schema = f"{idc} BIGINT, {vc} ARRAY<DOUBLE>, bucket BIGINT"
+
+        def bucketize(batches):
+            for b in batches:
+                if not len(b):
+                    continue
+                X = np.stack(b[vc].to_numpy()).astype("float64")
+                for t, P in enumerate(planes_all):
+                    proj = X @ P.T
+                    # table id in the high bits keeps buckets disjoint
+                    # across tables (same layout as the SQL oracle)
+                    sig = (t << 32) + ((proj > 0) @ bit_weights)
+                    yield pd.DataFrame(
+                        {idc: b[idc], vc: b[vc], "bucket": sig}
+                    )
+
+        return df.mapInPandas(bucketize, schema=out_schema)
 
     q = with_buckets(
         queries.select(F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")),
