@@ -22,7 +22,7 @@ _PAIRS_CTE = """
       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
     ),
     ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
@@ -217,7 +217,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_adamic_adar",
     oracle="""
     WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT a.l_partkey AS pa, b2.l_partkey AS pb
       FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
                         AND a.l_partkey < b2.l_partkey
@@ -329,7 +329,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_jaccard_neighbors",
     oracle="""
     WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT a.l_partkey AS pa, b2.l_partkey AS pb
       FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
                         AND a.l_partkey < b2.l_partkey
@@ -456,7 +456,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_assortativity",
     oracle="""
     WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT a.l_partkey AS pa, b2.l_partkey AS pb
       FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
                         AND a.l_partkey < b2.l_partkey

@@ -728,7 +728,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_connected_components",
     oracle="""
-    WITH RECURSIVE pairs AS (
+    WITH RECURSIVE pairs AS MATERIALIZED (
         WITH sh AS (
           SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
@@ -740,7 +740,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.doc_id, b.doc_id
         HAVING count(*) * 1.0 / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.5
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION
       SELECT doc_b, doc_a FROM pairs

@@ -184,7 +184,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pipeline_neardedup_corpus",
     oracle="""
-    WITH RECURSIVE pairs AS (
+    WITH RECURSIVE pairs AS MATERIALIZED (
         WITH sh AS (
           SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
@@ -196,7 +196,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.doc_id, b.doc_id
         HAVING count(*) * 1.0 / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.5
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION
       SELECT doc_b, doc_a FROM pairs
