@@ -248,7 +248,10 @@ def lsh_bucket_topk(
     bit_weights = (1 << np.arange(n_planes, dtype="int64")).astype("int64")
 
     def with_buckets(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        out_schema = f"{idc} BIGINT, {vc} ARRAY<DOUBLE>, bucket BIGINT"
+        # id column type derives from the input so the helper stays as
+        # generic as the HOF version was (string ids, ints, ...)
+        id_type = df.schema[idc].dataType.simpleString()
+        out_schema = f"{idc} {id_type}, {vc} ARRAY<DOUBLE>, bucket BIGINT"
 
         def bucketize(batches):
             for b in batches:
