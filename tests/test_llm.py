@@ -61,6 +61,18 @@ def test_ann_lsh_is_subset_quality(spark):
     assert hits >= len(approx) * 0.3, (hits, len(approx))
 
 
+def test_ann_lsh_accepts_string_ids(spark):
+    """The bucket kernel derives the id column type from the input
+    schema (regression: the first vectorized cut hardcoded BIGINT,
+    silently narrowing a previously-generic helper)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    q = emb.filter(F.col("vec_id").isin("doc-1", "doc-2"))
+    rows = similarity.lsh_bucket_topk(q, emb, k=3).collect()
+    assert rows and all(r.neighbor_id.startswith("doc-") for r in rows)
+
+
 def test_multimodal_features_deterministic_schema(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     feats = multimodal.extract_features(multimodal.pack_assets(docs))

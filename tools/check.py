@@ -5,6 +5,13 @@ on DuckDB, then compares via hive_release_spark.testing. Queries without
 an oracle get a rows-only smoke run.
 
 Usage: python tools/check.py [name_substring ...]
+
+The per-entry timings it prints double as a registry-wide performance
+screen: run with SPARK_GRAFT_CHECK_SF=/root/testdata/sf0.1, sort the
+[N.Ns] suffixes, and investigate outliers by splitting the Spark side
+(fn().collect()) from the DuckDB side (con.execute(oracle)) — the r7
+screen caught an interpreted-HOF signature stage and two recursive
+oracles re-inlining their base CTE this way.
 """
 
 from __future__ import annotations
