@@ -5247,3 +5247,30 @@ def test_pipeline_corpus_build_vs_python(spark, documents_pd):
         for r in _run(spark, "pipeline_corpus_build")
     }
     assert got == {k: list(v) for k, v in expect.items()} and len(got) > 0
+
+
+# ------------------------------------------- salted skew join
+
+
+def test_join_salted_skew_vs_pandas_merge(spark, lineitem_pd):
+    """The salted-join entry replayed as a plain pandas merge + groupby
+    — the salting is pure mechanics (explode the build side over salt
+    replicas, salt the probe side, join on (key, salt)), so its output
+    must equal the unsalted join exactly: no lost rows, no duplicates,
+    per-supplier counts and quantity sums identical."""
+    sup = pd.read_parquet(f"{SF_SMOKE}/supplier.parquet")
+    j = lineitem_pd.merge(
+        sup[["s_suppkey", "s_name"]],
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+    )
+    g = j.groupby("s_name")["l_quantity"]
+    expect = {
+        name: (int(s.count()), round(float(s.sum()), 2))
+        for name, s in g
+    }
+    got = {
+        r["s_name"]: (r["n"], r["qty"])
+        for r in _run(spark, "join_salted_skew")
+    }
+    assert got == expect and len(got) > 0

@@ -93,7 +93,7 @@ fn_trig fn_try_family fn_union_type fn_variant_json join_asof_forward
 join_asof_nearest join_asof_orders join_broadcast_part join_cross
 join_full_outer join_left_anti join_left_outer join_left_semi
 join_merge_hint join_pure_theta join_range_bucketed join_right_outer
-join_salted_skew join_shuffle_hash_hint join_theta_residual join_unique
+join_shuffle_hash_hint join_theta_residual join_unique
 limit_offset_page q10_returned_items q11_important_parts
 q12_shipmode_priority q13_customer_distribution q14_promo_effect
 q15_top_supplier q16_supplier_cnt q17_small_quantity_revenue
