@@ -5274,3 +5274,84 @@ def test_join_salted_skew_vs_pandas_merge(spark, lineitem_pd):
         for r in _run(spark, "join_salted_skew")
     }
     assert got == expect and len(got) > 0
+
+
+# ------------------------------------------------ as-of joins
+
+
+def test_asof_backward_vs_pandas_merge_asof(spark, orders_pd, events_pd):
+    """The bespoke as-of operator (operators/asof.py union +
+    carry-forward formulation) checked against pandas.merge_asof — a
+    third, battle-tested implementation of as-of semantics alongside
+    DuckDB's native ASOF JOIN: most recent order at-or-before each
+    event, right side pre-deduped to max orderkey per (custkey, date),
+    unmatched events kept with nulls."""
+    e = events_pd[["event_id", "user_id", "ts"]].sort_values("ts", kind="mergesort")
+    o = (
+        orders_pd.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        .groupby(["o_custkey", "o_orderdate"], as_index=False)
+        .tail(1)
+        .rename(columns={"o_custkey": "user_id"})
+        [["user_id", "o_orderdate", "o_orderkey", "o_totalprice"]]
+        .sort_values("o_orderdate", kind="mergesort")
+    )
+    j = pd.merge_asof(
+        e, o, left_on="ts", right_on="o_orderdate", by="user_id",
+        direction="backward", allow_exact_matches=True,
+    )
+    expect = {
+        int(r.event_id): (
+            None if pd.isna(r.o_orderkey) else int(r.o_orderkey),
+            None if pd.isna(r.o_totalprice) else round(float(r.o_totalprice), 2),
+        )
+        for r in j.itertuples(index=False)
+    }
+    got = {
+        r["event_id"]: (
+            r["o_orderkey"],
+            None if r["o_totalprice"] is None else round(r["o_totalprice"], 2),
+        )
+        for r in _run(spark, "join_asof_orders")
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_asof_forward_vs_pandas_merge_asof(spark, events_pd):
+    """The forward as-of mirror (first purchase at-or-after each view,
+    cohort user_id % 11 == 0, purchases pre-deduped to min event_id
+    per (user, ts)) against pandas.merge_asof direction='forward',
+    including the floor-to-seconds conversion-lag arithmetic."""
+    v = (
+        events_pd[(events_pd.event_type == "view") & (events_pd.user_id % 11 == 0)]
+        [["event_id", "user_id", "ts"]]
+        .sort_values("ts", kind="mergesort")
+    )
+    p = (
+        events_pd[events_pd.event_type == "purchase"]
+        .sort_values("event_id", kind="mergesort")
+        .groupby(["user_id", "ts"], as_index=False)
+        .head(1)
+        .rename(columns={"event_id": "purchase_id", "ts": "p_ts"})
+        [["user_id", "p_ts", "purchase_id"]]
+        .sort_values("p_ts", kind="mergesort")
+    )
+    j = pd.merge_asof(
+        v, p, left_on="ts", right_on="p_ts", by="user_id",
+        direction="forward", allow_exact_matches=True,
+    )
+    expect = {}
+    for r in j.itertuples(index=False):
+        if pd.isna(r.purchase_id):
+            expect[int(r.event_id)] = (None, None)
+        else:
+            secs = (
+                int(r.p_ts.timestamp() // 1) - int(r.ts.timestamp() // 1)
+            )
+            expect[int(r.event_id)] = (int(r.purchase_id), secs)
+    got = {
+        r["event_id"]: (r["purchase_id"], r["secs_to_convert"])
+        for r in _run(spark, "join_asof_forward")
+    }
+    assert got == expect and len(got) > 0

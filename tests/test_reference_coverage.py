@@ -89,8 +89,8 @@ fn_complex_types fn_conditional fn_datetime fn_datetime_misc
 fn_decimal_arith fn_gap_tier fn_hash fn_hof_surface fn_json fn_map_hof
 fn_map_surface fn_mask fn_math fn_misc_surface fn_numeric_repr
 fn_parse_url fn_regex fn_sql_macro fn_str_to_map fn_string fn_string2
-fn_trig fn_try_family fn_union_type fn_variant_json join_asof_forward
-join_asof_nearest join_asof_orders join_broadcast_part join_cross
+fn_trig fn_try_family fn_union_type fn_variant_json
+join_asof_nearest join_broadcast_part join_cross
 join_full_outer join_left_anti join_left_outer join_left_semi
 join_merge_hint join_pure_theta join_range_bucketed join_right_outer
 join_shuffle_hash_hint join_theta_residual join_unique
