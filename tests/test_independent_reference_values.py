@@ -5355,3 +5355,42 @@ def test_asof_forward_vs_pandas_merge_asof(spark, events_pd):
         for r in _run(spark, "join_asof_forward")
     }
     assert got == expect and len(got) > 0
+
+
+# --------------------------------------------- GROUPS frames
+
+
+def test_groups_frame_vs_python_peer_walk(spark, lineitem_pd):
+    """The GROUPS-frame emulation (dense_rank index + RANGE window)
+    and its correlated-aggregate oracle replayed by a third mechanical
+    path: per supplier, walk the sorted distinct quantity values
+    (peer groups) explicitly and sum the last three groups' price mass
+    with plain dicts — no window machinery of any kind."""
+    sub = lineitem_pd[lineitem_pd.l_suppkey % 100 == 0]
+    expect = {}
+    for suppkey, g in sub.groupby("l_suppkey"):
+        qtys = sorted(g.l_quantity.unique())
+        gidx = {q: i + 1 for i, q in enumerate(qtys)}
+        mass = {gidx[q]: (float(s.l_extendedprice.sum()), len(s))
+                for q, s in g.groupby("l_quantity")}
+        for r in g.itertuples(index=False):
+            gi = gidx[r.l_quantity]
+            lo = max(1, gi - 2)
+            tot = sum(mass[i][0] for i in range(lo, gi + 1) if i in mass)
+            cnt = sum(mass[i][1] for i in range(lo, gi + 1) if i in mass)
+            # (l_orderkey, l_linenumber) is NOT unique in the fixture —
+            # accumulate multisets keyed by (ok, ln, cnt), sums paired
+            # sorted with tolerance
+            expect.setdefault(
+                (int(r.l_orderkey), int(r.l_linenumber), cnt), []
+            ).append(tot)
+    got = {}
+    for r in _run(spark, "window_groups_frame"):
+        got.setdefault(
+            (r["l_orderkey"], r["l_linenumber"], r["grp_rows"]), []
+        ).append(r["grp_sum"])
+    assert set(got) == set(expect) and len(got) > 0
+    for k, tots in expect.items():
+        assert len(got[k]) == len(tots), k
+        for a, b in zip(sorted(got[k]), sorted(tots)):
+            assert abs(a - b) < 0.02, (k, a, b)

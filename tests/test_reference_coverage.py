@@ -114,7 +114,7 @@ stream_stream_left_join stream_tumbling stream_tumbling_live
 stream_watermark_late_drop subquery_in subquery_not_in
 subquery_scalar_correlated topk_orders udtf_explode_map
 udtf_explode_wordcount udtf_inline udtf_posexplode udtf_python
-udtf_stack window_exclude_current window_first_last window_groups_frame
+udtf_stack window_exclude_current window_first_last
 window_ignore_nulls window_lead_lag window_range_frame
 window_range_interval window_ranking window_rows_frame
 window_share_of_total
