@@ -5394,3 +5394,33 @@ def test_groups_frame_vs_python_peer_walk(spark, lineitem_pd):
         assert len(got[k]) == len(tots), k
         for a, b in zip(sorted(got[k]), sorted(tots)):
             assert abs(a - b) < 0.02, (k, a, b)
+
+
+# -------------------------------------------- bucketed range join
+
+
+def test_range_join_vs_python_window_scan(spark, events_pd):
+    """The bucketed range join (time-bucket co-location operator)
+    replayed with a plain per-user scan: for every purchase, count the
+    same user's views inside [ts - 1h, ts] and sum their event ids —
+    no bucketing, no join machinery."""
+    purch = events_pd[events_pd.event_type == "purchase"]
+    views_by_user = {
+        u: g[["event_id", "ts"]]
+        for u, g in events_pd[events_pd.event_type == "view"].groupby("user_id")
+    }
+    hour = pd.Timedelta(hours=1)
+    expect = {}
+    for r in purch.itertuples(index=False):
+        g = views_by_user.get(r.user_id)
+        if g is None:
+            expect[int(r.event_id)] = (0, 0)
+            continue
+        m = g[(g.ts >= r.ts - hour) & (g.ts <= r.ts)]
+        expect[int(r.event_id)] = (len(m), int(m.event_id.sum()) if len(m) else 0)
+
+    got = {
+        r["purchase_id"]: (r["n_views"], r["view_id_sum"])
+        for r in _run(spark, "join_range_bucketed")
+    }
+    assert got == expect and len(got) > 0

@@ -92,7 +92,7 @@ fn_parse_url fn_regex fn_sql_macro fn_str_to_map fn_string fn_string2
 fn_trig fn_try_family fn_union_type fn_variant_json
 join_asof_nearest join_broadcast_part join_cross
 join_full_outer join_left_anti join_left_outer join_left_semi
-join_merge_hint join_pure_theta join_range_bucketed join_right_outer
+join_merge_hint join_pure_theta join_right_outer
 join_shuffle_hash_hint join_theta_residual join_unique
 limit_offset_page q10_returned_items q11_important_parts
 q12_shipmode_priority q13_customer_distribution q14_promo_effect
