@@ -208,87 +208,105 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 # witnessed r4) keeps its rows-only record; its signature IS xxhash64
 # and is pinned by tests/test_dedup.py simhash property tests.
 
-# r8 rotation recipe (pre-staged; the tripwires enforce each step):
-#   1. CLEAR CONTRACT_CHANGED below (test_entry_contract goes red the
-#      moment CORRECTNESS_r07 lands and its four entries are
-#      witnessed — repopulate only with r8's own contract changes);
-#   2. window = any CORRECTNESS_r07-red rows first, then the 45
-#      remaining never-witnessed entries (`python
-#      tools/witness_ledger.py`): the graph/timeseries/stats/ml tail
-#      from graph_local_clustering through ml_regression_kfold_cv;
-#   3. backlog drops under 50 → the family-coverage regime
-#      re-engages: fill the ~5 free slots with one representative per
-#      §2 family missing from the window's tags (the tripwire's
-#      `required` set names them — scan/topk/join/setop/functions/
-#      udtf/ptf/script/streaming/multimodal/tpch/sketch are the
-#      likely gaps once the tail takes the stats/ml slots);
-#   4. swap bench.py ROTATING_LEG to 40 more never-benched entries
-#      (120/361 benched after r7 — the benched-set ledger lives in
-#      the bench.py comments).
+# Round-8 selection (VERDICT r7 "Next round" #1/#6; recipe was
+# pre-staged here in r7 and is now executed):
+#   1. CONTRACT_CHANGED cleared: all four r7 declarations
+#      (sim_ann_lsh, emb_pca_project, dedup_embedding_cosine,
+#      dedup_semantic_cells) were re-witnessed hash-green in
+#      CORRECTNESS_r07 under their new contracts — the tripwire
+#      (test_entry_contract, ADVICE r7-3) forced the clear at this
+#      rotation.  No r8 contract changes so far; repopulate only if
+#      an already-witnessed entry's kernel/oracle changes this round.
+#   2. The window drains the never-witnessed ledger to ZERO: all 45
+#      remaining entries (the graph/timeseries/stats/ml tail,
+#      graph_local_clustering .. ml_regression_kfold_cv) in ledger
+#      (registry) order.  CORRECTNESS_r07 had no red rows (49/50
+#      hash-green + the pre-announced fn_misc_xpath no_oracle
+#      terminal), so there is nothing to re-witness first.
+#   3. The 5 free slots go to family representatives.  16 of the §2
+#      required families are absent from the backlog's tags; 5 slots
+#      cover at most one family each (no 3-tag members exist), so the
+#      STALEST families win: ranked by the family's freshest driver
+#      witness, ptf/sample/scan/tpch/udtf are all last witnessed r4
+#      (everything else r6/r7) — exactly five.  Within each family the
+#      oldest-witnessed member takes the slot:
+#        ptf_apply_in_pandas_zscore (r2), sample_bucket (r1),
+#        scan_filter_project (r4, sole member), q4_order_priority
+#        (r2), udtf_explode_wordcount (r1).
+#      The rule is now CODE, not prose: tools/witness_ledger.py
+#      propose_window() emits this window deterministically and both
+#      the tripwire test and `--window` validate the committed list
+#      against it (VERDICT r7 #6).
+# After this round the ledger stands at 0 — every registry entry
+# driver-witnessed at least once.  r9+ windows come from the same
+# propose_window() rule's post-drain branch: CONTRACT_CHANGED first,
+# then one rep per required family (stalest family first), then
+# oldest-witness-first re-records, never re-recording a row fresh in
+# the latest CORRECTNESS file.  Registry growth stays FROZEN
+# (VERDICT r7 #2): repairs + conversions only (±2 judge-invited
+# shapes at most).
 
 # Entries whose CONTRACT changed since their last driver witness —
-# first claim on window slots even while the never-witnessed backlog
-# saturates the window (ADVICE r6-2; enforced by test_entry_contract).
-CONTRACT_CHANGED = [
-    "sim_ann_lsh",           # r6: rows-only → oracle (splitmix hyperplanes)
-    "emb_pca_project",       # r6: rows-only → oracle (quantized power iter)
-    "dedup_embedding_cosine",  # r6: HOF fold → BLAS mapInPandas kernel
-    "dedup_semantic_cells",    # r6: per-cell BLAS rewrite
-]
+# first claim on window slots (ADVICE r6-2; enforced by
+# test_entry_contract).  Cleared at the r8 rotation: the four r7
+# declarations were all re-witnessed green in CORRECTNESS_r07.
+CONTRACT_CHANGED = []
 
 DRIVER_WINDOW = [
-    # 4 contract-changed (ADVICE r6-2 first claim)
-    "sim_ann_lsh",
-    "emb_pca_project",
-    "dedup_embedding_cosine",
-    "dedup_semantic_cells",
-    # never-witnessed backlog, witness-ledger (registry) order
-    "events_did_analysis",
-    "orders_abc_xyz_matrix",
-    "dedup_simhash_banded",
-    "sim_ann_binary",
-    "dedup_sorted_neighborhood",
-    "emb_quality_report",
-    "multimodal_payload_dedup",
-    "sim_ann_sq8",
-    "stream_stream_full_join",
-    "stream_watermark_late_drop",
-    "sql_group_order_all",
-    "sql_qualify_filter",
-    "setop_union_by_name",
-    "sql_values_inline",
-    "sql_select_except",
-    "sql_named_window",
-    "source_xml_roundtrip",
-    "fn_misc_xpath",
-    "agg_percentile_disc",
-    "text_readability",
-    "emb_whitening",
-    "search_query_likelihood",
-    "text_rake_phrases",
-    "search_tfidf_cosine",
-    "emb_mean_shift_drift",
-    "sample_importance_dsir",
-    "search_eval_metrics",
-    "bpe_train_merges",
-    "sim_rocchio_expansion",
-    "dedup_threshold_sweep",
-    "pack_efficiency_report",
-    "tokenize_fertility",
-    "text_source_divergence",
-    "text_entropy_quality",
-    "text_langid_confusion",
-    "text_ttr_hapax",
-    "text_script_profile",
-    "pipeline_incremental_dedup",
-    "pipeline_quality_ablation",
-    "ds_late_delivery_chain",
-    "ds_spend_growth_pairs",
-    "ds_hierarchy_rank",
-    "ds_worst_return_ratios",
-    "ds_sales_deviation_rank",
-    "ds_returns_adjusted_spend",
-    "ds_three_channel_ratio",
+    # never-witnessed backlog — final 45, witness-ledger (registry)
+    # order; the ledger drains to 0 when the driver records these
+    "graph_local_clustering",
+    "graph_adamic_adar",
+    "graph_jaccard_neighbors",
+    "graph_assortativity",
+    "orders_monthly_percentiles",
+    "timeseries_rolling_corr",
+    "timeseries_ewma",
+    "timeseries_theil_sen",
+    "timeseries_holt",
+    "timeseries_gap_fill",
+    "timeseries_backtest_naive",
+    "join_asof_forward",
+    "timeseries_croston",
+    "timeseries_holt_winters",
+    "stats_ks_two_sample",
+    "stats_mann_whitney",
+    "stats_chi_square",
+    "timeseries_autocorr",
+    "timeseries_cross_corr",
+    "stats_subsample_ci",
+    "stats_power_two_proportions",
+    "agg_approx_top_k_contract",
+    "dq_freshness_lag",
+    "retention_halflife_fit",
+    "stats_anova_oneway",
+    "stats_spearman_corr",
+    "stats_fdr_bh",
+    "stats_randomization_test",
+    "stats_weibull_fit",
+    "stats_qq_deciles",
+    "sample_stratified_neyman",
+    "events_fano_factor",
+    "dq_outlier_tukey_fences",
+    "stats_granger_lite",
+    "stats_simpson_check",
+    "ml_linear_regression",
+    "ml_naive_bayes_langid",
+    "ml_decision_stump",
+    "ml_knn_label_accuracy",
+    "ml_item_item_cf",
+    "ml_markov_next_event",
+    "ml_basket_rules",
+    "ml_boosted_stumps",
+    "ml_regression_calibration",
+    "ml_regression_kfold_cv",
+    # family representatives — the 5 stalest missing §2 families
+    # (all last witnessed r4), oldest member each (propose_window())
+    "ptf_apply_in_pandas_zscore",
+    "sample_bucket",
+    "scan_filter_project",
+    "q4_order_priority",
+    "udtf_explode_wordcount",
 ]
 
 

@@ -42,25 +42,32 @@ def test_oracle_keys_subset_of_queries(spark):
 
 def test_driver_window_spans_every_survey_family():
     """The driver records only the first 50 queries() entries; pin the
-    window invariants. Family coverage (VERDICT r01 next-round #1) is
-    required only while slots are free: when the never-driver-witnessed
-    backlog is >= 50, the r4 verdict's rotation rule takes precedence —
-    EVERY slot goes to the backlog (a family whose members are all
-    already witnessed keeps its latest driver row as authoritative) and
-    a family-rep slot would just delay draining the ledger.
+    window invariants.  Since r8 the rotation rule is CODE —
+    tools/witness_ledger.propose_window() (VERDICT r7 #6) — and this
+    test asserts the committed DRIVER_WINDOW matches it, which covers
+    all three regimes in one mechanism:
 
-    ADVICE r6-2 extension: an already-witnessed entry whose CONTRACT
-    changed since its last driver row (declared in CONTRACT_CHANGED)
-    shares first claim with the backlog — "red OR contract-changed" —
-    so the r4/r5 'contract changed, witness first' discipline holds
-    even while the backlog saturates the window."""
+    * backlog >= 50: every slot drains the never-witnessed ledger in
+      registry order (CONTRACT_CHANGED shares first claim, ADVICE
+      r6-2 "red OR contract-changed");
+    * 0 < backlog < 50 (the r8 transition): the whole backlog plus
+      stalest-missing-family representatives in the free slots;
+    * backlog == 0 (r9+): CONTRACT_CHANGED, then one rep per required
+      §2 family (stalest family first), then oldest-witness-first
+      re-records — never an entry already fresh in the latest
+      CORRECTNESS file.
+
+    The proposal depends on the witness ledger, so this test goes RED
+    the moment the driver lands a new CORRECTNESS file — the same
+    forcing function as before: rotation is non-optional task #1 each
+    round."""
     from hive_release_spark.queries import (
         CONTRACT_CHANGED,
         DRIVER_WINDOW,
         REGISTRY,
         queries,
     )
-    from tools.witness_ledger import witnessed_names
+    from tools.witness_ledger import correctness_files, propose_window
 
     assert len(DRIVER_WINDOW) == 50
     assert len(set(DRIVER_WINDOW)) == 50
@@ -73,16 +80,12 @@ def test_driver_window_spans_every_survey_family():
     # ... and must EXPIRE once witnessed (ADVICE r7-3): when the
     # latest CORRECTNESS file already records an entry, its declared
     # contract change has been driver-witnessed — a stale declaration
-    # would let future windows waste slots while the backlog waits.
-    # This goes red the moment the driver lands the next CORRECTNESS
-    # file, forcing the list to be cleared (or repopulated with that
-    # round's own changes) at rotation time — same forcing-function
-    # pattern as the window-rotation tripwire above.
-    import glob
+    # would waste future slots.  Latest = highest parsed round number
+    # (lexicographic sort puts r100 before r99 — ADVICE r7-4).
     import json
     from pathlib import Path
 
-    latest = sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json")))[-1]
+    latest = correctness_files()[-1]
     with open(latest) as f:
         latest_names = set(json.load(f))
     stale = [n for n in CONTRACT_CHANGED if n in latest_names]
@@ -91,28 +94,13 @@ def test_driver_window_spans_every_survey_family():
         f"— clear them at rotation: {stale}"
     )
 
-    seen = witnessed_names()
-    never = [n for n in REGISTRY if n not in seen]
-    if len(never) >= 50:
-        # backlog saturates the window: no slot may be wasted on an
-        # already-witnessed entry unless its contract changed
-        wasted = [
-            n for n in DRIVER_WINDOW
-            if n in seen and n not in CONTRACT_CHANGED
-        ]
-        assert not wasted, f"backlog >= 50 but window re-records: {wasted}"
-    else:
-        window_tags = {t for n in DRIVER_WINDOW for t in REGISTRY[n].tags}
-        # one representative per §2 subsection family
-        required = {
-            "scan", "agg", "topk", "join", "outer", "window", "setop",
-            "functions", "udtf", "ptf", "script",
-            "streaming", "session_window",
-            "dedup", "neardup", "similarity", "ann", "text", "multimodal",
-            "sample", "tpch", "sketch",
-        }
-        missing = required - window_tags
-        assert not missing, f"driver window misses families: {missing}"
+    proposed = propose_window()
+    extra = sorted(set(DRIVER_WINDOW) - set(proposed))
+    absent = sorted(set(proposed) - set(DRIVER_WINDOW))
+    assert not extra and not absent, (
+        "DRIVER_WINDOW deviates from witness_ledger.propose_window() —"
+        f" unexpected {extra}, missing {absent}"
+    )
 
     # the window should be dominated by oracle-gated queries
     oracled = sum(1 for n in DRIVER_WINDOW if REGISTRY[n].oracle is not None)
