@@ -99,70 +99,113 @@ HEADLINE = (
 # graph_jaccard_neighbors, stream_stream_full_join,
 # stream_watermark_late_drop, sql_recursive_calendar, udtf_stack,
 # fn_json, dq_key_skew_profile.
-# r7 selection (VERDICT r6 #3): 40 more never-benched entries,
-# family-spread — TPC-H correlated/EXISTS shapes, grouping-set +
-# pivot aggs, window frame variants, as-of/skew/unique joins, set
-# ops, samplers, the function-surface tier, UDTF/PTF/TRANSFORM
-# extension paths, streaming session/join/dedup, the exact-dedup
-# chain, multimodal Arrow plumbing, k-means/whitening embeddings,
-# and BM25. Benched coverage after this leg: 120/361.
+# r7 selection (VERDICT r6 #3; kept for the benched-set ledger):
+# q2_min_cost_supplier, q4_order_priority, q10_returned_items,
+# q16_supplier_cnt, q19_disjunctive_revenue, ds_hierarchy_rank,
+# ds_week_over_week, agg_rollup, agg_pivot, agg_trimmed_stats,
+# window_share_of_total, window_groups_frame, window_ignore_nulls,
+# join_asof_forward, join_salted_skew, join_unique,
+# setop_intersect_all, sort_null_ordering, sample_stratified_neyman,
+# fn_datetime, fn_complex_types, fn_hof_surface, fn_try_family,
+# udtf_python, ptf_matchpath, script_transform,
+# stream_session_dynamic, stream_stream_left_join,
+# stream_dedup_first, dedup_exact, dedup_connected_components,
+# dedup_sorted_neighborhood, dedup_threshold_sweep,
+# pipeline_incremental_dedup, pipeline_quality_ablation,
+# multimodal_features, multimodal_frame_sample, emb_kmeans,
+# emb_whitening, search_bm25_rank. Coverage after r7: 120/361.
+# r8 selection (VERDICT r7 #4): 40 more never-benched entries,
+# family-spread — the remaining six TPC-H shapes (all 22 now benched),
+# three TPC-DS shapes, sketch/cube/bloom/corr-matrix aggs, window
+# frame + ranking variants, broadcast/semi/merge/as-of joins,
+# correlated subqueries, set ops, top-k/offset sort paths, the
+# regex/variant/array function tiers, posexplode UDTF, the zscore
+# PTF, scan pushdown, sliding + stream-stream streaming shapes,
+# record-linkage + Arrow-cosine + near-dedup-pipeline LLM ops,
+# Kaplan-Meier survival, gap-fill, and chi-square. Coverage after
+# this leg: 160/361.
 ROTATING_LEG = (
-    "q2_min_cost_supplier", "q4_order_priority", "q10_returned_items",
-    "q16_supplier_cnt", "q19_disjunctive_revenue",
-    "ds_hierarchy_rank", "ds_week_over_week",
-    "agg_rollup", "agg_pivot", "agg_trimmed_stats",
-    "window_share_of_total", "window_groups_frame",
-    "window_ignore_nulls",
-    "join_asof_forward", "join_salted_skew", "join_unique",
-    "setop_intersect_all", "sort_null_ordering",
-    "sample_stratified_neyman",
-    "fn_datetime", "fn_complex_types", "fn_hof_surface",
-    "fn_try_family",
-    "udtf_python", "ptf_matchpath", "script_transform",
-    "stream_session_dynamic", "stream_stream_left_join",
-    "stream_dedup_first",
-    "dedup_exact", "dedup_connected_components",
-    "dedup_sorted_neighborhood", "dedup_threshold_sweep",
-    "pipeline_incremental_dedup", "pipeline_quality_ablation",
-    "multimodal_features", "multimodal_frame_sample",
-    "emb_kmeans", "emb_whitening",
-    "search_bm25_rank",
+    "q7_volume_shipping", "q11_important_parts", "q12_shipmode_priority",
+    "q14_promo_effect", "q15_top_supplier", "q20_excess_suppliers",
+    "ds_cross_channel_customers", "ds_year_over_year_spend",
+    "ds_topk_per_group",
+    "agg_cube", "agg_hll_sketch", "agg_bloom_filter", "agg_corr_matrix",
+    "window_ranking", "window_range_frame", "window_exclude_group_ties",
+    "join_broadcast_part", "join_left_semi", "join_merge_hint",
+    "join_asof_nearest",
+    "subquery_in", "subquery_scalar_correlated",
+    "setop_union",
+    "topk_orders", "limit_offset_page",
+    "fn_regex", "fn_variant_json", "fn_array_surface",
+    "udtf_posexplode", "ptf_apply_in_pandas_zscore",
+    "scan_filter_project",
+    "stream_sliding", "stream_stream_join",
+    "text_quality", "sim_cosine_topk_arrow", "dedup_record_linkage",
+    "pipeline_neardedup_corpus",
+    "events_survival_km", "timeseries_gap_fill",
+    "stats_chi_square",
 )
 
 
-def skew_leg(spark, sf_dir: str) -> dict[str, float]:
-    """Measured skew-join story (VERDICT r6 #8 stretch): a deliberately
-    Zipf-style skewed join — the fact replicated 8x (explode, ~4.8M
-    rows at sf0.1) then ~50% of rows remapped onto ONE supplier key by
-    a deterministic xxhash64 coin flip — timed three ways with dim
-    broadcast DISABLED (mirroring the 100 TB regime where the dim
-    outgrows the broadcast ceiling and the join must shuffle). The 8x
-    amplification matters: at raw sf0.1 the hot partition (~300k rows)
-    fits one task in under half a second and all three arms tie within
-    box noise. The skewed fact is PERSISTED and materialized before
-    any arm is timed (ADVICE r7-2: un-persisted, every arm re-paid the
-    same scan+explode inside its number), so the arms time the
-    shuffle+join alone.
+def skew_leg(spark, sf_dir: str):
+    """Measured skew-join story (VERDICT r6 #8 stretch, rebuilt r8 per
+    VERDICT r7 #3/#7): a deliberately Zipf-style skewed join — the
+    fact replicated 8x (explode, ~4.8M rows at sf0.1) then ~50% of
+    rows remapped onto ONE supplier key by a deterministic xxhash64
+    coin flip — timed three ways with dim broadcast DISABLED
+    (mirroring the 100 TB regime where the dim outgrows the broadcast
+    ceiling and the join must shuffle). The skewed fact is PERSISTED
+    and materialized before any arm is timed (ADVICE r7-2), so the
+    arms time the shuffle+join alone.
 
-    Honest reading of the number (repeated r7 runs): salted beats
-    plain by a consistent ~10-15% and AQE ~ties plain at this scale —
-    the 2.4M-row hot reduce task overlaps the balanced map work on 32
-    local cores, so wall-clock only sees the straggler's tail. The
-    quantity that actually kills a 100 TB run is the hot PARTITION'S
-    MEMORY (240M rows in one task at 100x = spill/OOM), which no
-    sf0.1 wall-clock can exhibit — the salted/AQE plan tests remain
-    the primary evidence; this leg is the directional witness that
-    the mitigations are not regressions.
+    Two structural defects in the r7 leg, found r8 by the new
+    partition-row proxy, are fixed here — both are 100 TB lessons:
 
-    - ``plain``: AQE skew split off → the hot key lands in one task
+    1. **A single-mapper shuffle cannot be skew-split.** The r7 fact
+       was one parquet file -> ONE scan task -> one shuffle mapper,
+       and AQE splits a skewed reduce partition only at MAPPER
+       boundaries — with one mapper there is nothing to split, at ANY
+       threshold. The fact is now ``repartition(64)`` before persist
+       (mirrors a real multi-file scan). Cluster lesson: a skewed
+       join fed by a single/few-mapper stage (one giant file, a
+       coalesce(1) upstream) is beyond AQE's reach.
+    2. **Skew detection is compressed-BYTES-based and a constant-key
+       hot partition compresses pathologically well.** Measured at
+       sf0.1: the hot partition holds 2.45M rows vs the ~76k median
+       (32x row skew) but its lz4 map-output bytes land under 2x the
+       median — below the default 5x factor, so AQE never saw it
+       (BENCH_r07's "aqe" arm was plain + overhead; the r7 prose
+       claiming a salted win was wrong too, per the driver's own
+       numbers). The aqe arm now lowers skewedPartitionFactor to 1.2
+       + threshold 100k so the byte heuristic can see through the
+       compression at bench scale. Cluster lesson: AQE protects
+       shuffle BYTES; if deserialized row memory or per-row compute
+       is the binding constraint, the byte heuristic under-fires on
+       low-entropy hot keys — salt deterministically
+       (operators/skew.py) when you know the key.
+
+    With the mitigations actually engaged (this box, sf0.1,
+    local[32]): plain ~2.5s / salted ~2.1s / aqe ~1.5s, and the
+    row proxy shows the real story: max join-output partition rows
+    plain ~2.45M (hot key in one task) / salted ~650k (8-salt
+    scatter + hash collisions at 32 partitions) / aqe ~1.2M
+    (split at mapper granularity by the advisory size). Wall-clock
+    is box-noisy — read the proxy first; it is the quantity that
+    becomes spill/OOM at 100x (240M rows in one task).
+
+    - ``plain``: AQE skew split off -> the hot key lands in one task
       (the pathological straggler baseline);
-    - ``aqe``: AQE skew split on with thresholds lowered to fire at
-      bench scale (defaults need 256 MB partitions);
+    - ``aqe``: AQE skew split on, thresholds lowered as above;
     - ``salted``: the compile-time ``salted_join`` scatter over 8
       deterministic salts (operators/skew.py).
 
-    Median-of-3 per arm, stamped into BENCH_DETAIL["skew"] — converts
-    the skew-join plan assertions into a measured number."""
+    Median-of-3 wall-clock per arm -> BENCH_DETAIL["skew"]; the
+    untimed per-arm partition profile (max rows in one join-output
+    partition + partition count, via spark_partition_id with AQE
+    coalescing disabled so tiny bench partitions aren't merged) ->
+    BENCH_DETAIL["skew_detail"] (VERDICT r7 #7).
+
+    Returns (wall_clock_by_arm, partition_profile_by_arm)."""
     from pyspark.sql import functions as F
 
     from hive_release_spark.catalog import load_table
@@ -184,6 +227,11 @@ def skew_leg(spark, sf_dir: str) -> dict[str, float]:
             .alias("l_suppkey"),
             "l_quantity",
         )
+        # multi-mapper map side (docstring defect #1): one parquet
+        # file scans as ONE task, and a single-mapper shuffle can
+        # never be skew-split — spread the cache like a real
+        # multi-file scan would be
+        .repartition(64)
     )
     li = li.persist()
     li.count()  # materialize the cache outside the timed region
@@ -203,45 +251,89 @@ def skew_leg(spark, sf_dir: str) -> dict[str, float]:
         )
         return time.time() - t0
 
+    def partition_profile(build) -> dict[str, int]:
+        """Hot-partition memory proxy (VERDICT r7 #7): row count of the
+        fattest partition at the JOIN OUTPUT (pre-agg), via
+        spark_partition_id — the per-task memory a 100x run must hold.
+        Untimed; runs under the same skew confs as the arm it profiles,
+        but with AQE partition COALESCING off: at bench scale the whole
+        join output is smaller than the 64 MB advisory and coalescing
+        would merge every arm to one partition, erasing exactly the
+        per-reduce-task distribution this proxy exists to show."""
+        coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+        saved_coalesce = conf.get(coalesce_key)
+        conf.set(coalesce_key, "false")
+        try:
+            prof = (
+                build()
+                .select(F.spark_partition_id().alias("__pid"))
+                .groupBy("__pid")
+                .count()
+                .agg(
+                    F.max("count").alias("max_rows"),
+                    F.count("*").alias("n_parts"),
+                )
+            )
+            sizes = prof.collect()[0]
+            plan = prof._jdf.queryExecution().executedPlan().toString()
+        finally:
+            conf.set(coalesce_key, saved_coalesce)
+        return {
+            "max_partition_rows": int(sizes["max_rows"]),
+            "n_partitions": int(sizes["n_parts"]),
+            "skew_split_fired": "skew=true" in plan,
+        }
+
     conf = spark.conf
     saved = {
         k: conf.get(k)
         for k in (
             "spark.sql.autoBroadcastJoinThreshold",
             "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
         )
     }
     out: dict[str, float] = {}
+    detail: dict[str, dict[str, int]] = {}
     try:
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
         conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        plain_arm = lambda: li.join(supp, "l_suppkey")  # noqa: E731
+        salted_arm = lambda: salted_join(  # noqa: E731
+            li, supp, on="l_suppkey", n_salts=8
+        )
         out["plain"] = round(
-            sorted(run_arm(lambda: li.join(supp, "l_suppkey")) for _ in range(3))[1], 3
+            sorted(run_arm(plain_arm) for _ in range(3))[1], 3
         )
+        detail["plain"] = partition_profile(plain_arm)
         out["salted"] = round(
-            sorted(
-                run_arm(lambda: salted_join(li, supp, on="l_suppkey", n_salts=8))
-                for _ in range(3)
-            )[1],
-            3,
+            sorted(run_arm(salted_arm) for _ in range(3))[1], 3
         )
+        detail["salted"] = partition_profile(salted_arm)
 
         conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # factor 1.2 + 100k threshold: the compressed-bytes heuristic
+        # needs this to see the 32x ROW skew through the constant-key
+        # compression (docstring defect #2; default factor 5 never
+        # fires on this shape at any threshold)
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
         conf.set(
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "100k",
         )
         conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
         out["aqe"] = round(
-            sorted(run_arm(lambda: li.join(supp, "l_suppkey")) for _ in range(3))[1], 3
+            sorted(run_arm(plain_arm) for _ in range(3))[1], 3
         )
+        detail["aqe"] = partition_profile(plain_arm)
     finally:
         for k, v in saved.items():
             conf.set(k, v)
         li.unpersist()
-    return out
+    return out, detail
 
 
 def main() -> None:
@@ -304,7 +396,7 @@ def main() -> None:
         rotating[name] = round(sorted(run(name) for _ in range(3))[1], 3)
     rotating_total = round(sum(rotating.values()), 3)
 
-    skew = skew_leg(spark, sf_dir)
+    skew, skew_detail = skew_leg(spark, sf_dir)
 
     total = round(sum(per_query.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -318,6 +410,7 @@ def main() -> None:
         "rotating": rotating,
         "rotating_total_sec": rotating_total,
         "skew": skew,
+        "skew_detail": skew_detail,
         "sf": sf_val,
     }
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
@@ -339,6 +432,9 @@ def main() -> None:
                 "rotating_total_sec": rotating_total,
                 "n_rotating": len(rotating),
                 "skew": skew,
+                "skew_max_rows": {
+                    k: v["max_partition_rows"] for k, v in skew_detail.items()
+                },
             },
             separators=(",", ":"),
         )

@@ -37,6 +37,9 @@ def test_final_summary_line_fits_driver_tail():
             "rotating_total_sec": 9999.999,
             "n_rotating": 40,
             "skew": {"plain": 999.999, "salted": 999.999, "aqe": 999.999},
+            "skew_max_rows": {
+                "plain": 99999999, "salted": 99999999, "aqe": 99999999
+            },
         },
         separators=(",", ":"),
     )
