@@ -237,7 +237,20 @@ def lsh_bucket_topk(
     same matmul). The constant matrix (n_tables×n_planes×dim doubles,
     ~16 KB at the defaults) rides the task closure; the n_tables-way
     posting expansion happens inside the kernel, replacing the
-    explode."""
+    explode.
+
+    Boundary sensitivity for EXTERNAL callers (ADVICE r7-4): the sign
+    bit ``proj > 0`` is evaluated under BLAS summation order, which
+    can differ from a sequential fold (or another engine's SQL
+    replay) by ~1e-13 in the projection value. The fixture-margin
+    guarantee above is FIXTURE-scoped (min |proj| ≈ 1.7e-7 on the
+    test corpora), not a property of the function: an arbitrary
+    input vector whose projection lands within float-summation drift
+    of zero can legitimately bucket differently across engines or
+    BLAS builds. That flips membership of ONE table's bucket for
+    that vector — with OR-amplification across ``n_tables`` the
+    practical effect is a marginal candidate appearing/vanishing,
+    i.e. approximate-recall jitter, not corruption."""
     import numpy as np
     import pandas as pd
 
