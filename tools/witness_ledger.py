@@ -84,11 +84,20 @@ def witnessed_names() -> set[str]:
     return set(witness_rounds())
 
 
-def propose_window(contract_changed: list[str] | None = None) -> list[str]:
-    """The deterministic next DRIVER_WINDOW (see module docstring)."""
+def propose_window(
+    contract_changed: list[str] | None = None,
+    rounds: dict[str, int] | None = None,
+) -> list[str]:
+    """The deterministic next DRIVER_WINDOW (see module docstring).
+
+    ``rounds`` (name -> latest witness round) defaults to the real
+    ledger from CORRECTNESS_r*.json; tests inject synthetic ledgers to
+    exercise the regimes (e.g. the post-drain branch before any round
+    has actually drained)."""
     if contract_changed is None:
         contract_changed = list(CONTRACT_CHANGED)
-    rounds = witness_rounds()
+    if rounds is None:
+        rounds = witness_rounds()
     latest_round = max(rounds.values(), default=0)
     names = list(REGISTRY)
     order = {n: i for i, n in enumerate(names)}
@@ -119,6 +128,10 @@ def propose_window(contract_changed: list[str] | None = None) -> list[str]:
     for fam in missing:
         if len(window) >= WINDOW_SIZE:
             break
+        if fam in covered:
+            # an earlier rep's secondary tags already covered this
+            # family — don't waste a slot on a redundant rep
+            continue
         members = sorted(
             (
                 n for n in family_members(fam)
@@ -131,6 +144,7 @@ def propose_window(contract_changed: list[str] | None = None) -> list[str]:
         # would waste the slot
         if members:
             window.append(members[0])
+            covered |= set(REGISTRY[members[0]].tags)
 
     # oldest-witness-first fill (post-drain regime); skip rows already
     # fresh in the latest round — re-recording them wastes the slot
