@@ -313,8 +313,13 @@ def in_bloom_filter(col, bloom: dict) -> Column:
     array of m/64 longs (e.g. 98 longs for n=1000 @ 5%)."""
     m, k = bloom["m"], bloom["k"]
     words = bloom["words"]
-    arr = F.array(
-        *[F.lit(words.get(i, 0)).cast("long") for i in range(m // 64)]
+    # ONE array literal, not m/64 Literal+CreateArray nodes: the column
+    # tree below references the bitset once per hash check, and at
+    # sf0.1 sizing (~1 400 words x k=5 checks) the per-word form built
+    # a ~7 000-node expression whose analysis/codegen dominated the
+    # whole query (5 s for a 15 k-row probe, r8 rotating-leg finding)
+    arr = F.lit([int(words.get(i, 0)) for i in range(m // 64)]).cast(
+        "array<long>"
     )
     checks = []
     for p in _bloom_positions(col, m, k):
