@@ -46,6 +46,41 @@ def test_final_summary_line_fits_driver_tail():
     assert len(worst) < 1600, len(worst)
 
 
+def test_skew_leg_contract(spark):
+    """skew_leg returns (wall_clock_by_arm, profile_by_arm) with the
+    three arms and the r8 partition-row proxy fields, restores every
+    conf it touches, and leaves no cache behind — a broken bench
+    harness records parsed:null at the driver gate, so its contract is
+    pinned at sf0.001 (cheap: ~400 rows per arm)."""
+    from bench import skew_leg
+
+    conf_keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+    )
+    before = {k: spark.conf.get(k) for k in conf_keys}
+    wall, detail = skew_leg(spark, "/root/testdata/sf0.001")
+    assert set(wall) == {"plain", "salted", "aqe"}
+    assert all(v > 0 for v in wall.values())
+    assert set(detail) == {"plain", "salted", "aqe"}
+    for prof in detail.values():
+        assert prof["max_partition_rows"] > 0
+        assert prof["n_partitions"] > 0
+        assert isinstance(prof["skew_split_fired"], bool)
+    # the salted scatter must shrink the hot partition even at tiny SF
+    assert (
+        detail["salted"]["max_partition_rows"]
+        < detail["plain"]["max_partition_rows"]
+    )
+    after = {k: spark.conf.get(k) for k in conf_keys}
+    assert after == before
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0
+
+
 def test_rotating_leg_names_resolve_disjoint_from_headline():
     from bench import HEADLINE, ROTATING_LEG
     from hive_release_spark.queries import REGISTRY
