@@ -83,37 +83,70 @@ HEADLINE = (
 # BENCH_DETAIL.json["rotating"]; the final driver-parsed line carries
 # the leg's total + count only (the per-query map would regrow the
 # line past the stdout-tail budget, the r4 parsed:null lesson).
-# r6 selection (kept in the comment for the benched-set ledger; the
-# tuple below is the CURRENT round's leg): q8_market_share,
-# q9_product_profit, q17_small_quantity_revenue, q22_dormant_customers,
-# ds_spend_growth_pairs, ds_worst_return_ratios,
-# ds_sales_deviation_rank, agg_percentile, agg_distinct,
-# agg_grouping_id, window_range_interval, window_running_distinct,
-# window_moving_median, join_full_outer, join_theta_residual,
-# dedup_embedding_cosine, dedup_semantic_cells, sim_ann_ivf,
-# emb_pca_project, dedup_simhash_banded, events_sessionize_ids,
-# customer_cohort_ltv, events_top_paths, orders_stl_decompose,
-# dq_distribution_drift_psi, stats_spearman_corr, stats_anova_oneway,
-# stats_randomization_test, ml_boosted_stumps, ml_knn_label_accuracy,
-# timeseries_holt_winters, timeseries_autocorr, join_range_bucketed,
-# graph_jaccard_neighbors, stream_stream_full_join,
-# stream_watermark_late_drop, sql_recursive_calendar, udtf_stack,
-# fn_json, dq_key_skew_profile.
-# r7 selection (VERDICT r6 #3; kept for the benched-set ledger):
-# q2_min_cost_supplier, q4_order_priority, q10_returned_items,
-# q16_supplier_cnt, q19_disjunctive_revenue, ds_hierarchy_rank,
-# ds_week_over_week, agg_rollup, agg_pivot, agg_trimmed_stats,
-# window_share_of_total, window_groups_frame, window_ignore_nulls,
-# join_asof_forward, join_salted_skew, join_unique,
-# setop_intersect_all, sort_null_ordering, sample_stratified_neyman,
-# fn_datetime, fn_complex_types, fn_hof_surface, fn_try_family,
-# udtf_python, ptf_matchpath, script_transform,
-# stream_session_dynamic, stream_stream_left_join,
-# stream_dedup_first, dedup_exact, dedup_connected_components,
-# dedup_sorted_neighborhood, dedup_threshold_sweep,
-# pipeline_incremental_dedup, pipeline_quality_ablation,
-# multimodal_features, multimodal_frame_sample, emb_kmeans,
-# emb_whitening, search_bm25_rank. Coverage after r7: 120/361.
+# The benched-set ledger is DATA, not comments (r8 — same promotion
+# as the DRIVER_WINDOW rotation rule): past legs live in
+# BENCHED_HISTORY, test_bench_contract asserts the current leg is
+# disjoint from headline + every past leg, and never_benched() emits
+# the next round's candidates in registry order — at rotation time,
+# append the current ROTATING_LEG to BENCHED_HISTORY and take the
+# first 40 of `python -c "import bench; print(bench.never_benched()[:40])"`.
+BENCHED_HISTORY = {
+    6: (
+        "q8_market_share", "q9_product_profit",
+        "q17_small_quantity_revenue", "q22_dormant_customers",
+        "ds_spend_growth_pairs", "ds_worst_return_ratios",
+        "ds_sales_deviation_rank", "agg_percentile", "agg_distinct",
+        "agg_grouping_id", "window_range_interval",
+        "window_running_distinct", "window_moving_median",
+        "join_full_outer", "join_theta_residual",
+        "dedup_embedding_cosine", "dedup_semantic_cells", "sim_ann_ivf",
+        "emb_pca_project", "dedup_simhash_banded",
+        "events_sessionize_ids", "customer_cohort_ltv",
+        "events_top_paths", "orders_stl_decompose",
+        "dq_distribution_drift_psi", "stats_spearman_corr",
+        "stats_anova_oneway", "stats_randomization_test",
+        "ml_boosted_stumps", "ml_knn_label_accuracy",
+        "timeseries_holt_winters", "timeseries_autocorr",
+        "join_range_bucketed", "graph_jaccard_neighbors",
+        "stream_stream_full_join", "stream_watermark_late_drop",
+        "sql_recursive_calendar", "udtf_stack", "fn_json",
+        "dq_key_skew_profile",
+    ),
+    7: (
+        "q2_min_cost_supplier", "q4_order_priority", "q10_returned_items",
+        "q16_supplier_cnt", "q19_disjunctive_revenue",
+        "ds_hierarchy_rank", "ds_week_over_week",
+        "agg_rollup", "agg_pivot", "agg_trimmed_stats",
+        "window_share_of_total", "window_groups_frame",
+        "window_ignore_nulls",
+        "join_asof_forward", "join_salted_skew", "join_unique",
+        "setop_intersect_all", "sort_null_ordering",
+        "sample_stratified_neyman",
+        "fn_datetime", "fn_complex_types", "fn_hof_surface",
+        "fn_try_family",
+        "udtf_python", "ptf_matchpath", "script_transform",
+        "stream_session_dynamic", "stream_stream_left_join",
+        "stream_dedup_first",
+        "dedup_exact", "dedup_connected_components",
+        "dedup_sorted_neighborhood", "dedup_threshold_sweep",
+        "pipeline_incremental_dedup", "pipeline_quality_ablation",
+        "multimodal_features", "multimodal_frame_sample",
+        "emb_kmeans", "emb_whitening",
+        "search_bm25_rank",
+    ),
+}
+
+
+def never_benched() -> list:
+    """Registry entries never timed by the headline or any rotating
+    leg (past or current) — the candidate pool for the next leg, in
+    registry order."""
+    seen = set(HEADLINE) | set(ROTATING_LEG)
+    for leg in BENCHED_HISTORY.values():
+        seen |= set(leg)
+    return [n for n in REGISTRY if n not in seen]
+
+
 # r8 selection (VERDICT r7 #4): 40 more never-benched entries,
 # family-spread — the remaining six TPC-H shapes (all 22 now benched),
 # three TPC-DS shapes, sketch/cube/bloom/corr-matrix aggs, window

@@ -82,7 +82,7 @@ def test_skew_leg_contract(spark):
 
 
 def test_rotating_leg_names_resolve_disjoint_from_headline():
-    from bench import HEADLINE, ROTATING_LEG
+    from bench import BENCHED_HISTORY, HEADLINE, ROTATING_LEG, never_benched
     from hive_release_spark.queries import REGISTRY
 
     missing = [n for n in ROTATING_LEG if n not in REGISTRY]
@@ -91,3 +91,20 @@ def test_rotating_leg_names_resolve_disjoint_from_headline():
     overlap = set(ROTATING_LEG) & set(HEADLINE)
     assert not overlap, overlap
     assert 30 <= len(ROTATING_LEG) <= 50
+
+    # the benched-set ledger (r8): the current leg must be entries no
+    # prior leg timed, every historical name must still resolve, and
+    # the candidate pool for next round's swap must account for every
+    # registry entry exactly once
+    for rnd, leg in BENCHED_HISTORY.items():
+        stale = [n for n in leg if n not in REGISTRY]
+        assert not stale, f"r{rnd} ledger names left the registry: {stale}"
+        rebenched = set(ROTATING_LEG) & set(leg)
+        assert not rebenched, f"current leg re-times r{rnd} entries: {rebenched}"
+    pool = never_benched()
+    benched = (
+        set(HEADLINE)
+        | set(ROTATING_LEG)
+        | {n for leg in BENCHED_HISTORY.values() for n in leg}
+    )
+    assert len(pool) + len(benched) == len(REGISTRY)
