@@ -11,7 +11,8 @@ Hive's SerDe matrix → Spark datasources:
 | Parquet (ParquetHiveSerDe)                      | ``parquet``       |
 | AvroSerDe                                       | ``avro`` (probed) |
 | RegexSerDe                                      | ``read_regex``    |
-| RCFile/SequenceFile (legacy row/columnar)       | mapped to orc/parquet (documented) |
+| SequenceFile (LazySimpleSerDe text rows)        | ``read_sequencefile`` / ``write_sequencefile`` (native Hadoop IO, any session) |
+| RCFile (columnar LazyBinaryColumnarSerDe)       | ``read_rcfile_table`` / ``write_rcfile_table`` (STORED AS RCFILE via Spark's built-in Hive support — needs a Hive-catalog session, ``require_hive_catalog``) |
 | JDBC (Hive is server-side only; Spark reads too)| ``jdbc`` passthrough |
 
 Partitioned/bucketed/sorted writes + dynamic partition overwrite map
@@ -93,6 +94,127 @@ def write_delimited(
 
 def read_delimited(spark: SparkSession, path: str, schema, sep: str = "\x01") -> DataFrame:
     return spark.read.schema(schema).option("sep", sep).csv(path)
+
+
+HIVE_NULL = "\\N"  # LazySimpleSerDe's NULL sentinel
+
+
+def write_sequencefile(
+    df: DataFrame, path: str, sep: str = "\x01", null_value: str = HIVE_NULL
+) -> None:
+    """Hive SequenceFile table layout (SURVEY.md §2.G): each row one
+    Text value of ``sep``-delimited fields, NULLs as ``\\N`` — exactly
+    what ``STORED AS SEQUENCEFILE`` + LazySimpleSerDe produces, so
+    Hive reads these files and vice versa (cross-compat pinned by
+    tests/test_legacy_formats.py against Spark's own Hive SerDe path).
+    Runs on ANY session — SequenceFile IO is Hadoop core, no Hive
+    catalog or extra jars needed.
+
+    Every column is serialized through its string form; NULL must be
+    the sentinel, NOT dropped — ``concat_ws`` skips nulls and would
+    SHIFT the remaining fields into the wrong columns, the classic
+    delimited-text corruption."""
+    value = F.concat_ws(
+        sep,
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(null_value))
+            for c in df.columns
+        ],
+    )
+    (
+        df.select(value.alias("v"))
+        .rdd.map(lambda r: ("", r.v))
+        .saveAsSequenceFile(path)
+    )
+
+
+def read_sequencefile(
+    spark: SparkSession,
+    path: str,
+    schema,
+    sep: str = "\x01",
+    null_value: str = HIVE_NULL,
+) -> DataFrame:
+    """Read a Hive-layout SequenceFile table directory (text rows,
+    ``sep``-delimited, ``\\N`` nulls) into a typed DataFrame. The key
+    class is ignored — Hive writes BytesWritable keys, this module's
+    writer Text keys; both read identically (``values()``), matching
+    Hive's own reader behavior. ``schema`` is a StructType or DDL
+    string; fields are positional, exactly LazySimpleSerDe's model."""
+    import re
+
+    schema = spark.createDataFrame([], schema).schema
+    values = spark.sparkContext.sequenceFile(path).values().map(lambda v: (v,))
+    lines = spark.createDataFrame(values, "value string")
+    parts = F.split("value", re.escape(sep), -1)
+    cols = []
+    for i, field in enumerate(schema.fields):
+        raw = F.element_at(parts, i + 1)
+        cols.append(
+            F.when(raw == null_value, F.lit(None))
+            .otherwise(raw)
+            .cast(field.dataType)
+            .alias(field.name)
+        )
+    return lines.select(*cols)
+
+
+def hive_catalog_available(spark: SparkSession) -> bool:
+    return spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive"
+
+
+def require_hive_catalog(spark: SparkSession) -> None:
+    """Loud gate for the RCFile path. Spark's RCFile support rides the
+    built-in Hive SerDe classes (hive-serde/hive-exec jars ARE on this
+    classpath) but only through ``STORED AS RCFILE`` tables, which need
+    a Hive-catalog session. catalogImplementation is fixed per JVM at
+    first-session creation, so a migration job reading RCFile data
+    runs in its own process:
+
+        SparkSession.builder.enableHiveSupport().getOrCreate()
+
+    (tests/test_legacy_formats.py drives exactly that in a
+    subprocess)."""
+    if not hive_catalog_available(spark):
+        raise RuntimeError(
+            "RCFile requires a Hive-catalog session "
+            "(SparkSession.builder.enableHiveSupport(), a fresh JVM): "
+            "Spark reads/writes STORED AS RCFILE through the built-in "
+            "Hive SerDe, and this session's catalog is in-memory."
+        )
+
+
+def write_rcfile_table(df: DataFrame, table: str, path: str) -> None:
+    """CREATE TABLE ... STORED AS RCFILE at an external LOCATION and
+    insert ``df`` — Hive's columnar legacy format, byte-compatible with
+    real Hive 2.x RCFile data (same LazyBinaryColumnarSerDe classes)."""
+    spark = df.sparkSession
+    require_hive_catalog(spark)
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    spark.sql(
+        f"CREATE EXTERNAL TABLE {table} ({ddl}) STORED AS RCFILE "
+        f"LOCATION '{path}'"
+    )
+    df.write.mode("append").insertInto(table)
+
+
+def read_rcfile_table(
+    spark: SparkSession, path: str, schema, table: str
+) -> DataFrame:
+    """Read an RCFile directory by declaring an external ``STORED AS
+    RCFILE`` table over it (schema-on-read, Hive's model)."""
+    require_hive_catalog(spark)
+    schema = spark.createDataFrame([], schema).schema
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    spark.sql(
+        f"CREATE EXTERNAL TABLE IF NOT EXISTS {table} ({ddl}) "
+        f"STORED AS RCFILE LOCATION '{path}'"
+    )
+    return spark.table(table)
 
 
 def read_regex(
