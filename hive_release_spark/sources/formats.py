@@ -9,7 +9,7 @@ Hive's SerDe matrix → Spark datasources:
 | JsonSerDe / get_json_object                     | ``json``          |
 | ORC (OrcInputFormat/OrcSerde)                   | ``orc``           |
 | Parquet (ParquetHiveSerDe)                      | ``parquet``       |
-| AvroSerDe                                       | ``avro`` (probed) |
+| AvroSerDe                                       | ``avro`` datasource (probed, jar absent here) + ``read/write_avro_table`` (STORED AS AVRO via Hive AvroSerDe — works on this classpath, Hive-catalog session) |
 | RegexSerDe                                      | ``read_regex``    |
 | SequenceFile (LazySimpleSerDe text rows)        | ``read_sequencefile`` / ``write_sequencefile`` (native Hadoop IO, any session) |
 | RCFile (columnar LazyBinaryColumnarSerDe)       | ``read_rcfile_table`` / ``write_rcfile_table`` (STORED AS RCFILE via Spark's built-in Hive support — needs a Hive-catalog session, ``require_hive_catalog``) |
@@ -184,27 +184,24 @@ def require_hive_catalog(spark: SparkSession) -> None:
         )
 
 
-def write_rcfile_table(df: DataFrame, table: str, path: str) -> None:
-    """CREATE TABLE ... STORED AS RCFILE at an external LOCATION and
-    insert ``df`` — Hive's columnar legacy format, byte-compatible with
-    real Hive 2.x RCFile data (same LazyBinaryColumnarSerDe classes)."""
+def _hive_serde_write(
+    df: DataFrame, table: str, path: str, stored_as: str
+) -> None:
     spark = df.sparkSession
     require_hive_catalog(spark)
     ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     )
     spark.sql(
-        f"CREATE EXTERNAL TABLE {table} ({ddl}) STORED AS RCFILE "
+        f"CREATE EXTERNAL TABLE {table} ({ddl}) STORED AS {stored_as} "
         f"LOCATION '{path}'"
     )
     df.write.mode("append").insertInto(table)
 
 
-def read_rcfile_table(
-    spark: SparkSession, path: str, schema, table: str
+def _hive_serde_read(
+    spark: SparkSession, path: str, schema, table: str, stored_as: str
 ) -> DataFrame:
-    """Read an RCFile directory by declaring an external ``STORED AS
-    RCFILE`` table over it (schema-on-read, Hive's model)."""
     require_hive_catalog(spark)
     schema = spark.createDataFrame([], schema).schema
     ddl = ", ".join(
@@ -212,9 +209,47 @@ def read_rcfile_table(
     )
     spark.sql(
         f"CREATE EXTERNAL TABLE IF NOT EXISTS {table} ({ddl}) "
-        f"STORED AS RCFILE LOCATION '{path}'"
+        f"STORED AS {stored_as} LOCATION '{path}'"
     )
     return spark.table(table)
+
+
+def write_rcfile_table(df: DataFrame, table: str, path: str) -> None:
+    """CREATE TABLE ... STORED AS RCFILE at an external LOCATION and
+    insert ``df`` — Hive's columnar legacy format, byte-compatible with
+    real Hive 2.x RCFile data (same LazyBinaryColumnarSerDe classes)."""
+    _hive_serde_write(df, table, path, "RCFILE")
+
+
+def read_rcfile_table(
+    spark: SparkSession, path: str, schema, table: str
+) -> DataFrame:
+    """Read an RCFile directory by declaring an external ``STORED AS
+    RCFILE`` table over it (schema-on-read, Hive's model)."""
+    return _hive_serde_read(spark, path, schema, table, "RCFILE")
+
+
+def write_avro_table(df: DataFrame, table: str, path: str) -> None:
+    """Avro WITHOUT the spark-avro datasource: ``STORED AS AVRO``
+    rides Hive's AvroSerDe (hive-serde + avro core jars, both on this
+    classpath), producing genuine Avro container files (``Obj\\x01``
+    magic). Needs a Hive-catalog session like RCFile; the path-based
+    ``spark.read.format("avro")`` route stays gated behind
+    :func:`require_avro` until the datasource jar appears.
+
+    Reader schemas resolve by AVRO rules, not SQL casts: declaring
+    ``id INT`` over data written as ``BIGINT`` fails with "Found long,
+    expecting union[null, int]" — match the writer's declared types
+    (no implicit narrowing)."""
+    _hive_serde_write(df, table, path, "AVRO")
+
+
+def read_avro_table(
+    spark: SparkSession, path: str, schema, table: str
+) -> DataFrame:
+    """Read an Avro directory via an external ``STORED AS AVRO`` table
+    (Hive AvroSerDe — see :func:`write_avro_table`)."""
+    return _hive_serde_read(spark, path, schema, table, "AVRO")
 
 
 def read_regex(
