@@ -113,7 +113,15 @@ def write_sequencefile(
     Every column is serialized through its string form; NULL must be
     the sentinel, NOT dropped — ``concat_ws`` skips nulls and would
     SHIFT the remaining fields into the wrong columns, the classic
-    delimited-text corruption."""
+    delimited-text corruption.
+
+    Scale posture: this pair crosses the Python RDD API (rows pass
+    through Python workers), which is fine for the migration-scale
+    one-shot read-then-convert-to-parquet pattern these formats exist
+    for. For bulk 100 TB legacy reads prefer the fully-JVM Hive
+    SerDe route (``STORED AS SEQUENCEFILE`` external table in a
+    Hive-catalog session, same mechanics as :func:`read_rcfile_table`)
+    — both routes read the same bytes (compat test)."""
     value = F.concat_ws(
         sep,
         *[
