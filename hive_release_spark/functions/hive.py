@@ -13,14 +13,21 @@ constants (``ql/exec/FunctionRegistry.java``, classes ``ql/udf/*`` +
    Hive's UNIONTYPE as struct<tag:int, field0.., field1..>).
 
 Not carried over (documented): ewah_bitmap family (tied to Hive's
-removed index feature), get_splits (HS2-internal), reflect2 (JVM
-object-handle API). ``ngrams``/``context_ngrams`` live as DataFrame
-operators in ``hive_release_spark.llm.text`` (Spark has no UDAF
-extension point in Python; the operator form is the scale-correct one).
+removed index feature), get_splits (HS2-internal). ``ngrams``/
+``context_ngrams`` live as DataFrame operators in
+``hive_release_spark.llm.text`` (Spark has no UDAF extension point in
+Python; the operator form is the scale-correct one).
 
 Hive ``CREATE MACRO`` maps to plain Python functions returning Columns;
 ``CREATE FUNCTION ... USING JAR`` maps to ``spark.udf.register`` /
 ``spark.sql("CREATE FUNCTION ...")`` which Spark still supports.
+
+Fourth tier (r8): :func:`register_hive_udf` runs REAL Hive 2.3
+UDF/UDAF classes — the hive-exec 2.3.10 jar is on this classpath, so
+a Hive-catalog session executes the reference's own bytecode
+(GenericUDF/GenericUDAFResolver2/GenericUDTF, including ``reflect2``,
+previously documented as not carried). A migration user's custom
+``CREATE FUNCTION ... USING JAR`` classes load the same way.
 """
 
 from __future__ import annotations
@@ -253,6 +260,30 @@ def in_file_filter(df, col, filename: str, negate: bool = False):
 # xxhash64), bit_or aggregation over 64-bit words — all JVM-side builtins,
 # map-side partial aggregation, no Python, no RNG.
 # ---------------------------------------------------------------------------
+
+
+def register_hive_udf(spark, name: str, class_name: str, jar: str | None = None):
+    """Run a REAL Hive UDF/UDAF/UDTF class (SURVEY.md §2.I ``CREATE
+    FUNCTION [USING JAR]``): registers ``class_name`` under ``name``
+    via Spark's Hive function bridge and returns nothing — use the
+    function from SQL afterwards.
+
+    Requires a Hive-catalog session (the in-memory catalog's function
+    registry has no Hive-UDF handler — it raises NO_HANDLER_FOR_UDAF);
+    catalogImplementation is fixed per JVM, so like the RCFile path
+    this runs in a dedicated ``enableHiveSupport()`` process. The
+    hive-exec 2.3.10 jar already on this classpath supplies every
+    built-in Hive 2.3 class (e.g.
+    ``org.apache.hadoop.hive.ql.udf.generic.GenericUDFReflect2`` —
+    works; see tests/test_hive_udf_bridge.py); pass ``jar`` for a
+    user's own function jar (``USING JAR 'file:///...'``)."""
+    from hive_release_spark.sources.formats import require_hive_catalog
+
+    require_hive_catalog(spark)
+    using = f" USING JAR '{jar}'" if jar else ""
+    spark.sql(
+        f"CREATE TEMPORARY FUNCTION {name} AS '{class_name}'{using}"
+    )
 
 
 def bloom_params(expected_entries: int, fpp: float = 0.05) -> tuple[int, int]:
