@@ -85,15 +85,85 @@ def read_table(
     return r.load(path)
 
 
+def _lazy_serde_out(field) -> "F.Column":
+    """Write-side LazySimpleSerDe encoding of one column: scalars by
+    string cast, arrays joined on ``\\x02``, map entries joined on
+    ``\\x02`` with ``\\x03`` between key and value — Hive's default
+    one-level nested-collection layout (deeper nesting belongs in
+    ORC/parquet)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    if isinstance(field.dataType, ArrayType):
+        return F.array_join(
+            F.col(field.name).cast("array<string>"), "\x02"
+        ).alias(field.name)
+    if isinstance(field.dataType, MapType):
+        entry = F.transform(
+            F.map_entries(field.name),
+            lambda e: F.concat_ws(
+                "\x03", e["key"].cast("string"), e["value"].cast("string")
+            ),
+        )
+        return F.array_join(entry, "\x02").alias(field.name)
+    return F.col(field.name)
+
+
+def _lazy_serde_in(raw: "F.Column", data_type) -> "F.Column":
+    """Read-side twin of :func:`_lazy_serde_out`: re-assemble one
+    column from its string form."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    if isinstance(data_type, ArrayType):
+        return F.transform(
+            F.split(raw, "\x02"), lambda x: x.cast(data_type.elementType)
+        )
+    if isinstance(data_type, MapType):
+        pairs = F.transform(F.split(raw, "\x02"), lambda p: F.split(p, "\x03"))
+        return F.map_from_arrays(
+            F.transform(pairs, lambda p: p[0].cast(data_type.keyType)),
+            F.transform(pairs, lambda p: p[1].cast(data_type.valueType)),
+        )
+    return raw.cast(data_type)
+
+
 def write_delimited(
     df: DataFrame, path: str, sep: str = "\x01", mode: str = "overwrite"
 ) -> None:
-    """Hive LazySimpleSerDe default: ^A-delimited text."""
-    df.write.mode(mode).option("sep", sep).option("header", "false").csv(path)
+    """Hive LazySimpleSerDe default: ^A-delimited text, array/map
+    columns with the ``\\x02``/``\\x03`` nested-collection delimiters
+    (see :func:`_lazy_serde_out`)."""
+    (
+        df.select(*[_lazy_serde_out(f) for f in df.schema.fields])
+        .write.mode(mode)
+        .option("sep", sep)
+        .option("header", "false")
+        .csv(path)
+    )
 
 
 def read_delimited(spark: SparkSession, path: str, schema, sep: str = "\x01") -> DataFrame:
-    return spark.read.schema(schema).option("sep", sep).csv(path)
+    """Read LazySimpleSerDe delimited text; array/map columns in the
+    declared schema are re-assembled from the nested delimiters."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    schema = spark.createDataFrame([], schema).schema
+    flat_fields = []
+    for f in schema.fields:
+        if isinstance(f.dataType, (ArrayType, MapType)):
+            flat_fields.append(f"`{f.name}` STRING")
+        else:
+            flat_fields.append(f"`{f.name}` {f.dataType.simpleString()}")
+    raw = (
+        spark.read.schema(", ".join(flat_fields))
+        .option("sep", sep)
+        .csv(path)
+    )
+    return raw.select(
+        *[
+            _lazy_serde_in(F.col(f.name), f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
 
 
 HIVE_NULL = "\\N"  # LazySimpleSerDe's NULL sentinel
@@ -103,7 +173,9 @@ def write_sequencefile(
     df: DataFrame, path: str, sep: str = "\x01", null_value: str = HIVE_NULL
 ) -> None:
     """Hive SequenceFile table layout (SURVEY.md §2.G): each row one
-    Text value of ``sep``-delimited fields, NULLs as ``\\N`` — exactly
+    Text value of ``sep``-delimited fields, NULLs as ``\\N``,
+    array/map columns with the ``\\x02``/``\\x03`` nested-collection
+    delimiters (:func:`_lazy_serde_out`) — exactly
     what ``STORED AS SEQUENCEFILE`` + LazySimpleSerDe produces, so
     Hive reads these files and vice versa (cross-compat pinned by
     tests/test_legacy_formats.py against Spark's own Hive SerDe path).
@@ -125,8 +197,10 @@ def write_sequencefile(
     value = F.concat_ws(
         sep,
         *[
-            F.coalesce(F.col(c).cast("string"), F.lit(null_value))
-            for c in df.columns
+            F.coalesce(
+                _lazy_serde_out(f).cast("string"), F.lit(null_value)
+            )
+            for f in df.schema.fields
         ],
     )
     (
@@ -158,12 +232,8 @@ def read_sequencefile(
     cols = []
     for i, field in enumerate(schema.fields):
         raw = F.element_at(parts, i + 1)
-        cols.append(
-            F.when(raw == null_value, F.lit(None))
-            .otherwise(raw)
-            .cast(field.dataType)
-            .alias(field.name)
-        )
+        raw = F.when(raw == null_value, F.lit(None)).otherwise(raw)
+        cols.append(_lazy_serde_in(raw, field.dataType).alias(field.name))
     return lines.select(*cols)
 
 

@@ -108,15 +108,16 @@ def test_rcfile_and_hive_serde_compat_in_subprocess(tmp_path):
         # Avro rules (no long->int narrowing), so the declared read
         # schema must match what the writer table declared
         df = spark.createDataFrame(
-            [(1, "alice", 2.5), (2, None, 3.25)],
-            "id INT, name STRING, score DOUBLE",
+            [(1, "alice", 2.5, ["a", "b"]), (2, None, 3.25, ["c"])],
+            "id INT, name STRING, score DOUBLE, tags ARRAY<STRING>",
         )
+        SCHEMA = "id INT, name STRING, score DOUBLE, tags ARRAY<STRING>"
 
         # 1) RCFile roundtrip via the Hive SerDe
         rc_path = os.path.join({work!r}, "rc_data")
         write_rcfile_table(df, "rc_w", rc_path)
         back = read_rcfile_table(
-            spark, rc_path, "id INT, name STRING, score DOUBLE", "rc_r"
+            spark, rc_path, SCHEMA, "rc_r"
         )
         assert sorted(back.collect()) == sorted(df.collect()), "rcfile"
 
@@ -126,7 +127,7 @@ def test_rcfile_and_hive_serde_compat_in_subprocess(tmp_path):
         av_path = os.path.join({work!r}, "avro_data")
         write_avro_table(df, "av_w", av_path)
         av_back = read_avro_table(
-            spark, av_path, "id INT, name STRING, score DOUBLE", "av_r"
+            spark, av_path, SCHEMA, "av_r"
         )
         assert sorted(av_back.collect()) == sorted(df.collect()), "avro"
         import glob
@@ -136,8 +137,7 @@ def test_rcfile_and_hive_serde_compat_in_subprocess(tmp_path):
         # 2a) Hive's LazySimpleSerDe reads the NATIVE writer's files
         write_sequencefile(df, {seq_native!r})
         spark.sql(
-            "CREATE EXTERNAL TABLE seq_ext (id INT, name STRING, "
-            "score DOUBLE) STORED AS SEQUENCEFILE LOCATION '"
+            "CREATE EXTERNAL TABLE seq_ext (" + SCHEMA + ") STORED AS SEQUENCEFILE LOCATION '"
             + {seq_native!r} + "'"
         )
         assert sorted(spark.table("seq_ext").collect()) == sorted(
@@ -147,13 +147,10 @@ def test_rcfile_and_hive_serde_compat_in_subprocess(tmp_path):
         # 2b) the native reader reads HIVE-written SequenceFile data
         seq_hive = os.path.join({work!r}, "seq_hive")
         spark.sql(
-            "CREATE EXTERNAL TABLE seq_hw (id INT, name STRING, "
-            "score DOUBLE) STORED AS SEQUENCEFILE LOCATION '" + seq_hive + "'"
+            "CREATE EXTERNAL TABLE seq_hw (" + SCHEMA + ") STORED AS SEQUENCEFILE LOCATION '" + seq_hive + "'"
         )
         df.write.mode("append").insertInto("seq_hw")
-        got = read_sequencefile(
-            spark, seq_hive, "id INT, name STRING, score DOUBLE"
-        )
+        got = read_sequencefile(spark, seq_hive, SCHEMA)
         assert sorted(got.collect()) == sorted(df.collect()), "native reads hive seq"
         print("LEGACY_FORMATS_OK")
         """

@@ -49,6 +49,38 @@ def test_roundtrip_hive_delimited(spark, tmp_path):
     assert _same(df, back)
 
 
+def test_roundtrip_hive_delimited_nested_collections(spark, tmp_path):
+    """LazySimpleSerDe nested-collection delimiters (r8): array items
+    join on \\x02, map key/value on \\x03 — Hive's default one-level
+    table layout for complex columns in delimited text."""
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b"], [1, 2, 3], {"x": 1.5, "y": 2.5}),
+            (2, ["solo"], [7], {"z": 0.25}),
+        ],
+        "id INT, tags ARRAY<STRING>, nums ARRAY<INT>, m MAP<STRING, DOUBLE>",
+    )
+    p = str(tmp_path / "delim_nested")
+    formats.write_delimited(df, p)
+    back = formats.read_delimited(spark, p, df.schema)
+    # nullability flags may differ after transform/cast; types must not
+    assert back.schema.simpleString() == df.schema.simpleString()
+    got = {r.id: r for r in back.collect()}
+    want = {r.id: r for r in df.collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k].tags == want[k].tags
+        assert got[k].nums == want[k].nums
+        assert got[k].m == want[k].m
+    # the on-disk bytes really are Hive's layout, not quoted JSON-ish
+    raw = formats.read_delimited(
+        spark, p, "id INT, tags STRING, nums STRING, m STRING"
+    ).filter(F.col("id") == 1).first()
+    assert raw.tags == "a\x02b"
+    assert raw.nums == "1\x022\x023"
+    assert set(raw.m.split("\x02")) == {"x\x031.5", "y\x032.5"}
+
+
 def test_regex_serde(spark, tmp_path):
     """RegexSerDe: schema-on-read over raw lines."""
     p = str(tmp_path / "log")
