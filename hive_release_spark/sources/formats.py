@@ -88,20 +88,28 @@ def read_table(
 def _lazy_serde_out(field) -> "F.Column":
     """Write-side LazySimpleSerDe encoding of one column: scalars by
     string cast, arrays joined on ``\\x02``, map entries joined on
-    ``\\x02`` with ``\\x03`` between key and value — Hive's default
-    one-level nested-collection layout (deeper nesting belongs in
-    ORC/parquet)."""
+    ``\\x02`` with ``\\x03`` between key and value, null ELEMENTS as
+    ``\\N`` — Hive's default one-level nested-collection layout
+    (deeper nesting belongs in ORC/parquet). Known text-format
+    ambiguity, same as Hive's: an EMPTY collection serializes to ""
+    and deserializes as a one-empty-element collection — empty-vs-[""]
+    is not representable in delimited text."""
     from pyspark.sql.types import ArrayType, MapType
 
     if isinstance(field.dataType, ArrayType):
+        # null ELEMENTS need the \N sentinel too: array_join silently
+        # drops them otherwise, shifting every element after the null —
+        # the same corruption concat_ws causes at the row level
         return F.array_join(
-            F.col(field.name).cast("array<string>"), "\x02"
+            F.col(field.name).cast("array<string>"), "\x02", HIVE_NULL
         ).alias(field.name)
     if isinstance(field.dataType, MapType):
         entry = F.transform(
             F.map_entries(field.name),
-            lambda e: F.concat_ws(
-                "\x03", e["key"].cast("string"), e["value"].cast("string")
+            lambda e: F.concat(
+                e["key"].cast("string"),  # map keys are non-null in Spark
+                F.lit("\x03"),
+                F.coalesce(e["value"].cast("string"), F.lit(HIVE_NULL)),
             ),
         )
         return F.array_join(entry, "\x02").alias(field.name)
@@ -113,15 +121,22 @@ def _lazy_serde_in(raw: "F.Column", data_type) -> "F.Column":
     column from its string form."""
     from pyspark.sql.types import ArrayType, MapType
 
+    def _undo_null(c):
+        return F.when(c == HIVE_NULL, F.lit(None)).otherwise(c)
+
     if isinstance(data_type, ArrayType):
         return F.transform(
-            F.split(raw, "\x02"), lambda x: x.cast(data_type.elementType)
+            F.split(raw, "\x02"),
+            lambda x: _undo_null(x).cast(data_type.elementType),
         )
     if isinstance(data_type, MapType):
         pairs = F.transform(F.split(raw, "\x02"), lambda p: F.split(p, "\x03"))
         return F.map_from_arrays(
             F.transform(pairs, lambda p: p[0].cast(data_type.keyType)),
-            F.transform(pairs, lambda p: p[1].cast(data_type.valueType)),
+            F.transform(
+                pairs,
+                lambda p: _undo_null(p[1]).cast(data_type.valueType),
+            ),
         )
     return raw.cast(data_type)
 

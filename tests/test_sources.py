@@ -81,6 +81,22 @@ def test_roundtrip_hive_delimited_nested_collections(spark, tmp_path):
     assert set(raw.m.split("\x02")) == {"x\x031.5", "y\x032.5"}
 
 
+def test_delimited_null_collection_elements_do_not_shift(spark, tmp_path):
+    """array_join drops null elements and concat_ws drops null map
+    values — both must become the \\N sentinel or everything after a
+    null shifts position (the row-level concat_ws trap one level
+    down)."""
+    df = spark.createDataFrame(
+        [(1, ["a", None, "c"], {"k1": None, "k2": 2.0})],
+        "id INT, tags ARRAY<STRING>, m MAP<STRING, DOUBLE>",
+    )
+    p = str(tmp_path / "delim_null_elems")
+    formats.write_delimited(df, p)
+    row = formats.read_delimited(spark, p, df.schema).first()
+    assert row.tags == ["a", None, "c"]
+    assert row.m == {"k1": None, "k2": 2.0}
+
+
 def test_regex_serde(spark, tmp_path):
     """RegexSerDe: schema-on-read over raw lines."""
     p = str(tmp_path / "log")
