@@ -400,3 +400,59 @@ def test_minhash_max_df_subset_and_recall_on_clusters(spark):
     }
     assert uncapped <= want_pairs
     assert len(uncapped) >= len(want_pairs) // 2  # banding finds the bulk
+
+
+# -- LazySimpleSerDe delimited encode/decode (r8 nested collections) --
+
+_SAFE_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=1,
+    max_size=12,
+).filter(lambda s: "\\N" not in s and s.strip() == s and s != "")
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-(2**31), 2**31 - 1),
+            st.one_of(st.none(), _SAFE_TEXT),
+            st.lists(
+                st.one_of(st.none(), st.integers(-(10**6), 10**6)),
+                min_size=1,
+                max_size=5,
+            ),
+            st.dictionaries(
+                _SAFE_TEXT.filter(lambda s: ":" not in s),
+                st.one_of(st.none(), st.integers(-(10**6), 10**6)),
+                min_size=1,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_delimited_nested_roundtrip_property(spark, tmp_path_factory, rows):
+    """Any printable scalars + collections (with null elements/values)
+    survive the LazySimpleSerDe text layout — the structural property
+    behind the \\x02/\\x03/\\N encoding. Empty collections are excluded
+    (text formats cannot represent empty-vs-[""], same as Hive)."""
+    import uuid
+
+    from hive_release_spark.sources import formats
+
+    schema = "id INT, s STRING, arr ARRAY<INT>, m MAP<STRING, INT>"
+    df = spark.createDataFrame(rows, schema)
+    p = str(tmp_path_factory.mktemp("prop") / f"d{uuid.uuid4().hex[:8]}")
+    formats.write_delimited(df, p)
+    back = formats.read_delimited(spark, p, schema)
+    got = sorted(
+        ((r.id, r.s, tuple(r.arr), tuple(sorted(r.m.items()))) for r in back.collect()),
+        key=str,
+    )
+    want = sorted(
+        ((r[0], r[1], tuple(r[2]), tuple(sorted(r[3].items()))) for r in rows),
+        key=str,
+    )
+    assert got == want
