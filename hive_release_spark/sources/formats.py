@@ -94,7 +94,7 @@ def _lazy_serde_out(field) -> "F.Column":
     ambiguity, same as Hive's: an EMPTY collection serializes to ""
     and deserializes as a one-empty-element collection — empty-vs-[""]
     is not representable in delimited text."""
-    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
     if isinstance(field.dataType, ArrayType):
         # null ELEMENTS need the \N sentinel too: array_join silently
@@ -113,13 +113,31 @@ def _lazy_serde_out(field) -> "F.Column":
             ),
         )
         return F.array_join(entry, "\x02").alias(field.name)
+    if isinstance(field.dataType, StructType):
+        # struct fields are positional on the level-2 delimiter; a NULL
+        # struct must stay NULL, not become a struct of \N sentinels
+        encoded = F.concat_ws(
+            "\x02",
+            *[
+                F.coalesce(
+                    F.col(f"{field.name}.{sf.name}").cast("string"),
+                    F.lit(HIVE_NULL),
+                )
+                for sf in field.dataType.fields
+            ],
+        )
+        return (
+            F.when(F.col(field.name).isNull(), F.lit(None))
+            .otherwise(encoded)
+            .alias(field.name)
+        )
     return F.col(field.name)
 
 
 def _lazy_serde_in(raw: "F.Column", data_type) -> "F.Column":
     """Read-side twin of :func:`_lazy_serde_out`: re-assemble one
     column from its string form."""
-    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
     def _undo_null(c):
         return F.when(c == HIVE_NULL, F.lit(None)).otherwise(c)
@@ -137,6 +155,19 @@ def _lazy_serde_in(raw: "F.Column", data_type) -> "F.Column":
                 pairs,
                 lambda p: _undo_null(p[1]).cast(data_type.valueType),
             ),
+        )
+    if isinstance(data_type, StructType):
+        parts = F.split(raw, "\x02", -1)
+        assembled = F.struct(
+            *[
+                _undo_null(F.element_at(parts, i + 1))
+                .cast(sf.dataType)
+                .alias(sf.name)
+                for i, sf in enumerate(data_type.fields)
+            ]
+        )
+        return F.when(raw.isNull(), F.lit(None).cast(data_type)).otherwise(
+            assembled
         )
     return raw.cast(data_type)
 
@@ -159,12 +190,12 @@ def write_delimited(
 def read_delimited(spark: SparkSession, path: str, schema, sep: str = "\x01") -> DataFrame:
     """Read LazySimpleSerDe delimited text; array/map columns in the
     declared schema are re-assembled from the nested delimiters."""
-    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
     schema = spark.createDataFrame([], schema).schema
     flat_fields = []
     for f in schema.fields:
-        if isinstance(f.dataType, (ArrayType, MapType)):
+        if isinstance(f.dataType, (ArrayType, MapType, StructType)):
             flat_fields.append(f"`{f.name}` STRING")
         else:
             flat_fields.append(f"`{f.name}` {f.dataType.simpleString()}")

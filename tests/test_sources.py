@@ -81,6 +81,27 @@ def test_roundtrip_hive_delimited_nested_collections(spark, tmp_path):
     assert set(raw.m.split("\x02")) == {"x\x031.5", "y\x032.5"}
 
 
+def test_delimited_struct_column_roundtrip(spark, tmp_path):
+    """Struct columns: fields positional on the level-2 delimiter;
+    NULL struct stays NULL (not a struct of sentinels), null FIELDS
+    come back null."""
+    df = spark.createDataFrame(
+        [
+            (1, ("alice", 30, 1.5)),
+            (2, (None, 40, None)),
+            (3, None),
+        ],
+        "id INT, who STRUCT<name: STRING, age: INT, score: DOUBLE>",
+    )
+    p = str(tmp_path / "delim_struct")
+    formats.write_delimited(df, p)
+    back = formats.read_delimited(spark, p, df.schema)
+    got = {r.id: r.who for r in back.collect()}
+    assert got[1] == ("alice", 30, 1.5)
+    assert tuple(got[2]) == (None, 40, None)
+    assert got[3] is None
+
+
 def test_delimited_null_collection_elements_do_not_shift(spark, tmp_path):
     """array_join drops null elements and concat_ws drops null map
     values — both must become the \\N sentinel or everything after a
