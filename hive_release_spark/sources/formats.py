@@ -94,7 +94,7 @@ def _lazy_serde_out(field) -> "F.Column":
     ambiguity, same as Hive's: an EMPTY collection serializes to ""
     and deserializes as a one-empty-element collection — empty-vs-[""]
     is not representable in delimited text."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
 
     if isinstance(field.dataType, ArrayType):
         # null ELEMENTS need the \N sentinel too: array_join silently
@@ -131,13 +131,17 @@ def _lazy_serde_out(field) -> "F.Column":
             .otherwise(encoded)
             .alias(field.name)
         )
+    if isinstance(field.dataType, BinaryType):
+        # Hive's LazySimpleSerDe base64-encodes BINARY in text formats;
+        # a raw string cast would corrupt non-UTF-8 payloads
+        return F.base64(field.name).alias(field.name)
     return F.col(field.name)
 
 
 def _lazy_serde_in(raw: "F.Column", data_type) -> "F.Column":
     """Read-side twin of :func:`_lazy_serde_out`: re-assemble one
     column from its string form."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
 
     def _undo_null(c):
         return F.when(c == HIVE_NULL, F.lit(None)).otherwise(c)
@@ -169,6 +173,8 @@ def _lazy_serde_in(raw: "F.Column", data_type) -> "F.Column":
         return F.when(raw.isNull(), F.lit(None).cast(data_type)).otherwise(
             assembled
         )
+    if isinstance(data_type, BinaryType):
+        return F.unbase64(raw)
     return raw.cast(data_type)
 
 
@@ -188,14 +194,15 @@ def write_delimited(
 
 
 def read_delimited(spark: SparkSession, path: str, schema, sep: str = "\x01") -> DataFrame:
-    """Read LazySimpleSerDe delimited text; array/map columns in the
-    declared schema are re-assembled from the nested delimiters."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    """Read LazySimpleSerDe delimited text; array/map/struct columns in
+    the declared schema are re-assembled from the nested delimiters,
+    binary columns base64-decoded."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
 
     schema = spark.createDataFrame([], schema).schema
     flat_fields = []
     for f in schema.fields:
-        if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+        if isinstance(f.dataType, (ArrayType, BinaryType, MapType, StructType)):
             flat_fields.append(f"`{f.name}` STRING")
         else:
             flat_fields.append(f"`{f.name}` {f.dataType.simpleString()}")

@@ -81,6 +81,28 @@ def test_roundtrip_hive_delimited_nested_collections(spark, tmp_path):
     assert set(raw.m.split("\x02")) == {"x\x031.5", "y\x032.5"}
 
 
+def test_delimited_binary_column_base64_roundtrip(spark, tmp_path):
+    """BINARY columns ride text formats base64-encoded, Hive's
+    LazySimpleSerDe behavior — a raw string cast corrupts non-UTF-8
+    payloads (the multimodal tables' exact shape)."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\xff\xfe\x01junk")), (2, None)],
+        "id INT, payload BINARY",
+    )
+    p = str(tmp_path / "delim_binary")
+    formats.write_delimited(df, p)
+    back = formats.read_delimited(spark, p, "id INT, payload BINARY")
+    got = {r.id: r.payload for r in back.collect()}
+    assert bytes(got[1]) == b"\x00\xff\xfe\x01junk"
+    assert got[2] is None
+    # the bytes on disk are base64 text, not raw binary
+    raw = formats.read_delimited(spark, p, "id INT, payload STRING")
+    import base64
+
+    enc = {r.id: r.payload for r in raw.collect()}[1]
+    assert base64.b64decode(enc) == b"\x00\xff\xfe\x01junk"
+
+
 def test_delimited_struct_column_roundtrip(spark, tmp_path):
     """Struct columns: fields positional on the level-2 delimiter;
     NULL struct stays NULL (not a struct of sentinels), null FIELDS
