@@ -98,3 +98,10 @@ def test_sole_member_family_fresh_in_latest_round_is_skipped():
     assert "scan_filter_project" not in w
     assert "q1_pricing_summary" not in w
     assert len(w) == WINDOW_SIZE
+
+
+def test_oversized_contract_changed_is_clamped():
+    rounds = {n: 5 for n in NAMES}
+    w = propose_window(contract_changed=NAMES[:60], rounds=rounds)
+    assert len(w) == WINDOW_SIZE
+    assert w == NAMES[:50]

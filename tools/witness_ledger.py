@@ -159,7 +159,9 @@ def propose_window(
         if len(window) >= WINDOW_SIZE:
             break
         window.append(n)
-    return window
+    # an oversized CONTRACT_CHANGED list could overfill the window
+    # before any slot budgeting runs — never emit more than 50
+    return window[:WINDOW_SIZE]
 
 
 def main() -> None:
