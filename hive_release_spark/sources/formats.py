@@ -183,12 +183,24 @@ def write_delimited(
 ) -> None:
     """Hive LazySimpleSerDe default: ^A-delimited text, array/map
     columns with the ``\\x02``/``\\x03`` nested-collection delimiters
-    (see :func:`_lazy_serde_out`)."""
+    (see :func:`_lazy_serde_out`).
+
+    The csv writer is configured to emit Hive's exact bytes (r8
+    review): top-level NULLs as ``\\N`` (Spark's default empty-string
+    null made NULL and '' indistinguishable AND unreadable by a real
+    Hive table), and QUOTING OFF — Hive never quotes, so Spark's
+    default double-quoting of quote-containing values would reach Hive
+    as literal quote characters. With quoting off, a value containing
+    the separator itself corrupts the row — exactly LazySimpleSerDe's
+    own failure mode with the default (escape-less) table layout."""
     (
         df.select(*[_lazy_serde_out(f) for f in df.schema.fields])
         .write.mode(mode)
         .option("sep", sep)
         .option("header", "false")
+        .option("nullValue", HIVE_NULL)
+        .option("emptyValue", "")
+        .option("quote", "")
         .csv(path)
     )
 
@@ -209,6 +221,9 @@ def read_delimited(spark: SparkSession, path: str, schema, sep: str = "\x01") ->
     raw = (
         spark.read.schema(", ".join(flat_fields))
         .option("sep", sep)
+        .option("nullValue", HIVE_NULL)
+        .option("emptyValue", "")
+        .option("quote", "")
         .csv(path)
     )
     return raw.select(
