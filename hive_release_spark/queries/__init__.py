@@ -246,67 +246,89 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 # (VERDICT r7 #2): repairs + conversions only (±2 judge-invited
 # shapes at most).
 
+# Round-9 selection (VERDICT r8 "Next round" #1/#4 — the first
+# post-drain rotation, emitted verbatim by propose_window()):
+#   1. CONTRACT_CHANGED stays empty: CORRECTNESS_r08 was 50/50
+#      hash-green, no kernel/oracle changed since its last witness.
+#   2. The one backlog entry takes first claim:
+#      source_sequencefile_roundtrip, the judge-invited r9 addition
+#      (VERDICT r8 #4) giving the r8 legacy-format work a
+#      driver-witnessed row (registry 361 → 362, inside the ±2
+#      allowance; growth otherwise stays FROZEN).
+#   3. One rep per required §2 family absent so far, stalest family
+#      first (rank = the family's freshest driver witness), oldest
+#      member each: streaming/session_window (stream_session), ann
+#      (sim_ann_ivf), dedup (dedup_exact), functions (fn_string),
+#      multimodal (multimodal_features), outer (join_left_outer),
+#      script (script_transform), setop (setop_union), text
+#      (text_quality), sketch (agg_stats), neardup/similarity
+#      (dedup_jaccard_pairs), ptf (ptf_matchpath), sample
+#      (sample_fraction) … — reps whose secondary tags already covered
+#      a family are skipped, families whose every member is r8-fresh
+#      skip the rotation.
+#   4. The remaining slots fill oldest-witness-first (the r1-witnessed
+#      agg/join/setop/window/fn tier), never re-recording an r8-fresh
+#      row.  `python tools/witness_ledger.py --window` validates; the
+#      tripwire (test_entry_contract) goes red again the moment
+#      CORRECTNESS_r09.json lands — rotation stays task #1 each round.
+
 # Entries whose CONTRACT changed since their last driver witness —
 # first claim on window slots (ADVICE r6-2; enforced by
-# test_entry_contract).  Cleared at the r8 rotation: the four r7
-# declarations were all re-witnessed green in CORRECTNESS_r07.
+# test_entry_contract).  Empty since the r8 rotation; repopulate only
+# when an already-witnessed entry's kernel or oracle changes.
 CONTRACT_CHANGED = []
 
 DRIVER_WINDOW = [
-    # never-witnessed backlog — final 45, witness-ledger (registry)
-    # order; the ledger drains to 0 when the driver records these
-    "graph_local_clustering",
-    "graph_adamic_adar",
-    "graph_jaccard_neighbors",
-    "graph_assortativity",
-    "orders_monthly_percentiles",
-    "timeseries_rolling_corr",
-    "timeseries_ewma",
-    "timeseries_theil_sen",
-    "timeseries_holt",
-    "timeseries_gap_fill",
-    "timeseries_backtest_naive",
-    "join_asof_forward",
-    "timeseries_croston",
-    "timeseries_holt_winters",
-    "stats_ks_two_sample",
-    "stats_mann_whitney",
-    "stats_chi_square",
-    "timeseries_autocorr",
-    "timeseries_cross_corr",
-    "stats_subsample_ci",
-    "stats_power_two_proportions",
-    "agg_approx_top_k_contract",
-    "dq_freshness_lag",
-    "retention_halflife_fit",
-    "stats_anova_oneway",
-    "stats_spearman_corr",
-    "stats_fdr_bh",
-    "stats_randomization_test",
-    "stats_weibull_fit",
-    "stats_qq_deciles",
-    "sample_stratified_neyman",
-    "events_fano_factor",
-    "dq_outlier_tukey_fences",
-    "stats_granger_lite",
-    "stats_simpson_check",
-    "ml_linear_regression",
-    "ml_naive_bayes_langid",
-    "ml_decision_stump",
-    "ml_knn_label_accuracy",
-    "ml_item_item_cf",
-    "ml_markov_next_event",
-    "ml_basket_rules",
-    "ml_boosted_stumps",
-    "ml_regression_calibration",
-    "ml_regression_kfold_cv",
-    # family representatives — the 5 stalest missing §2 families
-    # (all last witnessed r4), oldest member each (propose_window())
-    "ptf_apply_in_pandas_zscore",
-    "sample_bucket",
-    "scan_filter_project",
-    "q4_order_priority",
-    "udtf_explode_wordcount",
+    "source_sequencefile_roundtrip",
+    "stream_session",
+    "sim_ann_ivf",
+    "dedup_exact",
+    "fn_string",
+    "multimodal_features",
+    "join_left_outer",
+    "script_transform",
+    "setop_union",
+    "text_quality",
+    "agg_stats",
+    "dedup_jaccard_pairs",
+    "ptf_matchpath",
+    "sample_fraction",
+    "agg_histogram_numeric",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "udtf_posexplode",
+    "window_ranking",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_cube",
+    "agg_collect",
+    "agg_percentile",
+    "limit_offset_page",
+    "distinct_rows",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except",
+    "setop_except_all",
+    "join_broadcast_part",
+    "q5_local_supplier_volume",
+    "join_right_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_cross",
+    "join_theta_residual",
+    "join_pure_theta",
+    "subquery_in",
+    "subquery_scalar_correlated",
+    "subquery_not_in",
+    "window_lead_lag",
+    "window_range_frame",
+    "window_first_last",
+    "window_share_of_total",
+    "fn_regex",
+    "fn_math",
+    "fn_datetime",
+    "fn_conditional",
 ]
 
 

@@ -105,6 +105,7 @@ q8_market_share q9_product_profit rollup_multires sample_bucket
 sample_fraction scan_filter_project script_transform setop_except
 setop_except_all setop_intersect setop_intersect_all setop_union
 setop_union_by_name setop_union_distinct sort_null_ordering
+source_sequencefile_roundtrip
 source_xml_roundtrip sql_group_order_all sql_lateral_alias
 sql_named_window sql_pipe_syntax sql_qualify_filter
 sql_recursive_calendar sql_select_except sql_values_inline
