@@ -8,10 +8,11 @@ stdout-tail window and came back ``"parsed": null``, so the perf gate
 went machine-unverified): the FINAL stdout line is a COMPACT summary
 JSON {"metric", "value" (total sec), "unit", "queries" (per-query
 sec), "sf", "n_queries"} sized to survive any reasonable tail window;
-the full detail (per-query min-of-2, median-of-3 for the heavy
-tail, session-position offsets) goes to ``BENCH_DETAIL.json`` next to
-this file and is ALSO printed one line before the summary for judges
-reading the raw log.
+the full detail (per-query min-of-3 AND median-of-3 — cross-round
+comparisons read the medians, the r8 position-inflation lesson —
+second-smallest-of-4 for the heavy tail, session-position offsets)
+goes to ``BENCH_DETAIL.json`` next to this file and is ALSO printed
+one line before the summary for judges reading the raw log.
 
 Queries execute fully (noop sink — no driver-side collect cost), so the
 timing covers scan → shuffle → agg/join/window, the same pipeline a
@@ -28,6 +29,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from hive_release_spark.operators.cache import pipeline_scope  # noqa: E402
 from hive_release_spark.queries import REGISTRY  # noqa: E402
 from hive_release_spark.session import get_session  # noqa: E402
 
@@ -134,6 +136,30 @@ BENCHED_HISTORY = {
         "emb_kmeans", "emb_whitening",
         "search_bm25_rank",
     ),
+    8: (
+        "q7_volume_shipping", "q11_important_parts",
+        "q12_shipmode_priority",
+        "q14_promo_effect", "q15_top_supplier", "q20_excess_suppliers",
+        "ds_cross_channel_customers", "ds_year_over_year_spend",
+        "ds_topk_per_group",
+        "agg_cube", "agg_hll_sketch", "agg_bloom_filter",
+        "agg_corr_matrix",
+        "window_ranking", "window_range_frame",
+        "window_exclude_group_ties",
+        "join_broadcast_part", "join_left_semi", "join_merge_hint",
+        "join_asof_nearest",
+        "subquery_in", "subquery_scalar_correlated",
+        "setop_union",
+        "topk_orders", "limit_offset_page",
+        "fn_regex", "fn_variant_json", "fn_array_surface",
+        "udtf_posexplode", "ptf_apply_in_pandas_zscore",
+        "scan_filter_project",
+        "stream_sliding", "stream_stream_join",
+        "text_quality", "sim_cosine_topk_arrow", "dedup_record_linkage",
+        "pipeline_neardedup_corpus",
+        "events_survival_km", "timeseries_gap_fill",
+        "stats_chi_square",
+    ),
 }
 
 
@@ -147,36 +173,56 @@ def never_benched() -> list:
     return [n for n in REGISTRY if n not in seen]
 
 
-# r8 selection (VERDICT r7 #4): 40 more never-benched entries,
-# family-spread — the remaining six TPC-H shapes (all 22 now benched),
-# three TPC-DS shapes, sketch/cube/bloom/corr-matrix aggs, window
-# frame + ranking variants, broadcast/semi/merge/as-of joins,
-# correlated subqueries, set ops, top-k/offset sort paths, the
-# regex/variant/array function tiers, posexplode UDTF, the zscore
-# PTF, scan pushdown, sliding + stream-stream streaming shapes,
-# record-linkage + Arrow-cosine + near-dedup-pipeline LLM ops,
-# Kaplan-Meier survival, gap-fill, and chi-square. Coverage after
-# this leg: 160/361.
+# r9 selection (VERDICT r8 #3): the first 40 of never_benched() after
+# the r8 leg joined BENCHED_HISTORY — core agg/setop/distinct paths,
+# the remaining outer/anti/cross/theta join arms, NOT-IN subquery,
+# lead-lag/first-last/exclude/regr-slope window variants, the
+# string/conditional/hash/mask/bitwise/trig/map/HOF function tiers
+# plus the gap and union-type tiers, explode-map + inline UDTFs,
+# boolean/filter-clause agg families, simhash + LSH dedup, the
+# langid/fingerprint/ngram text tier, and multimodal metadata.
+# Coverage after this leg: 200/362.
 ROTATING_LEG = (
-    "q7_volume_shipping", "q11_important_parts", "q12_shipmode_priority",
-    "q14_promo_effect", "q15_top_supplier", "q20_excess_suppliers",
-    "ds_cross_channel_customers", "ds_year_over_year_spend",
-    "ds_topk_per_group",
-    "agg_cube", "agg_hll_sketch", "agg_bloom_filter", "agg_corr_matrix",
-    "window_ranking", "window_range_frame", "window_exclude_group_ties",
-    "join_broadcast_part", "join_left_semi", "join_merge_hint",
-    "join_asof_nearest",
-    "subquery_in", "subquery_scalar_correlated",
-    "setop_union",
-    "topk_orders", "limit_offset_page",
-    "fn_regex", "fn_variant_json", "fn_array_surface",
-    "udtf_posexplode", "ptf_apply_in_pandas_zscore",
-    "scan_filter_project",
-    "stream_sliding", "stream_stream_join",
-    "text_quality", "sim_cosine_topk_arrow", "dedup_record_linkage",
-    "pipeline_neardedup_corpus",
-    "events_survival_km", "timeseries_gap_fill",
-    "stats_chi_square",
+    "agg_stats",
+    "agg_collect",
+    "sample_bucket",
+    "distinct_rows",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except",
+    "setop_except_all",
+    "agg_min_max_by",
+    "join_left_outer",
+    "join_right_outer",
+    "join_left_anti",
+    "join_cross",
+    "join_pure_theta",
+    "subquery_not_in",
+    "window_lead_lag",
+    "window_first_last",
+    "window_exclude_current",
+    "window_regr_slope",
+    "fn_string",
+    "fn_conditional",
+    "fn_hash",
+    "fn_mask",
+    "fn_gap_tier",
+    "fn_union_type",
+    "udtf_explode_map",
+    "udtf_inline",
+    "fn_bitwise",
+    "fn_map_surface",
+    "agg_bool_family",
+    "fn_trig",
+    "fn_map_hof",
+    "agg_filter_clause",
+    "dedup_simhash",
+    "sim_ann_lsh",
+    "text_langid",
+    "text_langid_ngram",
+    "text_fingerprint",
+    "text_ngrams_top",
+    "multimodal_meta",
 )
 
 
@@ -403,12 +449,31 @@ def main() -> None:
     # position (the +30% drift on small queries is position-correlated,
     # r2 verdict).
     per_query: dict[str, float] = {}
+    median_headline: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     position: dict[str, float] = {}
+    # Each entry's measurement runs inside pipeline_scope (r9, VERDICT
+    # r8 #6 adoption): call-time persists are shared across the entry's
+    # own repetitions (the cache-hit reruns min-of-3 has always
+    # measured) but released — untimed, after the last rep — before the
+    # NEXT entry runs.  Without the scope a 120-entry session
+    # accumulates every entry's caches: executor storage fills, GC
+    # pressure inflates late-session timings (the r8 uniform +16%
+    # false-alarm shape), and Spark's CacheManager substitutes live
+    # cached subtrees into later entries' plans, so what gets timed
+    # stops being the clean-session plan the plan sweep asserts.
     for name in HEADLINE:
         position[name] = round(time.time() - bench_t0, 1)
-        runs[name] = [run(name), run(name), run(name)]
+        with pipeline_scope():
+            runs[name] = [run(name), run(name), run(name)]
         per_query[name] = round(min(runs[name]), 3)
+        # median-of-3 alongside the min (VERDICT r8 #5): round-over-
+        # round comparison reads MEDIANS — r8 burned a 16% false alarm
+        # on uniform position inflation that min-of-3 preserved but the
+        # existing 5-query median calibration disproved; the median is
+        # the noise-robust cross-round statistic, the min stays as the
+        # best-case floor the per-query map has always carried.
+        median_headline[name] = round(sorted(runs[name])[1], 3)
 
     # the 5 heaviest get a FOURTH repetition and a near-median report —
     # min-of-N on a noisy VM can understate a genuinely heavy query; the
@@ -417,7 +482,8 @@ def main() -> None:
     heavy5 = sorted(per_query, key=per_query.get, reverse=True)[:5]
     median5: dict[str, float] = {}
     for name in heavy5:
-        runs[name].append(run(name))
+        with pipeline_scope():
+            runs[name].append(run(name))
         median5[name] = round(sorted(runs[name])[1], 3)
         per_query[name] = round(min(runs[name]), 3)
 
@@ -426,18 +492,22 @@ def main() -> None:
     # one-off stall shouldn't be immortalized as its number)
     rotating: dict[str, float] = {}
     for name in ROTATING_LEG:
-        rotating[name] = round(sorted(run(name) for _ in range(3))[1], 3)
+        with pipeline_scope():
+            rotating[name] = round(sorted(run(name) for _ in range(3))[1], 3)
     rotating_total = round(sum(rotating.values()), 3)
 
     skew, skew_detail = skew_leg(spark, sf_dir)
 
     total = round(sum(per_query.values()), 3)
+    median_total = round(sum(median_headline.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "median_headline": median_headline,
+        "median_total_sec": median_total,
         "median_heavy5": median5,
         "position_sec": position,
         "rotating": rotating,
@@ -460,6 +530,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": {k: round(v, 2) for k, v in per_query.items()},
+                "median_total_sec": median_total,
                 "sf": sf_val,
                 "n_queries": len(per_query),
                 "rotating_total_sec": rotating_total,

@@ -32,17 +32,29 @@ caches created OUTSIDE the scope are untouched, unlike
     # every persist issued inside the block is now released
 
 Implementation note: the scope instruments ``DataFrame.persist`` /
-``DataFrame.cache`` for its duration (both restored on exit).  That
-makes it intentionally NOT thread-safe and NOT reentrant — it is a
-pipeline-driver construct wrapping one pipeline run at a time, the
-way ``bench.py`` and the check sweep serialize entries.  Frames
-materialized via ``localCheckpoint`` (the connected-components
+``DataFrame.cache`` for its duration (both restored on exit), so two
+sharing rules apply (ADVICE r8-4 hardened both from prose into code):
+
+* **Threads**: only persists issued by the scope-OWNING thread are
+  tracked — a concurrent thread's persist during the block passes
+  through untouched instead of being silently released at an exit it
+  never asked for.  The scope protects one pipeline, not the JVM.
+* **Nesting IS supported, by chaining**: an inner scope's tracking
+  function wraps the outer's, so an inner persist lands in BOTH
+  lists — the inner scope releases it early (its pipeline is done)
+  and the outer's exit-time second unpersist is a no-op.  This is
+  what lets a scoped registry entry (pipeline_neardedup_corpus) run
+  inside the scoped bench harness.  Pinned by
+  tests/test_cache_scope.py::test_nested_scopes_chain.
+
+Frames materialized via ``localCheckpoint`` (the connected-components
 iteration) are outside its reach; those are released by Spark's
 ContextCleaner once unreferenced.
 """
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 try:
@@ -69,17 +81,20 @@ def pipeline_scope(blocking: bool = True):
     non-cached frame is a no-op.
     """
     tracked: list[DataFrame] = []
+    owner = threading.get_ident()
     orig_persist = DataFrame.persist
     orig_cache = DataFrame.cache
 
     def tracking_persist(self, *args, **kwargs):
         out = orig_persist(self, *args, **kwargs)
-        tracked.append(out)
+        if threading.get_ident() == owner:
+            tracked.append(out)
         return out
 
     def tracking_cache(self):
         out = orig_cache(self)
-        tracked.append(out)
+        if threading.get_ident() == owner:
+            tracked.append(out)
         return out
 
     DataFrame.persist = tracking_persist

@@ -231,18 +231,35 @@ def pipeline_neardedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     size-conditional hint broadcasts them (and degrades to a shuffled
     anti join on a pathologically duplicate-heavy corpus). Two corpus
     scans total is the floor for "global graph, then filter" without
-    persisting 100 TB."""
+    persisting 100 TB.
+
+    Cache lifetime: the pair-graph persists (shingle/prefix bases) are
+    consumed entirely by the connected-components iteration, which
+    runs its actions at CALL time and hands back a localCheckpoint'ed
+    label frame — so the whole graph phase runs inside
+    ``pipeline_scope`` (VERDICT r8 #6: first production adoption) and
+    every call-time persist is released before this function returns.
+    The returned frame references only the corpus scan and the
+    checkpointed loser set, so nothing the scope frees is recomputed
+    downstream; executor storage is empty again at return (pinned by
+    tests/test_cache_scope.py::test_neardedup_entry_is_cache_clean)."""
     from hive_release_spark.llm import dedup as dedup_mod
     from hive_release_spark.llm import text as text_mod
+    from hive_release_spark.operators.cache import pipeline_scope
     from hive_release_spark.operators.hints import maybe_broadcast
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup_mod.jaccard_pairs(docs, n=3, threshold=0.5)
-    losers = (
-        dedup_mod.connected_components(pairs)
-        .filter(~F.col("is_survivor"))
-        .select("doc_id")
-    )
+    with pipeline_scope():
+        pairs = dedup_mod.jaccard_pairs(docs, n=3, threshold=0.5)
+        # connected_components iterates at call time and returns a
+        # frame rooted at its final localCheckpoint — the loser set is
+        # already severed from the pair-graph lineage the scope is
+        # about to release
+        losers = (
+            dedup_mod.connected_components(pairs)
+            .filter(~F.col("is_survivor"))
+            .select("doc_id")
+        )
     return (
         docs.join(maybe_broadcast(losers), "doc_id", "left_anti")
         .select(

@@ -90,10 +90,17 @@ def _lazy_serde_out(field) -> "F.Column":
     string cast, arrays joined on ``\\x02``, map entries joined on
     ``\\x02`` with ``\\x03`` between key and value, null ELEMENTS as
     ``\\N`` — Hive's default one-level nested-collection layout
-    (deeper nesting belongs in ORC/parquet). Known text-format
-    ambiguity, same as Hive's: an EMPTY collection serializes to ""
-    and deserializes as a one-empty-element collection — empty-vs-[""]
-    is not representable in delimited text."""
+    (deeper nesting belongs in ORC/parquet). Two known text-format
+    ambiguities, both identical to Hive's own behavior:
+
+    * an EMPTY collection serializes to "" and deserializes as a
+      one-empty-element collection — empty-vs-[""] is not
+      representable in delimited text;
+    * a collection whose ONLY element is null serializes to exactly
+      the ``\\N`` bytes, indistinguishable from a NULL column, and
+      reads back as NULL — ``[None]`` -> NULL (LazySimpleSerDe does
+      the same; pinned by
+      tests/test_properties.py::test_delimited_singleton_null_array_collapses)."""
     from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
 
     if isinstance(field.dataType, ArrayType):
@@ -153,12 +160,21 @@ def _lazy_serde_in(raw: "F.Column", data_type) -> "F.Column":
         )
     if isinstance(data_type, MapType):
         pairs = F.transform(F.split(raw, "\x02"), lambda p: F.split(p, "\x03"))
-        return F.map_from_arrays(
+        assembled = F.map_from_arrays(
             F.transform(pairs, lambda p: p[0].cast(data_type.keyType)),
             F.transform(
                 pairs,
                 lambda p: _undo_null(p[1]).cast(data_type.valueType),
             ),
+        )
+        # an empty raw cell decodes to an EMPTY map (ADVICE r8-2): the
+        # naive split would yield a single "" entry whose key casts to
+        # null for non-string key types, and map_from_arrays hard-fails
+        # on null keys at read time.  Unlike arrays (where "" -> [""]
+        # is the documented ambiguity), an empty map cell has exactly
+        # one faithful reading — the empty map the writer serialized.
+        return F.when(raw == "", F.create_map().cast(data_type)).otherwise(
+            assembled
         )
     if isinstance(data_type, StructType):
         parts = F.split(raw, "\x02", -1)
@@ -237,6 +253,37 @@ def read_delimited(spark: SparkSession, path: str, schema, sep: str = "\x01") ->
 HIVE_NULL = "\\N"  # LazySimpleSerDe's NULL sentinel
 
 
+def _check_serde_params(schema, sep: str, null_value: str) -> None:
+    """The nested-collection sentinels are FIXED at ``\\x02``/``\\x03``/
+    ``\\N`` — Hive's LazySimpleSerDe level-2 layout — regardless of the
+    customizable top-level ``sep``/``null_value``.  Reject combinations
+    that would silently corrupt data (ADVICE r8-3): a field separator
+    equal to a nested delimiter shreds nested columns, and a custom
+    null sentinel on a schema WITH nested columns would write mixed
+    sentinels (custom at the top level, ``\\N`` inside collections)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if sep in ("\x02", "\x03"):
+        raise ValueError(
+            "sep collides with the fixed nested-collection delimiters "
+            "(\\x02 item / \\x03 map-kv, Hive's LazySimpleSerDe layout) "
+            "— any array/map/struct column would be silently shredded"
+        )
+    nested = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    if nested and null_value != HIVE_NULL:
+        raise ValueError(
+            f"null_value={null_value!r} with nested columns {nested}: "
+            "null ELEMENTS inside collections always use Hive's fixed "
+            "\\N sentinel, so a custom top-level sentinel would produce "
+            "mixed-sentinel files no Hive reader agrees on — use the "
+            f"default {HIVE_NULL!r} or drop the nested columns"
+        )
+
+
 def write_sequencefile(
     df: DataFrame, path: str, sep: str = "\x01", null_value: str = HIVE_NULL
 ) -> None:
@@ -262,6 +309,7 @@ def write_sequencefile(
     SerDe route (``STORED AS SEQUENCEFILE`` external table in a
     Hive-catalog session, same mechanics as :func:`read_rcfile_table`)
     — both routes read the same bytes (compat test)."""
+    _check_serde_params(df.schema, sep, null_value)
     value = F.concat_ws(
         sep,
         *[
@@ -294,6 +342,7 @@ def read_sequencefile(
     import re
 
     schema = spark.createDataFrame([], schema).schema
+    _check_serde_params(schema, sep, null_value)
     values = spark.sparkContext.sequenceFile(path).values().map(lambda v: (v,))
     lines = spark.createDataFrame(values, "value string")
     parts = F.split("value", re.escape(sep), -1)
@@ -330,18 +379,64 @@ def require_hive_catalog(spark: SparkSession) -> None:
         )
 
 
+def _check_existing_table(
+    spark: SparkSession, table: str, path: str, schema
+) -> bool:
+    """True if ``table`` already exists AND matches the requested
+    location + column layout; raises if it exists with a DIFFERENT
+    location or schema (ADVICE r8-1: ``IF NOT EXISTS`` used to bind
+    silently to the OLD table and return stale data from the wrong
+    directory). Missing table -> False (caller creates it)."""
+    import os
+    import re
+
+    if not spark.catalog.tableExists(table):
+        return False
+    detail = {
+        r["col_name"]: (r["data_type"] or "")
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    }
+    existing_loc = detail.get("Location", "")
+    want_loc = os.path.abspath(path).rstrip("/")
+    # catalog locations carry a URI scheme ("file:/x" or "hdfs://nn/x")
+    normalized = re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "", existing_loc)
+    if normalized.rstrip("/") != want_loc:
+        raise ValueError(
+            f"table {table} already exists at location "
+            f"'{existing_loc}', not the requested '{path}' — DROP it or "
+            "pick another table name (a silent rebind would read the "
+            "OLD directory's data)"
+        )
+    existing = spark.table(table)
+    want = [(f.name.lower(), f.dataType.simpleString()) for f in schema.fields]
+    got = [
+        (f.name.lower(), f.dataType.simpleString())
+        for f in existing.schema.fields
+    ]
+    if got != want:
+        raise ValueError(
+            f"table {table} already exists with schema {got}, not the "
+            f"requested {want} — DROP it or pick another table name"
+        )
+    return True
+
+
 def _hive_serde_write(
     df: DataFrame, table: str, path: str, stored_as: str
 ) -> None:
     spark = df.sparkSession
     require_hive_catalog(spark)
-    ddl = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
-    )
-    spark.sql(
-        f"CREATE EXTERNAL TABLE {table} ({ddl}) STORED AS {stored_as} "
-        f"LOCATION '{path}'"
-    )
+    # idempotent rerun: reuse a verified-matching table, fail loudly on
+    # a mismatched one (ADVICE r8-1 — the write side used to be
+    # asymmetric and just fail on rerun)
+    if not _check_existing_table(spark, table, path, df.schema):
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        spark.sql(
+            f"CREATE EXTERNAL TABLE {table} ({ddl}) STORED AS {stored_as} "
+            f"LOCATION '{path}'"
+        )
     df.write.mode("append").insertInto(table)
 
 
@@ -350,13 +445,14 @@ def _hive_serde_read(
 ) -> DataFrame:
     require_hive_catalog(spark)
     schema = spark.createDataFrame([], schema).schema
-    ddl = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
-    )
-    spark.sql(
-        f"CREATE EXTERNAL TABLE IF NOT EXISTS {table} ({ddl}) "
-        f"STORED AS {stored_as} LOCATION '{path}'"
-    )
+    if not _check_existing_table(spark, table, path, schema):
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        spark.sql(
+            f"CREATE EXTERNAL TABLE {table} ({ddl}) "
+            f"STORED AS {stored_as} LOCATION '{path}'"
+        )
     return spark.table(table)
 
 

@@ -83,3 +83,84 @@ def test_unpersist_inside_scope_is_fine(spark):
         df.unpersist(blocking=True)
     # exit-time second unpersist is a no-op, no error
     assert _storage_rdd_count(spark) == 0
+
+
+def test_nested_scopes_chain(spark):
+    """Nesting is SUPPORTED by chaining (ADVICE r8-4 adjudication: the
+    VERDICT r8 #6 adoption puts a scoped registry entry inside the
+    scoped bench harness, so nesting must work, not raise): an inner
+    persist is tracked by BOTH scopes — released early at inner exit,
+    re-released as a no-op at outer exit — and an outer-only persist
+    survives the inner scope."""
+    spark.catalog.clearCache()
+    with pipeline_scope() as outer_tracked:
+        outer_df = spark.range(70).persist()
+        outer_df.count()
+        with pipeline_scope() as inner_tracked:
+            inner_df = spark.range(30).persist()
+            inner_df.count()
+        assert len(inner_tracked) == 1
+        # inner exit released the inner persist only
+        assert inner_df.storageLevel.useMemory is False
+        assert outer_df.storageLevel.useMemory
+        # ... and the inner persist chained into the outer list too
+        assert len(outer_tracked) == 2
+    assert outer_df.storageLevel.useMemory is False
+    assert _cache_manager(spark).isEmpty()
+    assert _storage_rdd_count(spark) == 0
+
+
+def test_foreign_thread_persist_not_tracked(spark):
+    """The scope protects ONE pipeline: a persist issued by another
+    thread during the block is not captured (ADVICE r8-4 — the old
+    behavior silently released caches the scope never owned)."""
+    import threading
+
+    spark.catalog.clearCache()
+    foreign: list = []
+
+    def other_pipeline():
+        df = spark.range(40).persist()
+        df.count()
+        foreign.append(df)
+
+    with pipeline_scope() as tracked:
+        mine = spark.range(10).persist()
+        mine.count()
+        t = threading.Thread(target=other_pipeline)
+        t.start()
+        t.join()
+    assert len(tracked) == 1
+    assert mine.storageLevel.useMemory is False
+    try:
+        assert foreign[0].storageLevel.useMemory, (
+            "foreign thread's cache was released by a scope it never entered"
+        )
+    finally:
+        foreign[0].unpersist(blocking=True)
+    assert _storage_rdd_count(spark) == 0
+
+
+def test_neardedup_entry_is_cache_clean(spark):
+    """VERDICT r8 #6 done-criterion: the first production adopter —
+    pipeline_neardedup_corpus runs its whole pair-graph phase inside
+    pipeline_scope, so after CALLING the entry (before any caller
+    action) executor storage and the CacheManager are already empty,
+    and the returned frame still collects correctly from the
+    checkpointed loser set."""
+    from conftest import SF_SMOKE
+
+    from hive_release_spark.queries import REGISTRY
+
+    spark.catalog.clearCache()
+    df = REGISTRY["pipeline_neardedup_corpus"].fn(spark, SF_SMOKE)
+    # the CacheManager is empty: no persisted DataFrame survives the
+    # call, so no later plan can silently substitute an
+    # InMemoryRelation.  (Raw localCheckpoint RDD blocks for the
+    # still-referenced loser frame remain in storage until the
+    # ContextCleaner drops them — those are lineage anchors, not plan-
+    # substituting caches, so they are exactly what getRDDStorageInfo
+    # may legitimately show here.)
+    assert _cache_manager(spark).isEmpty()
+    assert len(df.collect()) > 0
+    assert _cache_manager(spark).isEmpty()

@@ -99,7 +99,10 @@ def test_driver_window_spans_every_survey_family():
     absent = sorted(set(proposed) - set(DRIVER_WINDOW))
     assert not extra and not absent, (
         "DRIVER_WINDOW deviates from witness_ledger.propose_window() —"
-        f" unexpected {extra}, missing {absent}"
+        f" unexpected {extra}, missing {absent}. If a new "
+        "CORRECTNESS_r*.json just landed (even uncommitted), this red "
+        "is the INTENDED rotation tripwire: rotate DRIVER_WINDOW to "
+        "`python tools/witness_ledger.py --propose` (ADVICE r8-5)"
     )
 
     # the window should be dominated by oracle-gated queries

@@ -94,6 +94,35 @@ def test_sequencefile_roundtrips_a_real_table(spark, tmp_path):
     )
 
 
+def test_sequencefile_rejects_colliding_serde_params(spark, tmp_path):
+    """The nested-collection sentinels are fixed at \\x02/\\x03/\\N
+    (ADVICE r8-3): a sep equal to a nested delimiter or a custom
+    null_value combined with nested columns must fail loudly instead
+    of writing silently corrupt / mixed-sentinel files."""
+    import pytest
+
+    nested = spark.createDataFrame(
+        [(1, ["a", "b"])], "id INT, tags ARRAY<STRING>"
+    )
+    flat = spark.createDataFrame([(1, "x")], "id INT, s STRING")
+    with pytest.raises(ValueError, match="nested-collection delimiters"):
+        write_sequencefile(nested, str(tmp_path / "x1"), sep="\x02")
+    with pytest.raises(ValueError, match="mixed-sentinel"):
+        write_sequencefile(nested, str(tmp_path / "x2"), null_value="NULL")
+    with pytest.raises(ValueError, match="nested-collection delimiters"):
+        read_sequencefile(
+            spark, str(tmp_path / "x3"), "id INT, tags ARRAY<STRING>",
+            sep="\x03",
+        )
+    # flat schemas keep the full customization surface
+    p = str(tmp_path / "flat_custom")
+    write_sequencefile(flat, p, sep="\t", null_value="NULL")
+    row = read_sequencefile(
+        spark, p, "id INT, s STRING", sep="\t", null_value="NULL"
+    ).first()
+    assert (row.id, row.s) == (1, "x")
+
+
 def test_rcfile_requires_hive_catalog(spark):
     import pytest
 
@@ -144,6 +173,30 @@ def test_rcfile_and_hive_serde_compat_in_subprocess(tmp_path):
             spark, rc_path, SCHEMA, "rc_r"
         )
         assert sorted(back.collect()) == sorted(df.collect()), "rcfile"
+
+        # 1a) existing-table guard (ADVICE r8-1): an identical re-read
+        # reuses the verified table; a mismatched location or schema
+        # raises instead of silently binding to the OLD table's data;
+        # a re-WRITE with matching args appends (idempotent create)
+        again = read_rcfile_table(spark, rc_path, SCHEMA, "rc_r")
+        assert sorted(again.collect()) == sorted(df.collect()), "reread"
+        other_path = os.path.join({work!r}, "rc_other")
+        write_rcfile_table(df, "rc_other", other_path)
+        try:
+            read_rcfile_table(spark, other_path, SCHEMA, "rc_r")
+            raise AssertionError("location mismatch not caught")
+        except ValueError as e:
+            assert "location" in str(e), e
+        try:
+            read_rcfile_table(
+                spark, rc_path, "id INT, name STRING", "rc_r"
+            )
+            raise AssertionError("schema mismatch not caught")
+        except ValueError as e:
+            assert "schema" in str(e), e
+        n_before = spark.table("rc_w").count()
+        write_rcfile_table(df, "rc_w", rc_path)  # rerun: appends, no raise
+        assert spark.table("rc_w").count() == 2 * n_before, "rerun append"
 
         # 1b) Avro roundtrip via Hive AvroSerDe (no spark-avro jar on
         # this classpath — VERDICT r7 "missing #1" now has a working

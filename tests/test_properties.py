@@ -4,8 +4,15 @@ runs one Spark job over a generated frame."""
 
 from __future__ import annotations
 
+import os
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
+
+# Deep-run knob for the Spark-roundtrip property below: each example
+# costs a write+read Spark job (~1s), so the committed default stays
+# small; HIVE_RELEASE_HYP_EXAMPLES=200 runs the full sweep locally.
+_HYP_EXAMPLES = int(os.environ.get("HIVE_RELEASE_HYP_EXAMPLES", "5"))
 
 from hive_release_spark.functions import FUNCTION_REGISTRY
 from hive_release_spark.operators.skew import salted_join
@@ -420,24 +427,41 @@ _SAFE_TEXT = st.text(
                 st.one_of(st.none(), st.integers(-(10**6), 10**6)),
                 min_size=1,
                 max_size=5,
-            ),
+                # [None] is excluded: its serialized bytes are exactly
+                # the \N null sentinel, which the reader (Hive-
+                # identically) takes as a NULL COLUMN — the singleton-
+                # null twin of the empty-vs-[""] text ambiguity, pinned
+                # as EXPECTED behavior by
+                # test_delimited_singleton_null_array_collapses below.
+                # Any multi-element array contains \x02 and any non-
+                # null element breaks the match, so only [None] hits it.
+            ).filter(lambda xs: xs != [None]),
             st.dictionaries(
                 _SAFE_TEXT.filter(lambda s: ":" not in s),
                 st.one_of(st.none(), st.integers(-(10**6), 10**6)),
                 min_size=1,
                 max_size=4,
+                # maps never collapse: every entry is key\x03value and
+                # keys are non-empty, so no map serializes to bare \N
             ),
         ),
         min_size=1,
         max_size=12,
     )
 )
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=_HYP_EXAMPLES, deadline=None, derandomize=True)
 def test_delimited_nested_roundtrip_property(spark, tmp_path_factory, rows):
     """Any printable scalars + collections (with null elements/values)
     survive the LazySimpleSerDe text layout — the structural property
-    behind the \\x02/\\x03/\\N encoding. Empty collections are excluded
-    (text formats cannot represent empty-vs-[""], same as Hive)."""
+    behind the \\x02/\\x03/\\N encoding. Two documented text-format
+    ambiguities are excluded from the strategy, both Hive-identical:
+    empty collections (empty-vs-[""] is not representable) and the
+    singleton-null array [None] (serializes to exactly \\N — see the
+    strategy comment and the pinned regression test below).
+    derandomize=True keeps the draw sequence identical across boxes
+    (VERDICT r8 #2: a cached falsifying example made the suite red on
+    one box and green on the builder's); HIVE_RELEASE_HYP_EXAMPLES
+    raises the example count for deep local runs — verified at 200."""
     import uuid
 
     from hive_release_spark.sources import formats
@@ -456,3 +480,26 @@ def test_delimited_nested_roundtrip_property(spark, tmp_path_factory, rows):
         key=str,
     )
     assert got == want
+
+
+def test_delimited_singleton_null_array_collapses(spark, tmp_path):
+    """EXPECTED-behavior pin for the ambiguity the property excludes
+    (VERDICT r8 "What's wrong" #1): an array whose ONLY element is
+    null serializes to the bytes \\N — indistinguishable from a NULL
+    column in delimited text — and reads back as NULL. Hive's
+    LazySimpleSerDe does exactly the same: [null] -> \\N on write,
+    \\N -> null array on read. Arrays with any non-null element (or
+    more than one element) round-trip losslessly alongside it."""
+    from hive_release_spark.sources import formats
+
+    schema = "id INT, arr ARRAY<INT>"
+    df = spark.createDataFrame(
+        [(1, [None]), (2, [None, None]), (3, [7]), (4, None)], schema
+    )
+    p = str(tmp_path / "nullarr")
+    formats.write_delimited(df, p)
+    back = {r.id: r.arr for r in formats.read_delimited(spark, p, schema).collect()}
+    assert back[1] is None          # the collapse: [None] -> NULL
+    assert back[2] == [None, None]  # \N\x02\N contains \x02 — survives
+    assert back[3] == [7]
+    assert back[4] is None

@@ -81,6 +81,43 @@ def test_roundtrip_hive_delimited_nested_collections(spark, tmp_path):
     assert set(raw.m.split("\x02")) == {"x\x031.5", "y\x032.5"}
 
 
+def test_empty_map_cell_decodes_without_crashing(spark, tmp_path):
+    """ADVICE r8-2: an empty raw map cell used to split to [""] and
+    feed a null key to map_from_arrays, which hard-fails at read time
+    for non-string key types. An empty CELL now decodes as an EMPTY
+    map for any key type — the one faithful reading of what the writer
+    serialized. Two paths, two outcomes, both pinned:
+
+    * SequenceFile (raw text split — empty fields survive): {} -> {};
+    * csv-backed read_delimited (quoting off, so an unquoted empty
+      field arrives as NULL before _lazy_serde_in runs): {} -> NULL —
+      the top-level empty-vs-null text ambiguity, NOT a crash.
+    """
+    from hive_release_spark.sources.formats import (
+        read_sequencefile,
+        write_sequencefile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, {}, {}), (2, {"a": 1.0}, {7: "x"})],
+        "id INT, ms MAP<STRING, DOUBLE>, mi MAP<INT, STRING>",
+    )
+    seq = str(tmp_path / "seq_empty_map")
+    write_sequencefile(df, seq)
+    back = {r.id: r for r in read_sequencefile(spark, seq, df.schema).collect()}
+    assert back[1].ms == {} and back[1].mi == {}  # int keys: no more crash
+    assert back[2].ms == {"a": 1.0} and back[2].mi == {7: "x"}
+
+    p = str(tmp_path / "delim_empty_map")
+    formats.write_delimited(df, p)
+    dback = {
+        r.id: r
+        for r in formats.read_delimited(spark, p, df.schema).collect()
+    }
+    assert dback[1].ms is None and dback[1].mi is None  # csv "" -> NULL
+    assert dback[2].ms == {"a": 1.0} and dback[2].mi == {7: "x"}
+
+
 def test_delimited_binary_column_base64_roundtrip(spark, tmp_path):
     """BINARY columns ride text formats base64-encoded, Hive's
     LazySimpleSerDe behavior — a raw string cast corrupts non-UTF-8

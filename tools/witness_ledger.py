@@ -187,7 +187,10 @@ def main() -> None:
         absent = sorted(set(proposed) - set(DRIVER_WINDOW))
         assert not extra and not absent, (
             "window deviates from the rotation rule —"
-            f" unexpected {extra}, missing {absent}"
+            f" unexpected {extra}, missing {absent}. If a new "
+            "CORRECTNESS_r*.json just landed (even uncommitted in the "
+            "working tree), this is the INTENDED rotation tripwire: "
+            "rotate DRIVER_WINDOW to `--propose`'s output (ADVICE r8-5)"
         )
         print(f"-- window OK ({len(DRIVER_WINDOW)} slots)", file=sys.stderr)
 
