@@ -995,12 +995,18 @@ def source_sequencefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
             "l_shipdate",
         )
     )
+    # the directory is scoped per Spark application: unlike the XML
+    # twin's atomic .mode("overwrite").save(), this path is rmtree +
+    # saveAsSequenceFile (Hadoop-strict, no overwrite mode), so a
+    # concurrent session sharing a fixed path could clear the files
+    # out from under another session's lazy read — the app id keeps
+    # re-calls within one session reusing (and safely clearing) their
+    # own directory while concurrent sessions never collide
     path = os.path.join(
         "spark-warehouse",
-        f"seqfile_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"seqfile_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
     )
-    # saveAsSequenceFile is Hadoop-strict about existing output dirs
-    # (no overwrite mode) — clear the previous run's directory first
     shutil.rmtree(path, ignore_errors=True)
     write_sequencefile(li, path)
     back = read_sequencefile(
