@@ -57,16 +57,30 @@ def main() -> int:
     if patterns:
         qs = {k: v for k, v in qs.items() if any(p in k for p in patterns)}
 
+    from hive_release_spark.operators.cache import pipeline_scope
+
     n_pass = n_fail = 0
+    # each entry runs inside pipeline_scope (same rationale as
+    # bench.py's r9 adoption): call-time persists are released before
+    # the NEXT entry, so a 362-entry sweep neither accumulates executor
+    # storage nor lets the CacheManager substitute an earlier entry's
+    # live InMemoryRelation into a later entry's plan — the sweep
+    # checks clean-session behavior, the thing the driver sees.
     for name, fn in qs.items():
         t0 = time.time()
         try:
-            if name not in oracles:
-                n = fn(spark, SF_DIR).count()
-                print(f"ok   {name}: rows-only ({n} rows) [{time.time()-t0:.1f}s]")
-                n_pass += 1
-                continue
-            ok, why = testing.compare_query(spark, con, fn, oracles[name], SF_DIR)
+            with pipeline_scope():
+                if name not in oracles:
+                    n = fn(spark, SF_DIR).count()
+                    print(
+                        f"ok   {name}: rows-only ({n} rows) "
+                        f"[{time.time()-t0:.1f}s]"
+                    )
+                    n_pass += 1
+                    continue
+                ok, why = testing.compare_query(
+                    spark, con, fn, oracles[name], SF_DIR
+                )
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
