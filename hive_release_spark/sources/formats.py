@@ -397,9 +397,17 @@ def _check_existing_table(
         for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
     }
     existing_loc = detail.get("Location", "")
-    want_loc = os.path.abspath(path).rstrip("/")
-    # catalog locations carry a URI scheme ("file:/x" or "hdfs://nn/x")
-    normalized = re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "", existing_loc)
+    # catalog locations carry a URI scheme ("file:/x" or "hdfs://nn/x");
+    # strip it from both sides and absolutize only scheme-LESS request
+    # paths — abspath on "hdfs://nn/x" would mangle it into a
+    # cwd-relative string and every legitimate reuse would raise a
+    # spurious location mismatch
+    scheme_rx = r"^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?"
+    if re.match(scheme_rx, path):
+        want_loc = re.sub(scheme_rx, "", path).rstrip("/")
+    else:
+        want_loc = os.path.abspath(path).rstrip("/")
+    normalized = re.sub(scheme_rx, "", existing_loc)
     if normalized.rstrip("/") != want_loc:
         raise ValueError(
             f"table {table} already exists at location "
