@@ -482,6 +482,69 @@ def test_delimited_nested_roundtrip_property(spark, tmp_path_factory, rows):
     assert got == want
 
 
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-(2**31), 2**31 - 1),
+            st.one_of(st.none(), _SAFE_TEXT),
+            st.lists(
+                st.one_of(st.none(), st.integers(-(10**6), 10**6)),
+                min_size=1,
+                max_size=5,
+                # [None] excluded for the same \N-collapse reason as the
+                # delimited twin above — the serde kernels are shared
+            ).filter(lambda xs: xs != [None]),
+            st.dictionaries(
+                _SAFE_TEXT.filter(lambda s: ":" not in s),
+                st.one_of(st.none(), st.integers(-(10**6), 10**6)),
+                # min_size=0, UNLIKE the delimited twin: the
+                # SequenceFile read leg is a raw text split that
+                # preserves empty cells, so {} roundtrips as {} (the
+                # r9 empty-map fix, pinned property-wide here) — the
+                # csv-backed delimited reader turns "" into NULL first
+                min_size=0,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=_HYP_EXAMPLES, deadline=None, derandomize=True)
+def test_sequencefile_nested_roundtrip_property(spark, tmp_path_factory, rows):
+    """The SequenceFile twin of the delimited roundtrip property: same
+    LazySimpleSerDe text layout (shared ``_lazy_serde_out/_in``
+    kernels), different transport — Hadoop SequenceFile containers
+    written via saveAsSequenceFile and read back through the RDD text
+    split, so this pins the legs the csv-backed delimited path never
+    touches (raw split with empty-cell preservation, the ``\\N``
+    null-row sentinel inside Text values, typed re-assembly without a
+    csv parser in front). Same documented exclusions ([None]-only
+    arrays, empty arrays); empty MAPS are additionally in scope — see
+    the strategy comment."""
+    import uuid
+
+    from hive_release_spark.sources import formats
+
+    schema = "id INT, s STRING, arr ARRAY<INT>, m MAP<STRING, INT>"
+    df = spark.createDataFrame(rows, schema)
+    p = str(tmp_path_factory.mktemp("prop") / f"sq{uuid.uuid4().hex[:8]}")
+    formats.write_sequencefile(df, p)
+    back = formats.read_sequencefile(spark, p, schema)
+    got = sorted(
+        (
+            (r.id, r.s, tuple(r.arr), tuple(sorted(r.m.items())))
+            for r in back.collect()
+        ),
+        key=str,
+    )
+    want = sorted(
+        ((r[0], r[1], tuple(r[2]), tuple(sorted(r[3].items()))) for r in rows),
+        key=str,
+    )
+    assert got == want
+
+
 def test_delimited_singleton_null_array_collapses(spark, tmp_path):
     """EXPECTED-behavior pin for the ambiguity the property excludes
     (VERDICT r8 "What's wrong" #1): an array whose ONLY element is
