@@ -43,11 +43,22 @@ def main() -> int:
     # SPARK_GRAFT_CHECK_PARTITIONS sweeps the gate at another shuffle
     # partitioning (e.g. a prime like 13) — results must be identical
     # under ANY partitioning (the README determinism claim).
+    # SPARK_GRAFT_CHECK_AQE=0 / SPARK_GRAFT_CHECK_CODEGEN=0 sweep the
+    # gate with adaptive execution or whole-stage codegen disabled —
+    # results must be invariant to the physical-execution strategy
+    # (an AQE-off mismatch means a query leans on runtime re-planning
+    # for CORRECTNESS; a codegen-off mismatch means the compiled and
+    # interpreted expression paths disagree, a Spark-bug detector).
+    extra = {"spark.ui.showConsoleProgress": "false"}
+    if os.environ.get("SPARK_GRAFT_CHECK_AQE") == "0":
+        extra["spark.sql.adaptive.enabled"] = "false"
+    if os.environ.get("SPARK_GRAFT_CHECK_CODEGEN") == "0":
+        extra["spark.sql.codegen.wholeStage"] = "false"
     spark = get_session(
         master="local[8]",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CHECK_PARTITIONS", "8")),
         hive_parity=os.environ.get("SPARK_GRAFT_CHECK_PARITY") == "1",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = testing.duckdb_con(SF_DIR)
