@@ -60,6 +60,13 @@ def kmeans_assign(
     pts.persist()
     try:
         cents = [r.v for r in pts.orderBy(id_col).limit(k).collect()]
+        if not cents:
+            # zero-row input: no init centroids, nothing to assign —
+            # the typed empty (id, cluster) answer (the oracle's CROSS
+            # JOIN against an empty centroid set is empty too); without
+            # the guard _nearest([]) builds a VOID-typed F.array() that
+            # fails at analysis
+            return pts.select(id_col, F.lit(None).cast("int").alias("cluster"))
         for _ in range(n_iter):
             assigned = pts.withColumn("cluster", _nearest(cents))
             means = (
@@ -151,7 +158,15 @@ def pca_project(
     import numpy as np
     import pandas as pd
 
-    d = len(emb.select(vec_col).first()[0])  # 1-row driver fetch, bounded
+    head = emb.select(vec_col).first()  # 1-row driver fetch, bounded
+    if head is None:
+        # zero-row corpus: no covariance to decompose — the typed empty
+        # (id, pc0..pc{k-1}) projection (selecting from the empty input
+        # keeps the id column's type)
+        return emb.select(
+            F.col(id_col), *[F.lit(0.0).alias(f"pc{c}") for c in range(k)]
+        )
+    d = len(head[0])
 
     def partial_moments(batches):
         for pdf in batches:
@@ -255,8 +270,18 @@ def power_iteration_project(
     import math
 
     first = emb.select(vec_col).first()
-    if first is None:  # .first()[0] would raise a bare TypeError
-        raise ValueError("power_iteration_project: input is empty")
+    if first is None:
+        # zero-row input: the DuckDB replay's recursive CTE emits no
+        # projection rows, so the typed empty answer IS the oracle
+        # match (this used to raise; the all-zero-ITERATE degenerate
+        # case below still raises — that one is a data pathology on a
+        # NONEMPTY corpus, not an empty slice)
+        return emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.lit(0).cast("long").alias("pc1_micro"),
+            F.lit(0).cast("long").alias("rayleigh_micro"),
+            F.lit(0).cast("long").alias("n_iter"),
+        )
     dim_ = len(first[0])
     pts = emb.select(
         F.col(id_col).alias("vec_id"),

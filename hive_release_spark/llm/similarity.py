@@ -312,6 +312,19 @@ def lsh_bucket_topk(
 # ---------------------------------------------------------------------------
 
 
+def _empty_topk(queries: DataFrame, corpus: DataFrame, id_col: str) -> DataFrame:
+    """Typed empty (query_id, neighbor_id, sim, rank) frame — the answer
+    every top-k kernel returns for a ZERO-ROW corpus (no index can be
+    built, no vector has neighbors; DuckDB's replay oracles compute the
+    same empty set). Id column types track the input frames so the
+    schema is identical to the non-empty path's output."""
+    qt = dict(queries.dtypes)[id_col]
+    ct = dict(corpus.dtypes)[id_col]
+    return queries.sparkSession.createDataFrame(
+        [], f"query_id {qt}, neighbor_id {ct}, sim double, rank int"
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -348,6 +361,14 @@ def ivf_topk(
         )
     ]  # ≤ n_cells rows on the driver — bounded, same pattern as the
     #    broadcast query matrix in topk_arrow
+    if not centroids:
+        # zero-row corpus: the centroid sample is empty and F.array()
+        # of zero cell_sims structs types as VOID (array_max would fail
+        # at analysis) — return the typed empty answer instead.  Note
+        # the packed-DATA twin (ivf_topk_bcast) needs no guard: its
+        # collect_list yields a typed empty array and the same plan
+        # degrades to an empty result on its own.
+        return _empty_topk(queries, corpus, id_col)
 
     def cell_sims(vec: Column) -> Column:
         """array<struct<sim,cell>> of dot products against every centroid
@@ -669,7 +690,11 @@ def pq_topk(
     """
     from functools import reduce
 
-    d = len(corpus.select(vec_col).first()[0])  # bounded 1-row fetch
+    head = corpus.select(vec_col).first()  # bounded 1-row fetch
+    if head is None:
+        # zero-row corpus: no dimension to derive, no codebook to build
+        return _empty_topk(queries, corpus, id_col)
+    d = len(head[0])
     if d % n_subspaces:
         raise ValueError(f"dim {d} not divisible by {n_subspaces} subspaces")
     w = d // n_subspaces

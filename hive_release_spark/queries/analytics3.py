@@ -1945,7 +1945,10 @@ def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.orderBy("key_col")
+    # a key column with ZERO rows yields no profile row (its whole-frame
+    # agg row carries NULL n_rows) — matching the oracle's GROUP BY,
+    # which emits nothing for an empty frequency frame
+    return out.filter(F.col("n_rows").isNotNull()).orderBy("key_col")
 
 
 @register(
@@ -2276,8 +2279,18 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderstatus").alias("mx2"),
         F.count("o_totalprice").alias("c3"),
         F.countDistinct("o_totalprice").alias("d3"),
-        F.format_string("%.2f", F.min("o_totalprice")).alias("mn3"),
-        F.format_string("%.2f", F.max("o_totalprice")).alias("mx3"),
+        # printf needs the null guard the CAST/date_format columns get
+        # for free: Spark's format_string renders a NULL argument as
+        # the STRING 'null' (DuckDB's printf returns NULL), so an
+        # all-null / zero-row column would profile as min='null'
+        F.when(
+            F.count("o_totalprice") > 0,
+            F.format_string("%.2f", F.min("o_totalprice")),
+        ).alias("mn3"),
+        F.when(
+            F.count("o_totalprice") > 0,
+            F.format_string("%.2f", F.max("o_totalprice")),
+        ).alias("mx3"),
         F.count("o_orderdate").alias("c4"),
         F.countDistinct("o_orderdate").alias("d4"),
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("mn4"),
@@ -2481,6 +2494,17 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.sum("n").over(W.partitionBy("t_from")),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     k = tp.select("t_from").distinct().count()  # bounded: #event types
+    if k == 0:
+        # zero-row event slice: no transitions, no chain — the typed
+        # empty report (the oracle's joins over an empty transition
+        # frame are empty); without the guard 1.0/k is a constant-
+        # folded ANSI divide-by-zero at plan time, rows or no rows
+        tp.unpersist()
+        return spark.createDataFrame(
+            [],
+            "event_type string, stationary_p double, n_obs bigint, "
+            "obs_share double",
+        )
     x = tp.select("t_from").distinct().select(
         F.col("t_from").alias("et"), (F.lit(1.0) / k).alias("xp")
     )
@@ -2707,8 +2731,12 @@ def dq_business_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.rule").alias("rule"),
             "n_checked",
             F.col("r.v").alias("n_violations"),
+            # try_divide: a zero-row audit slice (empty date partition)
+            # has n_checked = 0 and a rate of NULL — DuckDB's 0/0
+            # answer — instead of an ANSI divide-by-zero abort
             F.round(
-                F.col("r.v").cast("double") / F.col("n_checked"), 6
+                F.try_divide(F.col("r.v").cast("double"), F.col("n_checked")),
+                6,
             ).alias("violation_rate"),
         )
         .orderBy("rule")

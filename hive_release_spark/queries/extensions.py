@@ -918,9 +918,18 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rowTag", "event")
         .save(path)
     )
+    # explicit read schema, two birds: (1) no second pass over the data
+    # for schema inference — at scale the inference scan costs as much
+    # as the read; (2) a ZERO-ROW write leaves no row files and
+    # inference would fail with an unresolvable-column error, while the
+    # declared schema reads the empty directory as an empty typed frame
     back = (
         spark.read.format("xml")
         .option("rowTag", "event")
+        .schema(
+            "event_id BIGINT, ts STRING, user_id BIGINT, "
+            "event_type STRING, value DOUBLE"
+        )
         .load(path)
     )
     return (

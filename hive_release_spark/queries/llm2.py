@@ -100,12 +100,23 @@ def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation order can't flip neighbor order vs the oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     qrows = emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding").collect()
+    if not qrows:
+        # empty query set (zero-row corpus, or no vec_id < 20): no
+        # similarity rows — typed like the non-empty output
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank int"
+        )
     q_ids = np.array([r.vec_id for r in qrows])
     q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):
+                # empty Arrow batch (empty partition on a real run, not
+                # just an empty table): np.stack of nothing is 1-D and
+                # the axis-1 norm would crash the worker
+                continue
             c = np.array(list(pdf["embedding"]), dtype=np.float64)
             c_norm = c / np.linalg.norm(c, axis=1, keepdims=True)
             sims = c_norm @ q_norm.T  # (batch, n_queries)

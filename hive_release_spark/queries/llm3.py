@@ -358,12 +358,17 @@ def emb_pca_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col(f"c{i}_{j}"))
                 <= F.sqrt(F.col(f"v{i}") * F.col(f"v{j}")) * 1e-4 + 1e-9
             )
+    # on a ZERO-ROW corpus every moment is NULL and the conjunctions
+    # would be NULL — but the invariants hold VACUOUSLY (there is no
+    # projection to violate them), which is exactly what the oracle's
+    # constant-TRUE columns assert over count(*) = 0
+    vac = F.col("n_rows") == 0
     return row.select(
         "n_rows",
         F.lit(k).alias("k"),
-        ordered.alias("ordered_ok"),
-        means.alias("means_ok"),
-        ortho.alias("ortho_ok"),
+        F.when(vac, F.lit(True)).otherwise(ordered).alias("ordered_ok"),
+        F.when(vac, F.lit(True)).otherwise(means).alias("means_ok"),
+        F.when(vac, F.lit(True)).otherwise(ortho).alias("ortho_ok"),
     )
 
 

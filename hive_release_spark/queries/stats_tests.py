@@ -523,7 +523,10 @@ def stats_power_two_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("k"),
         F.count("*").alias("n"),
     )
-    p1 = F.col("k").cast("double") / F.col("n")
+    # try_divide twice: on a zero-row events slice n = 0 (and with zero
+    # purchases p1 - p2 = 0), so both ratios go NULL — DuckDB's x/0
+    # answer — instead of an ANSI divide-by-zero abort
+    p1 = F.try_divide(F.col("k").cast("double"), F.col("n"))
     p2 = p1 * 1.10
     z = 1.959964 + 0.841621
     return r.select(
@@ -532,9 +535,10 @@ def stats_power_two_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(p1 * 1000000 + F.lit(0.5)).cast("long").alias("p1_micro"),
         F.floor(p2 * 1000000 + F.lit(0.5)).cast("long").alias("p2_micro"),
         F.ceil(
-            F.lit(z * z)
-            * (p1 * (1 - p1) + p2 * (1 - p2))
-            / ((p1 - p2) * (p1 - p2))
+            F.try_divide(
+                F.lit(z * z) * (p1 * (1 - p1) + p2 * (1 - p2)),
+                (p1 - p2) * (p1 - p2),
+            )
         )
         .cast("long")
         .alias("n_per_arm_80pct"),

@@ -557,15 +557,27 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_pairs = F.size("pairs").cast("long")
     lo = F.element_at(slopes, ((F.size("pairs") + 1) / 2).cast("int"))
     hi = F.element_at(slopes, (F.size("pairs") / 2 + 1).cast("int"))
+    # CASE-guard the pair statistics: with ZERO month pairs (an empty
+    # or single-month slice) the median index is 0 — an element_at
+    # hard error — and the oracle's sum/list over no pairs is NULL,
+    # not 0; CASE's lazy branch evaluation keeps the element_at from
+    # ever running in that regime (values are identical whenever a
+    # pair exists)
+    has_pairs = F.size("pairs") > 0
     return withp.select(
         "n_months",
         n_pairs.alias("n_pairs"),
-        F.aggregate(
-            F.col("pairs"),
-            F.lit(0).cast("long"),
-            lambda acc, p: acc + p["sgn"],
+        F.when(
+            has_pairs,
+            F.aggregate(
+                F.col("pairs"),
+                F.lit(0).cast("long"),
+                lambda acc, p: acc + p["sgn"],
+            ),
         ).alias("mk_s"),
-        (F.floor((lo + hi) / 2 * 10000 + 0.5) / 10000).alias("sen_slope"),
+        F.when(
+            has_pairs, F.floor((lo + hi) / 2 * 10000 + 0.5) / 10000
+        ).alias("sen_slope"),
     )
 
 
@@ -1030,15 +1042,22 @@ def timeseries_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("st"),
     )
+    # CASE-guard every output on a nonempty series: with ZERO demand
+    # days there is no state to report (the oracle's recursive CTE
+    # emits no rows, so its max() aggregates — including max(rn) — are
+    # all NULL) and z/p would be an ANSI 0/0 abort; values are
+    # identical whenever a demand day exists (p >= 1 there, so the
+    # division is safe once the guard passes)
+    has = F.col("n_demand_days") > 0
     return folded.select(
-        "n_demand_days",
-        F.floor(F.col("st.z") * 1000 + F.lit(0.5))
+        F.when(has, F.col("n_demand_days")).alias("n_demand_days"),
+        F.when(has, F.floor(F.col("st.z") * 1000 + F.lit(0.5)))
         .cast("long")
         .alias("z_milli"),
-        F.floor(F.col("st.p") * 1000 + F.lit(0.5))
+        F.when(has, F.floor(F.col("st.p") * 1000 + F.lit(0.5)))
         .cast("long")
         .alias("p_milli"),
-        F.floor(F.col("st.z") / F.col("st.p") * 1000 + F.lit(0.5))
+        F.when(has, F.floor(F.col("st.z") / F.col("st.p") * 1000 + F.lit(0.5)))
         .cast("long")
         .alias("forecast_milli"),
     )
@@ -1175,21 +1194,32 @@ def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("st"),
     )
     nxt = (F.col("st.t") % 7 + 1).cast("integer")
+    # CASE-guard the state outputs on a nonempty series: on a ZERO-ROW
+    # slice the seasonal array is empty (element_at would be an ANSI
+    # index error) and the oracle's init averages are NULL, so every
+    # milli column reads NULL; n_days deliberately stays st.t — the
+    # oracle's recursion base pins rn = 14 even over an empty idx, and
+    # both engines agree on that init artifact.  Values are identical
+    # whenever the input has rows (the fixture's multi-year calendars).
+    has = F.col("n_days") > 0
     return folded.select(
         F.col("st.t").alias("n_days"),
-        F.floor(F.col("st.l") * 1000 + F.lit(0.5))
+        F.when(has, F.floor(F.col("st.l") * 1000 + F.lit(0.5)))
         .cast("long")
         .alias("level_milli"),
-        F.floor(F.col("st.b") * 1000 + F.lit(0.5))
+        F.when(has, F.floor(F.col("st.b") * 1000 + F.lit(0.5)))
         .cast("long")
         .alias("trend_milli"),
-        F.floor(F.element_at(F.col("st.s"), nxt) * 1000 + F.lit(0.5))
+        F.when(has, F.floor(F.element_at(F.col("st.s"), nxt) * 1000 + F.lit(0.5)))
         .cast("long")
         .alias("next_season_milli"),
-        F.floor(
-            (F.col("st.l") + F.col("st.b") + F.element_at(F.col("st.s"), nxt))
-            * 1000
-            + F.lit(0.5)
+        F.when(
+            has,
+            F.floor(
+                (F.col("st.l") + F.col("st.b") + F.element_at(F.col("st.s"), nxt))
+                * 1000
+                + F.lit(0.5)
+            ),
         )
         .cast("long")
         .alias("forecast_milli"),

@@ -319,11 +319,22 @@ def write_sequencefile(
             for f in df.schema.fields
         ],
     )
-    (
-        df.select(value.alias("v"))
-        .rdd.map(lambda r: ("", r.v))
-        .saveAsSequenceFile(path)
-    )
+    rdd = df.select(value.alias("v")).rdd.map(lambda r: ("", r.v))
+    if rdd.isEmpty():
+        # saveAsSequenceFile infers the Writable types from the FIRST
+        # record and hard-fails on a zero-row frame ("empty
+        # collection"). Hive's empty-table layout is simply the empty
+        # table directory, which every reader — including
+        # read_sequencefile and Hive's own SerDe — maps to zero rows;
+        # create it through the Hadoop FileSystem so URI schemes work.
+        # (isEmpty costs one take(1) probe job; the migration-shape
+        # write is already a full job, so the probe is noise.)
+        sc = df.sparkSession.sparkContext
+        jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        fs.mkdirs(jpath)
+        return
+    rdd.saveAsSequenceFile(path)
 
 
 def read_sequencefile(

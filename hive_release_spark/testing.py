@@ -206,6 +206,18 @@ def driver_frames_match(spd, dpd) -> tuple[bool, str]:
                     vb, (list, dict, set, np.ndarray)
                 ):
                     return False, f"driver-canon unhashable cell col {c} row {i}"
+                # in an OBJECT column a float NaN is pandas notation for
+                # a missing value in a non-float column (e.g. DuckDB's
+                # .df() renders a NULL BOOLEAN as NaN while Spark's
+                # collect gives None) — normalize to None, same as the
+                # mixed-kind branch's _date_like_iso does.  Genuine
+                # float NaN-vs-NULL distinctions live in float64
+                # columns (float branch) and in gate 1's fetchall
+                # comparison, which keeps canon's None != "NaN".
+                if isinstance(va, float) and math.isnan(va):
+                    va = None
+                if isinstance(vb, float) and math.isnan(vb):
+                    vb = None
                 if canon(va) != canon(vb):
                     return False, f"driver-canon value mismatch col {c} row {i}: {va!r} vs {vb!r}"
         else:

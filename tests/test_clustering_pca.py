@@ -88,10 +88,14 @@ def test_power_iteration_matches_sequential_numpy_replay(spark):
 
 
 def test_power_iteration_degenerate_inputs_fail_loudly(spark):
-    """ADVICE r6-5: an empty input or an all-constant (sub-quantum
-    variance) corpus must raise a clear ValueError on the Spark side —
-    previously Python died with TypeError / ZeroDivisionError while the
-    DuckDB replay yielded inf/NULL, a divergent failure mode."""
+    """ADVICE r6-5, amended by the r9 empty-input axis: an EMPTY input
+    now returns the typed empty projection (the DuckDB replay oracle's
+    answer — its recursive CTE emits no rows over an empty corpus, so
+    returning empty IS cross-engine-convergent, unlike the r6 era when
+    Python died with a bare TypeError). The all-constant (sub-quantum
+    variance) corpus still raises a clear ValueError: that one is a
+    data pathology on a NONEMPTY corpus where the DuckDB replay
+    diverges into inf/NULL, so failing loudly remains correct."""
     import pytest
     from pyspark.sql import types as T
 
@@ -102,8 +106,11 @@ def test_power_iteration_degenerate_inputs_fail_loudly(spark):
         T.StructField("embedding", T.ArrayType(T.DoubleType())),
     ])
     empty = spark.createDataFrame([], schema)
-    with pytest.raises(ValueError, match="empty"):
-        power_iteration_project(empty)
+    out = power_iteration_project(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id", "pc1_micro", "rayleigh_micro", "n_iter",
+    ]
 
     constant = spark.createDataFrame(
         [(i, [1.0] * 8) for i in range(20)], schema

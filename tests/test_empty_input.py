@@ -1,0 +1,187 @@
+"""Zero-row input robustness (the r9 empty-input axis).
+
+An engine run against 100 TB routinely sees EMPTY slices — an empty
+date partition, a filter that matches nothing, a table freshly created
+— and Hive returns empty (or NULL-aggregate) results there, never a
+crash. The r9 sweep ran ALL registry entries against zero-row copies
+of every table and found two classes of defect, both fixed and pinned
+here:
+
+* engine-side crashes: ANSI divide-by-zero on empty-derived
+  denominators, ``first()[0]`` on an empty frame, VOID-typed empty
+  literal arrays feeding array_min/max, element_at on empty arrays,
+  numpy axis errors on empty Arrow batches, saveAsSequenceFile's
+  first-record type inference, XML schema inference over a rowless
+  directory;
+* oracle-parity mismatches: printf rendering NULL as the string
+  'null', sums needing coalesce to report a zero-count audit, profile
+  rows emitted for key columns with no rows.
+
+The one DOCUMENTED non-parity family is grouping sets: Spark (and
+Hive, whose GroupByOperator replicates input rows per grouping set —
+zero in, zero out) returns NO rows for CUBE/ROLLUP/GROUPING SETS over
+empty input, while DuckDB/Postgres emit the () grand-total row. That
+delta is pinned below as EXPECTED behavior, Hive side chosen.
+
+Full-axis sweep (all 362 entries vs DuckDB on empty tables):
+    python tests/test_empty_input.py --make-empty /tmp/sf_empty
+    SPARK_GRAFT_CHECK_SF=/tmp/sf_empty python tools/check.py
+Expected: every entry green except the six grouping-sets-family
+entries listed in GROUPING_SETS_DELTA.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+from hive_release_spark import testing
+
+SF_SRC = "/root/testdata/sf0.001"
+
+# Entries repaired by the r9 empty-input sweep — each must hash-match
+# its DuckDB oracle on zero-row tables (the oracle defines the
+# empty-input semantics: empty result sets for joins/rankings,
+# NULL-valued aggregate rows for global aggregates, vacuously-true
+# contract booleans).
+REPAIRED = [
+    "events_markov_stationary",
+    "dq_business_rules",
+    "timeseries_croston",
+    "stats_power_two_proportions",
+    "timeseries_theil_sen",
+    "timeseries_holt_winters",
+    "dq_key_skew_profile",
+    "dq_column_profile",
+    "dq_distribution_drift_psi",
+    "agg_bloom_filter",
+    "source_xml_roundtrip",
+    "source_sequencefile_roundtrip",
+    "emb_pca_project",
+    "sim_ann_ivf",
+    "sim_ann_pq",
+    "emb_kmeans",
+    "sim_cosine_topk_arrow",
+    "emb_pca_contract",
+]
+
+# The documented Hive-faithful delta: these aggregate with
+# CUBE/ROLLUP/GROUPING SETS, where Spark's zero-rows-in-zero-rows-out
+# matches Hive's row-replication implementation and the DuckDB oracle
+# emits the SQL-standard () grand-total row instead.
+GROUPING_SETS_DELTA = [
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_id",
+    "ds_channel_rollup",
+    "ds_hierarchy_rank",
+]
+
+
+def make_empty(dst: str) -> str:
+    """Zero-row copies of every driver table, schemas preserved."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    for f in os.listdir(SF_SRC):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(SF_SRC, f))
+            pq.write_table(t.slice(0, 0), os.path.join(dst, f))
+    return dst
+
+
+@pytest.fixture(scope="module")
+def empty_sf(tmp_path_factory):
+    return make_empty(str(tmp_path_factory.mktemp("sf_empty")))
+
+
+@pytest.fixture(scope="module")
+def empty_con(empty_sf):
+    return testing.duckdb_con(empty_sf)
+
+
+@pytest.mark.parametrize("name", REPAIRED)
+def test_repaired_entry_matches_oracle_on_empty(spark, empty_sf, empty_con, name):
+    from hive_release_spark.queries import REGISTRY
+
+    entry = REGISTRY[name]
+    ok, why = testing.compare_query(
+        spark, empty_con, entry.fn, entry.oracle, empty_sf
+    )
+    assert ok, f"{name} on zero-row input: {why}"
+
+
+@pytest.mark.parametrize("name", GROUPING_SETS_DELTA)
+def test_grouping_sets_empty_delta_pinned(spark, empty_sf, empty_con, name):
+    """Spark returns ZERO rows for grouping-set aggregates over empty
+    input (Hive-faithful: the GroupByOperator replicates input rows per
+    grouping set, so zero input rows produce zero output rows); the
+    DuckDB oracle emits the SQL-standard () grand-total row. Pin BOTH
+    sides so a semantic change in either engine surfaces here instead
+    of silently flipping the documented delta."""
+    from hive_release_spark.queries import REGISTRY
+
+    entry = REGISTRY[name]
+    assert entry.fn(spark, empty_sf).count() == 0, (
+        f"{name}: Spark no longer returns 0 rows on empty grouping-set "
+        "input — the Hive-faithful delta documented in COVERAGE.md "
+        "changed underneath us"
+    )
+    n_oracle = len(empty_con.execute(entry.oracle).fetchall())
+    assert n_oracle >= 1, (
+        f"{name}: the DuckDB oracle now returns {n_oracle} rows on empty "
+        "input — the documented delta no longer exists; promote the "
+        "entry into the oracle-parity set"
+    )
+
+
+def test_empty_arrow_batch_does_not_crash_pandas_kernel(spark, empty_sf):
+    """The mapInPandas kernels must tolerate EMPTY Arrow batches — on a
+    real cluster an empty partition hands the UDF an empty frame, so
+    this is live-data robustness, not just the empty-table edge (the
+    pca partial-moments kernel always guarded; the cosine kernel is
+    pinned since the r9 sweep caught it)."""
+    from hive_release_spark.queries import REGISTRY
+
+    # 1-row corpus across 8 partitions -> at least 7 empty batches
+    emb = (
+        spark.read.parquet(os.path.join(SF_SRC, "embeddings.parquet"))
+        .limit(1)
+        .repartition(8)
+    )
+    emb.createOrReplaceTempView("_one_row_emb")
+    import numpy as np
+
+    from hive_release_spark.llm.clustering import pca_project
+
+    assert pca_project(emb, k=1).count() == 1
+    del np
+    # and the registry entry end-to-end on the all-empty tables
+    assert REGISTRY["sim_cosine_topk_arrow"].fn(spark, empty_sf).count() == 0
+
+
+def test_sequencefile_empty_roundtrip(spark, tmp_path):
+    """A zero-row frame writes an empty table directory (Hive's own
+    empty-table layout — saveAsSequenceFile's first-record type
+    inference cannot run) and reads back as a zero-row typed frame."""
+    from hive_release_spark.sources.formats import (
+        read_sequencefile,
+        write_sequencefile,
+    )
+
+    schema = "id INT, s STRING, arr ARRAY<INT>"
+    df = spark.createDataFrame([], schema)
+    p = str(tmp_path / "seq_zero")
+    write_sequencefile(df, p)
+    assert os.path.isdir(p)
+    back = read_sequencefile(spark, p, schema)
+    assert back.count() == 0
+    assert [f.name for f in back.schema.fields] == ["id", "s", "arr"]
+
+
+if __name__ == "__main__":
+    if len(sys.argv) == 3 and sys.argv[1] == "--make-empty":
+        print(make_empty(sys.argv[2]))

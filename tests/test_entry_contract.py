@@ -77,21 +77,28 @@ def test_driver_window_spans_every_survey_family():
     # declaring one and not witnessing it would defeat the rule
     assert set(CONTRACT_CHANGED) <= set(DRIVER_WINDOW)
 
-    # ... and must EXPIRE once witnessed (ADVICE r7-3): when the
-    # latest CORRECTNESS file already records an entry, its declared
-    # contract change has been driver-witnessed — a stale declaration
-    # would waste future slots.  Latest = highest parsed round number
+    # ... and must EXPIRE once witnessed AFTER the declaration
+    # (ADVICE r7-3, made round-aware in r9): a declaration is served
+    # only by a witness from CONTRACT_CHANGED_ROUND or later — that
+    # witness saw the NEW kernel.  A witness from an earlier round
+    # (e.g. the r8 window recorded the timeseries tail before r9's
+    # empty-input repairs touched those kernels) does not expire the
+    # claim; the old membership-in-latest-file check wrongly flagged
+    # exactly that case.  Latest = highest parsed round number
     # (lexicographic sort puts r100 before r99 — ADVICE r7-4).
-    import json
-    from pathlib import Path
+    from hive_release_spark.queries import CONTRACT_CHANGED_ROUND
+    from tools.witness_ledger import witness_rounds
 
-    latest = correctness_files()[-1]
-    with open(latest) as f:
-        latest_names = set(json.load(f))
-    stale = [n for n in CONTRACT_CHANGED if n in latest_names]
+    rounds = witness_rounds()
+    stale = [
+        n
+        for n in CONTRACT_CHANGED
+        if rounds.get(n, 0) >= CONTRACT_CHANGED_ROUND
+    ]
     assert not stale, (
-        f"CONTRACT_CHANGED entries already witnessed in {Path(latest).name} "
-        f"— clear them at rotation: {stale}"
+        "CONTRACT_CHANGED entries already witnessed at or after "
+        f"round {CONTRACT_CHANGED_ROUND} (the post-change kernel) — "
+        f"clear them at rotation: {stale}"
     )
 
     proposed = propose_window()
