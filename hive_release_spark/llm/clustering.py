@@ -67,6 +67,11 @@ def kmeans_assign(
             # the guard _nearest([]) builds a VOID-typed F.array() that
             # fails at analysis
             return pts.select(id_col, F.lit(None).cast("int").alias("cluster"))
+        # fewer rows than k: run with the centroids that exist — the
+        # oracle's LIMIT k picks up the same smaller set, and indexing
+        # the keep-previous fallback by len(cents) (not the requested
+        # k) is what makes the k > n case an IndexError-free degrade
+        # instead of a crash
         for _ in range(n_iter):
             assigned = pts.withColumn("cluster", _nearest(cents))
             means = (
@@ -79,7 +84,7 @@ def kmeans_assign(
             )
             new = {r.cluster: [x.m for x in r.ms] for r in means}
             # empty cluster → keep its previous centroid
-            cents = [new.get(i, cents[i]) for i in range(k)]
+            cents = [new.get(i, cents[i]) for i in range(len(cents))]
         return pts.withColumn("cluster", _nearest(cents)).select(id_col, "cluster")
     finally:
         pts.unpersist()

@@ -318,6 +318,24 @@ CONTRACT_CHANGED = [
     "events_markov_stationary",
     "source_xml_roundtrip",
     "source_sequencefile_roundtrip",
+    # ... and the SINGLE-ROW axis repairs (same sweep, n=1 instead of
+    # n=0 — degenerate variance/DoF denominators and the k>n k-means
+    # clamp; tests/test_empty_input.py §single-row).  Also
+    # behavior-identical at every tested scale; holt_winters' init
+    # became a real average (sum/size == sum/7 bit-for-bit on the
+    # fixture's full two-week windows).
+    "events_anomaly_mad",
+    "events_ab_cuped",
+    "search_tfidf_cosine",
+    "stats_chi_square",
+    "stats_anova_oneway",
+    "stats_spearman_corr",
+    "stats_fdr_bh",
+    "sample_stratified_neyman",
+    "events_fano_factor",
+    "ml_linear_regression",
+    "ml_regression_calibration",
+    "ml_regression_kfold_cv",
 ]
 
 DRIVER_WINDOW = [
@@ -338,6 +356,18 @@ DRIVER_WINDOW = [
     "events_markov_stationary",
     "source_xml_roundtrip",
     "source_sequencefile_roundtrip",
+    "events_anomaly_mad",
+    "events_ab_cuped",
+    "search_tfidf_cosine",
+    "stats_chi_square",
+    "stats_anova_oneway",
+    "stats_spearman_corr",
+    "stats_fdr_bh",
+    "sample_stratified_neyman",
+    "events_fano_factor",
+    "ml_linear_regression",
+    "ml_regression_calibration",
+    "ml_regression_kfold_cv",
     "stream_session",
     "dedup_exact",
     "fn_string",
@@ -345,7 +375,6 @@ DRIVER_WINDOW = [
     "join_left_outer",
     "script_transform",
     "setop_union",
-    "text_quality",
     "dedup_jaccard_pairs",
     "ptf_matchpath",
     "sample_fraction",
@@ -360,17 +389,6 @@ DRIVER_WINDOW = [
     "agg_cube",
     "agg_collect",
     "agg_percentile",
-    "limit_offset_page",
-    "distinct_rows",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except",
-    "setop_except_all",
-    "join_broadcast_part",
-    "q5_local_supplier_volume",
-    "join_right_outer",
-    "join_left_semi",
-    "join_left_anti",
 ]
 
 

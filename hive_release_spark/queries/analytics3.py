@@ -1009,8 +1009,11 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "day",
             "n",
+            # try_divide: MAD = 0 (a single day, or >=50% identical
+            # daily counts) makes the z undefined — NULL, DuckDB's
+            # x/0 answer, not an ANSI abort
             F.round(
-                (F.col("n") - F.col("m")) / (1.4826 * F.col("v")), 4
+                F.try_divide(F.col("n") - F.col("m"), 1.4826 * F.col("v")), 4
             ).alias("robust_z"),
             (
                 F.abs(F.col("n") - F.col("m")) > 3 * 1.4826 * F.col("v")
@@ -2199,7 +2202,12 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_n = d("n_all") * F.col("spy_all") - d("sp_all") * F.col("sy_all")
     var_p = d("n_all") * F.col("spp_all") - d("sp_all") * F.col("sp_all")
     var_y = d("n_all") * F.col("syy_all") - d("sy_all") * F.col("sy_all")
-    theta = cov_n / var_p
+    # try_divide on the two variance-normalized ratios: a degenerate
+    # experiment (single user, or a constant pre-period covariate) has
+    # var(pre) = 0 and theta/rho2 undefined — NULL, DuckDB's x/0
+    # answer, not an ANSI abort.  The per-arm mean divisors are counts
+    # (>= 1 when the arm exists, NULL when it doesn't), never zero.
+    theta = F.try_divide(cov_n, var_p)
     dy = d("sy1") / F.col("n1") - d("sy0") / F.col("n0")
     dp = d("sp1") / F.col("n1") - d("sp0") / F.col("n0")
     return w.select(
@@ -2209,7 +2217,7 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d("sy1") / F.col("n1") / 100, 4).alias("mean_y_treatment"),
         F.round(dy / 100, 4).alias("uplift_raw"),
         F.round(theta, 6).alias("theta"),
-        F.round(F.pow(cov_n, 2) / (var_p * var_y), 6).alias("rho2"),
+        F.round(F.try_divide(F.pow(cov_n, 2), var_p * var_y), 6).alias("rho2"),
         F.round((dy - theta * dp) / 100, 4).alias("uplift_cuped"),
     )
 

@@ -1613,8 +1613,13 @@ def search_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qn))
         .groupBy("doc_id")
         .agg(
+            # try_divide both normalizations: a degenerate corpus where
+            # every term appears in every document has idf = 0
+            # everywhere, so dnorm/qnorm are 0 and the cosine is
+            # undefined — NULL, DuckDB's x/0 answer, not an ANSI abort
             F.sum(
-                F.col("wt") / F.col("dnorm") * F.col("qwt") / F.col("qnorm")
+                F.try_divide(F.col("wt"), F.col("dnorm"))
+                * F.try_divide(F.col("qwt"), F.col("qnorm"))
             ).alias("score")
         )
     )

@@ -128,35 +128,34 @@ def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     det = F.col("n") * F.col("mA") - F.col("s1") * F.col("mB") + F.col(
         "s2"
     ) * F.col("mC")
+    # try_divide on the Cramer solves and R^2: a rank-deficient moment
+    # matrix (fewer rows than coefficients, or collinear features — the
+    # single-row slice) has det = 0 and SST = 0, so the coefficients
+    # and fit are undefined — NULL, DuckDB's x/0 answer, not an ANSI
+    # abort
     b = d.select(
         "n",
         "sy",
         "s1y",
         "s2y",
         "syy",
-        (
-            (
-                F.col("sy") * F.col("mA")
-                - F.col("s1") * F.col("mD")
-                + F.col("s2") * F.col("mE")
-            )
-            / det
+        F.try_divide(
+            F.col("sy") * F.col("mA")
+            - F.col("s1") * F.col("mD")
+            + F.col("s2") * F.col("mE"),
+            det,
         ).alias("b0"),
-        (
-            (
-                F.col("n") * F.col("mD")
-                - F.col("sy") * F.col("mB")
-                + F.col("s2") * F.col("mF")
-            )
-            / det
+        F.try_divide(
+            F.col("n") * F.col("mD")
+            - F.col("sy") * F.col("mB")
+            + F.col("s2") * F.col("mF"),
+            det,
         ).alias("b1"),
-        (
-            (
-                F.col("n") * F.col("mG")
-                - F.col("s1") * F.col("mF")
-                + F.col("sy") * F.col("mC")
-            )
-            / det
+        F.try_divide(
+            F.col("n") * F.col("mG")
+            - F.col("s1") * F.col("mF")
+            + F.col("sy") * F.col("mC"),
+            det,
         ).alias("b2"),
     )
     sst = F.col("syy") - dd("sy") * F.col("sy") / F.col("n")
@@ -177,7 +176,7 @@ def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("b2") / 100.0 * 1000 + F.lit(0.5))
         .cast("long")
         .alias("b2_milli"),
-        F.floor(ssr / sst * 100000 + F.lit(0.5))
+        F.floor(F.try_divide(ssr, sst) * 100000 + F.lit(0.5))
         .cast("long")
         .alias("r2_e5"),
     )
@@ -1245,12 +1244,14 @@ def ml_regression_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sxy"),
     )
-    b1 = (
+    # try_divide on the slope: a single-row (or constant-x) slice has
+    # zero x-variance and the fit is undefined — NULL, DuckDB's x/0
+    # answer, not an ANSI abort
+    b1 = F.try_divide(
         F.col("n") * F.col("sxy")
-        - F.col("sx").cast("double") * F.col("sy")
-    ) / (
+        - F.col("sx").cast("double") * F.col("sy"),
         F.col("n") * F.col("sxx")
-        - F.col("sx").cast("double") * F.col("sx")
+        - F.col("sx").cast("double") * F.col("sx"),
     )
     fit = s.select(
         b1.alias("b1"),
@@ -1408,14 +1409,19 @@ def ml_regression_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("gsxx") - F.col("sxx")).alias("rsxx"),
         (F.col("gsxy") - F.col("sxy")).alias("rsxy"),
     )
-    b1 = (
+    # try_divide on both coefficients: a fold that holds EVERY row (a
+    # single-row slice, or fewer rows than folds) leaves an empty or
+    # constant-x training complement — zero x-variance, n_tr = 0 — and
+    # that fold's model is undefined — NULL, DuckDB's x/0 answer
+    b1 = F.try_divide(
         F.col("n_tr") * F.col("rsxy")
-        - F.col("rsx").cast("double") * F.col("rsy")
-    ) / (
+        - F.col("rsx").cast("double") * F.col("rsy"),
         F.col("n_tr") * F.col("rsxx")
-        - F.col("rsx").cast("double") * F.col("rsx")
+        - F.col("rsx").cast("double") * F.col("rsx"),
     )
-    b0 = (F.col("rsy") - b1 * F.col("rsx")) / F.col("n_tr").cast("double")
+    b0 = F.try_divide(
+        F.col("rsy") - b1 * F.col("rsx"), F.col("n_tr").cast("double")
+    )
     fit = tr.select(
         "fold",
         "n_test",

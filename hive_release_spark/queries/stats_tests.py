@@ -278,8 +278,11 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dof"
         ),
         F.floor(chi2 * 1000 + F.lit(0.5)).cast("long").alias("chi2_milli"),
+        # try_divide: a degenerate 1xC / Rx1 table has min(r-1, c-1) = 0
+        # and Cramer's V is undefined — NULL, DuckDB's x/0 answer
         F.floor(
-            F.sqrt(chi2 / (F.max("tot") * minrc)) * 1000000 + F.lit(0.5)
+            F.sqrt(F.try_divide(chi2, F.max("tot") * minrc)) * 1000000
+            + F.lit(0.5)
         )
         .cast("long")
         .alias("v_micro"),
@@ -854,14 +857,21 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nt").alias("n_rows"),
         (F.col("k") - 1).alias("dof_between"),
         (F.col("nt") - F.col("k")).alias("dof_within"),
+        # try_divide throughout the ratio chain: a single-group (or
+        # single-row) slice has zero between/within degrees of freedom
+        # and SST = 0, so F and eta^2 are undefined — NULL, DuckDB's
+        # x/0 answer, not an ANSI abort
         F.floor(
-            (ssb / (F.col("k") - 1)) / (ssw / (F.col("nt") - F.col("k")))
+            F.try_divide(
+                F.try_divide(ssb, F.col("k") - 1),
+                F.try_divide(ssw, F.col("nt") - F.col("k")),
+            )
             * 1000
             + F.lit(0.5)
         )
         .cast("long")
         .alias("f_milli"),
-        F.floor(ssb / sst * 1000000 + F.lit(0.5))
+        F.floor(F.try_divide(ssb, sst) * 1000000 + F.lit(0.5))
         .cast("long")
         .alias("eta2_micro"),
     )
@@ -958,7 +968,10 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         "n",
-        F.floor(num / den * 1000000 + F.lit(0.5))
+        # try_divide: one row (or a constant column) has zero rank
+        # variance and the correlation is undefined — NULL, DuckDB's
+        # x/0 answer, not an ANSI abort
+        F.floor(F.try_divide(num, den) * 1000000 + F.lit(0.5))
         .cast("long")
         .alias("spearman_micro"),
     )
@@ -1040,8 +1053,13 @@ def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = g.agg(F.sum("n").alias("nt"), F.sum("k").alias("kt"))
     p0 = F.col("kt").cast("double") / F.col("nt")
-    zv = (F.col("k").cast("double") / F.col("n") - p0) / F.sqrt(
-        p0 * (1.0 - p0) / F.col("n")
+    # try_divide: a pooled rate of exactly 0 or 1 (every order the
+    # same status — the single-row slice) has zero binomial variance
+    # and the z-score is undefined — NULL, DuckDB's x/0 answer; the
+    # group/pool counts themselves are >= 1 by construction
+    zv = F.try_divide(
+        F.col("k").cast("double") / F.col("n") - p0,
+        F.sqrt(p0 * (1.0 - p0) / F.col("n")),
     )
     z = g.crossJoin(F.broadcast(t)).withColumn("zv", zv)
     x = F.abs(F.col("zv")) / F.sqrt(F.lit(2.0))
@@ -1464,13 +1482,17 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("syy"),
         )
     )
+    # try_divide at both degenerate points, matching DuckDB's x/0 NULL:
+    # a single-row stratum has no sample variance (nh - 1 = 0), and an
+    # all-constant corpus has tot = sum(nh * sh) = 0 so the allocation
+    # shares are undefined
     sh = (
         F.sqrt(
-            (
+            F.try_divide(
                 F.col("syy")
-                - F.col("sy").cast("double") * F.col("sy") / F.col("nh")
+                - F.col("sy").cast("double") * F.col("sy") / F.col("nh"),
+                F.col("nh") - 1,
             )
-            / (F.col("nh") - 1)
         )
         / 100.0
     )
@@ -1485,13 +1507,13 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("sd_milli"),
             F.floor(
-                1000.0 * F.col("nh") * F.col("sh") / F.col("tot")
+                F.try_divide(1000.0 * F.col("nh") * F.col("sh"), F.col("tot"))
                 + F.lit(0.5)
             )
             .cast("long")
             .alias("alloc_of_1000"),
             F.floor(
-                F.col("nh") * F.col("sh") / F.col("tot") * 1000000
+                F.try_divide(F.col("nh") * F.col("sh"), F.col("tot")) * 1000000
                 + F.lit(0.5)
             )
             .cast("long")
@@ -1549,13 +1571,17 @@ def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("scc"),
     )
-    fano = (
-        (
+    # try_divide on the variance term: a stream seen on a single day
+    # has no sample variance (n_days - 1 = 0) and its dispersion is
+    # undefined — NULL, DuckDB's x/0 answer; the mean divisor is a
+    # per-day count sum (>= 1 whenever the stream exists)
+    fano = F.try_divide(
+        F.try_divide(
             F.col("scc")
-            - F.col("sc").cast("double") * F.col("sc") / F.col("n_days")
-        )
-        / (F.col("n_days") - 1)
-        / (F.col("sc").cast("double") / F.col("n_days"))
+            - F.col("sc").cast("double") * F.col("sc") / F.col("n_days"),
+            F.col("n_days") - 1,
+        ),
+        F.col("sc").cast("double") / F.col("n_days"),
     )
     return s.select(
         "event_type",

@@ -1138,12 +1138,21 @@ def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list(F.struct("day", "x"))).alias("sv")
     ).select(F.transform("sv", lambda t: t["x"].cast("double")).alias("xs"))
 
-    m1 = F.aggregate(
-        F.slice("xs", 1, 7), F.lit(0.0), lambda a, x: a + x
-    ) / 7.0
-    m2 = F.aggregate(
-        F.slice("xs", 8, 7), F.lit(0.0), lambda a, x: a + x
-    ) / 7.0
+    # real averages (try_divide by the SLICE size, not a literal 7):
+    # on a full two-week series the slices have exactly 7 elements and
+    # sum/size == sum/7 bit-for-bit, but on a shorter slice the oracle's
+    # avg(CASE WHEN rn ...) averages the rows that EXIST — sum/7 was a
+    # silent divergence below 14 days, and on a sub-8-day series the
+    # second window is empty so m2 (and the whole init state) is NULL
+    # on both engines instead of a fabricated 0.0
+    m1 = F.try_divide(
+        F.aggregate(F.slice("xs", 1, 7), F.lit(0.0), lambda a, x: a + x),
+        F.size(F.slice("xs", 1, 7)),
+    )
+    m2 = F.try_divide(
+        F.aggregate(F.slice("xs", 8, 7), F.lit(0.0), lambda a, x: a + x),
+        F.size(F.slice("xs", 8, 7)),
+    )
     init = packed.select(
         "xs",
         m1.alias("m1"),

@@ -81,6 +81,29 @@ GROUPING_SETS_DELTA = [
 ]
 
 
+# SINGLE-ROW axis (n=1 — the second sweep): degenerate-variance and
+# degrees-of-freedom denominators go to zero differently than at n=0
+# (the aggregate row EXISTS but its statistics are undefined), plus the
+# k>n k-means clamp. Each repaired entry must hash-match its oracle on
+# 1-row tables.
+REPAIRED_SINGLE_ROW = [
+    "events_anomaly_mad",
+    "events_ab_cuped",
+    "search_tfidf_cosine",
+    "stats_chi_square",
+    "stats_anova_oneway",
+    "stats_spearman_corr",
+    "stats_fdr_bh",
+    "sample_stratified_neyman",
+    "events_fano_factor",
+    "ml_linear_regression",
+    "ml_regression_calibration",
+    "ml_regression_kfold_cv",
+    "emb_kmeans",
+    "timeseries_holt_winters",
+]
+
+
 def make_empty(dst: str) -> str:
     """Zero-row copies of every driver table, schemas preserved."""
     import pyarrow.parquet as pq
@@ -90,6 +113,20 @@ def make_empty(dst: str) -> str:
         if f.endswith(".parquet"):
             t = pq.read_table(os.path.join(SF_SRC, f))
             pq.write_table(t.slice(0, 0), os.path.join(dst, f))
+    return dst
+
+
+def make_single(dst: str) -> str:
+    """First-row-only copies of every driver table (referential links
+    between tables break, but Spark and the oracle see the SAME rows,
+    so parity is still exactly defined)."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    for f in os.listdir(SF_SRC):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(SF_SRC, f))
+            pq.write_table(t.slice(0, 1), os.path.join(dst, f))
     return dst
 
 
@@ -136,6 +173,59 @@ def test_grouping_sets_empty_delta_pinned(spark, empty_sf, empty_con, name):
         "input — the documented delta no longer exists; promote the "
         "entry into the oracle-parity set"
     )
+
+
+@pytest.fixture(scope="module")
+def single_sf(tmp_path_factory):
+    return make_single(str(tmp_path_factory.mktemp("sf_one")))
+
+
+@pytest.fixture(scope="module")
+def single_con(single_sf):
+    return testing.duckdb_con(single_sf)
+
+
+@pytest.mark.parametrize("name", REPAIRED_SINGLE_ROW)
+def test_repaired_entry_matches_oracle_on_single_row(
+    spark, single_sf, single_con, name
+):
+    from hive_release_spark.queries import REGISTRY
+
+    entry = REGISTRY[name]
+    ok, why = testing.compare_query(
+        spark, single_con, entry.fn, entry.oracle, single_sf
+    )
+    assert ok, f"{name} on single-row input: {why}"
+
+
+def test_single_row_adjudicated_exceptions(spark, single_sf, single_con):
+    """The n=1 behaviors deliberately NOT converged, pinned so a
+    change in either engine surfaces here:
+
+    * emb_pca_project: a 1-vector corpus mean-centers to all-zeros and
+      the quantized iterate collapses — Spark raises the documented
+      degenerate-input ValueError (ADVICE r6-5) and DuckDB's replay
+      errors on the NULL-laden list arithmetic; BOTH engines fail, in
+      their own ways, which is the adjudicated contract for a data
+      pathology (unlike n=0, where both return empty).
+    * agg_histogram_numeric / agg_percentile_approx_contract: sketch
+      CONTRACTS whose oracle pins fixture-scale properties (bin
+      counts, error bounds) that are not meaningful claims at n=1 —
+      the entries run fine; only the contract comparison diverges.
+    """
+    from hive_release_spark.llm.clustering import power_iteration_project
+    from hive_release_spark.queries import REGISTRY
+
+    emb = spark.read.parquet(os.path.join(single_sf, "embeddings.parquet"))
+    with pytest.raises(ValueError, match="degenerate"):
+        power_iteration_project(emb, n_iter=2, nq=5)
+    import duckdb
+
+    with pytest.raises(duckdb.Error):
+        single_con.execute(REGISTRY["emb_pca_project"].oracle).fetchall()
+
+    for name in ("agg_histogram_numeric", "agg_percentile_approx_contract"):
+        assert REGISTRY[name].fn(spark, single_sf).count() >= 1  # runs clean
 
 
 def test_empty_arrow_batch_does_not_crash_pandas_kernel(spark, empty_sf):
