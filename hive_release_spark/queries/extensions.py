@@ -907,9 +907,15 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+    # per-application directory, same rationale as the SequenceFile
+    # twin: .mode("overwrite") is delete-then-write — atomic for THIS
+    # session's lineage but not for a concurrent session's reader, so
+    # two sessions sharing a fixed path can race (observed as a one-off
+    # sweep failure when two check.py axes ran in parallel)
     path = os.path.join(
         "spark-warehouse",
-        f"xml_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"xml_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
     )
     (
         ev.withColumn("ts", F.col("ts").cast("string"))
