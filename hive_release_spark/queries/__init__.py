@@ -274,121 +274,95 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 
 # Entries whose CONTRACT changed since their last driver witness —
 # first claim on window slots (ADVICE r6-2; enforced by
-# test_entry_contract).  The r9 empty-input sweep (tests/
-# test_empty_input.py) repaired 18 entries' zero-row behavior —
-# ANSI divide-by-zero guards, first()-on-empty guards, VOID-array
-# guards, printf-NULL and coalesce parity fixes, an explicit XML read
-# schema, the empty SequenceFile write branch — every one
-# behavior-identical on nonempty input (the full sf0.01 gate re-ran
-# 362/362 unchanged), but each is a kernel or oracle edit after its
-# last witness, so the 17 with kernel/oracle changes claim re-record
-# slots (the 18th repair lived in the comparison canon, see below).
-# DRIVER_WINDOW was re-rotated mid-round to propose_window()'s output
-# with these declarations — the contract-changed tier displaces the
-# oldest-witness fills at the window's tail, never the backlog entry
-# or the family reps.
-# The round these declarations were made in (= the round whose
-# CORRECTNESS file will carry their post-change witness).  The
-# staleness tripwire flags any declared entry whose latest witness is
-# >= this round: that witness saw the NEW kernel, so the declaration
-# has served its purpose and must be cleared at the next rotation.  A
-# witness from an EARLIER round (e.g. the r8 window recorded
-# timeseries_croston before this round's empty-input repair touched
-# it) does not expire the claim — that was the OLD kernel.
+# test_entry_contract).  The r9 degenerate-input sweeps (zero-row +
+# single-row, tests/test_empty_input.py) declared 29 entries here;
+# CORRECTNESS_r09.json recorded all 29 hash-green under their NEW
+# kernels/oracles, so the round-aware staleness tripwire fired at the
+# r10 rotation and the list is CLEARED (VERDICT r9 "Next round" #1) —
+# the same serve-and-clear cycle as r7→r8.  Repopulate only if an
+# already-witnessed entry's kernel or oracle changes this round (and
+# bump CONTRACT_CHANGED_ROUND to 10 when declaring).
 CONTRACT_CHANGED_ROUND = 9
 
-CONTRACT_CHANGED = [
-    "sim_ann_ivf",
-    "sim_ann_pq",
-    "sim_cosine_topk_arrow",
-    "emb_kmeans",
-    "emb_pca_project",
-    "emb_pca_contract",
-    "dq_business_rules",
-    "stats_power_two_proportions",
-    "timeseries_theil_sen",
-    "timeseries_croston",
-    "timeseries_holt_winters",
-    "dq_key_skew_profile",
-    "dq_column_profile",
-    # dq_distribution_drift_psi is NOT here: its empty-input repair was
-    # in the local comparison canon (testing.py NaN-vs-None on object
-    # columns), not in the entry's kernel or oracle
-    "agg_bloom_filter",
-    "events_markov_stationary",
-    "source_xml_roundtrip",
-    "source_sequencefile_roundtrip",
-    # ... and the SINGLE-ROW axis repairs (same sweep, n=1 instead of
-    # n=0 — degenerate variance/DoF denominators and the k>n k-means
-    # clamp; tests/test_empty_input.py §single-row).  Also
-    # behavior-identical at every tested scale; holt_winters' init
-    # became a real average (sum/size == sum/7 bit-for-bit on the
-    # fixture's full two-week windows).
-    "events_anomaly_mad",
-    "events_ab_cuped",
-    "search_tfidf_cosine",
-    "stats_chi_square",
-    "stats_anova_oneway",
-    "stats_spearman_corr",
-    "stats_fdr_bh",
-    "sample_stratified_neyman",
-    "events_fano_factor",
-    "ml_linear_regression",
-    "ml_regression_calibration",
-    "ml_regression_kfold_cv",
-]
+CONTRACT_CHANGED = []
+
+# Round-10 selection (VERDICT r9 "Next round" #1/#7 — emitted verbatim
+# by propose_window() with the cleared CONTRACT_CHANGED):
+#   1. CONTRACT_CHANGED is empty (see above) and the never-witnessed
+#      backlog is 0, so the window is family reps + oldest-first:
+#   2. One rep per required §2 family not yet covered by the window,
+#      stalest family first (rank = the family's freshest driver
+#      witness), oldest-witnessed member each: scan
+#      (scan_filter_project, r8), broadcast (join_broadcast_part, r4),
+#      ann (sim_ann_ivf_bcast — the r9 reps refreshed sim_ann_ivf, so
+#      the family's oldest is now the bcast twin), neardup
+#      (dedup_minhash_lsh, r2), functions (fn_regex), multimodal
+#      (multimodal_meta), outer (join_right_outer), ptf
+#      (ptf_apply_in_pandas_zscore), sample (sample_reservoir_group),
+#      script/text (text_script_profile), streaming
+#      (stream_session_dynamic), setop (setop_union_distinct), sketch
+#      (agg_histogram_numeric), similarity (sim_cosine_topk), tpch
+#      (q18_large_orders), udtf (udtf_python).
+#   3. The remaining slots fill oldest-witness-first — the r1-witnessed
+#      join/subquery/window/fn/text tier (join_left_semi … agg_pivot) —
+#      never re-recording a row fresh in CORRECTNESS_r09.
+#      `python tools/witness_ledger.py --window` validates the list
+#      against propose_window() name-for-name; the tripwire goes red
+#      again the moment CORRECTNESS_r10.json lands.
+# Registry growth stays FROZEN (VERDICT r9 #7): 362 entries, repairs
+# and re-records only this round — no invited shapes.
 
 DRIVER_WINDOW = [
-    "sim_ann_ivf",
-    "sim_ann_pq",
-    "sim_cosine_topk_arrow",
-    "emb_kmeans",
-    "emb_pca_project",
-    "emb_pca_contract",
-    "dq_business_rules",
-    "stats_power_two_proportions",
-    "timeseries_theil_sen",
-    "timeseries_croston",
-    "timeseries_holt_winters",
-    "dq_key_skew_profile",
-    "dq_column_profile",
-    "agg_bloom_filter",
-    "events_markov_stationary",
-    "source_xml_roundtrip",
-    "source_sequencefile_roundtrip",
-    "events_anomaly_mad",
-    "events_ab_cuped",
-    "search_tfidf_cosine",
-    "stats_chi_square",
-    "stats_anova_oneway",
-    "stats_spearman_corr",
-    "stats_fdr_bh",
-    "sample_stratified_neyman",
-    "events_fano_factor",
-    "ml_linear_regression",
-    "ml_regression_calibration",
-    "ml_regression_kfold_cv",
-    "stream_session",
-    "dedup_exact",
-    "fn_string",
-    "multimodal_features",
-    "join_left_outer",
-    "script_transform",
-    "setop_union",
-    "dedup_jaccard_pairs",
-    "ptf_matchpath",
-    "sample_fraction",
-    "q3_shipping_priority",
-    "q10_returned_items",
-    "udtf_posexplode",
-    "window_ranking",
-    "agg_stats",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_rollup",
-    "agg_cube",
-    "agg_collect",
-    "agg_percentile",
+    "scan_filter_project",
+    "join_broadcast_part",
+    "sim_ann_ivf_bcast",
+    "dedup_minhash_lsh",
+    "fn_regex",
+    "multimodal_meta",
+    "join_right_outer",
+    "ptf_apply_in_pandas_zscore",
+    "sample_reservoir_group",
+    "text_script_profile",
+    "stream_session_dynamic",
+    "setop_union_distinct",
+    "agg_histogram_numeric",
+    "sim_cosine_topk",
+    "q18_large_orders",
+    "udtf_python",
+    "limit_offset_page",
+    "distinct_rows",
+    "setop_intersect",
+    "setop_except",
+    "setop_except_all",
+    "q5_local_supplier_volume",
+    "join_left_semi",
+    "join_left_anti",
+    "join_cross",
+    "join_theta_residual",
+    "join_pure_theta",
+    "subquery_in",
+    "subquery_scalar_correlated",
+    "subquery_not_in",
+    "window_lead_lag",
+    "window_range_frame",
+    "window_first_last",
+    "window_share_of_total",
+    "fn_math",
+    "fn_datetime",
+    "fn_conditional",
+    "fn_json",
+    "fn_hash",
+    "fn_mask",
+    "fn_complex_types",
+    "q1_pricing_summary",
+    "window_rows_frame",
+    "text_quality",
+    "text_langid_ngram",
+    "text_fingerprint",
+    "text_ngrams_top",
+    "text_tfidf_top_terms",
+    "stream_static_join",
+    "agg_pivot",
 ]
 
 
