@@ -160,29 +160,7 @@ BENCHED_HISTORY = {
         "events_survival_km", "timeseries_gap_fill",
         "stats_chi_square",
     ),
-}
-
-
-def never_benched() -> list:
-    """Registry entries never timed by the headline or any rotating
-    leg (past or current) — the candidate pool for the next leg, in
-    registry order."""
-    seen = set(HEADLINE) | set(ROTATING_LEG)
-    for leg in BENCHED_HISTORY.values():
-        seen |= set(leg)
-    return [n for n in REGISTRY if n not in seen]
-
-
-# r9 selection (VERDICT r8 #3): the first 40 of never_benched() after
-# the r8 leg joined BENCHED_HISTORY — core agg/setop/distinct paths,
-# the remaining outer/anti/cross/theta join arms, NOT-IN subquery,
-# lead-lag/first-last/exclude/regr-slope window variants, the
-# string/conditional/hash/mask/bitwise/trig/map/HOF function tiers
-# plus the gap and union-type tiers, explode-map + inline UDTFs,
-# boolean/filter-clause agg families, simhash + LSH dedup, the
-# langid/fingerprint/ngram text tier, and multimodal metadata.
-# Coverage after this leg: 200/362.
-ROTATING_LEG = (
+    9: (
     "agg_stats",
     "agg_collect",
     "sample_bucket",
@@ -223,6 +201,68 @@ ROTATING_LEG = (
     "text_fingerprint",
     "text_ngrams_top",
     "multimodal_meta",
+    ),
+}
+
+
+def never_benched() -> list:
+    """Registry entries never timed by the headline or any rotating
+    leg (past or current) — the candidate pool for the next leg, in
+    registry order."""
+    seen = set(HEADLINE) | set(ROTATING_LEG)
+    for leg in BENCHED_HISTORY.values():
+        seen |= set(leg)
+    return [n for n in REGISTRY if n not in seen]
+
+
+# r10 selection (VERDICT r9 #3): the first 40 of never_benched() after
+# the r9 leg joined BENCHED_HISTORY — the analytics3 warehouse-report
+# tier (attribution, funnels, streaks, Benford/Gini/HHI/price-index
+# DQ+finance reports, ABC/XYZ, segment migration, repurchase cycles,
+# DiD), the remaining stream_* batch twins, the binary-ANN arm,
+# containment-pairs dedup, SCD-2, samplers, and the unpivot/
+# shuffle-hash coverage tails. Coverage after this leg: 240/362.
+ROTATING_LEG = (
+    "dedup_containment_pairs",
+    "user_state_scd2",
+    "customer_interval_coverage",
+    "sample_weighted",
+    "orders_equidepth_histogram",
+    "events_attribution_last_touch",
+    "events_rolling_active_sketch",
+    "funnel_conversion_window",
+    "orders_trend_forecast",
+    "events_longest_streak",
+    "events_stickiness_dau_mau",
+    "events_anomaly_mad",
+    "dq_benford_first_digit",
+    "events_changepoint_cusum",
+    "customer_gini_revenue",
+    "part_price_elasticity",
+    "orders_pareto_frontier",
+    "events_ab_uplift",
+    "dq_reconciliation",
+    "events_attribution_position",
+    "dq_column_profile",
+    "orders_abc_classification",
+    "events_markov_stationary",
+    "supplier_concentration_hhi",
+    "dq_business_rules",
+    "orders_ship_latency",
+    "customer_segment_migration",
+    "customer_repurchase_cycle",
+    "orders_price_index",
+    "events_did_analysis",
+    "orders_abc_xyz_matrix",
+    "sim_ann_binary",
+    "emb_quality_report",
+    "multimodal_payload_dedup",
+    "stream_tumbling",
+    "stream_tumbling_live",
+    "stream_static_join",
+    "stream_distinct_sketch",
+    "agg_unpivot",
+    "join_shuffle_hash_hint",
 )
 
 

@@ -56,7 +56,12 @@ def kmeans_assign(
 ) -> DataFrame:
     """Run ``n_iter`` Lloyd iterations; return (id, cluster) assignments
     under the final centroids."""
-    pts = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    # NULL vectors carry no geometry — not init candidates, not
+    # assignable; drop JVM-side (scan-pushed), same contract as the
+    # similarity kernels. r10 all-NULL axis.
+    pts = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
     pts.persist()
     try:
         cents = [r.v for r in pts.orderBy(id_col).limit(k).collect()]
@@ -94,7 +99,8 @@ def kmeans_oracle(k: int = 8, n_iter: int = 3) -> str:
     """DuckDB SQL replaying the exact same iterations (same init, same
     6-decimal centroid rounding, same lowest-cluster tie-break)."""
     sql = [
-        "WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        "WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+        " WHERE embedding IS NOT NULL),",
         f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c"
         f" FROM (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT {k})),",
     ]
@@ -163,6 +169,10 @@ def pca_project(
     import numpy as np
     import pandas as pd
 
+    # NULL vectors carry no geometry — excluded from the moments AND
+    # from the projection output (scan-pushed JVM filter, same contract
+    # as the similarity kernels). r10 all-NULL axis.
+    emb = emb.filter(F.col(vec_col).isNotNull())
     head = emb.select(vec_col).first()  # 1-row driver fetch, bounded
     if head is None:
         # zero-row corpus: no covariance to decompose — the typed empty
@@ -274,6 +284,10 @@ def power_iteration_project(
     """
     import math
 
+    # NULL vectors carry no geometry — excluded from the moments, the
+    # iterate, and the projection output (scan-pushed JVM filter, same
+    # contract as the similarity kernels). r10 all-NULL axis.
+    emb = emb.filter(F.col(vec_col).isNotNull())
     first = emb.select(vec_col).first()
     if first is None:
         # zero-row input: the DuckDB replay's recursive CTE emits no
@@ -384,7 +398,7 @@ def power_iteration_oracle(n_iter: int = 6, nq: int = 20, dim: int = 64) -> str:
     v0 = "[" + ", ".join([repr(1.0 / dim**0.5)] * dim) + "]"
     parts = [
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
-        " FROM embeddings),",
+        " FROM embeddings WHERE embedding IS NOT NULL),",
         f"mm AS (SELECT pos, {q('avg(val)')} AS m FROM"
         " (SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS val"
         " FROM e) GROUP BY pos),",

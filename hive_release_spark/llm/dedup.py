@@ -555,26 +555,50 @@ def span_chunk_dedup(
 
     w = F.split(F.col(text_col), " ")
     base = docs.select(F.col(id_col).alias("doc_id"), w.alias("w")).select(
-        "doc_id", "w", F.ceil(F.size("w") / F.lit(k)).cast("int").alias("nc")
+        "doc_id",
+        "w",
+        # explicit NULL guard, not bare size(): under ANSI-off sessions
+        # size(NULL) is -1 (ANSI-on gives NULL) and a NULL-text doc
+        # must report nc = NULL in BOTH configs
+        F.when(
+            F.col("w").isNotNull(),
+            F.ceil(F.size("w") / F.lit(k)).cast("int"),
+        ).alias("nc"),
     )
+    # posexplode_OUTER + a NULL-guarded hash key: a NULL-text document
+    # has no chunks but must keep its report row (NULL n_chunks /
+    # n_dropped, '' text — the LEFT-joined SQL shape) instead of
+    # vanishing; its placeholder row carries h = NULL, which never
+    # equi-joins the winner set (xxhash64(NULL) would hash the seed and
+    # could collide with a real chunk). r10 all-NULL axis.
     chunks = (
         base.select(
             "doc_id",
-            F.posexplode(
+            "nc",
+            F.posexplode_outer(
                 F.transform(
                     F.sequence(F.lit(0), F.col("nc") - 1),
                     lambda i: F.array_join(F.slice("w", i * k + 1, k), " "),
                 )
             ).alias("idx", "chunk"),
         )
-        .select("doc_id", "idx", F.xxhash64("chunk").alias("h"), "chunk")
+        .select(
+            "doc_id",
+            "nc",
+            "idx",
+            F.when(F.col("chunk").isNotNull(), F.xxhash64("chunk")).alias("h"),
+            "chunk",
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    winners = chunks.groupBy("h").agg(
-        F.min(F.struct("doc_id", "idx")).alias("win")
+    winners = (
+        chunks.filter(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.min(F.struct("doc_id", "idx")).alias("win"))
     )
-    tagged = chunks.join(winners, "h").select(
+    tagged = chunks.join(winners, "h", "left").select(
         "doc_id",
+        "nc",
         "idx",
         "chunk",
         (
@@ -582,8 +606,11 @@ def span_chunk_dedup(
         ).alias("keep"),
     )
     return tagged.groupBy("doc_id").agg(
-        F.count("*").cast("int").alias("n_chunks"),
-        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        F.max("nc").cast("int").alias("n_chunks"),
+        (
+            F.max("nc").cast("long")
+            - F.coalesce(F.sum(F.col("keep").cast("long")), F.lit(0))
+        ).alias("n_dropped"),
         F.array_join(
             F.transform(
                 F.filter(

@@ -31,9 +31,20 @@ def pack_assets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         payload.alias("payload"),
         F.octet_length(payload).cast("long").alias("n_bytes"),
         F.sha2(payload, 256).alias("checksum"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col(id_col) % 3 + 1).cast("int"),
+        # explicit NULL-id guard: under ANSI mode (the driver's default
+        # session) Spark's element_at with a RUNTIME-null index returns
+        # the LAST element instead of NULL (the constant-folded
+        # literal-NULL form returns NULL — observed on Spark 4.1, r10
+        # all-NULL axis; ANSI-off sessions return NULL for both), so a
+        # NULL asset id would get modality 'video' while every SQL
+        # replay says NULL. Quirk pinned by
+        # tests/test_empty_input.py::test_element_at_runtime_null_index_quirk
+        F.when(
+            F.col(id_col).isNotNull(),
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.col(id_col) % 3 + 1).cast("int"),
+            ),
         ).alias("modality"),
     )
 
@@ -48,6 +59,12 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
     """Deterministic stand-in for a real decoder (PIL / torchaudio /
     ffmpeg): derives stable pseudo-dimensions from the payload digest.
     Replace this function — and only this function — for real media."""
+    if payload is None:
+        # a NULL payload has nothing to decode: NULL features, row kept
+        # (decode-failure rows are real at 100 TB and dropping them
+        # would hide volume; a production decoder's exception handler
+        # lands here too). r10 all-NULL axis.
+        return None, None, None, None
     d = hashlib.sha256(payload).digest()
     width = 64 + d[0] % 192
     height = 64 + d[1] % 192
@@ -72,7 +89,10 @@ def extract_features(assets: DataFrame) -> DataFrame:
                     "width": [d[0] for d in decoded],
                     "height": [d[1] for d in decoded],
                     "n_frames": [d[2] for d in decoded],
-                    "feat_norm": [round(d[3], 6) for d in decoded],
+                    "feat_norm": [
+                        None if d[3] is None else round(d[3], 6)
+                        for d in decoded
+                    ],
                 }
             )
 

@@ -145,7 +145,10 @@ def cosine_pairs_blas(
     import pandas as pd
 
     out_schema = "id_a BIGINT, id_b BIGINT, sim DOUBLE"
-    src = vectors.select(
+    # NULL vectors carry no geometry — drop them JVM-side before the
+    # matrix build (a real heterogeneous corpus always has some; the
+    # filter pushes to the scan). r10 all-NULL axis.
+    src = vectors.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
     )
     pdf = src.toPandas()  # documented: bounded by feasibility of n² output
@@ -282,13 +285,20 @@ def lsh_bucket_topk(
 
         return df.mapInPandas(bucketize, schema=out_schema)
 
+    # NULL vectors carry no geometry — no signature, no candidacy;
+    # drop JVM-side (scan-pushed) before the signature kernel's
+    # np.stack. r10 all-NULL axis.
     q = with_buckets(
-        queries.select(F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")),
+        queries.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")
+        ),
         "query_id",
         "qv",
     )
     c = with_buckets(
-        corpus.select(F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")),
+        corpus.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
+        ),
         "neighbor_id",
         "cv",
     )
@@ -516,6 +526,10 @@ def semantic_dedup_pairs(
     import numpy as np
     import pandas as pd
 
+    # NULL vectors carry no geometry — drop them JVM-side before cell
+    # assignment (scan-pushed; keeps NULL rows out of both the stride
+    # centroid sample and the pair kernel's np.stack). r10 all-NULL axis.
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
     assigned = assign_cells(vectors, n_cells, id_col, vec_col)
 
     def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -690,6 +704,11 @@ def pq_topk(
     """
     from functools import reduce
 
+    # NULL vectors carry no geometry — not encodable, not candidates;
+    # drop JVM-side (scan-pushed). Also keeps the dimension probe below
+    # from landing on a NULL head row. r10 all-NULL axis.
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     head = corpus.select(vec_col).first()  # bounded 1-row fetch
     if head is None:
         # zero-row corpus: no dimension to derive, no codebook to build

@@ -200,6 +200,8 @@ def langid_ngram(texts: pd.Series) -> pd.Series:
     }
 
     def score(t: str) -> str:
+        if t is None:
+            return None  # NULL in, NULL out — standard UDF semantics
         grams = {t[i : i + 2] for i in range(len(t) - 1)}
         best = max(
             ((lang, len(grams & prof)) for lang, prof in profiles.items()),
@@ -232,7 +234,13 @@ def repetition_features(
     base = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w"))
     feat = base.select(
         "doc_id",
-        (F.size(F.array_distinct("w")) / F.size("w")).alias("r"),
+        # explicit NULL guard: under ANSI-off sessions size(NULL) is -1
+        # and a NULL-text doc's ratio would come out -1/-1 = 1.0; the
+        # ratio for a NULL token array is NULL in both configs
+        F.when(
+            F.col("w").isNotNull(),
+            F.size(F.array_distinct("w")) / F.size("w"),
+        ).alias("r"),
         bigrams_of(F.col("w")).alias("g"),
     )
     gram = F.col("gram")

@@ -274,61 +274,141 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 
 # Entries whose CONTRACT changed since their last driver witness —
 # first claim on window slots (ADVICE r6-2; enforced by
-# test_entry_contract).  The r9 degenerate-input sweeps (zero-row +
-# single-row, tests/test_empty_input.py) declared 29 entries here;
-# CORRECTNESS_r09.json recorded all 29 hash-green under their NEW
-# kernels/oracles, so the round-aware staleness tripwire fired at the
-# r10 rotation and the list is CLEARED (VERDICT r9 "Next round" #1) —
-# the same serve-and-clear cycle as r7→r8.  Repopulate only if an
-# already-witnessed entry's kernel or oracle changes this round (and
-# bump CONTRACT_CHANGED_ROUND to 10 when declaring).
-CONTRACT_CHANGED_ROUND = 9
+# test_entry_contract).  The r10 ALL-NULL input axis (every nullable
+# column NULL, same schemas and row counts — tests/test_empty_input.py
+# §all-null) found 42 failures; after the comparison-canon NaT repair
+# (testing.py, not a contract change — the dq_distribution_drift_psi
+# precedent) the remaining repairs touched 31 witnessed kernels/
+# oracles, each behavior-identical on normal input (the full sf0.01
+# gate re-ran 362/362 unchanged):
+#   * NULL-geometry contract: similarity/clustering kernels drop
+#     NULL-vector rows scan-side, their oracles filter embedding IS
+#     NOT NULL (dedup_embedding_cosine, dedup_semantic_cells,
+#     sim_ann_lsh, sim_ann_pq, emb_kmeans, emb_pca_project,
+#     emb_pca_contract, emb_normalize_quantize);
+#   * NULL-in-NULL-out per-row ops (text_langid_ngram UDF + oracle,
+#     multimodal_* via pack_assets' element_at-runtime-NULL-index
+#     guard and _fake_decode(None));
+#   * join/report-grain repairs (dedup_span_chunks keeps NULL-text
+#     doc rows via posexplode_outer + NULL-guarded hash key,
+#     pipeline_quality_ablation null-safe dedup join,
+#     text_repetition_score / events_top_paths / agg_collect /
+#     fn_string oracle parity: DuckDB's array_to_string-NULL and
+#     concat-skips-NULL vs Hive semantics);
+#   * ANSI guards on zero-non-null groups (events_did_analysis
+#     try_divide, agg_percentile_disc size-based rank,
+#     window_moving_median empty-frame median,
+#     agg_percentile_approx_contract vacuous-sketch booleans);
+#   * the NULL-event-time contract (WHERE ts IS NOT NULL) on every
+#     event-time-window streaming oracle (stream_tumbling,
+#     stream_tumbling_live, stream_sliding, stream_session,
+#     stream_session_dynamic, stream_distinct_sketch);
+#   * the roundtrip entries' scratch-dir lifecycle helper
+#     (_app_scoped_roundtrip_dir: atexit cleanup + dead-app sweep;
+#     source_xml_roundtrip, source_sequencefile_roundtrip).
+# The one NEW documented delta: ds_hierarchy_rank on the all-NULL
+# axis (NULL join keys empty the join, then ROLLUP is zero-in-zero-
+# out vs DuckDB's () grand-total row) — the SAME grouping-sets family
+# delta already pinned for the empty axis, now pinned for this axis
+# too in tests/test_empty_input.py.
+CONTRACT_CHANGED_ROUND = 10
 
-CONTRACT_CHANGED = []
+CONTRACT_CHANGED = [
+    "events_did_analysis",
+    "agg_percentile_disc",
+    "window_moving_median",
+    "text_langid_ngram",
+    "dedup_embedding_cosine",
+    "dedup_semantic_cells",
+    "sim_ann_lsh",
+    "sim_ann_pq",
+    "emb_kmeans",
+    "emb_pca_project",
+    "emb_pca_contract",
+    "emb_normalize_quantize",
+    "multimodal_features",
+    "multimodal_payload_dedup",
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "agg_collect",
+    "fn_string",
+    "events_top_paths",
+    "dedup_span_chunks",
+    "text_repetition_score",
+    "agg_percentile_approx_contract",
+    "pipeline_quality_ablation",
+    "stream_tumbling",
+    "stream_tumbling_live",
+    "stream_sliding",
+    "stream_session",
+    "stream_session_dynamic",
+    "stream_distinct_sketch",
+    "source_xml_roundtrip",
+    "source_sequencefile_roundtrip",
+    # n_bins = min(10, non-null count) + NULL-ignoring mass + vacuous
+    # booleans — the sharper sketch contract also UN-pins this entry's
+    # single-row adjudicated exception (it now matches at n=1)
+    "agg_histogram_numeric",
+    # VERDICT r9 #5: pipeline_scope adoption — persists now scoped with
+    # an eager final localCheckpoint (same results; the returned plan
+    # is a checkpoint scan, hence their Exchange-ledger rows going to
+    # 0: the exchanges run eagerly at call time)
+    "pipeline_corpus_build",
+    "pipeline_incremental_dedup",
+]
 
-# Round-10 selection (VERDICT r9 "Next round" #1/#7 — emitted verbatim
-# by propose_window() with the cleared CONTRACT_CHANGED):
-#   1. CONTRACT_CHANGED is empty (see above) and the never-witnessed
-#      backlog is 0, so the window is family reps + oldest-first:
-#   2. One rep per required §2 family not yet covered by the window,
-#      stalest family first (rank = the family's freshest driver
-#      witness), oldest-witnessed member each: scan
-#      (scan_filter_project, r8), broadcast (join_broadcast_part, r4),
-#      ann (sim_ann_ivf_bcast — the r9 reps refreshed sim_ann_ivf, so
-#      the family's oldest is now the bcast twin), neardup
-#      (dedup_minhash_lsh, r2), functions (fn_regex), multimodal
-#      (multimodal_meta), outer (join_right_outer), ptf
-#      (ptf_apply_in_pandas_zscore), sample (sample_reservoir_group),
-#      script/text (text_script_profile), streaming
-#      (stream_session_dynamic), setop (setop_union_distinct), sketch
-#      (agg_histogram_numeric), similarity (sim_cosine_topk), tpch
-#      (q18_large_orders), udtf (udtf_python).
-#   3. The remaining slots fill oldest-witness-first — the r1-witnessed
-#      join/subquery/window/fn/text tier (join_left_semi … agg_pivot) —
-#      never re-recording a row fresh in CORRECTNESS_r09.
-#      `python tools/witness_ledger.py --window` validates the list
-#      against propose_window() name-for-name; the tripwire goes red
-#      again the moment CORRECTNESS_r10.json lands.
-# Registry growth stays FROZEN (VERDICT r9 #7): 362 entries, repairs
-# and re-records only this round — no invited shapes.
+# Round-10 selection, RE-rotated mid-round with the all-NULL-axis
+# declarations (same serve-and-clear cycle as r9's mid-round
+# re-rotation; propose_window() emits this list verbatim): the 31
+# contract-changed entries take first claim, then one rep per
+# still-missing required family (stalest first), then oldest-witness
+# fills — never re-recording a row fresh in CORRECTNESS_r09.
+# Registry growth stays FROZEN (VERDICT r9 #7): 362 entries.
 
 DRIVER_WINDOW = [
+    "events_did_analysis",
+    "agg_percentile_disc",
+    "window_moving_median",
+    "text_langid_ngram",
+    "dedup_embedding_cosine",
+    "dedup_semantic_cells",
+    "sim_ann_lsh",
+    "sim_ann_pq",
+    "emb_kmeans",
+    "emb_pca_project",
+    "emb_pca_contract",
+    "emb_normalize_quantize",
+    "multimodal_features",
+    "multimodal_payload_dedup",
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "agg_collect",
+    "fn_string",
+    "events_top_paths",
+    "dedup_span_chunks",
+    "text_repetition_score",
+    "agg_percentile_approx_contract",
+    "pipeline_quality_ablation",
+    "stream_tumbling",
+    "stream_tumbling_live",
+    "stream_sliding",
+    "stream_session",
+    "stream_session_dynamic",
+    "stream_distinct_sketch",
+    "source_xml_roundtrip",
+    "source_sequencefile_roundtrip",
+    "agg_histogram_numeric",
+    "pipeline_corpus_build",
+    "pipeline_incremental_dedup",
     "scan_filter_project",
     "join_broadcast_part",
-    "sim_ann_ivf_bcast",
-    "dedup_minhash_lsh",
-    "fn_regex",
-    "multimodal_meta",
     "join_right_outer",
     "ptf_apply_in_pandas_zscore",
     "sample_reservoir_group",
     "text_script_profile",
-    "stream_session_dynamic",
     "setop_union_distinct",
-    "agg_histogram_numeric",
     "sim_cosine_topk",
     "q18_large_orders",
-    "udtf_python",
     "limit_offset_page",
     "distinct_rows",
     "setop_intersect",
@@ -336,35 +416,7 @@ DRIVER_WINDOW = [
     "setop_except_all",
     "q5_local_supplier_volume",
     "join_left_semi",
-    "join_left_anti",
-    "join_cross",
-    "join_theta_residual",
-    "join_pure_theta",
-    "subquery_in",
-    "subquery_scalar_correlated",
-    "subquery_not_in",
-    "window_lead_lag",
-    "window_range_frame",
-    "window_first_last",
-    "window_share_of_total",
-    "fn_math",
-    "fn_datetime",
-    "fn_conditional",
-    "fn_json",
-    "fn_hash",
-    "fn_mask",
-    "fn_complex_types",
-    "q1_pricing_summary",
-    "window_rows_frame",
-    "text_quality",
-    "text_langid_ngram",
-    "text_fingerprint",
-    "text_ngrams_top",
-    "text_tfidf_top_terms",
-    "stream_static_join",
-    "agg_pivot",
 ]
-
 
 def _ordered():
     window = [REGISTRY[n] for n in DRIVER_WINDOW]

@@ -1351,7 +1351,15 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(vals, (n / 2).cast("int"))
             + F.element_at(vals, (n / 2 + 1).cast("int"))
         ) / 2.0
-        return F.when(n % 2 == 1, odd).otherwise(even)
+        # n == 0 (every rev in the frame NULL — collect_list drops
+        # them): the median is NULL, matching DuckDB's windowed
+        # median; without the guard the even branch hits
+        # element_at(vals, 0) and ANSI INVALID_INDEX_OF_ZERO
+        return (
+            F.when(n == 0, F.lit(None).cast("double"))
+            .when(n % 2 == 1, odd)
+            .otherwise(even)
+        )
 
     return daily.select(
         "day",
@@ -1559,8 +1567,11 @@ def orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s),
     paths AS (
       SELECT user_id, sess,
-             array_to_string(list_slice(list(event_type
-                 ORDER BY ts, event_id), 1, 5), '>') AS path
+             -- coalesce: when no non-NULL event_type survives, DuckDB's
+             -- array_to_string is NULL while Hive/Spark concat_ws-style
+             -- joining gives '' — Hive behavior is the contract
+             coalesce(array_to_string(list_slice(list(event_type
+                 ORDER BY ts, event_id), 1, 5), '>'), '') AS path
       FROM sid GROUP BY 1, 2)
     SELECT path, count(*) AS n_sessions
     FROM paths GROUP BY 1
@@ -3147,8 +3158,11 @@ def events_did_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = cell.groupBy("arm", "post").agg(
         F.countDistinct("user_id").alias("n_users"),
         F.sum("conv").alias("n_purchases"),
-        (
-            F.sum("conv").cast("double") / F.countDistinct("user_id")
+        # try_divide: a cell with zero distinct users (all-NULL
+        # user_id slice) has an UNDEFINED rate — NULL, matching
+        # DuckDB's x/0, not an ANSI error
+        F.try_divide(
+            F.sum("conv").cast("double"), F.countDistinct("user_id")
         ).alias("rate"),
     )
     pick = lambda a, p: F.max(  # noqa: E731

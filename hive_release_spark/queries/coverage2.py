@@ -690,8 +690,15 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     def disc(p):
-        idx = F.ceil(F.lit(p) * F.col("n")).cast("int")
-        return F.element_at(F.col("vals"), F.greatest(idx, F.lit(1)))
+        # the standard (and quantile_disc) ranks over NON-NULL values
+        # only: index off size(vals) — collect_list drops NULLs, so a
+        # group with NULL quantities would otherwise overshoot the
+        # array (ANSI INVALID_ARRAY_INDEX; found by the r10 all-NULL
+        # axis, but live on any partially-NULL group). All-NULL group
+        # -> NULL, DuckDB's answer.
+        nv = F.size(F.col("vals"))
+        idx = F.greatest(F.ceil(F.lit(p) * nv).cast("int"), F.lit(1))
+        return F.when(nv > 0, F.element_at(F.col("vals"), idx))
     return g.select(
         "l_returnflag",
         "n",

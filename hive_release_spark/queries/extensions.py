@@ -18,6 +18,66 @@ from pyspark.sql import functions as F
 from hive_release_spark.catalog import load_table, register_views
 from hive_release_spark.queries.registry import register
 
+# Roundtrip-entry scratch directories registered for end-of-process
+# cleanup (atexit), so a normally-exiting session leaves no
+# per-application debris under spark-warehouse.
+_SCOPED_DIRS: set = set()
+
+# Sibling scratch dirs older than this are crash debris from a dead
+# application (no live sweep/bench session runs anywhere near this
+# long) and are swept before the next write.
+_STALE_SCRATCH_SECONDS = 24 * 3600
+
+
+def _app_scoped_roundtrip_dir(spark: SparkSession, prefix: str, sf_dir: str) -> str:
+    """A per-Spark-application scratch directory for write-then-read
+    roundtrip entries.
+
+    Shared-fixed-path roundtrip dirs raced twice in r9 (two concurrent
+    check.py axes clearing each other's files mid-lazy-read), so the
+    path embeds ``applicationId``: re-calls within one session reuse
+    (and may safely clear) their own directory; concurrent sessions
+    never collide.  Lifecycle (ADVICE r9-3): the directory is
+    registered for atexit removal, and siblings with the same prefix
+    whose mtime is older than :data:`_STALE_SCRATCH_SECONDS` are swept
+    as dead-application debris — a live concurrent session's dir is
+    hours younger than the threshold, so the sweep can never take a
+    directory out from under a running sweep/bench session."""
+    import atexit
+    import os
+    import shutil
+    import time
+
+    base = "spark-warehouse"
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    name = f"{prefix}_{tag}_{spark.sparkContext.applicationId}"
+    path = os.path.join(base, name)
+    if os.path.isdir(base):
+        cutoff = time.time() - _STALE_SCRATCH_SECONDS
+        for sib in os.listdir(base):
+            if sib.startswith(f"{prefix}_") and sib != name:
+                sp = os.path.join(base, sib)
+                try:
+                    if os.path.getmtime(sp) < cutoff:
+                        shutil.rmtree(sp, ignore_errors=True)
+                except OSError:
+                    pass  # a concurrent cleanup won the race — fine
+    if os.path.isdir(path):
+        # heartbeat: a session older than the TTL that still calls its
+        # entries keeps its directory's mtime fresh, so a concurrent
+        # session's debris sweep can never mistake it for a dead app
+        # (the residual exposure — >TTL of IDLE time between a write
+        # and a lazy re-read with no intervening entry call — is not a
+        # shape any sweep/bench session has)
+        try:
+            os.utime(path)
+        except OSError:
+            pass
+    if path not in _SCOPED_DIRS:
+        _SCOPED_DIRS.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
 
 @register(
     "agg_pivot",
@@ -232,7 +292,13 @@ def fn_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_histogram_numeric",
     oracle="""
     SELECT l_returnflag,
-           10 AS n_bins,
+           -- the sketch ignores NULLs and allocates one bin per input
+           -- value until the cap: n_bins = min(10, NON-NULL count —
+           -- not distinct count; duplicates keep their own bins below
+           -- the cap, probed on Spark 4.1). Exact on degenerate
+           -- slices too (0 bins all-NULL, n bins when n < 10) instead
+           -- of a fixture-scale constant
+           CAST(least(10, count(l_extendedprice)) AS INTEGER) AS n_bins,
            count(*) AS n_rows,
            TRUE AS mass_ok,
            TRUE AS bounds_ok,
@@ -254,25 +320,44 @@ def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = li.groupBy("l_returnflag").agg(
         F.expr("histogram_numeric(l_extendedprice, 10)").alias("hist"),
         F.count("*").alias("n_rows"),
+        # the sketch ignores NULLs: bin mass sums to the NON-NULL count
+        # (comparing against count(*) was latently wrong for any
+        # partially-NULL group), and a zero-non-null group's invariants
+        # hold vacuously (r10 all-NULL axis)
+        F.count("l_extendedprice").alias("n_vals"),
         F.min("l_extendedprice").alias("lo"),
         F.max("l_extendedprice").alias("hi"),
     )
     xs = F.transform("hist", lambda b: b["x"])
+    vac = F.col("n_vals") == 0
     return h.select(
         "l_returnflag",
-        F.size("hist").alias("n_bins"),
+        # histogram_numeric over zero non-NULL values yields NULL (not
+        # an empty array): 0 bins is the honest answer. Explicit isNull
+        # guard, not coalesce(size(...), 0): legacy sizeOfNull sessions
+        # return -1 (the driver's ANSI session returns NULL) and the
+        # entry must answer 0 under both configs
+        F.when(F.col("hist").isNull(), F.lit(0))
+        .otherwise(F.size("hist"))
+        .alias("n_bins"),
         "n_rows",
-        (
+        F.when(vac, F.lit(True))
+        .otherwise(
             F.abs(
                 F.aggregate("hist", F.lit(0.0), lambda acc, b: acc + b["y"])
-                - F.col("n_rows")
+                - F.col("n_vals")
             )
             < 0.5
-        ).alias("mass_ok"),
-        (
+        )
+        .alias("mass_ok"),
+        F.when(vac, F.lit(True))
+        .otherwise(
             (F.array_min(xs) >= F.col("lo")) & (F.array_max(xs) <= F.col("hi"))
-        ).alias("bounds_ok"),
-        (xs == F.array_sort(xs)).alias("sorted_ok"),
+        )
+        .alias("bounds_ok"),
+        F.when(vac, F.lit(True))
+        .otherwise(xs == F.array_sort(xs))
+        .alias("sorted_ok"),
     ).orderBy("l_returnflag")
 
 
@@ -352,6 +437,7 @@ def agg_percentile_approx_contract(spark: SparkSession, sf_dir: str) -> DataFram
         pct.groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n_rows"),
+            F.count("l_extendedprice").alias("n_vals"),
             F.min("l_extendedprice").alias("lo"),
             F.max("l_extendedprice").alias("hi"),
             F.first("p50").alias("p50"),
@@ -362,13 +448,23 @@ def agg_percentile_approx_contract(spark: SparkSession, sf_dir: str) -> DataFram
         .select(
             "l_returnflag",
             "n_rows",
-            (
+            # a group with ZERO non-NULL values has no sketch to
+            # violate — the guarantees hold VACUOUSLY (same guard as
+            # emb_pca_contract; r10 all-NULL axis), matching the
+            # oracle's constant-TRUE columns
+            F.when(F.col("n_vals") == 0, F.lit(True))
+            .otherwise(
                 (F.col("lo") <= F.col("p50"))
                 & (F.col("p50") <= F.col("p90"))
                 & (F.col("p90") <= F.col("hi"))
-            ).alias("ordered_ok"),
-            (F.abs(F.col("f50") - 0.5) <= 0.02).alias("rank50_ok"),
-            (F.abs(F.col("f90") - 0.9) <= 0.02).alias("rank90_ok"),
+            )
+            .alias("ordered_ok"),
+            F.when(F.col("n_vals") == 0, F.lit(True))
+            .otherwise(F.abs(F.col("f50") - 0.5) <= 0.02)
+            .alias("rank50_ok"),
+            F.when(F.col("n_vals") == 0, F.lit(True))
+            .otherwise(F.abs(F.col("f90") - 0.9) <= 0.02)
+            .alias("rank90_ok"),
         )
         .orderBy("l_returnflag")
     )
@@ -912,11 +1008,7 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session's lineage but not for a concurrent session's reader, so
     # two sessions sharing a fixed path can race (observed as a one-off
     # sweep failure when two check.py axes ran in parallel)
-    path = os.path.join(
-        "spark-warehouse",
-        f"xml_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{spark.sparkContext.applicationId}",
-    )
+    path = _app_scoped_roundtrip_dir(spark, "xml_roundtrip", sf_dir)
     (
         ev.withColumn("ts", F.col("ts").cast("string"))
         .write.mode("overwrite")
@@ -1017,11 +1109,7 @@ def source_sequencefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     # out from under another session's lazy read — the app id keeps
     # re-calls within one session reusing (and safely clearing) their
     # own directory while concurrent sessions never collide
-    path = os.path.join(
-        "spark-warehouse",
-        f"seqfile_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{spark.sparkContext.applicationId}",
-    )
+    path = _app_scoped_roundtrip_dir(spark, "seqfile_roundtrip", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
     write_sequencefile(li, path)
     back = read_sequencefile(

@@ -39,7 +39,9 @@ from hive_release_spark.queries.registry import register
            strpos(p_name, 'a')                    AS pos_a,
            translate(p_brand, '#B', '_b')         AS tr,
            ascii(p_name)                          AS first_cp,
-           trim(concat(' ', p_brand, ' '))        AS trimmed
+           -- || not concat(): Hive/Spark concat is NULL-on-any-NULL
+           -- (MySQL semantics) while DuckDB's concat skips NULLs
+           trim(' ' || p_brand || ' ')            AS trimmed
     FROM part
     """,
     tags=("functions", "string"),

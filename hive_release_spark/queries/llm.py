@@ -158,12 +158,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM ch JOIN win USING (doc_id, idx)),
     agg AS (SELECT doc_id, count(*) AS n_kept,
                    string_agg(chunk, ' ' ORDER BY idx) AS text_dedup
-            FROM kept GROUP BY doc_id)
-    SELECT n.doc_id, n.nc AS n_chunks,
-           CAST(n.nc - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
+            FROM kept GROUP BY doc_id),
+    docs_g AS (SELECT doc_id, max(nc) AS nc FROM nch GROUP BY doc_id)
+    SELECT d.doc_id, d.nc AS n_chunks,
+           CAST(d.nc - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
            COALESCE(a.text_dedup, '') AS text_dedup
-    FROM nch n LEFT JOIN agg a USING (doc_id)
-    ORDER BY n.doc_id
+    -- grouped to the doc_id grain (not one row per INPUT row): the
+    -- engine's groupBy collapses NULL doc_ids into one group, and the
+    -- report's key is the doc id — the oracle must share that grain
+    FROM docs_g d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
     """,
     tags=("llm", "dedup", "span"),
 )
@@ -196,7 +200,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine",
     oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.v, b.v), 6) AS sim
     FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -217,7 +222,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_semantic_cells",
     oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
     params AS (SELECT greatest(1, count(*) // 8) AS stride FROM e),
     cents AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
@@ -302,7 +308,8 @@ def _lsh_oracle(k: int = 5, n_planes: int = 4, n_tables: int = 8,
         )
         arms.append(f"({t << 32} + {bits})")
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
     sig AS (SELECT vec_id, unnest([{', '.join(arms)}]) AS bucket FROM e),
     cand AS (
       SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
@@ -504,7 +511,8 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g
     )
     SELECT doc_id, lang,
-           CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+           CASE WHEN s_en IS NULL THEN NULL  -- NULL text: NULL in, NULL out
+                WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
                 WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
                 WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
                 WHEN s_en >= s_de THEN 'en'
@@ -632,7 +640,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ann_pq",
     oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
     params AS (SELECT greatest(1, count(*) // 16) AS stride FROM e),
     cents AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv

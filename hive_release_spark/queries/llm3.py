@@ -22,9 +22,12 @@ from hive_release_spark.queries.registry import register
     "text_repetition_score",
     oracle="""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    -- grouped to the doc_id grain: the engine's groupBy collapses NULL
+    -- doc_ids into one group (r10 all-NULL axis); unique ids unchanged
     ratio AS (SELECT doc_id,
-                     CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_token_ratio
-              FROM w),
+                     max(CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+                         AS distinct_token_ratio
+              FROM w GROUP BY doc_id),
     bg AS (SELECT doc_id,
                   unnest(list_transform(generate_series(1, len(w)-1),
                          i -> w[i] || ' ' || w[i+1])) AS gram
@@ -113,7 +116,11 @@ def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         similarity.normalize_quantize(emb)
-        .select("vec_id", "l2_norm", F.concat_ws(" ", F.col("q8")).alias("q8_str"))
+        # array_join, not concat_ws: a NULL vector's q8 must stay NULL
+        # (per-row transforms propagate NULL) — concat_ws renders a
+        # NULL array as '' while the oracle's array_to_string keeps
+        # NULL (r10 all-NULL axis)
+        .select("vec_id", "l2_norm", F.array_join(F.col("q8"), " ").alias("q8_str"))
         .orderBy("vec_id")
     )
 
@@ -319,7 +326,7 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT count(*) AS n_rows, 8 AS k,
            TRUE AS ordered_ok, TRUE AS means_ok, TRUE AS ortho_ok
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
     """,
     tags=("llm", "embedding", "pca", "sketch"),
 )

@@ -266,8 +266,14 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
     SELECT n_regionkey,
-           array_to_string(list_sort(list(n_name)), '|')           AS nations,
-           array_to_string(list_sort(list(DISTINCT n_name)), '|')  AS nations_set
+           -- coalesce: DuckDB's array_to_string yields NULL when no
+           -- non-NULL element survives, Hive's concat_ws yields ''
+           -- (engine side: collect_list skips NULLs, array_join of the
+           -- empty array is '') — the Hive behavior is the contract
+           coalesce(array_to_string(list_sort(list(n_name)), '|'), '')
+               AS nations,
+           coalesce(array_to_string(list_sort(list(DISTINCT n_name)), '|'), '')
+               AS nations_set
     FROM nation
     GROUP BY n_regionkey
     """,

@@ -18,12 +18,19 @@ from hive_release_spark.catalog import load_table
 from hive_release_spark.queries.registry import register
 from hive_release_spark.streaming import pipelines as P
 
+# NULL-event-time contract (r10 all-NULL axis, every event-time-window
+# oracle below): a row with NULL ts has no position on the event-time
+# axis — Spark's window/session_window aggregation drops it, and the
+# streaming model (watermarks ORDER BY event time) cannot even define
+# it. The oracles state that contract with WHERE ts IS NOT NULL
+# instead of letting the engines' NULL-group defaults diverge.
 _TUMBLING_ORACLE = """
 SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
        event_type,
        count(*) AS n,
        round(sum(value), 2) AS sum_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -55,6 +62,7 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest([time_bucket(INTERVAL '1 hour', ts),
                      time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS ws
       FROM events
+      WHERE ts IS NOT NULL
     )
     GROUP BY 1
     """,
@@ -74,6 +82,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                   OR ts - lag(ts) OVER w > INTERVAL '6 hours' THEN 1 ELSE 0 END AS new_s
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
@@ -106,7 +115,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, value, event_id,
              ts + CASE WHEN event_type = 'purchase' THEN INTERVAL '12 hours'
                        ELSE INTERVAL '6 hours' END AS te
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     m AS (
       SELECT user_id, ts, value, te,
              max(te) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -283,7 +292,7 @@ def _distinct_users_window(events: DataFrame, with_exact: bool = True) -> DataFr
                AS window_start,
            count(DISTINCT user_id) AS distinct_exact,
            TRUE AS sketch_within_6se
-    FROM events GROUP BY 1
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
     """,
     tags=("streaming", "window", "sketch", "distinct"),
 )

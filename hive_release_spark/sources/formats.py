@@ -332,6 +332,17 @@ def write_sequencefile(
         sc = df.sparkSession.sparkContext
         jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
         fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        # mirror saveAsSequenceFile's Hadoop-strict existing-dir
+        # behavior: the non-empty branch hard-fails on a pre-existing
+        # target, so the empty branch must not silently no-op over one
+        # either — a stale directory would hand the NEXT reader the
+        # PREVIOUS run's rows under a "successful" empty write
+        if fs.exists(jpath):
+            raise FileExistsError(
+                f"output path already exists: {path} — remove it first "
+                "(saveAsSequenceFile semantics; the empty-input branch "
+                "is deliberately no laxer)"
+            )
         fs.mkdirs(jpath)
         return
     rdd.saveAsSequenceFile(path)
@@ -413,8 +424,32 @@ def _check_existing_table(
     # paths — abspath on "hdfs://nn/x" would mangle it into a
     # cwd-relative string and every legitimate reuse would raise a
     # spurious location mismatch
-    scheme_rx = r"^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?"
-    if re.match(scheme_rx, path):
+    scheme_rx = r"^([a-zA-Z][a-zA-Z0-9+.-]*):(?://([^/]*))?"
+    m_want, m_got = re.match(scheme_rx, path), re.match(scheme_rx, existing_loc)
+
+    def _sys(m):
+        # (scheme, authority) normalized: schemes are case-insensitive
+        # (RFC 3986), absent and empty authority are the same URI
+        # ('file:/x' == 'file:///x'); a SCHEME-LESS side resolves
+        # against the local default filesystem ('file', no authority) —
+        # the same assumption the abspath normalization below already
+        # makes — so 'hdfs://nn/x' vs scheme-less '/x' is a mismatch,
+        # not a silent reuse
+        if m is None:
+            return ("file", "")
+        return (m.group(1).lower(), (m.group(2) or "").lower())
+
+    if (m_want or m_got) and _sys(m_want) != _sys(m_got):
+        # the storage SYSTEM must match too — 'hdfs://nn1/x' vs
+        # 'file:/x' (or two namenodes with the same path) are different
+        # locations even though the paths compare equal
+        raise ValueError(
+            f"table {table} already exists at location "
+            f"'{existing_loc}', not the requested '{path}' — the "
+            "URI scheme/authority differ, so these are different "
+            "storage systems; DROP it or pick another table name"
+        )
+    if m_want:
         want_loc = re.sub(scheme_rx, "", path).rstrip("/")
     else:
         want_loc = os.path.abspath(path).rstrip("/")

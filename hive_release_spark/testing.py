@@ -201,22 +201,39 @@ def driver_frames_match(spd, dpd) -> tuple[bool, str]:
             if not av.equals(bv):
                 return False, f"driver-canon datetime mismatch col {c}"
         elif ka == "object":
+            # in an OBJECT column a float NaN is pandas notation for a
+            # missing value in a non-float column (e.g. DuckDB's .df()
+            # renders a NULL BOOLEAN as NaN while Spark's collect gives
+            # None) — but ONLY when the column genuinely holds no float
+            # data.  Normalize NaN -> None per SIDE, and only on a side
+            # whose non-null values contain no real float: a mixed-type
+            # object column with genuine floats keeps NaN distinct from
+            # NULL so a true NaN-vs-NULL divergence still fails here
+            # (gate 1's fetchall comparison already distinguishes them;
+            # this keeps gate 2 equally honest).
+            def _all_non_float(col):
+                return not any(
+                    isinstance(v, float) and not math.isnan(v) for v in col
+                )
+
+            norm_a, norm_b = _all_non_float(a), _all_non_float(b)
             for i, (va, vb) in enumerate(zip(a, b)):
                 if isinstance(va, (list, dict, set, np.ndarray)) or isinstance(
                     vb, (list, dict, set, np.ndarray)
                 ):
                     return False, f"driver-canon unhashable cell col {c} row {i}"
-                # in an OBJECT column a float NaN is pandas notation for
-                # a missing value in a non-float column (e.g. DuckDB's
-                # .df() renders a NULL BOOLEAN as NaN while Spark's
-                # collect gives None) — normalize to None, same as the
-                # mixed-kind branch's _date_like_iso does.  Genuine
-                # float NaN-vs-NULL distinctions live in float64
-                # columns (float branch) and in gate 1's fetchall
-                # comparison, which keeps canon's None != "NaN".
-                if isinstance(va, float) and math.isnan(va):
+                if norm_a and isinstance(va, float) and math.isnan(va):
                     va = None
-                if isinstance(vb, float) and math.isnan(vb):
+                if norm_b and isinstance(vb, float) and math.isnan(vb):
+                    vb = None
+                # NaT is unambiguous pandas missing-notation for a
+                # datetime cell (there is no "genuine NaT" distinct
+                # from SQL NULL in either engine's results) — seen when
+                # an ALL-NULL timestamp column comes back object-dtyped
+                # on one side (r10 all-NULL axis); normalize both sides
+                if va is pd.NaT:
+                    va = None
+                if vb is pd.NaT:
                     vb = None
                 if canon(va) != canon(vb):
                     return False, f"driver-canon value mismatch col {c} row {i}: {va!r} vs {vb!r}"
@@ -235,7 +252,7 @@ def _date_like_iso(v):
     """ISO-string a date/datetime-ish value for cross-dtype comparison."""
     import pandas as pd
 
-    if v is None or (isinstance(v, float) and math.isnan(v)):
+    if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
         return None
     if isinstance(v, pd.Timestamp):
         return v.isoformat()

@@ -164,3 +164,30 @@ def test_neardedup_entry_is_cache_clean(spark):
     assert _cache_manager(spark).isEmpty()
     assert len(df.collect()) > 0
     assert _cache_manager(spark).isEmpty()
+
+
+def test_remaining_pipeline_entries_are_cache_clean(spark):
+    """VERDICT r9 #5 done-criterion: the two remaining composite
+    pipeline entries with call-time persists — pipeline_corpus_build
+    (shared feature-scan persist) and pipeline_incremental_dedup
+    (survivor persist + two count actions) — now run scoped with an
+    eager final checkpoint, so executor cache is empty the moment the
+    entry returns AND after the caller's collect.
+    pipeline_quality_ablation is adjudicated out: it holds no persist
+    at all (scan-side flags + one broadcast), so there is nothing for
+    a scope to release — asserted here by the same cache-empty check
+    without a scope in its kernel."""
+    from conftest import SF_SMOKE
+
+    from hive_release_spark.queries import REGISTRY
+
+    for name in (
+        "pipeline_corpus_build",
+        "pipeline_incremental_dedup",
+        "pipeline_quality_ablation",
+    ):
+        spark.catalog.clearCache()
+        df = REGISTRY[name].fn(spark, SF_SMOKE)
+        assert _cache_manager(spark).isEmpty(), f"{name} leaked a cache"
+        assert len(df.collect()) > 0, name
+        assert _cache_manager(spark).isEmpty(), f"{name} leaked post-collect"

@@ -23,11 +23,17 @@ zero in, zero out) returns NO rows for CUBE/ROLLUP/GROUPING SETS over
 empty input, while DuckDB/Postgres emit the () grand-total row. That
 delta is pinned below as EXPECTED behavior, Hive side chosen.
 
-Full-axis sweep (all 362 entries vs DuckDB on empty tables):
-    python tests/test_empty_input.py --make-empty /tmp/sf_empty
-    SPARK_GRAFT_CHECK_SF=/tmp/sf_empty python tools/check.py
-Expected: every entry green except the six grouping-sets-family
-entries listed in GROUPING_SETS_DELTA.
+Full-axis sweeps (all 362 entries vs DuckDB on degenerate tables):
+    python tests/test_empty_input.py --make-empty  /tmp/sf_empty
+    python tests/test_empty_input.py --make-single /tmp/sf_one
+    python tests/test_empty_input.py --make-null   /tmp/sf_null
+    SPARK_GRAFT_CHECK_SF=/tmp/sf_<axis> python tools/check.py
+Expected: empty = green except the six GROUPING_SETS_DELTA entries;
+single = green except the four adjudicated exceptions pinned below;
+all-null (the r10 axis — 42 findings: NULL-geometry vectors, NULL
+payloads/text, NULL event times, NULL join/group keys, DuckDB-vs-Hive
+join/'' semantics) = green except ds_hierarchy_rank, the grouping-sets
+delta reached via NULL join keys.
 """
 
 from __future__ import annotations
@@ -101,6 +107,54 @@ REPAIRED_SINGLE_ROW = [
     "ml_regression_kfold_cv",
     "emb_kmeans",
     "timeseries_holt_winters",
+    # r10: the sharper n_bins = min(10, non-null count) contract made
+    # the histogram sketch exact at n=1 — un-pinned from the
+    # adjudicated-exception list below
+    "agg_histogram_numeric",
+]
+
+
+# ALL-NULL axis (r10 — the third sweep): same schemas, same row
+# counts, every value NULL. Null join keys (inner joins emit nothing),
+# null group keys (one NULL group), null-only aggregates, null text /
+# vector / payload columns. Repaired entries must hash-match their
+# oracle on the all-NULL tables; the full-axis expectation is
+# 361/362 green + ds_hierarchy_rank pinned below.
+REPAIRED_ALL_NULL = [
+    "events_did_analysis",
+    "agg_percentile_disc",
+    "window_moving_median",
+    "text_langid_ngram",
+    "dedup_embedding_cosine",
+    "dedup_semantic_cells",
+    "sim_ann_lsh",
+    "sim_ann_pq",
+    "emb_kmeans",
+    "emb_pca_project",
+    "emb_pca_contract",
+    "emb_normalize_quantize",
+    "multimodal_features",
+    "multimodal_payload_dedup",
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "agg_histogram_numeric",
+    "agg_collect",
+    "fn_string",
+    "events_top_paths",
+    "dedup_span_chunks",
+    "text_repetition_score",
+    "agg_percentile_approx_contract",
+    "pipeline_quality_ablation",
+    "stream_tumbling",
+    "stream_tumbling_live",
+    "stream_sliding",
+    "stream_session",
+    "stream_session_dynamic",
+    "stream_distinct_sketch",
+    # canon-NaT-repair witnesses (testing.py fix, no kernel change):
+    "events_anomaly_mad",
+    "timeseries_ewma",
+    "join_asof_orders",
 ]
 
 
@@ -113,6 +167,28 @@ def make_empty(dst: str) -> str:
         if f.endswith(".parquet"):
             t = pq.read_table(os.path.join(SF_SRC, f))
             pq.write_table(t.slice(0, 0), os.path.join(dst, f))
+    return dst
+
+
+def make_all_null(dst: str) -> str:
+    """All-NULL copies of every table: same schema, same row COUNT,
+    every value NULL (the r10 third axis). Exercises null join keys
+    (inner joins emit nothing, outer joins preserve), null group keys
+    (one NULL group), null-only aggregates (NULL sums over non-zero
+    counts), and null text/vector payloads — both engines see the SAME
+    rows, so DuckDB parity is exactly defined."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    for f in os.listdir(SF_SRC):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(SF_SRC, f))
+            nulls = pa.table(
+                [pa.nulls(t.num_rows, type=fld.type) for fld in t.schema],
+                schema=t.schema,
+            )
+            pq.write_table(nulls, os.path.join(dst, f))
     return dst
 
 
@@ -208,10 +284,13 @@ def test_single_row_adjudicated_exceptions(spark, single_sf, single_con):
       errors on the NULL-laden list arithmetic; BOTH engines fail, in
       their own ways, which is the adjudicated contract for a data
       pathology (unlike n=0, where both return empty).
-    * agg_histogram_numeric / agg_percentile_approx_contract: sketch
-      CONTRACTS whose oracle pins fixture-scale properties (bin
-      counts, error bounds) that are not meaningful claims at n=1 —
-      the entries run fine; only the contract comparison diverges.
+    * agg_percentile_approx_contract: a rank-error contract (observed
+      fraction within 0.02 of the target rank) that is not a
+      meaningful claim at n=1 (the fraction is exactly 1.0) — the
+      entry runs fine; only the contract comparison diverges.
+      (agg_histogram_numeric left this list in r10: its sharpened
+      n_bins = min(10, non-null count) contract IS exact at n=1 and
+      it now sits in REPAIRED_SINGLE_ROW.)
     """
     from hive_release_spark.llm.clustering import power_iteration_project
     from hive_release_spark.queries import REGISTRY
@@ -224,8 +303,10 @@ def test_single_row_adjudicated_exceptions(spark, single_sf, single_con):
     with pytest.raises(duckdb.Error):
         single_con.execute(REGISTRY["emb_pca_project"].oracle).fetchall()
 
-    for name in ("agg_histogram_numeric", "agg_percentile_approx_contract"):
-        assert REGISTRY[name].fn(spark, single_sf).count() >= 1  # runs clean
+    assert (
+        REGISTRY["agg_percentile_approx_contract"].fn(spark, single_sf).count()
+        >= 1
+    )  # runs clean; only the rank-error booleans diverge from the oracle
 
 
 def test_empty_arrow_batch_does_not_crash_pandas_kernel(spark, empty_sf):
@@ -253,6 +334,73 @@ def test_empty_arrow_batch_does_not_crash_pandas_kernel(spark, empty_sf):
     assert REGISTRY["sim_cosine_topk_arrow"].fn(spark, empty_sf).count() == 0
 
 
+@pytest.fixture(scope="module")
+def null_sf(tmp_path_factory):
+    return make_all_null(str(tmp_path_factory.mktemp("sf_null")))
+
+
+@pytest.fixture(scope="module")
+def null_con(null_sf):
+    return testing.duckdb_con(null_sf)
+
+
+@pytest.mark.parametrize("name", REPAIRED_ALL_NULL)
+def test_repaired_entry_matches_oracle_on_all_null(spark, null_sf, null_con, name):
+    from hive_release_spark.queries import REGISTRY
+
+    entry = REGISTRY[name]
+    ok, why = testing.compare_query(
+        spark, null_con, entry.fn, entry.oracle, null_sf
+    )
+    assert ok, f"{name} on all-NULL input: {why}"
+
+
+def test_hierarchy_rank_all_null_delta_pinned(spark, null_sf, null_con):
+    """ds_hierarchy_rank on the all-NULL axis is the grouping-sets
+    family delta AGAIN, reached a different way: NULL join keys empty
+    the inner joins, then ROLLUP over zero rows is zero-in-zero-out in
+    Spark/Hive while DuckDB emits the () grand-total row. Pin both
+    sides, same as the empty-axis pin above."""
+    from hive_release_spark.queries import REGISTRY
+
+    entry = REGISTRY["ds_hierarchy_rank"]
+    assert entry.fn(spark, null_sf).count() == 0
+    assert len(null_con.execute(entry.oracle).fetchall()) >= 1
+
+
+def test_element_at_runtime_null_index_quirk(spark):
+    """Spark quirk the pack_assets guard works around (r10 all-NULL
+    axis): under ANSI mode — the DRIVER's default session config —
+    element_at with a RUNTIME-null index returns the LAST element,
+    while the constant-folded literal-NULL form returns NULL. (The
+    project's tuned ANSI-off session returns NULL for both, so the
+    quirk must be probed with ANSI explicitly ON; the guard is a
+    no-op-equivalent under ANSI-off.) If the runtime assertion fails,
+    Spark fixed the quirk — the guard in llm/multimodal.pack_assets
+    becomes removable."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(None,)], "i BIGINT")
+    arr = F.array(F.lit("a"), F.lit("b"), F.lit("c"))
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        runtime = df.select(
+            F.element_at(arr, (F.col("i") % 3 + 1).cast("int")).alias("m")
+        ).first()[0]
+        folded = df.select(
+            F.element_at(arr, F.lit(None).cast("int")).alias("m")
+        ).first()[0]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert folded is None
+    assert runtime == "c", (
+        f"element_at(arr, runtime-NULL) now returns {runtime!r} under "
+        "ANSI — Spark changed the quirk; revisit the pack_assets "
+        "modality guard"
+    )
+
+
 def test_sequencefile_empty_roundtrip(spark, tmp_path):
     """A zero-row frame writes an empty table directory (Hive's own
     empty-table layout — saveAsSequenceFile's first-record type
@@ -270,8 +418,17 @@ def test_sequencefile_empty_roundtrip(spark, tmp_path):
     back = read_sequencefile(spark, p, schema)
     assert back.count() == 0
     assert [f.name for f in back.schema.fields] == ["id", "s", "arr"]
+    # the empty branch is Hadoop-strict like saveAsSequenceFile: a
+    # second write to the now-existing directory must fail, not
+    # silently leave the previous run's data (ADVICE r9-1)
+    with pytest.raises(FileExistsError, match="already exists"):
+        write_sequencefile(df, p)
 
 
 if __name__ == "__main__":
     if len(sys.argv) == 3 and sys.argv[1] == "--make-empty":
         print(make_empty(sys.argv[2]))
+    elif len(sys.argv) == 3 and sys.argv[1] == "--make-single":
+        print(make_single(sys.argv[2]))
+    elif len(sys.argv) == 3 and sys.argv[1] == "--make-null":
+        print(make_all_null(sys.argv[2]))

@@ -386,16 +386,25 @@ def test_lm_score_reuses_persisted_bigram_base(spark):
     assert plan.count("InMemoryTableScan") >= 3, plan
 
 
-def test_corpus_build_reuses_persisted_feature_base(spark):
-    """pipeline_corpus_build's feature frame feeds the yield counts AND
-    the dedup leg; both must read the persisted base (InMemoryTableScan)
-    so the corpus is scanned once, and the survivor must ride the md5
-    groupBy (min-struct) with no join back to the corpus."""
+def test_corpus_build_returns_checkpointed_report(spark):
+    """pipeline_corpus_build (r10: pipeline_scope adoption) runs its
+    whole chain — shared feature persist feeding the yield counts AND
+    the dedup leg — INSIDE the scope and eagerly checkpoints the tiny
+    (lang, source) report, so the RETURNED plan is a checkpoint scan
+    with zero exchanges (the shuffles ran at call time while the base
+    was cached) and no cache survives the call. The scan-once reuse
+    itself is pinned by the cache-scope test
+    (test_cache_scope.py::test_remaining_pipeline_entries_are_cache_clean)
+    plus this checkpoint-root assertion: a plan that re-derived the
+    corpus would show scans/exchanges here."""
     from hive_release_spark.queries import REGISTRY
 
+    spark.catalog.clearCache()
     df = REGISTRY["pipeline_corpus_build"].fn(spark, SF_SMOKE)
     plan = _plan(df, "simple")
-    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "FileScan" not in plan, plan
 
 
 def test_range_join_bucketed_equals_naive_theta(spark):

@@ -128,14 +128,21 @@ def test_kfold_cv_reuses_persisted_fold_moments(spark):
     # the actual executed reads)
 
 
-def test_incremental_dedup_reuses_persisted_survivor_frame(spark):
-    """pipeline_incremental_dedup reads the survivor hash frame for
-    both the membership join and the corpus count — one build, cached
-    reuse."""
+def test_incremental_dedup_returns_checkpointed_ledger(spark):
+    """pipeline_incremental_dedup (r10: pipeline_scope adoption) builds
+    the survivor frame once under a scoped persist — serving the count
+    action and the membership join at call time — and eagerly
+    checkpoints the one-row ledger, so the RETURNED plan is a
+    checkpoint scan with zero exchanges and the cache is already
+    empty. Reuse + lifecycle pinned by
+    test_cache_scope.py::test_remaining_pipeline_entries_are_cache_clean."""
+    spark.catalog.clearCache()
     plan = _plan(
         REGISTRY["pipeline_incremental_dedup"].fn(spark, SF_SMOKE)
     )
-    assert plan.count("InMemoryTableScan") >= 1, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "FileScan" not in plan, plan
 
 
 def test_assortativity_degrees_ride_broadcasts(spark):
