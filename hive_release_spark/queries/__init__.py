@@ -355,6 +355,23 @@ CONTRACT_CHANGED = [
     # 0: the exchanges run eagerly at call time)
     "pipeline_corpus_build",
     "pipeline_incremental_dedup",
+    # r10 stretch — the NaN/Inf axis (IEEE specials salted into every
+    # double column; tests/test_empty_input.py §nan-axis). Of its 60
+    # failures, the ~45 where BOTH engines refuse loudly (ANSI
+    # CAST_OVERFLOW on the micro-fold device vs DuckDB's own
+    # cast/variance refusals) are pinned as a documented shared-failure
+    # class; the 10 SILENT divergences were repaired with the finite()
+    # device (functions/numeric.py — non-finite aggregate inputs ignored
+    # like NULL) and Hive-style special rendering in oracles. The 8 not
+    # already declared above:
+    "agg_percentile",
+    "orders_monthly_percentiles",
+    "agg_trimmed_stats",
+    "window_exclude_current",
+    "window_exclude_group_ties",
+    "fn_gap_tier",
+    "fn_union_type",
+    "dq_column_profile",
 ]
 
 # Round-10 selection, RE-rotated mid-round with the all-NULL-axis
@@ -400,6 +417,14 @@ DRIVER_WINDOW = [
     "agg_histogram_numeric",
     "pipeline_corpus_build",
     "pipeline_incremental_dedup",
+    "agg_percentile",
+    "orders_monthly_percentiles",
+    "agg_trimmed_stats",
+    "window_exclude_current",
+    "window_exclude_group_ties",
+    "fn_gap_tier",
+    "fn_union_type",
+    "dq_column_profile",
     "scan_filter_project",
     "join_broadcast_part",
     "join_right_outer",
@@ -408,14 +433,6 @@ DRIVER_WINDOW = [
     "text_script_profile",
     "setop_union_distinct",
     "sim_cosine_topk",
-    "q18_large_orders",
-    "limit_offset_page",
-    "distinct_rows",
-    "setop_intersect",
-    "setop_except",
-    "setop_except_all",
-    "q5_local_supplier_volume",
-    "join_left_semi",
 ]
 
 def _ordered():

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
+from hive_release_spark.functions.numeric import finite
 from hive_release_spark.queries.registry import register
 
 
@@ -1306,19 +1307,26 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_moving_median",
     oracle="""
+    -- finite device on the median input (r10 NaN axis): the robust
+    -- smoother smooths FINITE revenues — a NaN/Inf day is ignored
+    -- like NULL by the median (DuckDB's native windowed median
+    -- hard-crashes on specials; the raw rev column still reports them)
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS day,
              sum(o_totalprice) AS rev
-      FROM orders GROUP BY 1)
+      FROM orders GROUP BY 1),
+    f AS (SELECT day, rev,
+                 CASE WHEN isfinite(rev) THEN rev END AS rev_f
+          FROM daily)
     SELECT day,
            round(rev, 2) AS rev,
-           round(median(rev) OVER (ORDER BY day
+           round(median(rev_f) OVER (ORDER BY day
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
                AS med_trailing7,
-           round(median(rev) OVER (ORDER BY day
+           round(median(rev_f) OVER (ORDER BY day
                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4)
                AS med_centered7
-    FROM daily ORDER BY day
+    FROM f ORDER BY day
     """,
     tags=("analytics", "window", "median", "timeseries"),
 )
@@ -1340,11 +1348,14 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(F.sum("o_totalprice").alias("rev"))
+        # finite device (r10 NaN axis): the median smooths finite
+        # revenues only — see oracle note
+        .withColumn("rev_f", finite(F.col("rev")))
     )
 
     def frame_median(lo: int, hi: int):
         w = W.orderBy("day").rowsBetween(lo, hi)
-        vals = F.array_sort(F.collect_list("rev").over(w))
+        vals = F.array_sort(F.collect_list("rev_f").over(w))
         n = F.size(vals)
         odd = F.element_at(vals, ((n + 1) / 2).cast("int"))
         even = (
@@ -1644,8 +1655,16 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderpriority, o_totalprice,
              percent_rank() OVER (PARTITION BY o_orderpriority
                                   ORDER BY o_totalprice, o_orderkey) AS pr,
-             quantile_cont(o_totalprice, 0.05) OVER (PARTITION BY o_orderpriority) AS p05,
-             quantile_cont(o_totalprice, 0.95) OVER (PARTITION BY o_orderpriority) AS p95
+             -- finite device on the fence percentiles (r10 NaN axis):
+             -- interpolated percentiles are only cross-engine-defined
+             -- over finite values; ranking/clamping of specials agrees
+             -- between the engines already (NaN greatest)
+             quantile_cont(CASE WHEN isfinite(o_totalprice)
+                                THEN o_totalprice END, 0.05)
+                 OVER (PARTITION BY o_orderpriority) AS p05,
+             quantile_cont(CASE WHEN isfinite(o_totalprice)
+                                THEN o_totalprice END, 0.95)
+                 OVER (PARTITION BY o_orderpriority) AS p95
       FROM orders)
     SELECT o_orderpriority,
            count(*) AS n,
@@ -1678,12 +1697,17 @@ def agg_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank()
         .over(wp.orderBy("o_totalprice", "o_orderkey"))
         .alias("pr"),
+        # finite device on the fences (r10 NaN axis) — see oracle note
         F.expr(
-            "percentile(o_totalprice, 0.05) OVER "
+            "percentile(CASE WHEN NOT isnan(o_totalprice) AND "
+            "abs(o_totalprice) != double('Infinity') "
+            "THEN o_totalprice END, 0.05) OVER "
             "(PARTITION BY o_orderpriority)"
         ).alias("p05"),
         F.expr(
-            "percentile(o_totalprice, 0.95) OVER "
+            "percentile(CASE WHEN NOT isnan(o_totalprice) AND "
+            "abs(o_totalprice) != double('Infinity') "
+            "THEN o_totalprice END, 0.95) OVER "
             "(PARTITION BY o_orderpriority)"
         ).alias("p95"),
     )
@@ -2247,8 +2271,13 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
              min(o_orderstatus) AS mn2, max(o_orderstatus) AS mx2,
              CAST(count(o_totalprice) AS BIGINT) AS c3,
              CAST(count(DISTINCT o_totalprice) AS BIGINT) AS d3,
-             printf('%.2f', min(o_totalprice)) AS mn3,
-             printf('%.2f', max(o_totalprice)) AS mx3,
+             -- Hive/Java rendering of double specials (r10 NaN axis):
+             -- printf says 'nan'/'-inf' in DuckDB, 'NaN'/'-Infinity'
+             -- in Spark/Hive
+             replace(replace(printf('%.2f', min(o_totalprice)),
+                     'inf', 'Infinity'), 'nan', 'NaN') AS mn3,
+             replace(replace(printf('%.2f', max(o_totalprice)),
+                     'inf', 'Infinity'), 'nan', 'NaN') AS mx3,
              CAST(count(o_orderdate) AS BIGINT) AS c4,
              CAST(count(DISTINCT o_orderdate) AS BIGINT) AS d4,
              strftime(min(o_orderdate), '%Y-%m-%d') AS mn4,

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
+from hive_release_spark.functions.numeric import finite
 from hive_release_spark.queries.registry import register
 
 
@@ -656,13 +657,19 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_percentile_disc",
     oracle="""
+    -- finite device (r10 NaN axis): percentiles over finite values
+    -- only — non-finite measurements are ignored like NULL; n stays
+    -- the total row count
+    WITH f AS (SELECT l_returnflag,
+                      CASE WHEN isfinite(l_quantity) THEN l_quantity END AS q
+               FROM lineitem)
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n,
-           quantile_disc(l_quantity, 0.25) AS q25_disc,
-           quantile_disc(l_quantity, 0.50) AS q50_disc,
-           quantile_disc(l_quantity, 0.75) AS q75_disc,
-           round(quantile_cont(l_quantity, 0.50), 4) AS q50_cont
-    FROM lineitem GROUP BY 1 ORDER BY 1
+           quantile_disc(q, 0.25) AS q25_disc,
+           quantile_disc(q, 0.50) AS q50_disc,
+           quantile_disc(q, 0.75) AS q75_disc,
+           round(quantile_cont(q, 0.50), 4) AS q50_cont
+    FROM f GROUP BY 1 ORDER BY 1
     """,
     tags=("agg", "percentile", "sql2008"),
 )
@@ -682,10 +689,14 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — a first-class reference implementation, like the ASOF
     gate."""
     li = load_table(spark, sf_dir, "lineitem")
+    # finite device (r10 NaN axis): the sorted-collect ranks finite
+    # values only (collect_list drops the NULLs finite() introduces),
+    # matching quantile_disc over the CASE-wrapped oracle column
+    fq = finite(F.col("l_quantity"))
     g = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sort_array(F.collect_list("l_quantity")).alias("vals"),
-        F.round(F.percentile(F.col("l_quantity"), F.lit(0.5)), 4).alias(
+        F.sort_array(F.collect_list(fq)).alias("vals"),
+        F.round(F.percentile(fq, F.lit(0.5)), 4).alias(
             "q50_cont"
         ),
     )

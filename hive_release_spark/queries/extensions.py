@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table, register_views
+from hive_release_spark.functions.numeric import finite
 from hive_release_spark.queries.registry import register
 
 # Roundtrip-entry scratch directories registered for end-of-process
@@ -298,7 +299,9 @@ def fn_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- the cap, probed on Spark 4.1). Exact on degenerate
            -- slices too (0 bins all-NULL, n bins when n < 10) instead
            -- of a fixture-scale constant
-           CAST(least(10, count(l_extendedprice)) AS INTEGER) AS n_bins,
+           CAST(least(10, count(CASE WHEN isfinite(l_extendedprice)
+                                      THEN l_extendedprice END))
+                AS INTEGER) AS n_bins,
            count(*) AS n_rows,
            TRUE AS mass_ok,
            TRUE AS bounds_ok,
@@ -316,17 +319,22 @@ def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     the group's [min, max] price range, and centroids strictly
     ascending. A merge/placement regression flips a boolean and fails
     the hash gate."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        # finite device (r10 NaN axis): a NaN bin centroid breaks the
+        # sorted/bounds invariants the contract pins — the sketch is
+        # built over finite measurements, specials ignored like NULL
+        "price_f", finite(F.col("l_extendedprice"))
+    )
     h = li.groupBy("l_returnflag").agg(
-        F.expr("histogram_numeric(l_extendedprice, 10)").alias("hist"),
+        F.expr("histogram_numeric(price_f, 10)").alias("hist"),
         F.count("*").alias("n_rows"),
-        # the sketch ignores NULLs: bin mass sums to the NON-NULL count
-        # (comparing against count(*) was latently wrong for any
-        # partially-NULL group), and a zero-non-null group's invariants
-        # hold vacuously (r10 all-NULL axis)
-        F.count("l_extendedprice").alias("n_vals"),
-        F.min("l_extendedprice").alias("lo"),
-        F.max("l_extendedprice").alias("hi"),
+        # the sketch ignores NULLs (and, via finite(), specials): bin
+        # mass sums to the FINITE count — comparing against count(*)
+        # was latently wrong for any partially-NULL group — and a
+        # zero-finite group's invariants hold vacuously (r10 axes)
+        F.count("price_f").alias("n_vals"),
+        F.min("price_f").alias("lo"),
+        F.max("price_f").alias("hi"),
     )
     xs = F.transform("hist", lambda b: b["x"])
     vac = F.col("n_vals") == 0
@@ -425,25 +433,32 @@ def agg_percentile_approx_contract(spark: SparkSession, sf_dir: str) -> DataFram
     fraction check reuses the same pass instead of a join-back."""
     from pyspark.sql import Window as W
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        # finite device (r10 NaN axis): the GK sketch's rank-error
+        # guarantee is stated over an orderable domain — specials are
+        # ignored like NULL in the sketch AND in the observed-rank
+        # fractions, keeping the contract meaningful
+        finite(F.col("l_extendedprice")).alias("price_f"),
+    )
     w = W.partitionBy("l_returnflag")
     pct = li.select(
         "l_returnflag",
-        "l_extendedprice",
-        F.percentile_approx("l_extendedprice", 0.5, 10000).over(w).alias("p50"),
-        F.percentile_approx("l_extendedprice", 0.9, 10000).over(w).alias("p90"),
+        "price_f",
+        F.percentile_approx("price_f", 0.5, 10000).over(w).alias("p50"),
+        F.percentile_approx("price_f", 0.9, 10000).over(w).alias("p90"),
     )
     return (
         pct.groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n_rows"),
-            F.count("l_extendedprice").alias("n_vals"),
-            F.min("l_extendedprice").alias("lo"),
-            F.max("l_extendedprice").alias("hi"),
+            F.count("price_f").alias("n_vals"),
+            F.min("price_f").alias("lo"),
+            F.max("price_f").alias("hi"),
             F.first("p50").alias("p50"),
             F.first("p90").alias("p90"),
-            F.avg((F.col("l_extendedprice") <= F.col("p50")).cast("double")).alias("f50"),
-            F.avg((F.col("l_extendedprice") <= F.col("p90")).cast("double")).alias("f90"),
+            F.avg((F.col("price_f") <= F.col("p50")).cast("double")).alias("f50"),
+            F.avg((F.col("price_f") <= F.col("p90")).cast("double")).alias("f90"),
         )
         .select(
             "l_returnflag",

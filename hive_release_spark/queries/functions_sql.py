@@ -365,8 +365,12 @@ def fn_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem WHERE l_orderkey % 500 = 0 GROUP BY l_orderkey),
     srt AS (
       SELECT l_orderkey,
+             -- Hive rendering of double specials (r10 NaN axis):
+             -- Spark/Hive say 'NaN'/'Infinity', DuckDB says 'nan'/'inf'
              array_to_string(list_transform(a,
-                 x -> CAST(x.ln AS VARCHAR) || ':' || CAST(x.qty AS VARCHAR)),
+                 x -> CAST(x.ln AS VARCHAR) || ':' ||
+                      replace(replace(CAST(x.qty AS VARCHAR),
+                              'inf', 'Infinity'), 'nan', 'NaN')),
                  ',') AS by_qty_desc
       FROM arr),
     rep AS (
@@ -428,8 +432,11 @@ def fn_gap_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o_orderkey % 2 AS INTEGER)                        AS tag,
            CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END     AS branch_num,
            CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END  AS branch_str,
+           -- Hive rendering of double specials (r10 NaN axis)
            CASE WHEN o_orderkey % 2 = 0
-                THEN concat('0:', round(o_totalprice, 2))
+                THEN concat('0:', replace(replace(
+                     CAST(round(o_totalprice, 2) AS VARCHAR),
+                     'inf', 'Infinity'), 'nan', 'NaN'))
                 ELSE concat('1:', o_orderpriority) END            AS rendered
     FROM orders WHERE o_orderkey % 25 = 0
     """,

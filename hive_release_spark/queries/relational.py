@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table, register_views
+from hive_release_spark.functions.numeric import finite
 from hive_release_spark.queries.registry import register
 
 # ---------------------------------------------------------------------------
@@ -292,16 +293,26 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_percentile",
     oracle="""
+    -- finite device (r10 NaN axis): percentiles are DEFINED over
+    -- finite values only — the engines interpolate through specials
+    -- divergently, and DuckDB's DECIMAL render refuses NaN outright;
+    -- a non-finite measurement is ignored like NULL on both sides
+    WITH f AS (
+      SELECT l_linestatus,
+             CASE WHEN isfinite(l_quantity) THEN l_quantity END AS q,
+             CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS p,
+             CASE WHEN isfinite(l_discount) THEN l_discount END AS d
+      FROM lineitem)
     SELECT l_linestatus,
-           round(quantile_cont(l_quantity, 0.5), 4)          AS qty_p50,
-           round(quantile_cont(l_extendedprice, 0.25), 4)    AS price_p25,
-           round(quantile_cont(l_extendedprice, 0.95), 4)    AS price_p95,
-           round(median(l_discount), 4)                      AS disc_median,
+           round(quantile_cont(q, 0.5), 4)          AS qty_p50,
+           round(quantile_cont(p, 0.25), 4)    AS price_p25,
+           round(quantile_cont(p, 0.95), 4)    AS price_p95,
+           round(median(d), 4)                      AS disc_median,
            array_to_string(list_transform(
-             quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+             quantile_cont(q, [0.25, 0.5, 0.75]),
              x -> CAST(CAST(round(x, 4) AS DECIMAL(18,4)) AS VARCHAR)), ',')
                                                              AS qty_quartiles
-    FROM lineitem
+    FROM f
     GROUP BY l_linestatus
     """,
     tags=("agg", "percentile"),
@@ -315,13 +326,22 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     intentionally NOT oracle-gated (sketch-based, non-deterministic
     across engines)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # finite device (r10 NaN axis): percentiles over finite values only
+    # — non-finite measurements are ignored like NULL (see
+    # functions/numeric.finite); genuine NULLs unaffected
+    li = li.select(
+        "l_linestatus",
+        finite(F.col("l_quantity")).alias("q"),
+        finite(F.col("l_extendedprice")).alias("p"),
+        finite(F.col("l_discount")).alias("d"),
+    )
     return li.groupBy("l_linestatus").agg(
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("qty_p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("price_p25"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("price_p95"),
-        F.round(F.expr("percentile(l_discount, 0.5)"), 4).alias("disc_median"),
+        F.round(F.expr("percentile(q, 0.5)"), 4).alias("qty_p50"),
+        F.round(F.expr("percentile(p, 0.25)"), 4).alias("price_p25"),
+        F.round(F.expr("percentile(p, 0.95)"), 4).alias("price_p95"),
+        F.round(F.expr("percentile(d, 0.5)"), 4).alias("disc_median"),
         F.expr(
-            "array_join(transform(percentile(l_quantity, array(0.25D, 0.5D, 0.75D)),"
+            "array_join(transform(percentile(q, array(0.25D, 0.5D, 0.75D)),"
             " x -> cast(cast(round(x, 4) as decimal(18,4)) as string)), ',')"
         ).alias("qty_quartiles"),
     )

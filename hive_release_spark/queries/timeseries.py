@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
 from hive_release_spark.operators.asof import asof_join
+from hive_release_spark.functions.numeric import finite
 from hive_release_spark.queries.registry import register
 
 
@@ -275,13 +276,20 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "orders_monthly_percentiles",
     oracle="""
+    -- finite device on the percentile args (r10 NaN axis): exact
+    -- interpolation is only cross-engine-defined over finite values;
+    -- max stays raw (NaN-greatest agrees between the engines)
+    WITH f AS (SELECT o_orderdate, o_totalprice,
+                      CASE WHEN isfinite(o_totalprice)
+                           THEN o_totalprice END AS tp
+               FROM orders)
     SELECT strftime(o_orderdate, '%Y-%m') AS mon,
            count(*) AS n_orders,
-           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
-           round(quantile_cont(o_totalprice, 0.90), 4) AS p90,
-           round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           round(quantile_cont(tp, 0.50), 4) AS p50,
+           round(quantile_cont(tp, 0.90), 4) AS p90,
+           round(quantile_cont(tp, 0.99), 4) AS p99,
            round(max(o_totalprice), 2) AS p100
-    FROM orders GROUP BY 1 ORDER BY 1
+    FROM f GROUP BY 1 ORDER BY 1
     """,
     tags=("analytics", "timeseries", "percentile"),
 )
@@ -294,14 +302,18 @@ def orders_monthly_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort is bounded by a month's rows, and the approx path
     (`percentile_approx`, already covered by its own contract entry)
     swaps in with one function name when that bound breaks."""
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        # finite device (r10 NaN axis): percentile args only; max stays
+        # raw (NaN-greatest agrees cross-engine)
+        "tp", finite(F.col("o_totalprice"))
+    )
     return (
         o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("mon"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
-            F.round(F.expr("percentile(o_totalprice, 0.90)"), 4).alias("p90"),
-            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+            F.round(F.expr("percentile(tp, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(tp, 0.90)"), 4).alias("p90"),
+            F.round(F.expr("percentile(tp, 0.99)"), 4).alias("p99"),
             F.round(F.max("o_totalprice"), 2).alias("p100"),
         )
         .orderBy("mon")

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
+from hive_release_spark.functions.numeric import finite
 from hive_release_spark.queries.registry import register
 
 
@@ -367,7 +368,11 @@ def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_exclude_current",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(sum(l_extendedprice) OVER (
+           -- finite device (r10 NaN axis): a non-finite price is
+           -- ignored like NULL; the engine's sum-minus-current rewrite
+           -- is only lossless over finite values (Inf - Inf = NaN)
+           round(sum(CASE WHEN isfinite(l_extendedprice)
+                          THEN l_extendedprice END) OVER (
                PARTITION BY l_suppkey ORDER BY l_quantity, l_orderkey,
                                                l_linenumber
                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
@@ -411,13 +416,18 @@ def window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_quantity", "l_orderkey", "l_linenumber")
         .rowsBetween(-3, 3)
     )
+    # finite device (r10 NaN axis): the subtraction rewrite is only
+    # lossless over finite values (a frame holding +Inf and -Inf sums
+    # to NaN while DuckDB's native EXCLUDE sums the peers directly) —
+    # non-finite prices are ignored like NULL on both engines
+    fx = finite(F.col("l_extendedprice"))
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.when(F.count("*").over(w) - 1 == 0, F.lit(None).cast("double"))
         .otherwise(
             F.round(
-                F.sum("l_extendedprice").over(w) - F.col("l_extendedprice"),
+                F.sum(fx).over(w) - F.coalesce(fx, F.lit(0.0)),
                 2,
             )
         )
@@ -430,7 +440,10 @@ def window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_exclude_group_ties",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(sum(l_extendedprice) OVER (
+           -- finite device (r10 NaN axis), same rationale as the
+           -- EXCLUDE CURRENT ROW twin
+           round(sum(CASE WHEN isfinite(l_extendedprice)
+                          THEN l_extendedprice END) OVER (
                PARTITION BY l_suppkey ORDER BY l_quantity
                RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
                EXCLUDE GROUP), 2) AS grp_excl_sum,
@@ -438,7 +451,8 @@ def window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY l_suppkey ORDER BY l_quantity
                RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
                EXCLUDE GROUP) AS BIGINT) AS grp_excl_rows,
-           round(sum(l_extendedprice) OVER (
+           round(sum(CASE WHEN isfinite(l_extendedprice)
+                          THEN l_extendedprice END) OVER (
                PARTITION BY l_suppkey ORDER BY l_quantity
                RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
                EXCLUDE TIES), 2) AS ties_excl_sum,
@@ -482,21 +496,26 @@ def window_exclude_group_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-2, 2)
     )
     peers = W.partitionBy("l_suppkey", "l_quantity")
-    f_sum = F.sum("l_extendedprice").over(frame)
+    # finite device (r10 NaN axis): the frame-minus-peer-group rewrite
+    # is only lossless over finite values; a frame whose only finite
+    # values sit outside the peer group must not be NULLed by a
+    # NULL peer sum, hence the coalesces
+    fx = finite(F.col("l_extendedprice"))
+    f_sum = F.sum(fx).over(frame)
     f_cnt = F.count("*").over(frame)
-    p_sum = F.sum("l_extendedprice").over(peers)
+    p_sum = F.sum(fx).over(peers)
     p_cnt = F.count("*").over(peers)
-    grp_rows = (f_cnt - p_cnt).alias("grp_excl_rows")
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.when(f_cnt - p_cnt == 0, F.lit(None).cast("double"))
-        .otherwise(F.round(f_sum - p_sum, 2))
+        .otherwise(F.round(f_sum - F.coalesce(p_sum, F.lit(0.0)), 2))
         .alias("grp_excl_sum"),
         (f_cnt - p_cnt).alias("grp_excl_rows"),
-        F.round(f_sum - p_sum + F.col("l_extendedprice"), 2).alias(
-            "ties_excl_sum"
-        ),
+        F.round(
+            f_sum - F.coalesce(p_sum, F.lit(0.0)) + F.coalesce(fx, F.lit(0.0)),
+            2,
+        ).alias("ties_excl_sum"),
         (f_cnt - p_cnt + 1).alias("ties_excl_rows"),
     ).orderBy("l_orderkey", "l_linenumber")
 
