@@ -372,6 +372,19 @@ CONTRACT_CHANGED = [
     "fn_gap_tier",
     "fn_union_type",
     "dq_column_profile",
+    # ... and the FIRST WAVE of the staged finite() adoption across the
+    # loud class — the §2.C variance/correlation flagship family plus
+    # the math sums, the exact-cents arg_max key, the applyInPandas
+    # z-score, and the shared daily-series helper (specials summed
+    # like NULL so one bad row can't poison its day):
+    "agg_stats",
+    "agg_regr",
+    "agg_corr_matrix",
+    "fn_math",
+    "agg_min_max_by",
+    "ptf_apply_in_pandas_zscore",
+    "timeseries_autocorr",
+    "timeseries_cross_corr",
 ]
 
 # Round-10 selection, RE-rotated mid-round with the all-NULL-axis
@@ -425,14 +438,14 @@ DRIVER_WINDOW = [
     "fn_gap_tier",
     "fn_union_type",
     "dq_column_profile",
-    "scan_filter_project",
-    "join_broadcast_part",
-    "join_right_outer",
+    "agg_stats",
+    "agg_regr",
+    "agg_corr_matrix",
+    "fn_math",
+    "agg_min_max_by",
     "ptf_apply_in_pandas_zscore",
-    "sample_reservoir_group",
-    "text_script_profile",
-    "setop_union_distinct",
-    "sim_cosine_topk",
+    "timeseries_autocorr",
+    "timeseries_cross_corr",
 ]
 
 def _ordered():

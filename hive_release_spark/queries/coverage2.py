@@ -142,14 +142,23 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_regr",
     oracle="""
+    -- finite device (r10 NaN axis): regression moments are only
+    -- cross-engine-defined over finite pairs (DuckDB's variance
+    -- machinery refuses Inf); a pair with a non-finite member is
+    -- ignored like a NULL pair on both engines
+    WITH f AS (SELECT l_linestatus,
+                      CASE WHEN isfinite(l_extendedprice)
+                           THEN l_extendedprice END AS y,
+                      CASE WHEN isfinite(l_quantity) THEN l_quantity END AS x
+               FROM lineitem)
     SELECT l_linestatus,
-           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS r_n,
-           round(regr_slope(l_extendedprice, l_quantity), 4)     AS r_slope,
-           round(regr_intercept(l_extendedprice, l_quantity), 4) AS r_icept,
-           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r_r2,
-           round(regr_avgx(l_extendedprice, l_quantity), 4)      AS r_avgx,
-           round(regr_avgy(l_extendedprice, l_quantity), 4)      AS r_avgy
-    FROM lineitem
+           CAST(regr_count(y, x) AS BIGINT) AS r_n,
+           round(regr_slope(y, x), 4)     AS r_slope,
+           round(regr_intercept(y, x), 4) AS r_icept,
+           round(regr_r2(y, x), 6)        AS r_r2,
+           round(regr_avgx(y, x), 4)      AS r_avgx,
+           round(regr_avgy(y, x), 4)      AS r_avgy
+    FROM f
     GROUP BY l_linestatus
     """,
     tags=("agg", "stats", "regr"),
@@ -159,7 +168,8 @@ def agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     regr_* registrations — SURVEY.md §2.C): slope/intercept/R²/avgs of
     price on quantity."""
     li = load_table(spark, sf_dir, "lineitem")
-    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    # finite device (r10 NaN axis) — see oracle note
+    y, x = finite(F.col("l_extendedprice")), finite(F.col("l_quantity"))
     return li.groupBy("l_linestatus").agg(
         F.regr_count(y, x).alias("r_n"),
         F.round(F.regr_slope(y, x), 4).alias("r_slope"),
@@ -618,14 +628,22 @@ def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_corr_matrix",
     oracle="""
-    SELECT round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
-           round(corr(l_quantity, l_discount), 6)      AS qty_disc,
-           round(corr(l_quantity, l_tax), 6)           AS qty_tax,
-           round(corr(l_extendedprice, l_discount), 6) AS price_disc,
-           round(corr(l_extendedprice, l_tax), 6)      AS price_tax,
-           round(corr(l_discount, l_tax), 6)           AS disc_tax,
+    -- finite device (r10 NaN axis): correlations over finite pairs
+    -- only; n stays the total row count
+    WITH f AS (SELECT
+        CASE WHEN isfinite(l_quantity) THEN l_quantity END AS q,
+        CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS p,
+        CASE WHEN isfinite(l_discount) THEN l_discount END AS d,
+        CASE WHEN isfinite(l_tax) THEN l_tax END AS t
+      FROM lineitem)
+    SELECT round(corr(q, p), 6) AS qty_price,
+           round(corr(q, d), 6)      AS qty_disc,
+           round(corr(q, t), 6)           AS qty_tax,
+           round(corr(p, d), 6) AS price_disc,
+           round(corr(p, t), 6)      AS price_tax,
+           round(corr(d, t), 6)           AS disc_tax,
            CAST(count(*) AS BIGINT) AS n
-    FROM lineitem
+    FROM f
     """,
     tags=("agg", "stats", "correlation"),
 )
@@ -638,6 +656,9 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair in the loop-over-columns idiom."""
     li = load_table(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    # finite device (r10 NaN axis): correlation moments over finite
+    # pairs only — same adjudication as agg_stats/agg_regr
+    li = li.select(*[finite(F.col(c)).alias(c) for c in cols])
     names = {
         ("l_quantity", "l_extendedprice"): "qty_price",
         ("l_quantity", "l_discount"): "qty_disc",

@@ -175,10 +175,14 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ptf_apply_in_pandas_zscore",
     oracle="""
+    -- finite device (r10 NaN axis): specials are dropped scan-side —
+    -- they have no z-score and would poison the group moments (DuckDB's
+    -- stddev refuses Inf outright); genuine NULLs keep their rows
     SELECT l_orderkey, l_linenumber,
            round((l_quantity - avg(l_quantity) OVER w) / stddev_samp(l_quantity) OVER w, 4)
              AS z
     FROM lineitem
+    WHERE l_quantity IS NULL OR isfinite(l_quantity)
     WINDOW w AS (PARTITION BY l_returnflag, l_linestatus)
     """,
     tags=("ptf", "extension", "pandas"),
@@ -202,8 +206,17 @@ def ptf_apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber", "l_quantity"
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber",
+            "l_quantity",
+        )
+        # finite device (r10 NaN axis) — see oracle note; the isNull arm
+        # keeps genuine-NULL rows (pandas mean/std already skip them)
+        .filter(
+            F.col("l_quantity").isNull() | finite(F.col("l_quantity")).isNotNull()
+        )
     )
     return li.groupBy("l_returnflag", "l_linestatus").applyInPandas(
         zscore, "l_orderkey long, l_linenumber int, z double"

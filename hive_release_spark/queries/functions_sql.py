@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table, register_views
+from hive_release_spark.functions.numeric import finite
 from hive_release_spark.queries.registry import register
 
 
@@ -96,18 +97,27 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_math",
     oracle="""
+    -- finite device (r10 NaN axis): the math-family sums are over
+    -- finite inputs — ceil(Inf) cannot cast to BIGINT (ANSI overflow /
+    -- DuckDB cast refusal) and one NaN poisons every libm sum
+    WITH f AS (SELECT l_returnflag, l_orderkey,
+                      CASE WHEN isfinite(l_discount) THEN l_discount END AS d,
+                      CASE WHEN isfinite(l_extendedprice)
+                           THEN l_extendedprice END AS p,
+                      CASE WHEN isfinite(l_quantity) THEN l_quantity END AS q
+               FROM lineitem)
     SELECT l_returnflag,
-           round(sum(abs(l_discount - 0.05)), 4)        AS s_abs,
-           CAST(sum(CAST(ceil(l_extendedprice) AS BIGINT)) AS BIGINT)  AS s_ceil,
-           CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS s_floor,
-           round(sum(sqrt(l_quantity)), 4)              AS s_sqrt,
-           round(sum(exp(l_discount)), 4)               AS s_exp,
-           round(sum(ln(l_extendedprice)), 4)           AS s_ln,
-           round(sum(log10(l_extendedprice)), 4)        AS s_log10,
-           round(sum(pow(l_quantity, 2)), 2)            AS s_pow,
-           round(sum(sign(l_discount - 0.05)), 2)       AS s_sign,
+           round(sum(abs(d - 0.05)), 4)        AS s_abs,
+           CAST(sum(CAST(ceil(p) AS BIGINT)) AS BIGINT)  AS s_ceil,
+           CAST(sum(CAST(floor(p) AS BIGINT)) AS BIGINT) AS s_floor,
+           round(sum(sqrt(q)), 4)              AS s_sqrt,
+           round(sum(exp(d)), 4)               AS s_exp,
+           round(sum(ln(p)), 4)           AS s_ln,
+           round(sum(log10(p)), 4)        AS s_log10,
+           round(sum(pow(q, 2)), 2)            AS s_pow,
+           round(sum(sign(d - 0.05)), 2)       AS s_sign,
            CAST(sum(((l_orderkey % 7) + 7) % 7) AS BIGINT) AS s_pmod
-    FROM lineitem
+    FROM f
     GROUP BY l_returnflag
     """,
     tags=("functions", "math"),
@@ -117,16 +127,20 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDFPower/GenericUDFPosMod …). Aggregated+rounded because JVM Math and
     libm can differ by 1 ulp per row."""
     li = load_table(spark, sf_dir, "lineitem")
+    # finite device (r10 NaN axis) — see oracle note
+    d = finite(F.col("l_discount"))
+    p = finite(F.col("l_extendedprice"))
+    q = finite(F.col("l_quantity"))
     return li.groupBy("l_returnflag").agg(
-        F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 4).alias("s_abs"),
-        F.sum(F.ceil("l_extendedprice").cast("long")).alias("s_ceil"),
-        F.sum(F.floor("l_extendedprice").cast("long")).alias("s_floor"),
-        F.round(F.sum(F.sqrt("l_quantity")), 4).alias("s_sqrt"),
-        F.round(F.sum(F.exp("l_discount")), 4).alias("s_exp"),
-        F.round(F.sum(F.log("l_extendedprice")), 4).alias("s_ln"),
-        F.round(F.sum(F.log10("l_extendedprice")), 4).alias("s_log10"),
-        F.round(F.sum(F.pow("l_quantity", F.lit(2))), 2).alias("s_pow"),
-        F.round(F.sum(F.signum(F.col("l_discount") - 0.05)), 2).alias("s_sign"),
+        F.round(F.sum(F.abs(d - 0.05)), 4).alias("s_abs"),
+        F.sum(F.ceil(p).cast("long")).alias("s_ceil"),
+        F.sum(F.floor(p).cast("long")).alias("s_floor"),
+        F.round(F.sum(F.sqrt(q)), 4).alias("s_sqrt"),
+        F.round(F.sum(F.exp(d)), 4).alias("s_exp"),
+        F.round(F.sum(F.log(p)), 4).alias("s_ln"),
+        F.round(F.sum(F.log10(p)), 4).alias("s_log10"),
+        F.round(F.sum(F.pow(q, F.lit(2))), 2).alias("s_pow"),
+        F.round(F.sum(F.signum(d - 0.05)), 2).alias("s_sign"),
         F.sum(F.pmod(F.col("l_orderkey"), F.lit(7))).alias("s_pmod"),
     )
 

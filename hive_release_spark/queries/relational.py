@@ -109,17 +109,28 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_stats",
     oracle="""
+    -- finite device (r10 NaN axis): the variance/covariance family is
+    -- only cross-engine-defined over finite values (DuckDB refuses Inf
+    -- outright — "VARPOP is out of range" — while Spark yields NaN);
+    -- non-finite measurements are ignored like NULL. min/max stay raw:
+    -- NaN-greatest ordering agrees between the engines.
+    WITH f AS (SELECT l_returnflag,
+                      CASE WHEN isfinite(l_quantity) THEN l_quantity END AS q,
+                      CASE WHEN isfinite(l_extendedprice)
+                           THEN l_extendedprice END AS p,
+                      l_extendedprice
+               FROM lineitem)
     SELECT l_returnflag,
-           round(var_pop(l_quantity), 4)                 AS qty_var_pop,
-           round(var_samp(l_quantity), 4)                AS qty_var_samp,
-           round(stddev_pop(l_quantity), 4)              AS qty_stddev_pop,
-           round(stddev_samp(l_quantity), 4)             AS qty_stddev_samp,
-           round(covar_pop(l_quantity, l_extendedprice), 2)  AS qp_covar_pop,
-           round(covar_samp(l_quantity, l_extendedprice), 2) AS qp_covar_samp,
-           round(corr(l_quantity, l_extendedprice), 4)   AS qp_corr,
+           round(var_pop(q), 4)                 AS qty_var_pop,
+           round(var_samp(q), 4)                AS qty_var_samp,
+           round(stddev_pop(q), 4)              AS qty_stddev_pop,
+           round(stddev_samp(q), 4)             AS qty_stddev_samp,
+           round(covar_pop(q, p), 2)  AS qp_covar_pop,
+           round(covar_samp(q, p), 2) AS qp_covar_samp,
+           round(corr(q, p), 4)   AS qp_corr,
            round(min(l_extendedprice), 2)                AS min_price,
            round(max(l_extendedprice), 2)                AS max_price
-    FROM lineitem
+    FROM f
     GROUP BY l_returnflag
     """,
     tags=("agg", "stats"),
@@ -128,7 +139,9 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical UDAF family (Hive GenericUDAF{Variance,Std,Covariance,
     Correlation} — SURVEY.md §2.C)."""
     li = load_table(spark, sf_dir, "lineitem")
-    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    # finite device (r10 NaN axis) on the variance family — see oracle
+    # note; min/max stay raw (NaN-greatest agrees cross-engine)
+    q, p = finite(F.col("l_quantity")), finite(F.col("l_extendedprice"))
     return li.groupBy("l_returnflag").agg(
         F.round(F.var_pop(q), 4).alias("qty_var_pop"),
         F.round(F.var_samp(q), 4).alias("qty_var_samp"),
@@ -137,8 +150,8 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_pop(q, p), 2).alias("qp_covar_pop"),
         F.round(F.covar_samp(q, p), 2).alias("qp_covar_samp"),
         F.round(F.corr(q, p), 4).alias("qp_corr"),
-        F.round(F.min(p), 2).alias("min_price"),
-        F.round(F.max(p), 2).alias("max_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
     )
 
 
@@ -517,9 +530,15 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_min_max_by",
     oracle="""
+    -- finite device (r10 NaN axis): the exact-cents comparison key is
+    -- only castable for finite prices; a special-priced order is
+    -- ignored by arg_max/arg_min like a NULL key on both engines
+    -- (raw min/max stay raw: NaN-greatest agrees cross-engine)
     WITH t AS (
       SELECT o_orderpriority, o_orderkey, o_totalprice,
-             CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey AS ck
+             CASE WHEN isfinite(o_totalprice)
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                       * 10000000 + o_orderkey END AS ck
       FROM orders)
     SELECT o_orderpriority,
            arg_max(o_orderkey, ck) AS priciest_order,
@@ -539,8 +558,10 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer), because engine tie behavior for plain arg_max is
     unspecified."""
     o = load_table(spark, sf_dir, "orders")
+    # finite device (r10 NaN axis) — see oracle note
     ck = (
-        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(10000000)
+        F.round(finite(F.col("o_totalprice")) * 100).cast("long")
+        * F.lit(10000000)
         + F.col("o_orderkey")
     )
     t = o.select("o_orderpriority", "o_orderkey", "o_totalprice", ck.alias("ck"))

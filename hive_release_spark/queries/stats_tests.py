@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
+from hive_release_spark.functions.numeric import finite
 from hive_release_spark.queries.registry import register
 
 _A = "1-URGENT"
@@ -299,7 +300,8 @@ def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         li.groupBy(F.to_date("l_shipdate").alias("dd"))
         .agg(
-            F.sum("l_quantity").alias("qty"),
+            # finite device (r10 NaN axis) — see _DAILY_CTE note
+            F.sum(finite(F.col("l_quantity"))).alias("qty"),
             F.count("*").alias("n_items"),
         )
     )
@@ -308,9 +310,14 @@ def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# finite device (r10 NaN axis): one special-valued row would make its
+# whole DAY's qty NaN/Inf and poison every corr window downstream
+# (DuckDB's variance machinery refuses Inf outright) — the series sums
+# FINITE quantities, specials ignored like NULL
 _DAILY_CTE = """
     d AS (SELECT CAST(l_shipdate AS DATE) AS dd,
-                 sum(l_quantity) AS qty,
+                 sum(CASE WHEN isfinite(l_quantity) THEN l_quantity END)
+                     AS qty,
                  count(*) AS n_items
           FROM lineitem GROUP BY 1),
     r AS (SELECT qty, n_items, row_number() OVER (ORDER BY dd) AS rn FROM d)

@@ -35,12 +35,14 @@ all-null (the r10 axis — 42 findings: NULL-geometry vectors, NULL
 payloads/text, NULL event times, NULL join/group keys, DuckDB-vs-Hive
 join/'' semantics) = green except ds_hierarchy_rank, the grouping-sets
 delta reached via NULL join keys; nan/inf (the r10 STRETCH axis —
-IEEE specials salted into every double column) = the 10 silent
-divergences repaired (REPAIRED_NAN) and the ~45-entry shared-loud-
-failure class documented and representatively pinned
-(test_micro_fold_specials_fail_loudly_on_both_engines) — the full
-finite()-device adoption across that class is the staged r11+ plan
-(42 contract declarations already fill this round's witness window).
+IEEE specials salted into every double column) = the 12
+silent/one-sided divergences repaired plus the first finite()-adoption
+wave of 8 loud-class flagships (REPAIRED_NAN, 20 entries) with the
+remaining ~40 shared-loud-failure entries documented and
+representatively pinned
+(test_micro_fold_specials_fail_loudly_on_both_engines) — completing
+the finite() adoption across that class is the staged r11+ plan (the
+r10 witness window is now exactly full at 50 contract declarations).
 """
 
 from __future__ import annotations
@@ -398,6 +400,18 @@ REPAIRED_NAN = [
     "fn_gap_tier",
     "fn_union_type",
     "dq_column_profile",
+    # wave 1 of the staged finite() adoption (same round, the 8 free
+    # window slots): the variance/correlation flagship family + math
+    # sums + arg_max cents key + applyInPandas z-score + the shared
+    # daily-series helper
+    "agg_stats",
+    "agg_regr",
+    "agg_corr_matrix",
+    "fn_math",
+    "agg_min_max_by",
+    "ptf_apply_in_pandas_zscore",
+    "timeseries_autocorr",
+    "timeseries_cross_corr",
 ]
 
 
