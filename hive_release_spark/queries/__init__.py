@@ -387,12 +387,14 @@ CONTRACT_CHANGED = [
     "timeseries_cross_corr",
 ]
 
-# Round-10 selection, RE-rotated mid-round with the all-NULL-axis
-# declarations (same serve-and-clear cycle as r9's mid-round
-# re-rotation; propose_window() emits this list verbatim): the 31
-# contract-changed entries take first claim, then one rep per
-# still-missing required family (stalest first), then oldest-witness
-# fills — never re-recording a row fresh in CORRECTNESS_r09.
+# Round-10 selection, RE-rotated three times mid-round as the axes
+# landed (same serve-and-clear cycle as r9; propose_window() emits
+# this list verbatim at each step): first the all-NULL-axis
+# declarations, then the NaN-axis silent repairs, then the wave-1
+# finite() adoption — the window now holds EXACTLY 50 contract-changed
+# entries and zero family/oldest-witness fills (the first
+# all-contract window; the family reps resume at the r11 rotation
+# once these claims are served and cleared).
 # Registry growth stays FROZEN (VERDICT r9 #7): 362 entries.
 
 DRIVER_WINDOW = [

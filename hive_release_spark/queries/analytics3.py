@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
-from hive_release_spark.functions.numeric import finite
+from hive_release_spark.functions.numeric import finite, hive_render
 from hive_release_spark.queries.registry import register
 
 
@@ -1688,7 +1688,13 @@ def agg_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical in both engines; percentiles are linear-interpolation in
     both."""
     o = load_table(spark, sf_dir, "orders").select(
-        "o_orderpriority", "o_orderkey", "o_totalprice"
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        # finite device on the fences (r10 NaN axis) — see oracle note;
+        # computed ONCE via the shared helper so "finite" has a single
+        # definition (in-round review)
+        finite(F.col("o_totalprice")).alias("tp_f"),
     )
     wp = W.partitionBy("o_orderpriority")
     r = o.select(
@@ -1697,18 +1703,11 @@ def agg_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank()
         .over(wp.orderBy("o_totalprice", "o_orderkey"))
         .alias("pr"),
-        # finite device on the fences (r10 NaN axis) — see oracle note
         F.expr(
-            "percentile(CASE WHEN NOT isnan(o_totalprice) AND "
-            "abs(o_totalprice) != double('Infinity') "
-            "THEN o_totalprice END, 0.05) OVER "
-            "(PARTITION BY o_orderpriority)"
+            "percentile(tp_f, 0.05) OVER (PARTITION BY o_orderpriority)"
         ).alias("p05"),
         F.expr(
-            "percentile(CASE WHEN NOT isnan(o_totalprice) AND "
-            "abs(o_totalprice) != double('Infinity') "
-            "THEN o_totalprice END, 0.95) OVER "
-            "(PARTITION BY o_orderpriority)"
+            "percentile(tp_f, 0.95) OVER (PARTITION BY o_orderpriority)"
         ).alias("p95"),
     )
     inside = (F.col("pr") >= 0.05) & (F.col("pr") <= 0.95)
@@ -2259,7 +2258,7 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dq_column_profile",
-    oracle="""
+    oracle=f"""
     WITH a AS (
       SELECT CAST(count(*) AS BIGINT) AS n_rows,
              CAST(count(o_orderkey) AS BIGINT) AS c1,
@@ -2271,13 +2270,12 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
              min(o_orderstatus) AS mn2, max(o_orderstatus) AS mx2,
              CAST(count(o_totalprice) AS BIGINT) AS c3,
              CAST(count(DISTINCT o_totalprice) AS BIGINT) AS d3,
-             -- Hive/Java rendering of double specials (r10 NaN axis):
+             -- Hive/Java rendering of double specials (r10 NaN axis:
              -- printf says 'nan'/'-inf' in DuckDB, 'NaN'/'-Infinity'
-             -- in Spark/Hive
-             replace(replace(printf('%.2f', min(o_totalprice)),
-                     'inf', 'Infinity'), 'nan', 'NaN') AS mn3,
-             replace(replace(printf('%.2f', max(o_totalprice)),
-                     'inf', 'Infinity'), 'nan', 'NaN') AS mx3,
+             -- in Spark/Hive; numeric.hive_render is the one
+             -- definition of the rule)
+             {hive_render("printf('%.2f', min(o_totalprice))")} AS mn3,
+             {hive_render("printf('%.2f', max(o_totalprice))")} AS mx3,
              CAST(count(o_orderdate) AS BIGINT) AS c4,
              CAST(count(DISTINCT o_orderdate) AS BIGINT) AS d4,
              strftime(min(o_orderdate), '%Y-%m-%d') AS mn4,

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table, register_views
-from hive_release_spark.functions.numeric import finite
+from hive_release_spark.functions.numeric import finite, hive_render
 from hive_release_spark.queries.registry import register
 
 
@@ -371,7 +371,7 @@ def fn_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fn_gap_tier",
-    oracle="""
+    oracle=f"""
     WITH arr AS (
       SELECT l_orderkey,
              array_agg(struct_pack(ln := l_linenumber, qty := l_quantity)
@@ -379,12 +379,11 @@ def fn_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem WHERE l_orderkey % 500 = 0 GROUP BY l_orderkey),
     srt AS (
       SELECT l_orderkey,
-             -- Hive rendering of double specials (r10 NaN axis):
-             -- Spark/Hive say 'NaN'/'Infinity', DuckDB says 'nan'/'inf'
+             -- Hive rendering of double specials (r10 NaN axis;
+             -- numeric.hive_render — the one definition of the rule)
              array_to_string(list_transform(a,
                  x -> CAST(x.ln AS VARCHAR) || ':' ||
-                      replace(replace(CAST(x.qty AS VARCHAR),
-                              'inf', 'Infinity'), 'nan', 'NaN')),
+                      {hive_render("x.qty")}),
                  ',') AS by_qty_desc
       FROM arr),
     rep AS (
@@ -441,16 +440,15 @@ def fn_gap_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fn_union_type",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey,
            CAST(o_orderkey % 2 AS INTEGER)                        AS tag,
            CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END     AS branch_num,
            CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END  AS branch_str,
-           -- Hive rendering of double specials (r10 NaN axis)
+           -- Hive rendering of double specials (r10 NaN axis;
+           -- numeric.hive_render — the one definition of the rule)
            CASE WHEN o_orderkey % 2 = 0
-                THEN concat('0:', replace(replace(
-                     CAST(round(o_totalprice, 2) AS VARCHAR),
-                     'inf', 'Infinity'), 'nan', 'NaN'))
+                THEN concat('0:', {hive_render("round(o_totalprice, 2)")})
                 ELSE concat('1:', o_orderpriority) END            AS rendered
     FROM orders WHERE o_orderkey % 25 = 0
     """,

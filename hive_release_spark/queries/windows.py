@@ -419,12 +419,20 @@ def window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     # finite device (r10 NaN axis): the subtraction rewrite is only
     # lossless over finite values (a frame holding +Inf and -Inf sums
     # to NaN while DuckDB's native EXCLUDE sums the peers directly) —
-    # non-finite prices are ignored like NULL on both engines
+    # non-finite prices are ignored like NULL on both engines.  The
+    # NULL guard counts FINITE peers, not rows: when every peer is
+    # non-finite the excluded sum is a sum of NULLs — NULL, exactly
+    # what DuckDB's native EXCLUDE returns — and the row-count guard
+    # alone would let the f_sum-minus-current cancellation emit 0.0
     fx = finite(F.col("l_extendedprice"))
+    peer_finite = F.count(fx).over(w) - fx.isNotNull().cast("int")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.when(F.count("*").over(w) - 1 == 0, F.lit(None).cast("double"))
+        F.when(
+            (F.count("*").over(w) - 1 == 0) | (peer_finite == 0),
+            F.lit(None).cast("double"),
+        )
         .otherwise(
             F.round(
                 F.sum(fx).over(w) - F.coalesce(fx, F.lit(0.0)),
@@ -498,24 +506,39 @@ def window_exclude_group_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     peers = W.partitionBy("l_suppkey", "l_quantity")
     # finite device (r10 NaN axis): the frame-minus-peer-group rewrite
     # is only lossless over finite values; a frame whose only finite
-    # values sit outside the peer group must not be NULLed by a
-    # NULL peer sum, hence the coalesces
+    # values sit outside the peer group must not be NULLed by a NULL
+    # peer sum (hence the coalesces), and conversely a result whose
+    # FINITE contributors number zero must be NULL — matching DuckDB's
+    # native EXCLUDE summing only NULLs — not the 0.0 the subtraction
+    # cancellation would emit, so the guards count finite values:
+    # EXCLUDE GROUP contributes the non-peer finite values; EXCLUDE
+    # TIES adds the current row back when it is finite
     fx = finite(F.col("l_extendedprice"))
     f_sum = F.sum(fx).over(frame)
     f_cnt = F.count("*").over(frame)
     p_sum = F.sum(fx).over(peers)
     p_cnt = F.count("*").over(peers)
+    nonpeer_finite = F.count(fx).over(frame) - F.count(fx).over(peers)
+    ties_finite = nonpeer_finite + fx.isNotNull().cast("int")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.when(f_cnt - p_cnt == 0, F.lit(None).cast("double"))
+        F.when(
+            (f_cnt - p_cnt == 0) | (nonpeer_finite == 0),
+            F.lit(None).cast("double"),
+        )
         .otherwise(F.round(f_sum - F.coalesce(p_sum, F.lit(0.0)), 2))
         .alias("grp_excl_sum"),
         (f_cnt - p_cnt).alias("grp_excl_rows"),
-        F.round(
-            f_sum - F.coalesce(p_sum, F.lit(0.0)) + F.coalesce(fx, F.lit(0.0)),
-            2,
-        ).alias("ties_excl_sum"),
+        F.when(ties_finite == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                f_sum - F.coalesce(p_sum, F.lit(0.0))
+                + F.coalesce(fx, F.lit(0.0)),
+                2,
+            )
+        )
+        .alias("ties_excl_sum"),
         (f_cnt - p_cnt + 1).alias("ties_excl_rows"),
     ).orderBy("l_orderkey", "l_linenumber")
 

@@ -436,6 +436,63 @@ def test_repaired_entry_matches_oracle_on_specials(spark, nan_sf, nan_con, name)
     assert ok, f"{name} on NaN/Inf input: {why}"
 
 
+def test_frame_exclusion_all_special_neighborhood(spark, tmp_path):
+    """Adversarial specials placement for the EXCLUDE-rewrite entries
+    (r10 in-round review): a finite row whose ENTIRE excluded frame is
+    NaN/Inf must get a NULL excluded sum — DuckDB's native EXCLUDE
+    sums only NULLs there — not the 0.0 the sum-minus-current (or
+    frame-minus-peer-group) cancellation would emit. The committed
+    fixture's salt grid never produces this neighborhood, so it is
+    pinned with a crafted one: one 8-row partition where row 4 is the
+    only finite price among its neighbors."""
+    import datetime
+    import math
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dst = str(tmp_path / "sf_adv")
+    shutil.copytree(SF_SRC, dst)
+    orig = pq.read_table(os.path.join(SF_SRC, "lineitem.parquet"))
+    nan = math.nan
+    rows = {
+        "l_orderkey": list(range(1, 9)),
+        "l_partkey": [1] * 8,
+        "l_suppkey": [0] * 8,
+        "l_linenumber": [1] * 8,
+        "l_quantity": [float(i) for i in range(1, 9)],
+        "l_extendedprice": [nan, nan, nan, 5.0, nan, math.inf, nan, nan],
+        "l_discount": [0.0] * 8,
+        "l_tax": [0.0] * 8,
+        "l_returnflag": ["N"] * 8,
+        "l_linestatus": ["O"] * 8,
+        "l_shipdate": [datetime.datetime(1997, 1, 1)] * 8,
+    }
+    pq.write_table(
+        pa.table(
+            [pa.array(rows[f.name], type=f.type) for f in orig.schema],
+            schema=orig.schema,
+        ),
+        os.path.join(dst, "lineitem.parquet"),
+    )
+    con = testing.duckdb_con(dst)
+    from hive_release_spark.queries import REGISTRY
+
+    for name in ("window_exclude_current", "window_exclude_group_ties"):
+        entry = REGISTRY[name]
+        ok, why = testing.compare_query(
+            spark, con, entry.fn, entry.oracle, dst
+        )
+        assert ok, f"{name} on all-special neighborhood: {why}"
+    # the load-bearing cell: the lone finite row's excluded sum is NULL
+    r = {
+        row.l_orderkey: row.peer_sum
+        for row in REGISTRY["window_exclude_current"].fn(spark, dst).collect()
+    }
+    assert r[4] is None and r[3] == 5.0
+
+
 def test_micro_fold_specials_fail_loudly_on_both_engines(spark, nan_sf, nan_con):
     """The adjudicated contract for the exact-cents/micro-fold
     determinism device (floor(x*1e6+0.5)::BIGINT) on non-finite input,
