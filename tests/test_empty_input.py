@@ -626,3 +626,20 @@ if __name__ == "__main__":
         print(make_all_null(sys.argv[2]))
     elif len(sys.argv) == 3 and sys.argv[1] == "--make-nan":
         print(make_special_floats(sys.argv[2]))
+
+
+def test_finite_helper_semantics(spark):
+    """Unit pin for functions/numeric.finite — the single definition
+    every adopted entry relies on: finite values pass through, NaN and
+    +/-Inf become NULL, and NULL stays NULL (so wrapping an aggregate
+    argument never disturbs genuine-NULL semantics)."""
+    import math
+
+    from hive_release_spark.functions.numeric import finite
+
+    df = spark.createDataFrame(
+        [(1.5,), (0.0,), (-2.5,), (math.nan,), (math.inf,), (-math.inf,), (None,)],
+        "x DOUBLE",
+    )
+    got = [r[0] for r in df.select(finite("x").alias("f")).collect()]
+    assert got == [1.5, 0.0, -2.5, None, None, None, None]
