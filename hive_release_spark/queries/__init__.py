@@ -311,143 +311,83 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 # out vs DuckDB's () grand-total row) — the SAME grouping-sets family
 # delta already pinned for the empty axis, now pinned for this axis
 # too in tests/test_empty_input.py.
-CONTRACT_CHANGED_ROUND = 10
+# Round-11 rotation (VERDICT r10 "Next round" #1): CORRECTNESS_r10 was
+# 50/50 hash-green on the all-contract r10 window, so every r10
+# declaration above is served by an at-or-after-round-10 witness —
+# the tripwire (test_entry_contract) forced this clear at rotation.
+# The r10 declaration rationale (all-NULL axis, NaN-axis silent
+# repairs, finite() wave 1) lives in git history at tag a5058ad.
+# Repopulate below as r11's finite() wave 2 (VERDICT r10 #2) lands —
+# the serve-and-clear cycle continues.
+CONTRACT_CHANGED_ROUND = 11
 
-CONTRACT_CHANGED = [
-    "events_did_analysis",
-    "agg_percentile_disc",
-    "window_moving_median",
-    "text_langid_ngram",
-    "dedup_embedding_cosine",
-    "dedup_semantic_cells",
-    "sim_ann_lsh",
-    "sim_ann_pq",
-    "emb_kmeans",
-    "emb_pca_project",
-    "emb_pca_contract",
-    "emb_normalize_quantize",
-    "multimodal_features",
-    "multimodal_payload_dedup",
-    "multimodal_meta",
-    "multimodal_frame_sample",
-    "agg_collect",
-    "fn_string",
-    "events_top_paths",
-    "dedup_span_chunks",
-    "text_repetition_score",
-    "agg_percentile_approx_contract",
-    "pipeline_quality_ablation",
-    "stream_tumbling",
-    "stream_tumbling_live",
-    "stream_sliding",
-    "stream_session",
-    "stream_session_dynamic",
-    "stream_distinct_sketch",
-    "source_xml_roundtrip",
-    "source_sequencefile_roundtrip",
-    # n_bins = min(10, non-null count) + NULL-ignoring mass + vacuous
-    # booleans — the sharper sketch contract also UN-pins this entry's
-    # single-row adjudicated exception (it now matches at n=1)
-    "agg_histogram_numeric",
-    # VERDICT r9 #5: pipeline_scope adoption — persists now scoped with
-    # an eager final localCheckpoint (same results; the returned plan
-    # is a checkpoint scan, hence their Exchange-ledger rows going to
-    # 0: the exchanges run eagerly at call time)
-    "pipeline_corpus_build",
-    "pipeline_incremental_dedup",
-    # r10 stretch — the NaN/Inf axis (IEEE specials salted into every
-    # double column; tests/test_empty_input.py §nan-axis). Of its 60
-    # failures, the ~45 where BOTH engines refuse loudly (ANSI
-    # CAST_OVERFLOW on the micro-fold device vs DuckDB's own
-    # cast/variance refusals) are pinned as a documented shared-failure
-    # class; the 10 SILENT divergences were repaired with the finite()
-    # device (functions/numeric.py — non-finite aggregate inputs ignored
-    # like NULL) and Hive-style special rendering in oracles. The 8 not
-    # already declared above:
-    "agg_percentile",
-    "orders_monthly_percentiles",
-    "agg_trimmed_stats",
-    "window_exclude_current",
-    "window_exclude_group_ties",
-    "fn_gap_tier",
-    "fn_union_type",
-    "dq_column_profile",
-    # ... and the FIRST WAVE of the staged finite() adoption across the
-    # loud class — the §2.C variance/correlation flagship family plus
-    # the math sums, the exact-cents arg_max key, the applyInPandas
-    # z-score, and the shared daily-series helper (specials summed
-    # like NULL so one bad row can't poison its day):
-    "agg_stats",
-    "agg_regr",
-    "agg_corr_matrix",
-    "fn_math",
-    "agg_min_max_by",
-    "ptf_apply_in_pandas_zscore",
-    "timeseries_autocorr",
-    "timeseries_cross_corr",
-]
+CONTRACT_CHANGED = []
 
-# Round-10 selection, RE-rotated three times mid-round as the axes
-# landed (same serve-and-clear cycle as r9; propose_window() emits
-# this list verbatim at each step): first the all-NULL-axis
-# declarations, then the NaN-axis silent repairs, then the wave-1
-# finite() adoption — the window now holds EXACTLY 50 contract-changed
-# entries and zero family/oldest-witness fills (the first
-# all-contract window; the family reps resume at the r11 rotation
-# once these claims are served and cleared).
-# Registry growth stays FROZEN (VERDICT r9 #7): 362 entries.
+# Round-11 selection (VERDICT r10 "Next round" #1 — emitted verbatim by
+# propose_window() post-drain with CONTRACT_CHANGED cleared):
+#   1. CONTRACT_CHANGED is empty at rotation (all 50 r10 claims served
+#      by CORRECTNESS_r10's 50/50 hash-green rows);
+#   2. one rep per required §2 family absent so far, stalest family
+#      first — the r10 all-contract window starved the family reps for
+#      a round, so scan/join/outer/sample/script/setop/similarity/
+#      tpch/ann/neardup/functions/ptf/sketch/streaming/udtf/topk all
+#      rotate back in (text/multimodal/dedup ride secondary tags);
+#   3. the rest fills oldest-witness-first — the r1-witnessed
+#      join/subquery/window/fn/setop tier that sat out r9–r10.
+# Registry growth stays FROZEN (VERDICT r10 #6): 362 entries,
+# repairs and re-records only.
 
 DRIVER_WINDOW = [
-    "events_did_analysis",
-    "agg_percentile_disc",
-    "window_moving_median",
-    "text_langid_ngram",
-    "dedup_embedding_cosine",
-    "dedup_semantic_cells",
-    "sim_ann_lsh",
-    "sim_ann_pq",
-    "emb_kmeans",
-    "emb_pca_project",
-    "emb_pca_contract",
-    "emb_normalize_quantize",
-    "multimodal_features",
-    "multimodal_payload_dedup",
-    "multimodal_meta",
-    "multimodal_frame_sample",
-    "agg_collect",
-    "fn_string",
-    "events_top_paths",
-    "dedup_span_chunks",
-    "text_repetition_score",
-    "agg_percentile_approx_contract",
-    "pipeline_quality_ablation",
-    "stream_tumbling",
-    "stream_tumbling_live",
-    "stream_sliding",
-    "stream_session",
-    "stream_session_dynamic",
-    "stream_distinct_sketch",
-    "source_xml_roundtrip",
-    "source_sequencefile_roundtrip",
-    "agg_histogram_numeric",
-    "pipeline_corpus_build",
-    "pipeline_incremental_dedup",
-    "agg_percentile",
-    "orders_monthly_percentiles",
-    "agg_trimmed_stats",
-    "window_exclude_current",
-    "window_exclude_group_ties",
-    "fn_gap_tier",
-    "fn_union_type",
-    "dq_column_profile",
-    "agg_stats",
-    "agg_regr",
-    "agg_corr_matrix",
-    "fn_math",
-    "agg_min_max_by",
-    "ptf_apply_in_pandas_zscore",
-    "timeseries_autocorr",
-    "timeseries_cross_corr",
+    "scan_filter_project",
+    "join_broadcast_part",
+    "join_right_outer",
+    "sample_reservoir_group",
+    "text_script_profile",
+    "setop_union_distinct",
+    "sim_cosine_topk",
+    "q18_large_orders",
+    "sim_ann_ivf_bcast",
+    "dedup_minhash_lsh",
+    "fn_regex",
+    "ptf_matchpath",
+    "agg_hll_sketch",
+    "stream_static_join",
+    "udtf_python",
+    "limit_offset_page",
+    "distinct_rows",
+    "setop_intersect",
+    "setop_except",
+    "setop_except_all",
+    "q5_local_supplier_volume",
+    "join_left_semi",
+    "join_left_anti",
+    "join_cross",
+    "join_theta_residual",
+    "join_pure_theta",
+    "subquery_in",
+    "subquery_scalar_correlated",
+    "subquery_not_in",
+    "window_lead_lag",
+    "window_range_frame",
+    "window_first_last",
+    "window_share_of_total",
+    "fn_datetime",
+    "fn_conditional",
+    "fn_json",
+    "fn_hash",
+    "fn_mask",
+    "fn_complex_types",
+    "q1_pricing_summary",
+    "window_rows_frame",
+    "text_quality",
+    "text_fingerprint",
+    "text_ngrams_top",
+    "text_tfidf_top_terms",
+    "agg_pivot",
+    "join_merge_hint",
+    "fn_str_to_map",
+    "text_token_bpe_regex",
+    "join_unique",
 ]
 
 def _ordered():
