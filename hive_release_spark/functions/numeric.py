@@ -24,6 +24,18 @@ from pyspark.sql import functions as F
 _INF = float("inf")
 
 
+def is_finite(c: Column | str) -> Column:
+    """Boolean: ``c`` is non-NULL and finite. Oracle twin:
+    ``isfinite(x)`` (DuckDB's isfinite is NULL-in-NULL-out, and a NULL
+    predicate filters the row the same as false). Used for LISTWISE
+    deletion where the semantic unit is a multi-column observation —
+    a regression/stat row with ANY non-finite member carries no
+    usable signal, and dropping only the bad cell would let the
+    moment sums disagree with the row count."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.isNotNull() & ~F.isnan(c) & (F.abs(c) != F.lit(_INF))
+
+
 def finite(c: Column | str) -> Column:
     """``c`` when finite, else NULL.
 
@@ -40,10 +52,13 @@ def finite(c: Column | str) -> Column:
 # Spark) render Java's 'NaN'/'Infinity'/'-Infinity'. Oracles that cast
 # doubles to strings wrap the cast in this to pin the HIVE rendering.
 # Safe textually: no finite double's decimal rendering contains the
-# substring 'inf' or 'nan'.
+# substring 'inf' or 'nan'. Sign-bit NaN (e.g. inf + -inf, -0.0/0.0 on
+# some paths) renders as '-nan' in DuckDB while Java renders EVERY NaN
+# as 'NaN' regardless of sign bit — the innermost replace normalizes
+# the sign away first (ADVICE r10-2).
 HIVE_RENDER_SQL = (
-    "replace(replace(CAST({x} AS VARCHAR), 'inf', 'Infinity'), "
-    "'nan', 'NaN')"
+    "replace(replace(replace(CAST({x} AS VARCHAR), '-nan', 'nan'), "
+    "'inf', 'Infinity'), 'nan', 'NaN')"
 )
 
 
@@ -51,3 +66,27 @@ def hive_render(x: str) -> str:
     """DuckDB SQL fragment rendering double expression ``x`` as Hive
     would ('NaN'/'Infinity'/'-Infinity')."""
     return HIVE_RENDER_SQL.format(x=x)
+
+
+def cents(c: Column | str, scale: int = 100) -> Column:
+    """The exact-integer micro-fold (``round(x*scale)::BIGINT``),
+    specials-proof (r11 finite() wave 2).
+
+    The BIGINT-cents discipline makes money sums exact and
+    engine-order-proof, but under ANSI the cast refuses NaN/Inf with
+    CAST_OVERFLOW (DuckDB's cast refuses the same way), so the raw
+    fold turns one bad upstream division into a whole-query crash at
+    100 TB. ``finite()`` inside the fold makes a non-finite measurement
+    contribute exactly like SQL NULL — ignored by the enclosing sum —
+    while finite rows fold bit-identically to the raw device.
+    Oracle twin: :func:`cents_sql`.
+    """
+    return F.round(finite(c) * scale).cast("long")
+
+
+def cents_sql(x: str, scale: int = 100) -> str:
+    """DuckDB twin of :func:`cents` — textual SQL fragment."""
+    return (
+        f"CAST(round(CASE WHEN isfinite({x}) THEN {x} END"
+        f" * {scale}) AS BIGINT)"
+    )

@@ -316,78 +316,147 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 # declaration above is served by an at-or-after-round-10 witness —
 # the tripwire (test_entry_contract) forced this clear at rotation.
 # The r10 declaration rationale (all-NULL axis, NaN-axis silent
-# repairs, finite() wave 1) lives in git history at tag a5058ad.
-# Repopulate below as r11's finite() wave 2 (VERDICT r10 #2) lands —
-# the serve-and-clear cycle continues.
+# repairs, finite() wave 1) lives in git history at commit a5058ad.
 CONTRACT_CHANGED_ROUND = 11
 
-CONTRACT_CHANGED = []
+# finite() WAVE 2 (VERDICT r10 #2, re-rotated mid-round like r10):
+# the 40 remaining loud-class entries — the exact list the r10 NaN
+# sweep named — each repaired with one of three declared devices and
+# hash-compared on BOTH the NaN axis and sf0.01
+# (tests/test_empty_input.py REPAIRED_NAN §wave-2):
+#   * cents()/finite() INSIDE the fold (specials aggregate like SQL
+#     NULL; the row keeps its other roles — activity counts, journey
+#     delimiting, roundtrip payloads): customer_cohort_ltv,
+#     events_attribution_position, events_ab_cuped, sql_named_window,
+#     the two roundtrip gates, fn_trig (per-argument), and the
+#     timeseries daily/monthly folds;
+#   * scan-side is_finite() drop where the row IS the measurement
+#     (pushes to the parquet scan; the r10 NULL-geometry precedent):
+#     the dq/customer/orders/supplier/ds ratio-and-ranking family;
+#   * LISTWISE deletion where the semantic unit is a multi-column
+#     observation (moment sums must agree with the row count):
+#     the ml regression/stump family, stats_spearman_corr,
+#     part_price_elasticity, orders_price_index, fn_decimal_arith,
+#     ds_worst_return_ratios.
+# The recursion entries (ewma/holt/croston/holt_winters, granger)
+# additionally drop no-signal periods (NULL period sums) BEFORE
+# folding: F.aggregate's struct accumulator silently reads a NULL
+# double field back as 0.0 (test_struct_accumulator_null_field_quirk)
+# so NULL-propagation through a struct-state fold is silent garbage,
+# never an error.
+CONTRACT_CHANGED = [
+    "timeseries_ewma",
+    "timeseries_theil_sen",
+    "timeseries_holt",
+    "timeseries_gap_fill",
+    "timeseries_backtest_naive",
+    "timeseries_croston",
+    "timeseries_holt_winters",
+    "ml_linear_regression",
+    "ml_decision_stump",
+    "ml_boosted_stumps",
+    "ml_regression_calibration",
+    "ml_regression_kfold_cv",
+    "stats_subsample_ci",
+    "stats_anova_oneway",
+    "stats_spearman_corr",
+    "sample_stratified_neyman",
+    "stats_granger_lite",
+    "dq_distribution_drift_psi",
+    "customer_cohort_ltv",
+    "dq_benford_first_digit",
+    "customer_gini_revenue",
+    "part_price_elasticity",
+    "events_attribution_position",
+    "events_ab_cuped",
+    "orders_abc_classification",
+    "supplier_concentration_hhi",
+    "customer_segment_migration",
+    "orders_price_index",
+    "orders_abc_xyz_matrix",
+    "ds_worst_return_ratios",
+    "ds_sales_deviation_rank",
+    "ds_returns_adjusted_spend",
+    "ds_three_channel_ratio",
+    "sql_named_window",
+    "source_xml_roundtrip",
+    "source_sequencefile_roundtrip",
+    "fn_misc_surface",
+    "fn_decimal_arith",
+    "window_regr_slope",
+    "fn_trig",
+    # ADVICE r10-1, sharpened past the advice: below the cap the bin
+    # count is MERGE-ORDER dependent (equal values coalesce on the ADD
+    # path, not the MERGE path — probed both ways), so neither
+    # count-based nor distinct-based n_bins is exact there. The
+    # contract now pins the deterministic regimes exactly
+    # (n_bins_exact) and the duplicates-below-cap regime as a bounded
+    # invariant (n_bins_ok); crafted-regime test in
+    # tests/test_empty_input.py.
+    "agg_histogram_numeric",
+]
 
-# Round-11 selection (VERDICT r10 "Next round" #1 — emitted verbatim by
-# propose_window() post-drain with CONTRACT_CHANGED cleared):
-#   1. CONTRACT_CHANGED is empty at rotation (all 50 r10 claims served
-#      by CORRECTNESS_r10's 50/50 hash-green rows);
-#   2. one rep per required §2 family absent so far, stalest family
-#      first — the r10 all-contract window starved the family reps for
-#      a round, so scan/join/outer/sample/script/setop/similarity/
-#      tpch/ann/neardup/functions/ptf/sketch/streaming/udtf/topk all
-#      rotate back in (text/multimodal/dedup ride secondary tags);
-#   3. the rest fills oldest-witness-first — the r1-witnessed
-#      join/subquery/window/fn/setop tier that sat out r9–r10.
+# Round-11 selection, RE-rotated mid-round when finite() wave 2
+# landed (the r10 serve-and-clear pattern; propose_window() emits this
+# list verbatim): the 40 wave-2 CONTRACT_CHANGED declarations take
+# first claim, and the remaining 10 slots go to the family reps /
+# oldest-witness fill the clean rotation had chosen (scan, outer,
+# sample, script, setop, tpch, ann, neardup, ptf, sketch — the
+# starved-family tier from the all-contract r10 window).
 # Registry growth stays FROZEN (VERDICT r10 #6): 362 entries,
 # repairs and re-records only.
 
 DRIVER_WINDOW = [
+    "timeseries_ewma",
+    "timeseries_theil_sen",
+    "timeseries_holt",
+    "timeseries_gap_fill",
+    "timeseries_backtest_naive",
+    "timeseries_croston",
+    "timeseries_holt_winters",
+    "ml_linear_regression",
+    "ml_decision_stump",
+    "ml_boosted_stumps",
+    "ml_regression_calibration",
+    "ml_regression_kfold_cv",
+    "stats_subsample_ci",
+    "stats_anova_oneway",
+    "stats_spearman_corr",
+    "sample_stratified_neyman",
+    "stats_granger_lite",
+    "dq_distribution_drift_psi",
+    "customer_cohort_ltv",
+    "dq_benford_first_digit",
+    "customer_gini_revenue",
+    "part_price_elasticity",
+    "events_attribution_position",
+    "events_ab_cuped",
+    "orders_abc_classification",
+    "supplier_concentration_hhi",
+    "customer_segment_migration",
+    "orders_price_index",
+    "orders_abc_xyz_matrix",
+    "ds_worst_return_ratios",
+    "ds_sales_deviation_rank",
+    "ds_returns_adjusted_spend",
+    "ds_three_channel_ratio",
+    "sql_named_window",
+    "source_xml_roundtrip",
+    "source_sequencefile_roundtrip",
+    "fn_misc_surface",
+    "fn_decimal_arith",
+    "window_regr_slope",
+    "fn_trig",
+    "agg_histogram_numeric",
     "scan_filter_project",
-    "join_broadcast_part",
     "join_right_outer",
     "sample_reservoir_group",
     "text_script_profile",
     "setop_union_distinct",
-    "sim_cosine_topk",
     "q18_large_orders",
     "sim_ann_ivf_bcast",
     "dedup_minhash_lsh",
-    "fn_regex",
     "ptf_matchpath",
-    "agg_hll_sketch",
-    "stream_static_join",
-    "udtf_python",
-    "limit_offset_page",
-    "distinct_rows",
-    "setop_intersect",
-    "setop_except",
-    "setop_except_all",
-    "q5_local_supplier_volume",
-    "join_left_semi",
-    "join_left_anti",
-    "join_cross",
-    "join_theta_residual",
-    "join_pure_theta",
-    "subquery_in",
-    "subquery_scalar_correlated",
-    "subquery_not_in",
-    "window_lead_lag",
-    "window_range_frame",
-    "window_first_last",
-    "window_share_of_total",
-    "fn_datetime",
-    "fn_conditional",
-    "fn_json",
-    "fn_hash",
-    "fn_mask",
-    "fn_complex_types",
-    "q1_pricing_summary",
-    "window_rows_frame",
-    "text_quality",
-    "text_fingerprint",
-    "text_ngrams_top",
-    "text_tfidf_top_terms",
-    "agg_pivot",
-    "join_merge_hint",
-    "fn_str_to_map",
-    "text_token_bpe_regex",
-    "join_unique",
 ]
 
 def _ordered():

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
-from hive_release_spark.functions.numeric import finite, hive_render
+from hive_release_spark.functions.numeric import cents as cents_fold, is_finite, finite, hive_render
 from hive_release_spark.queries.registry import register
 
 
@@ -661,7 +661,10 @@ def orders_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT year(o_orderdate) AS yr,
              least(CAST(floor(o_totalprice / 50000) AS INTEGER), 9) AS bucket
-      FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+      FROM orders
+      -- non-finite amounts have no bucket (r11 finite wave 2)
+      WHERE year(o_orderdate) IN (1995, 1996)
+        AND isfinite(o_totalprice)),
     c AS (SELECT bucket,
                  count(CASE WHEN yr = 1995 THEN 1 END) AS na,
                  count(CASE WHEN yr = 1996 THEN 1 END) AS nb
@@ -692,7 +695,9 @@ def dq_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     two 1-row crossJoin attaches (the repo's threshold-attach
     pattern)."""
     o = load_table(spark, sf_dir, "orders").filter(
+        # non-finite amounts have no bucket (r11 finite wave 2)
         F.year("o_orderdate").isin(1995, 1996)
+        & is_finite("o_totalprice")
     )
     b = o.select(
         F.year("o_orderdate").alias("yr"),
@@ -794,7 +799,8 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders),
     per AS (
       SELECT cohort_m, m - cohort_m AS age_m,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             CAST(sum(CAST(round(CASE WHEN isfinite(o_totalprice)
+                  THEN o_totalprice END * 100) AS BIGINT)) AS BIGINT)
                  AS rev_cents,
              count(DISTINCT o_custkey) AS active
       FROM f GROUP BY 1, 2),
@@ -831,7 +837,9 @@ def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer-cents discipline: summation order differs between engines,
     # so money rides as exact BIGINT cents until the single final divide
     per = f.groupBy("cohort_m", (F.col("m") - F.col("cohort_m")).alias("age_m")).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"),
+        # specials summed like NULL (r11 finite wave 2): a NaN-priced
+        # order still marks the customer active, but adds no revenue
+        F.sum(cents_fold("o_totalprice")).alias("rev_cents"),
         F.countDistinct("o_custkey").alias("active"),
     )
     sizes = f.groupBy("cohort_m").agg(
@@ -1030,7 +1038,9 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH digits AS (
       SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
                   AS INTEGER) AS d
-      FROM orders WHERE o_totalprice >= 1),
+      FROM orders
+      -- a non-finite amount has no first digit (r11 finite wave 2)
+      WHERE o_totalprice >= 1 AND isfinite(o_totalprice)),
     c AS (SELECT d, count(*) AS obs FROM digits GROUP BY 1),
     t AS (SELECT CAST(sum(obs) AS BIGINT) AS total FROM c)
     SELECT c.d, CAST(c.obs AS BIGINT) AS obs,
@@ -1050,7 +1060,10 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-side string op on the integer part; one 9-key conditional
     aggregate + a 1-row total attach; per-digit chi-square terms let
     the reader localize which digit deviates."""
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    o = load_table(spark, sf_dir, "orders").filter(
+        # a non-finite amount has no first digit (r11 finite wave 2)
+        (F.col("o_totalprice") >= 1) & is_finite("o_totalprice")
+    )
     digits = o.select(
         # floor() explicitly: DuckDB's double->BIGINT cast ROUNDS while
         # Spark's truncates — a one-digit-off trap at x999.5 boundaries
@@ -1133,7 +1146,8 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                  AS cents
-      FROM orders GROUP BY 1),
+      -- non-finite rows carry no measurable revenue (r11 finite wave 2)
+      FROM orders WHERE isfinite(o_totalprice) GROUP BY 1),
     r AS (SELECT cents,
                  row_number() OVER (ORDER BY cents, o_custkey) AS i
           FROM per),
@@ -1159,6 +1173,8 @@ def customer_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame, never the fact."""
     per = (
         load_table(spark, sf_dir, "orders")
+        # non-finite rows carry no measurable revenue (r11 finite wave 2)
+        .where(is_finite("o_totalprice"))
         .groupBy("o_custkey")
         .agg(
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
@@ -1450,7 +1466,9 @@ def orders_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p.p_brand,
              ln(p.p_retailprice) AS lp,
              ln(l.l_quantity) AS lq
-      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      -- listwise deletion (r11 finite wave 2); positivity is data-given
+      WHERE isfinite(l.l_quantity) AND isfinite(p.p_retailprice))
     SELECT p_brand,
            CAST(count(*) AS BIGINT) AS n,
            round(regr_slope(lq, lp), 4) AS elasticity,
@@ -1469,12 +1487,13 @@ def part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregable moment computation (Σx, Σy, Σxx, Σxy per
     group), so it scales exactly like any sum: no per-group sort, no
     collect. The brand-grain output is dim-cardinality at any SF."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity"
-    )
-    p = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_brand", "p_retailprice"
-    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        # listwise deletion (r11 finite wave 2) — see oracle note
+        is_finite("l_quantity")
+    ).select("l_partkey", "l_quantity")
+    p = load_table(spark, sf_dir, "part").where(
+        is_finite("p_retailprice")
+    ).select("p_partkey", "p_brand", "p_retailprice")
     pb = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
         "p_brand",
         F.ln("p_retailprice").alias("lp"),
@@ -2006,7 +2025,10 @@ def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base WHERE event_type = 'view'
       WINDOW w AS (PARTITION BY user_id, journey ORDER BY ts, event_id)),
     p AS (SELECT user_id, journey,
-                 CAST(round(value * 100) AS BIGINT) AS cents
+             -- specials credit like NULL: the purchase still delimits
+             -- its journey but carries no creditable value (r11)
+                 CAST(round(CASE WHEN isfinite(value) THEN value END
+                            * 100) AS BIGINT) AS cents
           FROM base WHERE event_type = 'purchase'),
     g AS (
       SELECT v.user_id, v.journey,
@@ -2073,7 +2095,8 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     purch = g.filter(F.col("event_type") == "purchase").select(
         "user_id",
         "journey",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        # specials credit like NULL (r11 finite wave 2) — see oracle
+        cents_fold("value").alias("cents"),
     )
     rn, n = F.col("rn"), F.col("n")
     pos = (
@@ -2116,11 +2139,14 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT (strpos('0123456789abcdef',
                  substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1)
              ) % 2 AS arm,
+             -- specials engage like NULL (r11 finite wave 2)
              CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
-                      THEN CAST(round(value * 100) AS BIGINT)
+                      THEN CAST(round(CASE WHEN isfinite(value)
+                           THEN value END * 100) AS BIGINT)
                       ELSE 0 END) AS BIGINT) AS p,
              CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
-                      THEN CAST(round(value * 100) AS BIGINT)
+                      THEN CAST(round(CASE WHEN isfinite(value)
+                           THEN value END * 100) AS BIGINT)
                       ELSE 0 END) AS BIGINT) AS y
       FROM events GROUP BY user_id),
     s AS (
@@ -2200,7 +2226,8 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int")
         % 2
     )
-    cents = F.round(F.col("value") * 100).cast("long")
+    # specials engage like NULL (r11 finite wave 2) — see oracle
+    cents = cents_fold("value")
     split = F.lit("2024-01-16").cast("timestamp")
     u = (
         ev.groupBy("user_id")
@@ -2381,7 +2408,9 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey,
              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
                       AS BIGINT)) AS BIGINT) AS cents
-      FROM lineitem GROUP BY 1),
+      -- non-finite net revenue rows carry no measurement (r11)
+      FROM lineitem
+      WHERE isfinite(l_extendedprice * (1 - l_discount)) GROUP BY 1),
     r AS (
       SELECT l_partkey, cents,
              CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
@@ -2422,7 +2451,10 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     Revenue cents use integer-rounding of identical doubles, which is
     engine-safe (unlike fractional round — see timeseries_ewma)."""
     li = load_table(spark, sf_dir, "lineitem")
-    p = li.groupBy("l_partkey").agg(
+    p = li.where(
+        # non-finite net revenue rows carry no measurement (r11)
+        is_finite(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    ).groupBy("l_partkey").agg(
         F.sum(
             F.round(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
@@ -2595,6 +2627,8 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM lineitem l
       JOIN supplier su ON l.l_suppkey = su.s_suppkey
+      -- non-finite net revenue rows carry no measurement (r11)
+      AND isfinite(l.l_extendedprice * (1 - l.l_discount))
       JOIN nation n ON su.s_nationkey = n.n_nationkey
       GROUP BY 1, 2),
     t AS (
@@ -2634,7 +2668,10 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cents^2 sums stay under 2^63 for any plausible per-supplier
     revenue); only the final ratios go DOUBLE, identically in both
     engines."""
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem").where(
+        # non-finite net revenue rows carry no measurement (r11)
+        is_finite(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    ).select(
         "l_suppkey",
         F.round(
             F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
@@ -2861,6 +2898,8 @@ def orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                   AS BIGINT) AS cents
       FROM orders WHERE year(o_orderdate) = 1995
+        -- non-finite rows carry no measurable spend (r11)
+        AND isfinite(o_totalprice)
       GROUP BY 1, 2),
     seg AS (
       SELECT o_custkey, half,
@@ -2895,7 +2934,8 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     class boundary cannot drift; the migration join runs at customer
     grain.  The matrix is at most (k+1)^2 rows."""
     o = load_table(spark, sf_dir, "orders").filter(
-        F.year("o_orderdate") == 1995
+        # non-finite rows carry no measurable spend (r11)
+        (F.year("o_orderdate") == 1995) & is_finite("o_totalprice")
     )
     m = o.groupBy(
         "o_custkey",
@@ -3010,6 +3050,8 @@ def customer_repurchase_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1997-01-01'
+        -- listwise deletion on the (price, quantity) pair (r11)
+        AND isfinite(l_extendedprice) AND isfinite(l_quantity)
       GROUP BY 1, 2),
     base AS (
       SELECT part, cents AS c0, qty AS q0,
@@ -3052,8 +3094,11 @@ def orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcastable at any SF — it is one month of parts), milli
     folds on O(1) index values."""
     li = load_table(spark, sf_dir, "lineitem").filter(
+        # listwise deletion on the (price, quantity) pair (r11)
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1997-01-01")
+        & is_finite("l_extendedprice")
+        & is_finite("l_quantity")
     )
     pm = li.groupBy(
         F.col("l_partkey").alias("part"),
@@ -3225,7 +3270,9 @@ def events_did_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey,
              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
                       AS BIGINT)) AS BIGINT) AS cents
-      FROM lineitem GROUP BY 1),
+      -- non-finite net revenue rows carry no measurement (r11)
+      FROM lineitem
+      WHERE isfinite(l_extendedprice * (1 - l_discount)) GROUP BY 1),
     r AS (
       SELECT l_partkey, cents,
              CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
@@ -3244,7 +3291,8 @@ def events_did_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT l_partkey, date_trunc('month', l_shipdate) AS mo,
              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
-      FROM lineitem GROUP BY 1, 2),
+      -- non-finite quantities carry no demand signal (r11)
+      FROM lineitem WHERE isfinite(l_quantity) GROUP BY 1, 2),
     v AS (
       SELECT l_partkey, CAST(count(*) AS BIGINT) AS nm,
              CAST(sum(q) AS BIGINT) AS sq,
@@ -3287,7 +3335,10 @@ def orders_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-cardinality work after one fact pass each; the 9-cell
     rollup is constant."""
     li = load_table(spark, sf_dir, "lineitem")
-    p = li.groupBy("l_partkey").agg(
+    p = li.where(
+        # non-finite net revenue rows carry no measurement (r11)
+        is_finite(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    ).groupBy("l_partkey").agg(
         F.sum(
             F.round(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
@@ -3314,7 +3365,10 @@ def orders_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
-    m = li.groupBy(
+    m = li.where(
+        # non-finite quantities carry no demand signal (r11)
+        is_finite("l_quantity")
+    ).groupBy(
         "l_partkey", F.trunc("l_shipdate", "month").alias("mo")
     ).agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
     v = m.groupBy("l_partkey").agg(

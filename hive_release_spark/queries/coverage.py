@@ -12,6 +12,7 @@ from hive_release_spark.catalog import load_table
 from hive_release_spark.functions import hive as hive_fns
 from hive_release_spark.llm.text import tokens
 from hive_release_spark.operators.matchpath import match_path
+from hive_release_spark.functions.numeric import is_finite
 from hive_release_spark.queries.registry import register
 
 
@@ -169,7 +170,8 @@ def fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(
              list_transform(string_split(lower(p_type), ' '),
                             s -> upper(s[1]) || s[2:]), ' ') AS ic
-    FROM part WHERE p_partkey % 10 = 0
+    -- a non-finite price cannot be money-formatted (r11 wave 2)
+    FROM part WHERE p_partkey % 10 = 0 AND isfinite(p_retailprice)
     ORDER BY p_partkey
     """,
     tags=("functions",),
@@ -189,7 +191,10 @@ def fn_misc_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     factorial stay in `fn_numeric_repr` (already oracle-gated there);
     the genuinely non-SQL remainder (xpath, sentences, soundex, crc32,
     xxhash64) moved to the rows-only `fn_misc_xpath`."""
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    p = load_table(spark, sf_dir, "part").filter(
+        # a non-finite price cannot be money-formatted (r11 wave 2)
+        (F.col("p_partkey") % 10 == 0) & is_finite("p_retailprice")
+    )
     return p.select(
         "p_partkey",
         F.format_number(F.col("p_retailprice"), 2).alias("fmt"),

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
-from hive_release_spark.functions.numeric import finite
+from hive_release_spark.functions.numeric import finite, is_finite
 from hive_release_spark.queries.registry import register
 
 
@@ -215,7 +215,10 @@ def fn_numeric_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_orderkey, l_linenumber,
              CAST(l_extendedprice AS DECIMAL(12,2)) AS p,
              CAST(l_quantity      AS DECIMAL(12,2)) AS q
-      FROM lineitem WHERE l_orderkey % 100 = 0)
+      -- a non-finite double has no DECIMAL representation: both
+      -- engines refuse the cast loudly, so listwise-drop (r11 wave 2)
+      FROM lineitem WHERE l_orderkey % 100 = 0
+        AND isfinite(l_extendedprice) AND isfinite(l_quantity))
     SELECT l_orderkey, l_linenumber,
            CAST(p + q AS VARCHAR)                    AS add_s,
            CAST(p - q AS VARCHAR)                    AS sub_s,
@@ -240,7 +243,12 @@ def fn_decimal_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     max(6, s1+p2+1) vs DuckDB's rule), scale-reducing CAST rounding
     (Spark HALF_UP vs DuckDB HALF_EVEN), and DuckDB routing DECIMAL //
     through DOUBLE — all documented here rather than papered over."""
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        # non-finite doubles have no DECIMAL representation (r11 wave 2)
+        (F.col("l_orderkey") % 100 == 0)
+        & is_finite("l_extendedprice")
+        & is_finite("l_quantity")
+    )
     p = F.col("l_extendedprice").cast("decimal(12,2)")
     q = F.col("l_quantity").cast("decimal(12,2)")
     return li.select(

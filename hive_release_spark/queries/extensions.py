@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table, register_views
-from hive_release_spark.functions.numeric import finite
+from hive_release_spark.functions.numeric import cents, finite
 from hive_release_spark.queries.registry import register
 
 # Roundtrip-entry scratch directories registered for end-of-process
@@ -56,13 +56,27 @@ def _app_scoped_roundtrip_dir(spark: SparkSession, prefix: str, sf_dir: str) -> 
     if os.path.isdir(base):
         cutoff = time.time() - _STALE_SCRATCH_SECONDS
         for sib in os.listdir(base):
-            if sib.startswith(f"{prefix}_") and sib != name:
-                sp = os.path.join(base, sib)
-                try:
-                    if os.path.getmtime(sp) < cutoff:
-                        shutil.rmtree(sp, ignore_errors=True)
-                except OSError:
-                    pass  # a concurrent cleanup won the race — fine
+            # Match the FULL structured name, not a raw prefix
+            # (ADVICE r10-3): a sibling belongs to THIS entry family
+            # only if stripping "<prefix>_" and "_<appId>" leaves
+            # exactly one tag segment — a bare startswith would let a
+            # family whose prefix prefixes another's ("race_pin" vs
+            # "race_pin_sweep") sweep that family's still-wanted dirs.
+            # Underscore-bearing tags/appIds (a /tmp/sf_nan axis dir,
+            # a YARN application_x_y id) fail the one-segment parse
+            # and are simply SKIPPED — the sweep errs toward leaving
+            # debris, never toward deleting another family's data.
+            if sib == name or not sib.startswith(f"{prefix}_"):
+                continue
+            parts = sib[len(prefix) + 1 :].rsplit("_", 1)
+            if len(parts) != 2 or "_" in parts[0]:
+                continue
+            sp = os.path.join(base, sib)
+            try:
+                if os.path.getmtime(sp) < cutoff:
+                    shutil.rmtree(sp, ignore_errors=True)
+            except OSError:
+                pass  # a concurrent cleanup won the race — fine
     if os.path.isdir(path):
         # heartbeat: a session older than the TTL that still calls its
         # entries keeps its directory's mtime fresh, so a concurrent
@@ -306,15 +320,33 @@ def fn_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_histogram_numeric",
     oracle="""
     SELECT l_returnflag,
-           -- the sketch ignores NULLs and allocates one bin per input
-           -- value until the cap: n_bins = min(10, NON-NULL count —
-           -- not distinct count; duplicates keep their own bins below
-           -- the cap, probed on Spark 4.1). Exact on degenerate
-           -- slices too (0 bins all-NULL, n bins when n < 10) instead
-           -- of a fixture-scale constant
-           CAST(least(10, count(CASE WHEN isfinite(l_extendedprice)
-                                      THEN l_extendedprice END))
-                AS INTEGER) AS n_bins,
+           -- Below the cap the bin count is MERGE-ORDER DEPENDENT
+           -- (probed on Spark 4.1.2, ADVICE r10-1 sharpened): the
+           -- sketch's ADD path merges exact-equal values into one bin
+           -- (y increments), but its MERGE path concatenates partial
+           -- sketches without coalescing equal centroids — so
+           -- [1,1,2,2,3] yields 3 bins on one partition and 4 on
+           -- five. Deterministic regimes, pinned exactly: 0 bins on a
+           -- zero-finite group; exactly 10 once >= 10 DISTINCT finite
+           -- values exist (pre-trim bins >= distinct, trim stops at
+           -- the cap); distinct == count (no duplicates) gives one
+           -- bin per value. The duplicates-below-cap regime is pinned
+           -- as the [least(10, distinct), least(10, count)] BOUND in
+           -- n_bins_ok instead of a false-exact value.
+           CAST(CASE
+             WHEN count(CASE WHEN isfinite(l_extendedprice)
+                             THEN l_extendedprice END) = 0 THEN 0
+             WHEN count(DISTINCT CASE WHEN isfinite(l_extendedprice)
+                                      THEN l_extendedprice END) >= 10
+               THEN 10
+             WHEN count(DISTINCT CASE WHEN isfinite(l_extendedprice)
+                                      THEN l_extendedprice END)
+                  = count(CASE WHEN isfinite(l_extendedprice)
+                               THEN l_extendedprice END)
+               THEN count(CASE WHEN isfinite(l_extendedprice)
+                               THEN l_extendedprice END)
+             ELSE NULL END AS INTEGER) AS n_bins_exact,
+           TRUE AS n_bins_ok,
            count(*) AS n_rows,
            TRUE AS mass_ok,
            TRUE AS bounds_ok,
@@ -346,21 +378,40 @@ def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         # was latently wrong for any partially-NULL group — and a
         # zero-finite group's invariants hold vacuously (r10 axes)
         F.count("price_f").alias("n_vals"),
+        F.countDistinct("price_f").alias("n_dist"),
         F.min("price_f").alias("lo"),
         F.max("price_f").alias("hi"),
     )
     xs = F.transform("hist", lambda b: b["x"])
     vac = F.col("n_vals") == 0
+    # histogram_numeric over zero non-NULL values yields NULL (not an
+    # empty array): 0 bins is the honest answer. Explicit isNull
+    # guard, not coalesce(size(...), 0): legacy sizeOfNull sessions
+    # return -1 (the driver's ANSI session returns NULL) and the
+    # entry must answer 0 under both configs
+    n_bins = F.when(F.col("hist").isNull(), F.lit(0)).otherwise(
+        F.size("hist")
+    )
     return h.select(
         "l_returnflag",
-        # histogram_numeric over zero non-NULL values yields NULL (not
-        # an empty array): 0 bins is the honest answer. Explicit isNull
-        # guard, not coalesce(size(...), 0): legacy sizeOfNull sessions
-        # return -1 (the driver's ANSI session returns NULL) and the
-        # entry must answer 0 under both configs
-        F.when(F.col("hist").isNull(), F.lit(0))
-        .otherwise(F.size("hist"))
-        .alias("n_bins"),
+        # exact ONLY in the deterministic regimes — see the oracle
+        # note (ADVICE r10-1: below the cap, duplicates merge on the
+        # ADD path but not the MERGE path, so the count is
+        # merge-order dependent); NULL in the indeterminate regime so
+        # both sides agree by construction while the real engine
+        # value is still range-checked by n_bins_ok
+        F.when(vac, F.lit(0))
+        .when(F.col("n_dist") >= 10, n_bins)
+        .when(F.col("n_dist") == F.col("n_vals"), n_bins)
+        .otherwise(F.lit(None))
+        .cast("int")
+        .alias("n_bins_exact"),
+        # the indeterminate regime's invariant: distinct <= pre-trim
+        # bins <= count, trim clamps at the cap
+        (
+            (n_bins >= F.least(F.lit(10), F.col("n_dist")))
+            & (n_bins <= F.least(F.lit(10), F.col("n_vals")))
+        ).alias("n_bins_ok"),
         "n_rows",
         F.when(vac, F.lit(True))
         .otherwise(
@@ -947,9 +998,11 @@ def sql_select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(row_number() OVER w AS BIGINT) AS rn,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+           CAST(sum(CAST(round(CASE WHEN abs(o_totalprice) < CAST('Infinity' AS DOUBLE)
+                THEN o_totalprice END * 100) AS BIGINT)) OVER w
                 AS BIGINT) AS running_cents,
-           CAST(floor(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+           CAST(floor(sum(CAST(round(CASE WHEN abs(o_totalprice) < CAST('Infinity' AS DOUBLE)
+                          THEN o_totalprice END * 100) AS BIGINT))
                         OVER w3
                       * 10.0 / count(*) OVER w3 + 0.5) AS BIGINT)
              AS avg3_milli
@@ -981,9 +1034,15 @@ def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_custkey, o_orderkey,
                CAST(row_number() OVER w AS BIGINT) AS rn,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+               -- specials sum like NULL (r11 finite wave 2); Spark has
+               -- no isfinite(), so the IDENTICAL-text claim rides the
+               -- portable abs(x) < Inf spelling (false for NaN under
+               -- both engines' NaN-greatest comparison order)
+               CAST(sum(CAST(round(CASE WHEN abs(o_totalprice) < CAST('Infinity' AS DOUBLE)
+                    THEN o_totalprice END * 100) AS BIGINT)) OVER w
                     AS BIGINT) AS running_cents,
-               CAST(floor(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               CAST(floor(sum(CAST(round(CASE WHEN abs(o_totalprice) < CAST('Infinity' AS DOUBLE)
+                              THEN o_totalprice END * 100) AS BIGINT))
                             OVER w3
                           * 10.0 / count(*) OVER w3 + 0.5) AS BIGINT)
                  AS avg3_milli
@@ -1004,7 +1063,8 @@ def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(round(CASE WHEN isfinite(value)
+                THEN value END * 100) AS BIGINT)) AS BIGINT)
              AS value_cents
     FROM events GROUP BY event_type ORDER BY event_type
     """,
@@ -1062,9 +1122,9 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
-                "value_cents"
-            ),
+            # specials ride the XML trip intact but sum like NULL in
+            # the gate aggregate (r11 finite wave 2)
+            F.sum(cents("value")).alias("value_cents"),
         )
         .orderBy("event_type")
     )
@@ -1077,7 +1137,8 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n,
            CAST(count(*) FILTER (WHERE l_returnflag = 'N') AS BIGINT)
              AS n_flag_null,
-           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(round(CASE WHEN isfinite(l_quantity)
+                THEN l_quantity END * 100) AS BIGINT)) AS BIGINT)
              AS qty_cents,
            CAST(sum(l_linenumber) AS BIGINT) AS arr_elems,
            max(strftime(l_shipdate, '%Y-%m-%d')) AS max_ship
@@ -1151,9 +1212,9 @@ def source_sequencefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(
             F.count("*").alias("n"),
             F.count(F.when(F.col("flag_n").isNull(), 1)).alias("n_flag_null"),
-            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias(
-                "qty_cents"
-            ),
+            # specials ride the text trip intact but sum like NULL in
+            # the gate aggregate (r11 finite wave 2)
+            F.sum(cents("l_quantity")).alias("qty_cents"),
             F.sum(F.size("arr")).cast("long").alias("arr_elems"),
             F.max(F.date_format("l_shipdate", "yyyy-MM-dd")).alias("max_ship"),
         )

@@ -777,13 +777,24 @@ def agg_bool_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_trig",
     oracle="""
+    -- specials contribute like NULL (r11 finite wave 2): libm's
+    -- sin(Inf) is a domain refusal in DuckDB but NaN in the JVM, so
+    -- the trig sums are only cross-engine-defined over finite inputs
+    WITH f AS (SELECT l_returnflag,
+                      CASE WHEN isfinite(l_discount)
+                           THEN l_discount END AS d,
+                      CASE WHEN isfinite(l_tax) THEN l_tax END AS t,
+                      CASE WHEN isfinite(l_quantity)
+                           THEN l_quantity END AS q
+               FROM lineitem)
     SELECT l_returnflag,
-           round(sum(sin(l_discount)), 4)                    AS s_sin,
-           round(sum(cos(l_discount)), 4)                    AS s_cos,
-           round(sum(atan2(l_discount, l_tax + 0.01)), 4)    AS s_atan2,
-           round(sum(degrees(l_discount)), 4)                AS s_deg,
-           round(sum(radians(l_quantity)), 4)                AS s_rad
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+           round(sum(sin(d)), 4)                             AS s_sin,
+           round(sum(cos(d)), 4)                             AS s_cos,
+           round(sum(CASE WHEN d IS NOT NULL AND t IS NOT NULL
+                     THEN atan2(d, t + 0.01) END), 4)        AS s_atan2,
+           round(sum(degrees(d)), 4)                         AS s_deg,
+           round(sum(radians(q)), 4)                         AS s_rad
+    FROM f GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     tags=("functions", "math", "trig"),
 )
@@ -792,14 +803,28 @@ def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY.md §2.H math tier). Aggregated then rounded, same discipline
     as fn_math: JVM Math and libm may differ in the last ulp per row."""
     li = load_table(spark, sf_dir, "lineitem")
+    # specials contribute like NULL (r11 finite wave 2) — see oracle
+    d, t, q = (
+        finite(F.col("l_discount")),
+        finite(F.col("l_tax")),
+        finite(F.col("l_quantity")),
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.sum(F.sin("l_discount")), 4).alias("s_sin"),
-            F.round(F.sum(F.cos("l_discount")), 4).alias("s_cos"),
-            F.round(F.sum(F.atan2(F.col("l_discount"), F.col("l_tax") + 0.01)), 4).alias("s_atan2"),
-            F.round(F.sum(F.degrees("l_discount")), 4).alias("s_deg"),
-            F.round(F.sum(F.radians("l_quantity")), 4).alias("s_rad"),
+            F.round(F.sum(F.sin(d)), 4).alias("s_sin"),
+            F.round(F.sum(F.cos(d)), 4).alias("s_cos"),
+            F.round(
+                F.sum(
+                    F.when(
+                        d.isNotNull() & t.isNotNull(),
+                        F.atan2(d, t + 0.01),
+                    )
+                ),
+                4,
+            ).alias("s_atan2"),
+            F.round(F.sum(F.degrees(d)), 4).alias("s_deg"),
+            F.round(F.sum(F.radians(q)), 4).alias("s_rad"),
         )
         .orderBy("l_returnflag")
     )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
+from hive_release_spark.functions.numeric import is_finite
 from hive_release_spark.queries.registry import register
 
 
@@ -41,7 +42,9 @@ from hive_release_spark.queries.registry import register
       FROM (SELECT CAST(l_quantity AS BIGINT) AS x1,
                    CAST(round(l_discount * 100) AS BIGINT) AS x2,
                    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
-            FROM lineitem)),
+            FROM lineitem
+            WHERE isfinite(l_quantity) AND isfinite(l_discount)
+              AND isfinite(l_extendedprice))),
     d AS (
       SELECT *,
              s11 * s22 - s12 * s12 AS mA,
@@ -93,7 +96,13 @@ def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinant conditioning is healthy here (quantity/discount are
     bounded, uncentered moments fine); a production fit would center
     first — same sums, shifted."""
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem").where(
+        # listwise deletion (r11 finite wave 2) — see oracle note; the
+        # predicate pushes to the parquet scan
+        is_finite("l_quantity")
+        & is_finite("l_discount")
+        & is_finite("l_extendedprice")
+    ).select(
         F.col("l_quantity").cast("long").alias("x1"),
         F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
@@ -338,7 +347,9 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(l_quantity AS BIGINT) AS q,
              CAST(round(l_discount * 100) AS BIGINT) AS d,
              CASE WHEN l_extendedprice >= 30000 THEN 1 ELSE 0 END AS y
-      FROM lineitem),
+      FROM lineitem
+      WHERE isfinite(l_quantity) AND isfinite(l_discount)
+        AND isfinite(l_extendedprice)),
     f AS (
       SELECT 'quantity' AS feature, q AS v,
              CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
@@ -406,7 +417,12 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: each feature's champion split plus the parent impurity it
     improves on, ranked so row 1 IS the trained stump."""
     li = load_table(spark, sf_dir, "lineitem")
-    pts = li.select(
+    pts = li.where(
+        # listwise deletion (r11 finite wave 2) — see oracle note
+        is_finite("l_quantity")
+        & is_finite("l_discount")
+        & is_finite("l_extendedprice")
+    ).select(
         F.col("l_quantity").cast("long").alias("q"),
         F.round(F.col("l_discount") * 100).cast("long").alias("d"),
         F.when(F.col("l_extendedprice") >= 30000, 1).otherwise(0).alias("y"),
@@ -910,7 +926,10 @@ def ml_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
                       * CAST(round(l_extendedprice * 100) AS BIGINT))
                   AS DOUBLE) AS syy
-      FROM lineitem GROUP BY 1, 2),
+      FROM lineitem
+      WHERE isfinite(l_quantity) AND isfinite(l_discount)
+        AND isfinite(l_extendedprice)
+      GROUP BY 1, 2),
     aq AS (
       SELECT q, CAST(sum(n) AS BIGINT) AS n,
              CAST(sum(sy) AS BIGINT) AS sy, sum(syy) AS syy
@@ -1018,6 +1037,12 @@ def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     cells = (
         load_table(spark, sf_dir, "lineitem")
+        # listwise deletion (r11 finite wave 2) — see oracle note
+        .where(
+            is_finite("l_quantity")
+            & is_finite("l_discount")
+            & is_finite("l_extendedprice")
+        )
         .select(
             F.col("l_quantity").cast("long").alias("q"),
             F.round(F.col("l_discount") * 100).cast("long").alias("d"),
@@ -1178,7 +1203,8 @@ def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pts AS (
       SELECT CAST(l_quantity AS BIGINT) AS x,
              CAST(round(l_extendedprice * 100) AS BIGINT) AS y
-      FROM lineitem),
+      FROM lineitem
+      WHERE isfinite(l_quantity) AND isfinite(l_extendedprice)),
     s AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(x) AS BIGINT) AS sx,
@@ -1229,7 +1255,10 @@ def ml_regression_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile ties). Train/eval on the same frame is deliberate: this
     entry diagnoses FIT SHAPE, not generalization (the split
     entries own that)."""
-    pts = load_table(spark, sf_dir, "lineitem").select(
+    pts = load_table(spark, sf_dir, "lineitem").where(
+        # listwise deletion (r11 finite wave 2) — see oracle note
+        is_finite("l_quantity") & is_finite("l_extendedprice")
+    ).select(
         F.col("l_quantity").cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
@@ -1299,7 +1328,8 @@ def ml_regression_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                % 4 AS fold,
              CAST(l_quantity AS BIGINT) AS x,
              CAST(round(l_extendedprice * 100) AS BIGINT) AS y
-      FROM lineitem),
+      FROM lineitem
+      WHERE isfinite(l_quantity) AND isfinite(l_extendedprice)),
     f AS (
       SELECT fold, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(x) AS BIGINT) AS sx,
@@ -1351,7 +1381,10 @@ def ml_regression_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     to, and the leave-fold-out pattern scales to any K at constant
     cost. Deterministic fold assignment (salted md5 of the row key),
     exact integer inputs, DECIMAL moments, identical closed forms."""
-    pts = load_table(spark, sf_dir, "lineitem").select(
+    pts = load_table(spark, sf_dir, "lineitem").where(
+        # listwise deletion (r11 finite wave 2) — see oracle note
+        is_finite("l_quantity") & is_finite("l_extendedprice")
+    ).select(
         (
             (
                 F.instr(

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
-from hive_release_spark.functions.numeric import finite
+from hive_release_spark.functions.numeric import finite, is_finite
 from hive_release_spark.queries.registry import register
 
 _A = "1-URGENT"
@@ -422,7 +422,9 @@ def timeseries_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                   AS BIGINT) AS cents
       FROM orders, range(0, 16) t(r)
-      WHERE strpos('13579bdf',
+      -- non-finite price rows carry no measurement (r11 finite wave 2)
+      WHERE isfinite(o_totalprice)
+        AND strpos('13579bdf',
                    substr(md5(CAST(o_orderkey AS VARCHAR)), r + 1, 1)) > 0
       GROUP BY t.r),
     m AS (SELECT r, cents / (100.0 * n) AS mean_r, n FROM rep)
@@ -454,7 +456,9 @@ def stats_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean standard error."""
     orders = load_table(spark, sf_dir, "orders")
     rep = (
-        orders.select(
+        # non-finite price rows carry no measurement (r11 finite wave
+        # 2); the predicate pushes to the parquet scan
+        orders.where(is_finite("o_totalprice")).select(
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
             F.md5(F.col("o_orderkey").cast("string")).alias("h"),
         )
@@ -796,7 +800,9 @@ def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT)
                       * CAST(round(o_totalprice * 100) AS BIGINT))
                   AS DOUBLE) AS syy
-      FROM orders GROUP BY 1),
+      FROM orders
+      WHERE isfinite(o_totalprice)
+      GROUP BY 1),
     t AS (
       SELECT CAST(count(*) AS BIGINT) AS k,
              CAST(sum(n) AS BIGINT) AS nt,
@@ -834,6 +840,8 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     g = (
         load_table(spark, sf_dir, "orders")
+        # non-finite price rows carry no measurement (r11 finite wave 2)
+        .where(is_finite("o_totalprice"))
         .select(F.col("o_orderpriority").alias("grp"), cents.alias("y"))
         .groupBy("grp")
         .agg(
@@ -890,7 +898,9 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pts AS (
       SELECT CAST(l_quantity AS BIGINT) AS x,
              CAST(round(l_extendedprice * 100) AS BIGINT) AS y
-      FROM lineitem),
+      FROM lineitem
+      -- listwise deletion (r11 finite wave 2)
+      WHERE isfinite(l_quantity) AND isfinite(l_extendedprice)),
     rx AS (
       SELECT x, 2 * COALESCE(sum(c) OVER (ORDER BY x
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -934,7 +944,10 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     clear long at ~1e6 rows), one closed-form fold. At 100 TB this is
     two value-cardinality collapses + one co-partitioned join, not a
     global sort."""
-    pts = load_table(spark, sf_dir, "lineitem").select(
+    pts = load_table(spark, sf_dir, "lineitem").where(
+        # listwise deletion (r11 finite wave 2) — see oracle note
+        is_finite("l_quantity") & is_finite("l_extendedprice")
+    ).select(
         F.col("l_quantity").cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
@@ -1445,7 +1458,9 @@ def stats_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT)
                       * CAST(round(o_totalprice * 100) AS BIGINT))
                   AS DOUBLE) AS syy
-      FROM orders GROUP BY 1),
+      FROM orders
+      WHERE isfinite(o_totalprice)
+      GROUP BY 1),
     s AS (
       SELECT stratum, nh,
              sqrt((syy - CAST(sy AS DOUBLE) * sy / nh) / (nh - 1))
@@ -1479,6 +1494,8 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     g = (
         load_table(spark, sf_dir, "orders")
+        # non-finite price rows carry no measurement (r11 finite wave 2)
+        .where(is_finite("o_totalprice"))
         .select(F.col("o_orderpriority").alias("stratum"), cents.alias("y"))
         .groupBy("stratum")
         .agg(
@@ -1702,9 +1719,12 @@ def dq_outlier_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_granger_lite",
     oracle="""
     WITH d AS (SELECT CAST(l_shipdate AS DATE) AS dd,
-                      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y,
+                      CAST(sum(CAST(CASE WHEN isfinite(l_quantity)
+                          THEN l_quantity END AS BIGINT)) AS BIGINT) AS y,
                       CAST(count(*) AS BIGINT) AS x
-               FROM lineitem GROUP BY 1),
+               FROM lineitem GROUP BY 1
+               -- no-signal days dropped (r11 finite wave 2)
+               HAVING y IS NOT NULL),
     r AS (SELECT y, x, row_number() OVER (ORDER BY dd) AS rn FROM d),
     p AS (
       SELECT a.y AS y, b.y AS y1, b.x AS x1
@@ -1777,9 +1797,12 @@ def stats_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     longer minors.)"""
     li = load_table(spark, sf_dir, "lineitem")
     d = li.groupBy(F.to_date("l_shipdate").alias("dd")).agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("y"),
+        # specials summed like NULL (finite device); a day with zero
+        # finite quantities carries no signal and is dropped so the
+        # lag pairs stay total (r11 finite wave 2)
+        F.sum(finite(F.col("l_quantity")).cast("long")).alias("y"),
         F.count("*").alias("x"),
-    )
+    ).filter(F.col("y").isNotNull())
     r = d.select(
         "y", "x", F.row_number().over(W.orderBy("dd")).alias("rn")
     )

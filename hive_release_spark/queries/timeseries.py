@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
 from hive_release_spark.operators.asof import asof_join
-from hive_release_spark.functions.numeric import finite
+from hive_release_spark.functions.numeric import cents, finite
 from hive_release_spark.queries.registry import register
 
 
@@ -401,9 +401,10 @@ def timeseries_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE m AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             CAST(sum(CAST(round(CASE WHEN isfinite(o_totalprice)
+                  THEN o_totalprice END * 100) AS BIGINT)) AS BIGINT)
                / 100.0 AS rev
-      FROM orders GROUP BY 1),
+      FROM orders GROUP BY 1 HAVING rev IS NOT NULL),
     idx AS MATERIALIZED (SELECT month, rev,
                    row_number() OVER (ORDER BY month) AS rn FROM m),
     r AS (
@@ -442,10 +443,15 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             # sum is exact and engine-order-proof, so the recurrence in
             # both engines starts from bit-identical doubles.
             (
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                F.sum(cents("o_totalprice"))
                 / F.lit(100.0)
             ).alias("rev")
         )
+        # no-signal periods (zero finite measurements -> NULL sum) are
+        # dropped from the series: the fold recurrences must stay total
+        # (struct-accumulator NULLs silently read back 0.0 — see
+        # tests/test_empty_input.py struct-accumulator canary)
+        .filter(F.col("rev").isNotNull())
     )
     packed = m.agg(
         F.sort_array(F.collect_list(F.struct("month", "rev"))).alias("series")
@@ -486,9 +492,10 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             CAST(sum(CAST(round(CASE WHEN isfinite(o_totalprice)
+                  THEN o_totalprice END * 100) AS BIGINT)) AS BIGINT)
                / 100.0 AS rev
-      FROM orders GROUP BY 1),
+      FROM orders GROUP BY 1 HAVING rev IS NOT NULL),
     i AS (SELECT year(month) * 12 + month(month) AS x, rev FROM m),
     p AS (
       SELECT (b.rev - a.rev) / (b.x - a.x) AS slope,
@@ -529,10 +536,15 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.trunc("o_orderdate", "month").alias("month"))
         .agg(
             (
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                F.sum(cents("o_totalprice"))
                 / F.lit(100.0)
             ).alias("rev")
         )
+        # no-signal periods (zero finite measurements -> NULL sum) are
+        # dropped from the series: the fold recurrences must stay total
+        # (struct-accumulator NULLs silently read back 0.0 — see
+        # tests/test_empty_input.py struct-accumulator canary)
+        .filter(F.col("rev").isNotNull())
         .select(
             (F.year("month") * 12 + F.month("month")).alias("x"), "rev"
         )
@@ -598,9 +610,10 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE m AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             CAST(sum(CAST(round(CASE WHEN isfinite(o_totalprice)
+                  THEN o_totalprice END * 100) AS BIGINT)) AS BIGINT)
                / 100.0 AS rev
-      FROM orders GROUP BY 1),
+      FROM orders GROUP BY 1 HAVING rev IS NOT NULL),
     idx AS MATERIALIZED (SELECT month, rev,
                    row_number() OVER (ORDER BY month) AS rn FROM m),
     r AS (
@@ -639,10 +652,15 @@ def timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.trunc("o_orderdate", "month").alias("month"))
         .agg(
             (
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                F.sum(cents("o_totalprice"))
                 / F.lit(100.0)
             ).alias("rev")
         )
+        # no-signal periods (zero finite measurements -> NULL sum) are
+        # dropped from the series: the fold recurrences must stay total
+        # (struct-accumulator NULLs silently read back 0.0 — see
+        # tests/test_empty_input.py struct-accumulator canary)
+        .filter(F.col("rev").isNotNull())
     )
     packed = m.agg(
         F.sort_array(F.collect_list(F.struct("month", "rev"))).alias("series")
@@ -697,7 +715,7 @@ def timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT date_trunc('hour', ts) AS hr,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+             CAST(sum(CAST(round(CASE WHEN isfinite(value) THEN value END * 100) AS BIGINT)) AS BIGINT) AS c
       FROM events
       WHERE event_type = 'purchase' AND value >= 190
       GROUP BY 1),
@@ -759,7 +777,7 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         ev.filter((F.col("event_type") == "purchase") & (F.col("value") >= 190))
         .groupBy(F.date_trunc("hour", "ts").alias("hr"))
-        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+        .agg(F.sum(cents("value")).alias("c"))
     )
     bounds = base.agg(
         F.min("hr").alias("mn"),
@@ -813,7 +831,8 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             CAST(sum(CAST(round(CASE WHEN isfinite(o_totalprice)
+                  THEN o_totalprice END * 100) AS BIGINT)) AS BIGINT)
                AS c
       FROM orders GROUP BY 1),
     l AS (
@@ -854,7 +873,7 @@ def timeseries_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            F.sum(cents("o_totalprice")).alias(
                 "c"
             )
         )
@@ -978,9 +997,10 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE dd AS (
       SELECT CAST(l_shipdate AS DATE) AS day,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
+             CAST(sum(CAST(CASE WHEN isfinite(l_quantity)
+                  THEN l_quantity END AS BIGINT)) AS BIGINT) AS d
       FROM lineitem WHERE l_partkey % 97 = 0
-      GROUP BY 1),
+      GROUP BY 1 HAVING d IS NOT NULL),
     idx AS MATERIALIZED (SELECT day, d, row_number() OVER (ORDER BY day) AS rn FROM dd),
     r AS (
       SELECT rn, day, CAST(d AS DOUBLE) AS z, CAST(1.0 AS DOUBLE) AS p
@@ -1024,7 +1044,11 @@ def timeseries_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_partkey") % 97 == 0)
         .groupBy(F.to_date("l_shipdate").alias("day"))
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("d"))
+        .agg(F.sum(finite(F.col("l_quantity")).cast("long")).alias("d"))
+        # a day with zero finite quantities carries no demand signal —
+        # dropped so the two-smoother fold stays total (see the
+        # struct-accumulator canary)
+        .filter(F.col("d").isNotNull())
     )
     packed = dd.agg(
         F.sort_array(F.collect_list(F.struct("day", "d"))).alias("series")
@@ -1080,8 +1104,9 @@ def timeseries_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE d AS (
       SELECT CAST(l_shipdate AS DATE) AS day,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
-      FROM lineitem GROUP BY 1),
+             CAST(sum(CAST(CASE WHEN isfinite(l_quantity)
+                  THEN l_quantity END AS BIGINT)) AS BIGINT) AS x
+      FROM lineitem GROUP BY 1 HAVING x IS NOT NULL),
     idx AS MATERIALIZED (SELECT x, row_number() OVER (ORDER BY day) AS rn FROM d),
     init AS (
       SELECT avg(CASE WHEN rn <= 7 THEN CAST(x AS DOUBLE) END) AS m1,
@@ -1144,7 +1169,10 @@ def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy(F.to_date("l_shipdate").alias("day"))
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("x"))
+        .agg(F.sum(finite(F.col("l_quantity")).cast("long")).alias("x"))
+        # no-finite-quantity days dropped — the triple-smoothing fold
+        # must stay total (struct-accumulator canary)
+        .filter(F.col("x").isNotNull())
     )
     packed = d.agg(
         F.sort_array(F.collect_list(F.struct("day", "x"))).alias("sv")

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
+from hive_release_spark.functions.numeric import is_finite
 from hive_release_spark.queries.registry import register
 
 
@@ -554,7 +555,11 @@ def ds_hierarchy_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ELSE 0 END) AS BIGINT) AS amt_ret,
              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
                   AS BIGINT) AS amt_tot
-      FROM lineitem GROUP BY 1
+      -- listwise deletion (r11 finite wave 2): a line with a
+      -- non-finite quantity or amount carries no return measurement
+      FROM lineitem
+      WHERE isfinite(l_quantity) AND isfinite(l_extendedprice)
+      GROUP BY 1
       HAVING count(*) >= 5),
     r AS (
       SELECT l_partkey,
@@ -592,7 +597,10 @@ def ds_worst_return_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound plays this role in the spec).  Quantities are integral and
     amounts ride as cents, so both ratios divide exact BIGINTs and
     the ranking order is engine-exact (ties broken by partkey)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        # listwise deletion (r11 finite wave 2) — see oracle note
+        is_finite("l_quantity") & is_finite("l_extendedprice")
+    )
     ret = F.col("l_returnflag") == "R"
     qty = F.col("l_quantity").cast("long")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
@@ -649,6 +657,8 @@ def ds_worst_return_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
                   AS BIGINT) AS cents
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      -- non-finite amounts carry no sales measurement (r11)
+      WHERE isfinite(l.l_extendedprice)
       GROUP BY 1, 2),
     w AS (
       SELECT brand, month, cents,
@@ -695,7 +705,9 @@ def ds_sales_deviation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
     )
     m = (
-        li.join(F.broadcast(pt), "l_partkey")
+        # non-finite amounts carry no sales measurement (r11)
+        li.where(is_finite("l_extendedprice"))
+        .join(F.broadcast(pt), "l_partkey")
         .groupBy(
             "brand", F.trunc("l_shipdate", "month").alias("month")
         )
@@ -755,7 +767,8 @@ def ds_sales_deviation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS gross_cents,
              CAST(count(*) FILTER (l_returnflag = 'R') AS BIGINT)
                AS ret_lines
-      FROM lineitem GROUP BY 1),
+      -- non-finite amounts carry no spend measurement (r11)
+      FROM lineitem WHERE isfinite(l_extendedprice) GROUP BY 1),
     c AS (
       SELECT o.o_custkey,
              CAST(sum(net_cents) AS BIGINT) AS net_cents,
@@ -783,7 +796,10 @@ def ds_returns_adjusted_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned exactly once (the spec plan reads sales twice).  Money
     rides as exact BIGINT cents end-to-end; top-10 with the custkey
     tie-break."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        # non-finite amounts carry no spend measurement (r11)
+        is_finite("l_extendedprice")
+    )
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     net = li.groupBy("l_orderkey").agg(
         F.sum(
@@ -822,7 +838,9 @@ def ds_returns_adjusted_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ln AS (
       SELECT l_orderkey, l_suppkey % 3 AS channel,
              CAST(l_quantity AS BIGINT) AS qty
-      FROM lineitem WHERE l_returnflag <> 'R'),
+      -- non-finite quantities carry no channel signal (r11)
+      FROM lineitem WHERE l_returnflag <> 'R'
+        AND isfinite(l_quantity)),
     j AS (
       SELECT o.o_custkey,
              CAST(extract('year' FROM o.o_orderdate) AS BIGINT) AS yr,
@@ -865,7 +883,8 @@ def ds_three_channel_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold) and the top-20 ranking is engine-exact with the
     (custkey, yr) tie-break."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_returnflag") != "R"
+        # non-finite quantities carry no channel signal (r11)
+        (F.col("l_returnflag") != "R") & is_finite("l_quantity")
     )
     ln = li.select(
         "l_orderkey",

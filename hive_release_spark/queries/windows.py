@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
-from hive_release_spark.functions.numeric import finite
+from hive_release_spark.functions.numeric import finite, is_finite
 from hive_release_spark.queries.registry import register
 
 
@@ -551,7 +551,9 @@ def window_exclude_group_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_orderdate, o_orderkey) AS rn
-      FROM orders WHERE o_custkey % 100 = 0),
+      -- non-measurable orders don't enter the trend series (r11)
+      FROM orders WHERE o_custkey % 100 = 0
+        AND isfinite(o_totalprice)),
     s AS (
       SELECT o_custkey, o_orderkey, rn,
              CAST(count(*) OVER w AS BIGINT) AS n,
@@ -587,7 +589,8 @@ def window_regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer cut bounds the output like the other window entries."""
     o = (
         load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") % 100 == 0)
+        # non-measurable orders don't enter the trend series (r11)
+        .filter((F.col("o_custkey") % 100 == 0) & is_finite("o_totalprice"))
         .select(
             "o_custkey",
             "o_orderkey",

@@ -35,14 +35,13 @@ all-null (the r10 axis — 42 findings: NULL-geometry vectors, NULL
 payloads/text, NULL event times, NULL join/group keys, DuckDB-vs-Hive
 join/'' semantics) = green except ds_hierarchy_rank, the grouping-sets
 delta reached via NULL join keys; nan/inf (the r10 STRETCH axis —
-IEEE specials salted into every double column) = the 12
-silent/one-sided divergences repaired plus the first finite()-adoption
-wave of 8 loud-class flagships (REPAIRED_NAN, 20 entries) with the
-remaining ~40 shared-loud-failure entries documented and
-representatively pinned
-(test_micro_fold_specials_fail_loudly_on_both_engines) — completing
-the finite() adoption across that class is the staged r11+ plan (the
-r10 witness window is now exactly full at 50 contract declarations).
+IEEE specials salted into every double column) = 362/362 GREEN as of
+r11: the 12 silent/one-sided divergences were repaired in r10 together
+with the first finite()-adoption wave of 8 loud-class flagships, and
+the r11 wave 2 (VERDICT r10 #2) repaired the remaining 40 loud-class
+entries (REPAIRED_NAN, 60 entries, each hash-compared on the axis);
+the raw micro-fold's three-arm loud adjudication is pinned at device
+level (test_micro_fold_specials_device_pin).
 """
 
 from __future__ import annotations
@@ -238,6 +237,37 @@ def make_special_floats(dst: str) -> str:
     return dst
 
 
+def make_duplicated(dst: str, k: int = 3) -> str:
+    """FIFTH axis (r11 stretch, VERDICT r10 #8): every row appears K
+    times, order deterministically shuffled. Stresses the one contract
+    class no other axis reaches — key-uniqueness assumptions: min-
+    struct survivor picks over exact-copy candidates, LSH band buckets
+    under mass duplication, rank/row_number tie-breaks on formerly-
+    unique keys, sampler determinism on tied md5 keys. Both engines
+    read the SAME parquet rows in the SAME file order, so DuckDB
+    parity is exactly defined; because the copies are EXACT, any
+    tie-break that picks an arbitrary copy still emits identical
+    values — a failure on this axis is a real key-uniqueness bug, not
+    tie noise. The shuffle is a deterministic md5 permutation (no RNG
+    — reruns byte-identical)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    for f in os.listdir(SF_SRC):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(SF_SRC, f))
+            n = t.num_rows * k
+            perm = sorted(
+                range(n),
+                key=lambda i: hashlib.md5(f"{f}:{i}".encode()).hexdigest(),
+            )
+            dup = t.take([i % t.num_rows for i in perm])
+            pq.write_table(dup, os.path.join(dst, f))
+    return dst
+
+
 def make_single(dst: str) -> str:
     """First-row-only copies of every driver table (referential links
     between tables break, but Spark and the oracle see the SAME rows,
@@ -412,6 +442,54 @@ REPAIRED_NAN = [
     "ptf_apply_in_pandas_zscore",
     "timeseries_autocorr",
     "timeseries_cross_corr",
+    # wave 2 (r11, VERDICT r10 #2 — closes the loud class): every
+    # remaining micro-fold/DECIMAL-cast/log-domain refusal, repaired
+    # with one of three declared devices — (a) cents()/finite() inside
+    # the fold (specials aggregate like NULL, the row keeps its other
+    # roles), (b) scan-side is_finite() drop where the row IS the
+    # measurement, (c) listwise deletion where the semantic unit is a
+    # multi-column observation. The recursion entries additionally
+    # drop no-signal periods (see the struct-accumulator canary).
+    "timeseries_ewma",
+    "timeseries_theil_sen",
+    "timeseries_holt",
+    "timeseries_gap_fill",
+    "timeseries_backtest_naive",
+    "timeseries_croston",
+    "timeseries_holt_winters",
+    "ml_linear_regression",
+    "ml_decision_stump",
+    "ml_boosted_stumps",
+    "ml_regression_calibration",
+    "ml_regression_kfold_cv",
+    "stats_subsample_ci",
+    "stats_anova_oneway",
+    "stats_spearman_corr",
+    "sample_stratified_neyman",
+    "stats_granger_lite",
+    "dq_distribution_drift_psi",
+    "customer_cohort_ltv",
+    "dq_benford_first_digit",
+    "customer_gini_revenue",
+    "part_price_elasticity",
+    "events_attribution_position",
+    "events_ab_cuped",
+    "orders_abc_classification",
+    "supplier_concentration_hhi",
+    "customer_segment_migration",
+    "orders_price_index",
+    "orders_abc_xyz_matrix",
+    "ds_worst_return_ratios",
+    "ds_sales_deviation_rank",
+    "ds_returns_adjusted_spend",
+    "ds_three_channel_ratio",
+    "sql_named_window",
+    "source_xml_roundtrip",
+    "source_sequencefile_roundtrip",
+    "fn_misc_surface",
+    "fn_decimal_arith",
+    "window_regr_slope",
+    "fn_trig",
 ]
 
 
@@ -493,37 +571,120 @@ def test_frame_exclusion_all_special_neighborhood(spark, tmp_path):
     assert r[4] is None and r[3] == 5.0
 
 
-def test_micro_fold_specials_fail_loudly_on_both_engines(spark, nan_sf, nan_con):
-    """The adjudicated contract for the exact-cents/micro-fold
-    determinism device (floor(x*1e6+0.5)::BIGINT) on non-finite input,
-    representative: timeseries_ewma.
+def test_histogram_bins_duplicates_below_cap(spark, tmp_path):
+    """ADVICE r10-1, sharpened: below the cap histogram_numeric's bin
+    count is MERGE-ORDER dependent — equal values coalesce on the ADD
+    path (same partition) but NOT on the MERGE path (partial sketches
+    concatenate) — so the oracle can pin neither count (the old
+    contract) nor distinct-count (the advice's proposal) exactly in
+    the duplicates-below-cap regime. No committed fixture produces
+    that regime (fixture groups have >10 distinct prices; n=1 has no
+    duplicates; all-NULL gives 0), so it is pinned with a crafted one:
+    one group holding 5 finite values over 3 distinct prices. The
+    repaired contract answers NULL for n_bins_exact there, TRUE for
+    the [distinct, count] bound, and the full entry must still
+    hash-match its oracle."""
+    import datetime
+    import math
+    import shutil
 
-    * Under the DRIVER's ANSI-on session, Spark refuses LOUDLY
-      (CAST_OVERFLOW) — no silent garbage (the emb_pca_project
-      degenerate-raise precedent).
-    * Under the tuned ANSI-off (Hive-parity) session, Spark returns
-      Hive's own answer for the cast — ``(long) Double.NaN == 0`` —
-      i.e. Hive-faithful, not an error.
-    * DuckDB refuses its double→INT64 cast in EITHER case, so the
-      entry can never hash-green on this axis; the divergence is LOUD
-      on the oracle side regardless.
-    A change on any of the three arms re-opens the adjudication."""
-    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
+    dst = str(tmp_path / "sf_dupcap")
+    shutil.copytree(SF_SRC, dst)
+    orig = pq.read_table(os.path.join(SF_SRC, "lineitem.parquet"))
+    rows = {
+        "l_orderkey": list(range(1, 7)),
+        "l_partkey": [1] * 6,
+        "l_suppkey": [0] * 6,
+        "l_linenumber": [1] * 6,
+        "l_quantity": [1.0] * 6,
+        # group 'N': duplicates below the cap (5 finite over 3
+        # distinct, plus one NaN the sketch must ignore)
+        "l_extendedprice": [1.0, 1.0, 2.0, 2.0, 3.0, math.nan],
+        "l_discount": [0.0] * 6,
+        "l_tax": [0.0] * 6,
+        "l_returnflag": ["N"] * 6,
+        "l_linestatus": ["O"] * 6,
+        "l_shipdate": [datetime.datetime(1997, 1, 1)] * 6,
+    }
+    pq.write_table(
+        pa.table(
+            [pa.array(rows[f.name], type=f.type) for f in orig.schema],
+            schema=orig.schema,
+        ),
+        os.path.join(dst, "lineitem.parquet"),
+    )
     from hive_release_spark.queries import REGISTRY
 
-    entry = REGISTRY["timeseries_ewma"]
+    entry = REGISTRY["agg_histogram_numeric"]
+    con = testing.duckdb_con(dst)
+    ok, why = testing.compare_query(spark, con, entry.fn, entry.oracle, dst)
+    assert ok, f"agg_histogram_numeric duplicates-below-cap: {why}"
+    row = entry.fn(spark, dst).collect()[0]
+    assert row.n_bins_exact is None  # the indeterminate regime
+    assert row.n_bins_ok  # 3 <= bins <= 5, engine value range-checked
+
+
+def test_micro_fold_specials_device_pin(spark):
+    """The exact-cents micro-fold device on non-finite input — the
+    three-arm adjudication that justified the r10/r11 finite()
+    adoption, pinned at DEVICE level now that the r11 wave emptied
+    the loud REGISTRY class (every former loud entry is in
+    REPAIRED_NAN and hash-greens on the axis):
+
+    * RAW fold, driver's ANSI-on session: Spark refuses LOUDLY
+      (CAST_OVERFLOW) — no silent garbage.
+    * RAW fold, tuned ANSI-off (Hive-parity) session: Spark returns
+      Hive's own answer — ``(long) Double.NaN == 0``.
+    * RAW fold in DuckDB: the double→INT64 cast refuses in either
+      case, so a raw-fold oracle can never hash-green on specials.
+    * The finite()-wrapped fold (numeric.cents / cents_sql) treats
+      the special like SQL NULL on BOTH engines — the uniform repair
+      every adopted entry rides.
+    A change on any arm re-opens the adjudication."""
+    import math
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from hive_release_spark.functions.numeric import cents, cents_sql
+
+    df = spark.createDataFrame(
+        [(1.25,), (math.nan,), (math.inf,)], "x DOUBLE"
+    )
+    raw = F.sum(F.round(F.col("x") * 100).cast("long"))
     prev = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
         with pytest.raises(Exception, match="CAST_OVERFLOW|cannot be cast"):
-            entry.fn(spark, nan_sf).collect()
+            df.agg(raw.alias("s")).collect()
+        # the finite fold answers under ANSI: specials sum like NULL
+        assert df.agg(F.sum(cents("x")).alias("s")).first()[0] == 125
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
-    # Hive-parity arm: the cast silently degrades to Hive's 0
-    assert entry.fn(spark, nan_sf).count() > 0
+    # Hive-parity arm: the raw cast silently degrades exactly as Hive
+    # does — (long) NaN == 0, (long) Inf == Long.MAX_VALUE, and the
+    # BIGINT sum then WRAPS (125 + 0 + 2^63-1 overflows): silent
+    # garbage, which is why the finite fold exists
+    assert (
+        df.agg(raw.alias("s")).first()[0]
+        == (125 + (2**63 - 1) - 2**64)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT unnest(["
+        "1.25::DOUBLE, 'nan'::DOUBLE, 'inf'::DOUBLE]) AS x"
+    )
     with pytest.raises(duckdb.Error):
-        nan_con.execute(entry.oracle).fetchall()
+        con.execute(
+            "SELECT sum(CAST(round(x * 100) AS BIGINT)) FROM t"
+        ).fetchall()
+    assert con.execute(
+        f"SELECT sum({cents_sql('x')}) FROM t"
+    ).fetchone()[0] == 125
 
 
 @pytest.fixture(scope="module")
@@ -593,6 +754,50 @@ def test_element_at_runtime_null_index_quirk(spark):
     )
 
 
+def test_struct_accumulator_null_field_quirk(spark):
+    """Spark quirk the r11 fold repairs route around: inside
+    F.aggregate, a SCALAR accumulator propagates NULL correctly, but a
+    STRUCT accumulator whose lambda produces NULL for a double field
+    silently reads the field back as 0.0 (the non-nullable UnsafeRow
+    slot's raw bytes — same under ANSI on and off). NULL-propagation
+    through a struct-state fold is therefore SILENT GARBAGE, never an
+    error, so the recursion entries (timeseries_ewma/holt/croston/
+    holt_winters) drop no-signal periods (NULL period sums) from the
+    series BEFORE folding instead of relying on NULL to poison the
+    state. If the struct assertion fails with NULL, Spark fixed the
+    quirk — the series filters stay correct but stop being
+    load-bearing."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([([5, None, 3],)], "xs ARRAY<BIGINT>")
+    scalar = df.select(
+        F.aggregate(
+            "xs", F.lit(0.0), lambda a, x: F.lit(0.2) * x + F.lit(0.8) * a
+        ).alias("z")
+    ).first()[0]
+    assert scalar is None  # NULL element poisons a scalar fold, as SQL says
+    struct = df.select(
+        F.aggregate(
+            "xs",
+            F.named_struct(
+                F.lit("z"), F.lit(0.0), F.lit("n"), F.lit(0).cast("long")
+            ),
+            lambda a, x: F.named_struct(
+                F.lit("z"),
+                F.lit(0.2) * x + F.lit(0.8) * a["z"],
+                F.lit("n"),
+                a["n"] + 1,
+            ),
+        ).alias("st")
+    ).select("st.z", "st.n").first()
+    assert struct[1] == 3
+    assert struct[0] == 0.0, (
+        f"struct-field fold now returns {struct[0]!r} — Spark changed "
+        "the NULL-in-struct-accumulator behavior; the timeseries "
+        "series filters are still correct but no longer load-bearing"
+    )
+
+
 def test_sequencefile_empty_roundtrip(spark, tmp_path):
     """A zero-row frame writes an empty table directory (Hive's own
     empty-table layout — saveAsSequenceFile's first-record type
@@ -626,6 +831,32 @@ if __name__ == "__main__":
         print(make_all_null(sys.argv[2]))
     elif len(sys.argv) == 3 and sys.argv[1] == "--make-nan":
         print(make_special_floats(sys.argv[2]))
+    elif len(sys.argv) == 3 and sys.argv[1] == "--make-dup":
+        print(make_duplicated(sys.argv[2]))
+
+
+def test_hive_render_sign_bit_nan():
+    """Unit pin for functions/numeric.hive_render (ADVICE r10-2):
+    DuckDB renders a sign-bit NaN (inf + -inf, -0.0 * inf) as '-nan',
+    while Java/Spark render EVERY NaN as 'NaN' regardless of sign bit
+    — the innermost replace must normalize the sign away before the
+    other substitutions."""
+    import duckdb
+
+    from hive_release_spark.functions.numeric import hive_render
+
+    con = duckdb.connect()
+    cases = {
+        "'inf'::DOUBLE + ('-inf'::DOUBLE)": "NaN",  # sign-bit NaN
+        "'nan'::DOUBLE": "NaN",
+        "'inf'::DOUBLE": "Infinity",
+        "'-inf'::DOUBLE": "-Infinity",
+        "1.5::DOUBLE": "1.5",
+        "CAST(NULL AS DOUBLE)": None,
+    }
+    for expr, want in cases.items():
+        got = con.execute(f"SELECT {hive_render(expr)}").fetchone()[0]
+        assert got == want, f"{expr}: {got!r} != {want!r}"
 
 
 def test_finite_helper_semantics(spark):

@@ -168,3 +168,41 @@ def test_stale_sibling_sweep_spares_live_sessions(spark, tmp_path):
 
         for d in (dead, live):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stale_sibling_sweep_is_family_exact(spark):
+    """ADVICE r10-3: a prefix that is itself a prefix of another
+    family's name ("race_pin" vs "race_pin_sweep") must NOT sweep that
+    family's directories — the sweep matches the full structured
+    <prefix>_<tag>_<appId> name, not a raw startswith. An
+    underscore-bearing tag (the /tmp/sf_nan axis dirs) also fails the
+    one-segment parse and is skipped: the sweep errs toward leaving
+    debris, never toward deleting another family's data."""
+    from hive_release_spark.queries import extensions as ext
+
+    base = "spark-warehouse"
+    os.makedirs(base, exist_ok=True)
+    other_family = os.path.join(base, "race_pin_sweep_sf0.001_app-x-1")
+    odd_tag = os.path.join(base, "race_pin_sf_nan_app-y-2")
+    for d in (other_family, odd_tag):
+        os.makedirs(d, exist_ok=True)
+    old = time.time() - ext._STALE_SCRATCH_SECONDS - 60
+    for d in (other_family, odd_tag):
+        os.utime(d, (old, old))
+    try:
+        ext._app_scoped_roundtrip_dir(
+            spark, "race_pin", "/root/testdata/sf0.001"
+        )
+        assert os.path.exists(other_family), (
+            "the race_pin sweep took race_pin_sweep's directory — the "
+            "family-exact name match regressed to a raw prefix match"
+        )
+        assert os.path.exists(odd_tag), (
+            "an underscore-bearing tag was swept — the conservative "
+            "one-segment parse regressed"
+        )
+    finally:
+        import shutil
+
+        for d in (other_family, odd_tag):
+            shutil.rmtree(d, ignore_errors=True)
