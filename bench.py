@@ -202,27 +202,7 @@ BENCHED_HISTORY = {
     "text_ngrams_top",
     "multimodal_meta",
     ),
-}
-
-
-def never_benched() -> list:
-    """Registry entries never timed by the headline or any rotating
-    leg (past or current) — the candidate pool for the next leg, in
-    registry order."""
-    seen = set(HEADLINE) | set(ROTATING_LEG)
-    for leg in BENCHED_HISTORY.values():
-        seen |= set(leg)
-    return [n for n in REGISTRY if n not in seen]
-
-
-# r10 selection (VERDICT r9 #3): the first 40 of never_benched() after
-# the r9 leg joined BENCHED_HISTORY — the analytics3 warehouse-report
-# tier (attribution, funnels, streaks, Benford/Gini/HHI/price-index
-# DQ+finance reports, ABC/XYZ, segment migration, repurchase cycles,
-# DiD), the remaining stream_* batch twins, the binary-ANN arm,
-# containment-pairs dedup, SCD-2, samplers, and the unpivot/
-# shuffle-hash coverage tails. Coverage after this leg: 240/362.
-ROTATING_LEG = (
+    10: (
     "dedup_containment_pairs",
     "user_state_scd2",
     "customer_interval_coverage",
@@ -263,6 +243,68 @@ ROTATING_LEG = (
     "stream_distinct_sketch",
     "agg_unpivot",
     "join_shuffle_hash_hint",
+    ),
+}
+
+
+def never_benched() -> list:
+    """Registry entries never timed by the headline or any rotating
+    leg (past or current) — the candidate pool for the next leg, in
+    registry order."""
+    seen = set(HEADLINE) | set(ROTATING_LEG)
+    for leg in BENCHED_HISTORY.values():
+        seen |= set(leg)
+    return [n for n in REGISTRY if n not in seen]
+
+
+# r11 selection (VERDICT r10 #5): the first 40 of never_benched()
+# after the r10 leg joined BENCHED_HISTORY — the SQL-surface tier
+# (pipe syntax, lateral alias, QUALIFY, GROUP/ORDER BY ALL, VALUES,
+# EXCEPT-star, named windows, macros), the two roundtrip gates, the
+# sketch/contract tails (histogram, count-min, HLL union/intersect),
+# decimal/datetime/numeric-repr fn coverage, and the text/corpus
+# normalize-and-stats tier. Coverage after this leg: 280/362.
+ROTATING_LEG = (
+    "fn_str_to_map",
+    "fn_parse_url",
+    "agg_histogram_numeric",
+    "dq_checks",
+    "agg_percentile_approx_contract",
+    "agg_count_min_contract",
+    "fn_sql_macro",
+    "sql_pipe_syntax",
+    "sql_lateral_alias",
+    "sql_group_order_all",
+    "sql_qualify_filter",
+    "setop_union_by_name",
+    "sql_values_inline",
+    "sql_select_except",
+    "sql_named_window",
+    "source_xml_roundtrip",
+    "source_sequencefile_roundtrip",
+    "text_context_ngrams",
+    "text_token_bpe_regex",
+    "fn_string2",
+    "fn_misc_surface",
+    "fn_misc_xpath",
+    "sample_fraction",
+    "agg_hll_union",
+    "agg_regr",
+    "fn_numeric_repr",
+    "fn_decimal_arith",
+    "fn_datetime_misc",
+    "agg_hll_intersect_estimate",
+    "agg_mode_deterministic",
+    "agg_listagg",
+    "fn_collation_ci",
+    "agg_percentile_disc",
+    "text_normalize",
+    "split_train_eval",
+    "text_repetition_score",
+    "text_pii_scrub",
+    "emb_normalize_quantize",
+    "corpus_token_stats",
+    "corpus_zipf_fit",
 )
 
 
