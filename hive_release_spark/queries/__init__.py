@@ -385,6 +385,18 @@ CONTRACT_CHANGED = [
     "fn_decimal_arith",
     "window_regr_slope",
     "fn_trig",
+    # r11 stretch — the fifth (duplicate/replica) axis, VERDICT r10
+    # #8: K disjoint key-offset replicas with shared content
+    # (tests/test_empty_input.py make_duplicated). Three rank-on-raw-
+    # float-sum entries wobbled at the last ulp when the axis created
+    # sub-1e-6 near-ties (rank now quantizes to the reported
+    # precision), and pipeline_corpus_build's oracle join-back
+    # multiplied by the survivor doc_id's row multiplicity (DISTINCT
+    # before the join-back):
+    "search_bm25_rank",
+    "search_tfidf_cosine",
+    "graph_adamic_adar",
+    "pipeline_corpus_build",
     # ADVICE r10-1, sharpened past the advice: below the cap the bin
     # count is MERGE-ORDER dependent (equal values coalesce on the ADD
     # path, not the MERGE path — probed both ways), so neither
@@ -447,16 +459,16 @@ DRIVER_WINDOW = [
     "fn_decimal_arith",
     "window_regr_slope",
     "fn_trig",
+    "search_bm25_rank",
+    "search_tfidf_cosine",
+    "graph_adamic_adar",
+    "pipeline_corpus_build",
     "agg_histogram_numeric",
     "scan_filter_project",
     "join_right_outer",
     "sample_reservoir_group",
     "text_script_profile",
     "setop_union_distinct",
-    "q18_large_orders",
-    "sim_ann_ivf_bcast",
-    "dedup_minhash_lsh",
-    "ptf_matchpath",
 ]
 
 def _ordered():

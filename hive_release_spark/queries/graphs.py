@@ -242,8 +242,10 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
                         WHERE p.pa = c.u AND p.pb = c.v))
     SELECT u AS part_a, v AS part_b, n_common,
            round(aa, 6) AS adamic_adar, rk
+    -- rank on the reported precision (r11 replica axis): the
+    -- 1/ln(deg) float sum is engine-wobbly at the last ulp
     FROM (SELECT *, row_number() OVER
-            (ORDER BY aa DESC, u, v) AS rk FROM nonedge)
+            (ORDER BY round(aa, 6) DESC, u, v) AS rk FROM nonedge)
     WHERE rk <= 20 ORDER BY rk
     """,
     tags=("graph", "linkpred", "basket"),
@@ -310,8 +312,11 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         nonedge.withColumn(
+            # rank on the reported precision (see oracle note)
             "rk",
-            F.row_number().over(W.orderBy(F.desc("aa"), "u", "v")),
+            F.row_number().over(
+                W.orderBy(F.desc(F.round("aa", 6)), "u", "v")
+            ),
         )
         .filter(F.col("rk") <= 20)
         .select(

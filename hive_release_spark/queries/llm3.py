@@ -993,7 +993,11 @@ _BM25_TERMS = ("spark", "table", "query")
       GROUP BY tf.doc_id)
     SELECT doc_id, round(score, 6) AS bm25, rk FROM (
       SELECT doc_id, score,
-             row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+             -- rank on the REPORTED precision (r11 replica axis): the
+             -- raw float sum differs between engines in the last ulp,
+             -- so a sub-1e-6 near-tie can flip raw-score ranks
+             row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+               AS rk
       FROM scored)
     WHERE rk <= 20 ORDER BY rk
     """,
@@ -1036,7 +1040,12 @@ def search_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn(
-            "rk", F.row_number().over(W.orderBy(F.desc("score"), "doc_id"))
+            # rank on the reported precision (r11 replica axis) — the
+            # raw float sum is engine-wobbly at the last ulp
+            "rk",
+            F.row_number().over(
+                W.orderBy(F.desc(F.round("score", 6)), "doc_id")
+            ),
         )
         .filter(F.col("rk") <= 20)
         .select("doc_id", F.round("score", 6).alias("bm25"), "rk")
@@ -1563,7 +1572,9 @@ def text_rake_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY w.doc_id)
     SELECT doc_id, round(score, 6) AS tfidf_cos, rk FROM (
       SELECT doc_id, score,
-             row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+             -- rank on the reported precision (see bm25 note)
+             row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+               AS rk
       FROM scored)
     WHERE rk <= 20 ORDER BY rk
     """,
@@ -1632,7 +1643,11 @@ def search_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn(
-            "rk", F.row_number().over(W.orderBy(F.desc("score"), "doc_id"))
+            # rank on the reported precision (see bm25 note)
+            "rk",
+            F.row_number().over(
+                W.orderBy(F.desc(F.round("score", 6)), "doc_id")
+            ),
         )
         .filter(F.col("rk") <= 20)
         .select("doc_id", F.round("score", 6).alias("tfidf_cos"), "rk")

@@ -397,8 +397,14 @@ def tokenize_word_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM base),
     q AS (SELECT * FROM feat WHERE n_tok >= 10 AND n_len >= 50),
     surv AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(norm)),
+    -- DISTINCT before the join-back (r11 duplicate axis): the kernel's
+    -- min-struct survivor is ONE row per distinct content; a raw
+    -- join-back multiplies by the survivor doc_id's row multiplicity
+    -- when the same doc_id appears K times upstream
     kept AS (SELECT f.lang, f.source, f.n_tok
-             FROM surv s JOIN feat f ON f.doc_id = s.doc_id),
+             FROM surv s
+             JOIN (SELECT DISTINCT doc_id, lang, source, n_tok
+                   FROM feat) f ON f.doc_id = s.doc_id),
     counts AS (SELECT lang, source, count(*) AS docs_in,
                       count(CASE WHEN n_tok >= 10 AND n_len >= 50 THEN 1 END) AS docs_q
                FROM feat GROUP BY 1, 2),
