@@ -408,13 +408,16 @@ CONTRACT_CHANGED = [
     "agg_histogram_numeric",
 ]
 
-# Round-11 selection, RE-rotated mid-round when finite() wave 2
-# landed (the r10 serve-and-clear pattern; propose_window() emits this
-# list verbatim): the 40 wave-2 CONTRACT_CHANGED declarations take
-# first claim, and the remaining 10 slots go to the family reps /
-# oldest-witness fill the clean rotation had chosen (scan, outer,
-# sample, script, setop, tpch, ann, neardup, ptf, sketch — the
-# starved-family tier from the all-contract r10 window).
+# Round-11 selection, RE-rotated mid-round three times as the work
+# landed (wave 2, the histogram contract, the replica-axis repairs —
+# the r10 serve-and-clear pattern; propose_window() emits this list
+# verbatim): the 45 CONTRACT_CHANGED declarations take first claim,
+# and the remaining FIVE slots go to the family reps the rule ranks
+# stalest — scan_filter_project, join_right_outer,
+# sample_reservoir_group, text_script_profile, setop_union_distinct.
+# The other starved families (tpch, ann, neardup, ptf, sketch) did
+# NOT get a witness this round — the contract claims outgrew the
+# window; they are first in line for the r12 fills.
 # Registry growth stays FROZEN (VERDICT r10 #6): 362 entries,
 # repairs and re-records only.
 

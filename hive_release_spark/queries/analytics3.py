@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
-from hive_release_spark.functions.numeric import cents as cents_fold, is_finite, finite, hive_render
+from hive_release_spark.functions.numeric import cents as cents_fold, cents_sql, is_finite, finite, hive_render
 from hive_release_spark.queries.registry import register
 
 
@@ -789,7 +789,7 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "customer_cohort_ltv",
-    oracle="""
+    oracle=f"""
     WITH f AS (
       SELECT o_custkey,
              min((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1)
@@ -799,9 +799,8 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders),
     per AS (
       SELECT cohort_m, m - cohort_m AS age_m,
-             CAST(sum(CAST(round(CASE WHEN isfinite(o_totalprice)
-                  THEN o_totalprice END * 100) AS BIGINT)) AS BIGINT)
-                 AS rev_cents,
+             CAST(sum({cents_sql("o_totalprice")})
+                  AS BIGINT) AS rev_cents,
              count(DISTINCT o_custkey) AS active
       FROM f GROUP BY 1, 2),
     sizes AS (
@@ -2009,7 +2008,7 @@ def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_attribution_position",
-    oracle="""
+    oracle=f"""
     WITH base AS (
       SELECT event_id, user_id, ts, event_type, value,
              coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -2027,8 +2026,7 @@ def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (SELECT user_id, journey,
              -- specials credit like NULL: the purchase still delimits
              -- its journey but carries no creditable value (r11)
-                 CAST(round(CASE WHEN isfinite(value) THEN value END
-                            * 100) AS BIGINT) AS cents
+                 {cents_sql("value")} AS cents
           FROM base WHERE event_type = 'purchase'),
     g AS (
       SELECT v.user_id, v.journey,
@@ -2133,7 +2131,7 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_ab_cuped",
-    oracle="""
+    oracle=f"""
     WITH u AS (
       SELECT user_id,
              (SELECT (strpos('0123456789abcdef',
@@ -2141,12 +2139,10 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) % 2 AS arm,
              -- specials engage like NULL (r11 finite wave 2)
              CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
-                      THEN CAST(round(CASE WHEN isfinite(value)
-                           THEN value END * 100) AS BIGINT)
+                      THEN {cents_sql("value")}
                       ELSE 0 END) AS BIGINT) AS p,
              CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
-                      THEN CAST(round(CASE WHEN isfinite(value)
-                           THEN value END * 100) AS BIGINT)
+                      THEN {cents_sql("value")}
                       ELSE 0 END) AS BIGINT) AS y
       FROM events GROUP BY user_id),
     s AS (

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table, register_views
-from hive_release_spark.functions.numeric import cents, finite
+from hive_release_spark.functions.numeric import cents, cents_sql, finite
 from hive_release_spark.queries.registry import register
 
 # Roundtrip-entry scratch directories registered for end-of-process
@@ -50,7 +50,12 @@ def _app_scoped_roundtrip_dir(spark: SparkSession, prefix: str, sf_dir: str) -> 
     import time
 
     base = "spark-warehouse"
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    # sanitize '_' out of the tag (r11 in-round review): the sweep
+    # below parses <prefix>_<tag>_<appId> and SKIPS ambiguous names,
+    # so an underscore-bearing tag (the /tmp/sf_nan axis dirs — the
+    # most common debris source) would make its own debris permanently
+    # unsweepable
+    tag = os.path.basename(sf_dir.rstrip("/")).replace("_", "-")
     name = f"{prefix}_{tag}_{spark.sparkContext.applicationId}"
     path = os.path.join(base, name)
     if os.path.isdir(base):
@@ -1060,11 +1065,10 @@ def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "source_xml_roundtrip",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(round(CASE WHEN isfinite(value)
-                THEN value END * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum({cents_sql("value")}) AS BIGINT)
              AS value_cents
     FROM events GROUP BY event_type ORDER BY event_type
     """,
@@ -1132,13 +1136,12 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "source_sequencefile_roundtrip",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n,
            CAST(count(*) FILTER (WHERE l_returnflag = 'N') AS BIGINT)
              AS n_flag_null,
-           CAST(sum(CAST(round(CASE WHEN isfinite(l_quantity)
-                THEN l_quantity END * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum({cents_sql("l_quantity")}) AS BIGINT)
              AS qty_cents,
            CAST(sum(l_linenumber) AS BIGINT) AS arr_elems,
            max(strftime(l_shipdate, '%Y-%m-%d')) AS max_ship

@@ -396,15 +396,20 @@ def tokenize_word_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
                     len(string_split(norm, ' ')) AS n_tok, length(norm) AS n_len
              FROM base),
     q AS (SELECT * FROM feat WHERE n_tok >= 10 AND n_len >= 50),
-    surv AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(norm)),
-    -- DISTINCT before the join-back (r11 duplicate axis): the kernel's
-    -- min-struct survivor is ONE row per distinct content; a raw
-    -- join-back multiplies by the survivor doc_id's row multiplicity
-    -- when the same doc_id appears K times upstream
-    kept AS (SELECT f.lang, f.source, f.n_tok
-             FROM surv s
-             JOIN (SELECT DISTINCT doc_id, lang, source, n_tok
-                   FROM feat) f ON f.doc_id = s.doc_id),
+    -- EXACT kernel mirror (r11 duplicate axis, sharpened by the
+    -- in-round review): the survivor is the min STRUCT over the
+    -- QUALIFIED rows of each md5 group — one row per distinct
+    -- content, attributes taken from that same row (DuckDB's struct
+    -- min is field-order lexicographic, same as Spark's). A join-back
+    -- by doc_id — even DISTINCT'd — re-attaches every attribute
+    -- variant the survivor doc_id carries when the same id recurs
+    -- with different payloads upstream.
+    surv AS (SELECT min({'doc_id': doc_id, 'lang': lang,
+                         'source': source, 'n_tok': n_tok}) AS s
+             FROM q GROUP BY md5(norm)),
+    kept AS (SELECT s['lang'] AS lang, s['source'] AS source,
+                    s['n_tok'] AS n_tok
+             FROM surv),
     counts AS (SELECT lang, source, count(*) AS docs_in,
                       count(CASE WHEN n_tok >= 10 AND n_len >= 50 THEN 1 END) AS docs_q
                FROM feat GROUP BY 1, 2),

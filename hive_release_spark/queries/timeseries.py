@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
 from hive_release_spark.operators.asof import asof_join
-from hive_release_spark.functions.numeric import cents, finite
+from hive_release_spark.functions.numeric import cents, cents_sql, finite
 from hive_release_spark.queries.registry import register
 
 
@@ -398,11 +398,10 @@ def timeseries_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "timeseries_ewma",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE m AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-             CAST(sum(CAST(round(CASE WHEN isfinite(o_totalprice)
-                  THEN o_totalprice END * 100) AS BIGINT)) AS BIGINT)
+             CAST(sum({cents_sql("o_totalprice")}) AS BIGINT)
                / 100.0 AS rev
       FROM orders GROUP BY 1 HAVING rev IS NOT NULL),
     idx AS MATERIALIZED (SELECT month, rev,
@@ -489,11 +488,10 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "timeseries_theil_sen",
-    oracle="""
+    oracle=f"""
     WITH m AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-             CAST(sum(CAST(round(CASE WHEN isfinite(o_totalprice)
-                  THEN o_totalprice END * 100) AS BIGINT)) AS BIGINT)
+             CAST(sum({cents_sql("o_totalprice")}) AS BIGINT)
                / 100.0 AS rev
       FROM orders GROUP BY 1 HAVING rev IS NOT NULL),
     i AS (SELECT year(month) * 12 + month(month) AS x, rev FROM m),
@@ -607,11 +605,10 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "timeseries_holt",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE m AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-             CAST(sum(CAST(round(CASE WHEN isfinite(o_totalprice)
-                  THEN o_totalprice END * 100) AS BIGINT)) AS BIGINT)
+             CAST(sum({cents_sql("o_totalprice")}) AS BIGINT)
                / 100.0 AS rev
       FROM orders GROUP BY 1 HAVING rev IS NOT NULL),
     idx AS MATERIALIZED (SELECT month, rev,
@@ -712,10 +709,10 @@ def timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "timeseries_gap_fill",
-    oracle="""
+    oracle=f"""
     WITH base AS (
       SELECT date_trunc('hour', ts) AS hr,
-             CAST(sum(CAST(round(CASE WHEN isfinite(value) THEN value END * 100) AS BIGINT)) AS BIGINT) AS c
+             CAST(sum({cents_sql("value")}) AS BIGINT) AS c
       FROM events
       WHERE event_type = 'purchase' AND value >= 190
       GROUP BY 1),
@@ -828,11 +825,10 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "timeseries_backtest_naive",
-    oracle="""
+    oracle=f"""
     WITH d AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-             CAST(sum(CAST(round(CASE WHEN isfinite(o_totalprice)
-                  THEN o_totalprice END * 100) AS BIGINT)) AS BIGINT)
+             CAST(sum({cents_sql("o_totalprice")}) AS BIGINT)
                AS c
       FROM orders GROUP BY 1),
     l AS (

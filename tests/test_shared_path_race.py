@@ -201,6 +201,10 @@ def test_stale_sibling_sweep_is_family_exact(spark):
             "an underscore-bearing tag was swept — the conservative "
             "one-segment parse regressed"
         )
+        # ... and the helper no longer GENERATES such names: axis
+        # tags are sanitized so their own debris stays sweepable
+        p = ext._app_scoped_roundtrip_dir(spark, "race_pin", "/tmp/sf_nan")
+        assert "sf-nan" in os.path.basename(p) and "sf_nan" not in os.path.basename(p)
     finally:
         import shutil
 
