@@ -391,8 +391,11 @@ CONTRACT_CHANGED = [
     # float-sum entries wobbled at the last ulp when the axis created
     # sub-1e-6 near-ties (rank now quantizes to the reported
     # precision), and pipeline_corpus_build's oracle join-back
-    # multiplied by the survivor doc_id's row multiplicity (DISTINCT
-    # before the join-back):
+    # multiplied by the survivor doc_id's row multiplicity — replaced
+    # with an exact min-struct mirror whose compare prefix is
+    # non-NULL on both engines (Spark struct-min is NULLS-FIRST,
+    # DuckDB's NULLS-LAST; a DISTINCT'd join-back was an insufficient
+    # intermediate fix):
     "search_bm25_rank",
     "search_tfidf_cosine",
     "graph_adamic_adar",

@@ -396,16 +396,25 @@ def tokenize_word_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
                     len(string_split(norm, ' ')) AS n_tok, length(norm) AS n_len
              FROM base),
     q AS (SELECT * FROM feat WHERE n_tok >= 10 AND n_len >= 50),
-    -- EXACT kernel mirror (r11 duplicate axis, sharpened by the
-    -- in-round review): the survivor is the min STRUCT over the
+    -- EXACT kernel mirror (r11 duplicate axis, sharpened TWICE by the
+    -- in-round reviews): the survivor is the min STRUCT over the
     -- QUALIFIED rows of each md5 group — one row per distinct
-    -- content, attributes taken from that same row (DuckDB's struct
-    -- min is field-order lexicographic, same as Spark's). A join-back
-    -- by doc_id — even DISTINCT'd — re-attaches every attribute
-    -- variant the survivor doc_id carries when the same id recurs
-    -- with different payloads upstream.
-    surv AS (SELECT min({'doc_id': doc_id, 'lang': lang,
-                         'source': source, 'n_tok': n_tok}) AS s
+    -- content, attributes taken from that same row. A join-back by
+    -- doc_id (even DISTINCT'd) re-attaches every attribute variant
+    -- the survivor id carries; and a naive field-order struct min is
+    -- NOT engine-identical either — DuckDB orders NULL struct fields
+    -- NULLS-LAST where Spark orders NULLS-FIRST — so the comparison
+    -- is decided entirely by the non-NULL (cmp_id, tb) prefix the
+    -- kernel builds the same way (NULL id below every real id; md5
+    -- of the attribute tuple with explicit NULL markers).
+    surv AS (SELECT min({'cmp_id': coalesce(doc_id,
+                             -9223372036854775807 - 1),
+                         'tb': md5(coalesce(lang, chr(1)) || chr(2) ||
+                                   coalesce(source, chr(1)) || chr(2) ||
+                                   coalesce(CAST(n_tok AS VARCHAR),
+                                            chr(1))),
+                         'lang': lang, 'source': source,
+                         'n_tok': n_tok}) AS s
              FROM q GROUP BY md5(norm)),
     kept AS (SELECT s['lang'] AS lang, s['source'] AS source,
                     s['n_tok'] AS n_tok
@@ -480,10 +489,40 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("norm").alias("n_len"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
         qual = (F.col("n_tok") >= 10) & (F.col("n_len") >= 50)
+        # Survivor pick = min struct, decided ENTIRELY by a non-NULL
+        # compare prefix (r11 second hygiene pass): struct comparison
+        # orders NULL fields NULLS-FIRST in Spark but NULLS-LAST in
+        # DuckDB, so the tie-break must never consult a nullable
+        # field. cmp_id coalesces a NULL doc_id below every real id;
+        # tb hashes the attribute tuple with explicit NULL markers
+        # (concat_ws would erase the NULL/''-distinction; \x01 marker
+        # and \x02 separator, not NUL — DuckDB VARCHAR cannot hold a
+        # NUL byte and the two engines' md5 inputs must be
+        # byte-identical). The raw fields ride along for the report.
+        cmp_id = F.coalesce(F.col("doc_id"), F.lit(-(2**63)))
+        tb = F.md5(
+            F.concat(
+                F.coalesce(F.col("lang"), F.lit("\x01")),
+                F.lit("\x02"),
+                F.coalesce(F.col("source"), F.lit("\x01")),
+                F.lit("\x02"),
+                F.coalesce(F.col("n_tok").cast("string"), F.lit("\x01")),
+            )
+        )
         kept = (
             feat.filter(qual)
             .groupBy(F.md5("norm"))
-            .agg(F.min(F.struct("doc_id", "lang", "source", "n_tok")).alias("s"))
+            .agg(
+                F.min(
+                    F.struct(
+                        cmp_id.alias("cmp_id"),
+                        tb.alias("tb"),
+                        "lang",
+                        "source",
+                        "n_tok",
+                    )
+                ).alias("s")
+            )
             .select(F.col("s.lang").alias("lang"), F.col("s.source").alias("source"), F.col("s.n_tok").alias("n_tok"))
             .groupBy("lang", "source")
             .agg(

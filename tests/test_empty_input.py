@@ -49,9 +49,13 @@ for) = 362/362 GREEN after four repairs (REPAIRED_DUP): three
 rank-on-raw-float-sum entries now quantize the rank key to the
 reported precision (raw sums differ between engines in the last ulp,
 so axis-made sub-1e-6 near-ties flipped ranks), and
-pipeline_corpus_build's oracle DISTINCTs before its survivor
-join-back (a raw join-back multiplies by the survivor doc_id's row
-multiplicity).
+pipeline_corpus_build's oracle now mirrors the kernel's
+min-struct survivor exactly — no join-back at all (a join-back by
+doc_id multiplies by the id's row multiplicity, and even a DISTINCT'd
+one re-attaches attribute variants); the min is decided by a
+non-NULL (cmp_id, attribute-hash) compare prefix because struct
+comparison orders NULL fields NULLS-FIRST in Spark but NULLS-LAST in
+DuckDB.
 """
 
 from __future__ import annotations
@@ -300,7 +304,10 @@ def make_duplicated(dst: str, k: int = 3) -> str:
     for f in os.listdir(SF_SRC):
         if f.endswith(".parquet"):
             t = pq.read_table(os.path.join(SF_SRC, f))
-            keys = _DUP_KEYS.get(f[: -len(".parquet")], ())
+            # fail LOUDLY on an unlisted table: silently duplicating
+            # it key-and-all would reintroduce the rejected
+            # ingest-corruption regime for that table
+            keys = _DUP_KEYS[f[: -len(".parquet")]]
             copies = []
             for c in range(k):
                 tc = t
