@@ -400,6 +400,11 @@ CONTRACT_CHANGED = [
     "search_tfidf_cosine",
     "graph_adamic_adar",
     "pipeline_corpus_build",
+    # r11 second stretch — the sixth (multibyte/Unicode text) axis:
+    # script-diverse snippets salted into documents.text. One repair:
+    # DuckDB's STRING->BLOB cast refuses non-ASCII, so the payload
+    # byte-count oracle now rides encode() (the UTF-8 byte view).
+    "multimodal_payload_dedup",
     # ADVICE r10-1, sharpened past the advice: below the cap the bin
     # count is MERGE-ORDER dependent (equal values coalesce on the ADD
     # path, not the MERGE path — probed both ways), so neither
@@ -414,13 +419,13 @@ CONTRACT_CHANGED = [
 # Round-11 selection, RE-rotated mid-round three times as the work
 # landed (wave 2, the histogram contract, the replica-axis repairs —
 # the r10 serve-and-clear pattern; propose_window() emits this list
-# verbatim): the 45 CONTRACT_CHANGED declarations take first claim,
-# and the remaining FIVE slots go to the family reps the rule ranks
+# verbatim): the 46 CONTRACT_CHANGED declarations take first claim,
+# and the remaining FOUR slots go to the family reps the rule ranks
 # stalest — scan_filter_project, join_right_outer,
-# sample_reservoir_group, text_script_profile, setop_union_distinct.
-# The other starved families (tpch, ann, neardup, ptf, sketch) did
-# NOT get a witness this round — the contract claims outgrew the
-# window; they are first in line for the r12 fills.
+# sample_reservoir_group, text_script_profile.
+# The other starved families (setop, tpch, ann, neardup, ptf,
+# sketch) did NOT get a witness this round — the contract claims
+# outgrew the window; they are first in line for the r12 fills.
 # Registry growth stays FROZEN (VERDICT r10 #6): 362 entries,
 # repairs and re-records only.
 
@@ -469,12 +474,12 @@ DRIVER_WINDOW = [
     "search_tfidf_cosine",
     "graph_adamic_adar",
     "pipeline_corpus_build",
+    "multimodal_payload_dedup",
     "agg_histogram_numeric",
     "scan_filter_project",
     "join_right_outer",
     "sample_reservoir_group",
     "text_script_profile",
-    "setop_union_distinct",
 ]
 
 def _ordered():

@@ -1250,7 +1250,11 @@ def emb_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH a AS (
       SELECT doc_id AS asset_id,
              sha256(text) AS checksum,
-             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             -- encode(), not CAST(text AS BLOB): the cast REFUSES
+             -- non-ASCII ("must be escaped with hex codes") while
+             -- encode() is the UTF-8 byte view — found by the r11
+             -- multibyte-text axis
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)]
                AS modality
       FROM documents),

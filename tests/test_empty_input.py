@@ -29,6 +29,7 @@ Full-axis sweeps (all 362 entries vs DuckDB on degenerate tables):
     python tests/test_empty_input.py --make-null   /tmp/sf_null
     python tests/test_empty_input.py --make-nan    /tmp/sf_nan
     python tests/test_empty_input.py --make-dup    /tmp/sf_dup
+    python tests/test_empty_input.py --make-uni    /tmp/sf_uni
     SPARK_GRAFT_CHECK_SF=/tmp/sf_<axis> python tools/check.py
 Expected: empty = green except the six GROUPING_SETS_DELTA entries;
 single = green except the three adjudicated exceptions pinned below;
@@ -55,7 +56,11 @@ doc_id multiplies by the id's row multiplicity, and even a DISTINCT'd
 one re-attaches attribute variants); the min is decided by a
 non-NULL (cmp_id, attribute-hash) compare prefix because struct
 comparison orders NULL fields NULLS-FIRST in Spark but NULLS-LAST in
-DuckDB.
+DuckDB; multibyte/Unicode text (the r11 SECOND stretch axis —
+script-diverse snippets salted into documents.text) = 362/362 GREEN
+after one repair (REPAIRED_UNI: DuckDB's STRING->BLOB cast refuses
+non-ASCII; the byte-count oracle now uses encode(), the UTF-8 byte
+view).
 """
 
 from __future__ import annotations
@@ -249,6 +254,102 @@ def make_special_floats(dst: str) -> str:
                 cols.append(col)
             pq.write_table(pa.table(cols, schema=t.schema), os.path.join(dst, f))
     return dst
+
+
+# Multibyte snippets for the SIXTH axis: latin diacritics, CJK,
+# cyrillic, greek, arabic (RTL), emoji + astral-plane letters —
+# the scripts a real multilingual corpus carries.
+_UNI_SNIPPETS = (
+    "Zürich café naïve façade",
+    "東京 大阪 名古屋 データ 処理",
+    "Москва данные поток анализ",
+    "αβγ δέλτα σύστημα",
+    "مرحبا بيانات نظام",
+    "😀 🚀 ✨ données 𝕦𝕟𝕚𝕔𝕠𝕕𝕖",
+)
+
+
+def make_multibyte(dst: str) -> str:
+    """SIXTH axis (r11 second stretch): multibyte/Unicode text salted
+    into documents.text on a deterministic grid (every 7th doc gets a
+    script-diverse snippet prepended, every 11th appended). A real
+    LLM corpus is multilingual, and the byte-vs-char seam is where
+    JVM string semantics (Spark) and utf8proc semantics (DuckDB) can
+    silently disagree — length/substr units, regex classes, casing,
+    tokenize boundaries, hash inputs. Both engines read the SAME
+    UTF-8 bytes from parquet, so parity is exactly defined; the sweep
+    found ONE divergence (DuckDB's STRING->BLOB cast refuses
+    non-ASCII — repaired to encode(), the UTF-8 byte view, in
+    multimodal_payload_dedup) and everything else held: both engines
+    count length() in CODEPOINTS, split on the literal space, hash
+    UTF-8 bytes, and regex-match bytes-blind."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    for f in os.listdir(SF_SRC):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(SF_SRC, f))
+            if f == "documents.parquet":
+                texts = t.column("text").to_pylist()
+                for i in range(len(texts)):
+                    if texts[i] is None:
+                        continue
+                    if i % 7 == 0:
+                        texts[i] = (
+                            _UNI_SNIPPETS[i % len(_UNI_SNIPPETS)]
+                            + " "
+                            + texts[i]
+                        )
+                    elif i % 11 == 0:
+                        texts[i] = (
+                            texts[i]
+                            + " "
+                            + _UNI_SNIPPETS[(i // 11) % len(_UNI_SNIPPETS)]
+                        )
+                idx = t.schema.get_field_index("text")
+                t = t.set_column(
+                    idx,
+                    t.schema.field(idx),
+                    pa.array(texts, type=pa.string()),
+                )
+            pq.write_table(t, os.path.join(dst, f))
+    return dst
+
+
+# Multibyte axis: the repaired entry plus the text-family flagships
+# that must stay green on script-diverse input.
+REPAIRED_UNI = [
+    "multimodal_payload_dedup",
+    "text_quality",
+    "text_langid_ngram",
+    "text_fingerprint",
+    "text_token_bpe_regex",
+    "dedup_jaccard_pairs",
+    "dedup_span_chunks",
+    "search_bm25_rank",
+]
+
+
+@pytest.fixture(scope="module")
+def uni_sf(tmp_path_factory):
+    return make_multibyte(str(tmp_path_factory.mktemp("sf_uni")))
+
+
+@pytest.fixture(scope="module")
+def uni_con(uni_sf):
+    return testing.duckdb_con(uni_sf)
+
+
+@pytest.mark.parametrize("name", REPAIRED_UNI)
+def test_entry_matches_oracle_on_multibyte_text(spark, uni_sf, uni_con, name):
+    from hive_release_spark.queries import REGISTRY
+
+    entry = REGISTRY[name]
+    ok, why = testing.compare_query(
+        spark, uni_con, entry.fn, entry.oracle, uni_sf
+    )
+    assert ok, f"{name} on multibyte text: {why}"
 
 
 # Key columns per table (primary AND foreign): copy c of the corpus
@@ -934,6 +1035,8 @@ if __name__ == "__main__":
         print(make_special_floats(sys.argv[2]))
     elif len(sys.argv) == 3 and sys.argv[1] == "--make-dup":
         print(make_duplicated(sys.argv[2]))
+    elif len(sys.argv) == 3 and sys.argv[1] == "--make-uni":
+        print(make_multibyte(sys.argv[2]))
 
 
 def test_hive_render_sign_bit_nan():
