@@ -405,6 +405,12 @@ CONTRACT_CHANGED = [
     # DuckDB's STRING->BLOB cast refuses non-ASCII, so the payload
     # byte-count oracle now rides encode() (the UTF-8 byte view).
     "multimodal_payload_dedup",
+    # ... and its second wave (name-column salt): Spark's mask()
+    # classifies letters Unicode-wide, so the ASCII-range oracle left
+    # 'ü' VISIBLE — a silent PII leak in the replay; now \p-classes,
+    # exact on the BMP, with the astral-letter UTF-16 passthrough
+    # pinned as a canary.
+    "fn_mask",
     # ADVICE r10-1, sharpened past the advice: below the cap the bin
     # count is MERGE-ORDER dependent (equal values coalesce on the ADD
     # path, not the MERGE path — probed both ways), so neither
@@ -419,13 +425,14 @@ CONTRACT_CHANGED = [
 # Round-11 selection, RE-rotated mid-round three times as the work
 # landed (wave 2, the histogram contract, the replica-axis repairs —
 # the r10 serve-and-clear pattern; propose_window() emits this list
-# verbatim): the 46 CONTRACT_CHANGED declarations take first claim,
-# and the remaining FOUR slots go to the family reps the rule ranks
+# verbatim): the 47 CONTRACT_CHANGED declarations take first claim,
+# and the remaining THREE slots go to the family reps the rule ranks
 # stalest — scan_filter_project, join_right_outer,
-# sample_reservoir_group, text_script_profile.
-# The other starved families (setop, tpch, ann, neardup, ptf,
-# sketch) did NOT get a witness this round — the contract claims
-# outgrew the window; they are first in line for the r12 fills.
+# sample_reservoir_group.
+# The other starved families (script, setop, tpch, ann, neardup,
+# ptf, sketch) did NOT get a witness this round — the contract
+# claims outgrew the window; they are first in line for the r12
+# fills.
 # Registry growth stays FROZEN (VERDICT r10 #6): 362 entries,
 # repairs and re-records only.
 
@@ -475,11 +482,11 @@ DRIVER_WINDOW = [
     "graph_adamic_adar",
     "pipeline_corpus_build",
     "multimodal_payload_dedup",
+    "fn_mask",
     "agg_histogram_numeric",
     "scan_filter_project",
     "join_right_outer",
     "sample_reservoir_group",
-    "text_script_profile",
 ]
 
 def _ordered():

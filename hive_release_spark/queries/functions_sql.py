@@ -322,8 +322,17 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_mask",
     oracle="""
     SELECT c_custkey,
+           -- Unicode classes, not ASCII ranges (r11 multibyte axis):
+           -- Spark's mask() classifies per Character.isUpper/Lower/
+           -- isDigit, so 'ü' masks as a letter — [a-z] left it
+           -- VISIBLE, a silent PII leak in the replay. Exact on the
+           -- BMP; astral-plane letters diverge BY ENGINE DESIGN
+           -- (Spark iterates UTF-16 chars, so they pass through its
+           -- mask unmasked) — pinned as a canary, kept out of the
+           -- fixture/salt space.
            regexp_replace(regexp_replace(regexp_replace(c_name,
-               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked
+               '\p{Lu}', 'X', 'g'), '\p{Ll}', 'x', 'g'),
+               '\p{Nd}', 'n', 'g') AS masked
     FROM customer
     WHERE c_custkey % 20 = 0
     """,
@@ -331,8 +340,12 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data masking (Hive GenericUDFMask family — SURVEY.md §2.H): upper→X,
-    lower→x, digit→n. Spark's built-in ``mask`` implements the same
-    default; the oracle spells it out with regexes."""
+    lower→x, digit→n, Unicode-aware on the BMP. Spark's built-in
+    ``mask`` implements the same default; the oracle spells it out
+    with \\p-class regexes. KNOWN ENGINE LIMIT (r11 multibyte axis,
+    canary-pinned): mask() walks UTF-16 chars, so astral-plane
+    letters (mathematical-alphanumeric "fancy text") pass through
+    UNMASKED — a PII spoofing nuance worth knowing at 100 TB."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 20 == 0)
     return c.select("c_custkey", F.mask("c_name").alias("masked"))
 

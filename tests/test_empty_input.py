@@ -287,6 +287,17 @@ def make_multibyte(dst: str) -> str:
     import pyarrow.parquet as pq
 
     os.makedirs(dst, exist_ok=True)
+    # name/entity columns get BMP-only salt: astral-plane LETTERS are
+    # kept out because Spark's mask() walks UTF-16 chars and passes
+    # them through unmasked by design (canary-pinned below); the
+    # documents.text salt keeps its astral snippet — the text family
+    # hashes/splits bytes and is surrogate-safe on both engines.
+    bmp = [x for x in _UNI_SNIPPETS if all(ord(ch) < 0x10000 for ch in x)]
+    name_cols = {
+        "part.parquet": "p_name",
+        "customer.parquet": "c_name",
+        "supplier.parquet": "s_name",
+    }
     for f in os.listdir(SF_SRC):
         if f.endswith(".parquet"):
             t = pq.read_table(os.path.join(SF_SRC, f))
@@ -313,6 +324,18 @@ def make_multibyte(dst: str) -> str:
                     t.schema.field(idx),
                     pa.array(texts, type=pa.string()),
                 )
+            elif f in name_cols:
+                col = name_cols[f]
+                vals = t.column(col).to_pylist()
+                for i in range(len(vals)):
+                    if vals[i] is not None and i % 5 == 0:
+                        vals[i] = vals[i] + " " + bmp[i % len(bmp)]
+                idx = t.schema.get_field_index(col)
+                t = t.set_column(
+                    idx,
+                    t.schema.field(idx),
+                    pa.array(vals, type=pa.string()),
+                )
             pq.write_table(t, os.path.join(dst, f))
     return dst
 
@@ -321,6 +344,12 @@ def make_multibyte(dst: str) -> str:
 # that must stay green on script-diverse input.
 REPAIRED_UNI = [
     "multimodal_payload_dedup",
+    # name-column salt (r11 second wave of the axis): Spark's mask()
+    # classifies letters Unicode-wide, so the ASCII-range oracle left
+    # 'ü' VISIBLE — a silent PII leak in the replay, now \p-classes
+    "fn_mask",
+    "fn_string",
+    "fn_misc_surface",
     "text_quality",
     "text_langid_ngram",
     "text_fingerprint",
@@ -1037,6 +1066,26 @@ if __name__ == "__main__":
         print(make_duplicated(sys.argv[2]))
     elif len(sys.argv) == 3 and sys.argv[1] == "--make-uni":
         print(make_multibyte(sys.argv[2]))
+
+
+def test_mask_astral_letter_passthrough_quirk(spark):
+    """Spark quirk found by the multibyte axis: mask() walks UTF-16
+    CHARS, so an astral-plane LETTER (category Ll, e.g. MATHEMATICAL
+    DOUBLE-STRUCK SMALL U) is two surrogate halves — neither
+    upper/lower/digit — and passes through UNMASKED, while any
+    codepoint-wise engine (DuckDB \\p{Ll}) masks it. A PII nuance:
+    fancy-unicode "spoofed" text defeats Spark's mask. The fn_mask
+    fixture/salt space stays BMP-only so the oracle gate is exact; if
+    this assertion fails, Spark went codepoint-wise — align the
+    oracle and drop the BMP restriction."""
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.createDataFrame([("a\U0001d566b",)], "s STRING")
+        .select(F.mask("s").alias("m"))
+        .first()
+    )
+    assert row.m == "x\U0001d566x", row.m
 
 
 def test_hive_render_sign_bit_nan():
