@@ -244,27 +244,7 @@ BENCHED_HISTORY = {
     "agg_unpivot",
     "join_shuffle_hash_hint",
     ),
-}
-
-
-def never_benched() -> list:
-    """Registry entries never timed by the headline or any rotating
-    leg (past or current) — the candidate pool for the next leg, in
-    registry order."""
-    seen = set(HEADLINE) | set(ROTATING_LEG)
-    for leg in BENCHED_HISTORY.values():
-        seen |= set(leg)
-    return [n for n in REGISTRY if n not in seen]
-
-
-# r11 selection (VERDICT r10 #5): the first 40 of never_benched()
-# after the r10 leg joined BENCHED_HISTORY — the SQL-surface tier
-# (pipe syntax, lateral alias, QUALIFY, GROUP/ORDER BY ALL, VALUES,
-# EXCEPT-star, named windows, macros), the two roundtrip gates, the
-# sketch/contract tails (histogram, count-min, HLL union/intersect),
-# decimal/datetime/numeric-repr fn coverage, and the text/corpus
-# normalize-and-stats tier. Coverage after this leg: 280/362.
-ROTATING_LEG = (
+    11: (
     "fn_str_to_map",
     "fn_parse_url",
     "agg_histogram_numeric",
@@ -305,6 +285,70 @@ ROTATING_LEG = (
     "emb_normalize_quantize",
     "corpus_token_stats",
     "corpus_zipf_fit",
+    ),
+}
+
+
+def never_benched() -> list:
+    """Registry entries never timed by the headline or any rotating
+    leg (past or current) — the candidate pool for the next leg, in
+    registry order."""
+    seen = set(HEADLINE) | set(ROTATING_LEG)
+    for leg in BENCHED_HISTORY.values():
+        seen |= set(leg)
+    return [n for n in REGISTRY if n not in seen]
+
+
+# r12 selection (VERDICT r11 #3): the first 40 of never_benched()
+# after the r11 leg joined BENCHED_HISTORY — the embedding/similarity
+# analysis tier (PCA contract, matryoshka recall, MMR/RRF/Rocchio,
+# hard negatives), the corpus-statistics tier (PMI, Heaps, Zipf tail,
+# length histogram, source overlap/divergence), the tokenize/pack
+# reporting tier, the text-quality tail (readability, RAKE, entropy,
+# TTR, script profile, langid confusion), three ds_* shapes and the
+# events/customer analytics head. Coverage after this leg: 320/362;
+# the remaining 42 finish in r13.
+ROTATING_LEG = (
+    "emb_pca_contract",
+    "text_pmi_top_pairs",
+    "dedup_graph_degrees",
+    "corpus_length_histogram",
+    "sim_hard_negatives",
+    "emb_matryoshka_recall",
+    "emb_cluster_separation",
+    "corpus_heaps_fit",
+    "sim_mmr_rerank",
+    "sim_rrf_fusion",
+    "text_chunk_sliding",
+    "text_readability",
+    "search_query_likelihood",
+    "text_rake_phrases",
+    "search_tfidf_cosine",
+    "emb_mean_shift_drift",
+    "domain_mix_resample",
+    "shuffle_shard_assign",
+    "sample_stratified",
+    "vocab_coverage_cutoff",
+    "source_overlap_matrix",
+    "tokenize_word_ids",
+    "sample_reservoir_group",
+    "decontaminate_fuzzy",
+    "search_eval_metrics",
+    "sim_rocchio_expansion",
+    "pack_efficiency_report",
+    "tokenize_fertility",
+    "text_source_divergence",
+    "text_entropy_quality",
+    "text_langid_confusion",
+    "text_ttr_hapax",
+    "text_script_profile",
+    "ds_frequent_buyers",
+    "ds_channel_rollup",
+    "ds_returns_adjusted_spend",
+    "ds_three_channel_ratio",
+    "events_gap_stats",
+    "customer_rfm_segments",
+    "basket_part_affinity",
 )
 
 

@@ -274,219 +274,86 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 
 # Entries whose CONTRACT changed since their last driver witness —
 # first claim on window slots (ADVICE r6-2; enforced by
-# test_entry_contract).  The r10 ALL-NULL input axis (every nullable
-# column NULL, same schemas and row counts — tests/test_empty_input.py
-# §all-null) found 42 failures; after the comparison-canon NaT repair
-# (testing.py, not a contract change — the dq_distribution_drift_psi
-# precedent) the remaining repairs touched 31 witnessed kernels/
-# oracles, each behavior-identical on normal input (the full sf0.01
-# gate re-ran 362/362 unchanged):
-#   * NULL-geometry contract: similarity/clustering kernels drop
-#     NULL-vector rows scan-side, their oracles filter embedding IS
-#     NOT NULL (dedup_embedding_cosine, dedup_semantic_cells,
-#     sim_ann_lsh, sim_ann_pq, emb_kmeans, emb_pca_project,
-#     emb_pca_contract, emb_normalize_quantize);
-#   * NULL-in-NULL-out per-row ops (text_langid_ngram UDF + oracle,
-#     multimodal_* via pack_assets' element_at-runtime-NULL-index
-#     guard and _fake_decode(None));
-#   * join/report-grain repairs (dedup_span_chunks keeps NULL-text
-#     doc rows via posexplode_outer + NULL-guarded hash key,
-#     pipeline_quality_ablation null-safe dedup join,
-#     text_repetition_score / events_top_paths / agg_collect /
-#     fn_string oracle parity: DuckDB's array_to_string-NULL and
-#     concat-skips-NULL vs Hive semantics);
-#   * ANSI guards on zero-non-null groups (events_did_analysis
-#     try_divide, agg_percentile_disc size-based rank,
-#     window_moving_median empty-frame median,
-#     agg_percentile_approx_contract vacuous-sketch booleans);
-#   * the NULL-event-time contract (WHERE ts IS NOT NULL) on every
-#     event-time-window streaming oracle (stream_tumbling,
-#     stream_tumbling_live, stream_sliding, stream_session,
-#     stream_session_dynamic, stream_distinct_sketch);
-#   * the roundtrip entries' scratch-dir lifecycle helper
-#     (_app_scoped_roundtrip_dir: atexit cleanup + dead-app sweep;
-#     source_xml_roundtrip, source_sequencefile_roundtrip).
-# The one NEW documented delta: ds_hierarchy_rank on the all-NULL
-# axis (NULL join keys empty the join, then ROLLUP is zero-in-zero-
-# out vs DuckDB's () grand-total row) — the SAME grouping-sets family
-# delta already pinned for the empty axis, now pinned for this axis
-# too in tests/test_empty_input.py.
-# Round-11 rotation (VERDICT r10 "Next round" #1): CORRECTNESS_r10 was
-# 50/50 hash-green on the all-contract r10 window, so every r10
-# declaration above is served by an at-or-after-round-10 witness —
-# the tripwire (test_entry_contract) forced this clear at rotation.
-# The r10 declaration rationale (all-NULL axis, NaN-axis silent
-# repairs, finite() wave 1) lives in git history at commit a5058ad.
-CONTRACT_CHANGED_ROUND = 11
+# test_entry_contract).
+# Round-12 rotation (VERDICT r11 "Next round" #1): CORRECTNESS_r11 was
+# 50/50 hash-green on the r11 window (47 contract claims + 3 family
+# reps), so every r11 declaration — finite() wave 2, the duplication-
+# axis rank/survivor repairs, the multibyte-axis mask/encode repairs,
+# the sharpened histogram_numeric contract — is served by a round-11
+# witness; the tripwire (test_entry_contract) forced this clear at
+# rotation.  The full r11 declaration rationale lives in git history
+# at commit 8d1d25a (and the declaring commits af3885e..a3252b8).
+CONTRACT_CHANGED_ROUND = 12
 
-# finite() WAVE 2 (VERDICT r10 #2, re-rotated mid-round like r10):
-# the 40 remaining loud-class entries — the exact list the r10 NaN
-# sweep named — each repaired with one of three declared devices and
-# hash-compared on BOTH the NaN axis and sf0.01
-# (tests/test_empty_input.py REPAIRED_NAN §wave-2):
-#   * cents()/finite() INSIDE the fold (specials aggregate like SQL
-#     NULL; the row keeps its other roles — activity counts, journey
-#     delimiting, roundtrip payloads): customer_cohort_ltv,
-#     events_attribution_position, events_ab_cuped, sql_named_window,
-#     the two roundtrip gates, fn_trig (per-argument), and the
-#     timeseries daily/monthly folds;
-#   * scan-side is_finite() drop where the row IS the measurement
-#     (pushes to the parquet scan; the r10 NULL-geometry precedent):
-#     the dq/customer/orders/supplier/ds ratio-and-ranking family;
-#   * LISTWISE deletion where the semantic unit is a multi-column
-#     observation (moment sums must agree with the row count):
-#     the ml regression/stump family, stats_spearman_corr,
-#     part_price_elasticity, orders_price_index, fn_decimal_arith,
-#     ds_worst_return_ratios.
-# The recursion entries (ewma/holt/croston/holt_winters, granger)
-# additionally drop no-signal periods (NULL period sums) BEFORE
-# folding: F.aggregate's struct accumulator silently reads a NULL
-# double field back as 0.0 (test_struct_accumulator_null_field_quirk)
-# so NULL-propagation through a struct-state fold is silent garbage,
-# never an error.
-CONTRACT_CHANGED = [
-    "timeseries_ewma",
-    "timeseries_theil_sen",
-    "timeseries_holt",
-    "timeseries_gap_fill",
-    "timeseries_backtest_naive",
-    "timeseries_croston",
-    "timeseries_holt_winters",
-    "ml_linear_regression",
-    "ml_decision_stump",
-    "ml_boosted_stumps",
-    "ml_regression_calibration",
-    "ml_regression_kfold_cv",
-    "stats_subsample_ci",
-    "stats_anova_oneway",
-    "stats_spearman_corr",
-    "sample_stratified_neyman",
-    "stats_granger_lite",
-    "dq_distribution_drift_psi",
-    "customer_cohort_ltv",
-    "dq_benford_first_digit",
-    "customer_gini_revenue",
-    "part_price_elasticity",
-    "events_attribution_position",
-    "events_ab_cuped",
-    "orders_abc_classification",
-    "supplier_concentration_hhi",
-    "customer_segment_migration",
-    "orders_price_index",
-    "orders_abc_xyz_matrix",
-    "ds_worst_return_ratios",
-    "ds_sales_deviation_rank",
-    "ds_returns_adjusted_spend",
-    "ds_three_channel_ratio",
-    "sql_named_window",
-    "source_xml_roundtrip",
-    "source_sequencefile_roundtrip",
-    "fn_misc_surface",
-    "fn_decimal_arith",
-    "window_regr_slope",
-    "fn_trig",
-    # r11 stretch — the fifth (duplicate/replica) axis, VERDICT r10
-    # #8: K disjoint key-offset replicas with shared content
-    # (tests/test_empty_input.py make_duplicated). Three rank-on-raw-
-    # float-sum entries wobbled at the last ulp when the axis created
-    # sub-1e-6 near-ties (rank now quantizes to the reported
-    # precision), and pipeline_corpus_build's oracle join-back
-    # multiplied by the survivor doc_id's row multiplicity — replaced
-    # with an exact min-struct mirror whose compare prefix is
-    # non-NULL on both engines (Spark struct-min is NULLS-FIRST,
-    # DuckDB's NULLS-LAST; a DISTINCT'd join-back was an insufficient
-    # intermediate fix):
-    "search_bm25_rank",
-    "search_tfidf_cosine",
-    "graph_adamic_adar",
-    "pipeline_corpus_build",
-    # r11 second stretch — the sixth (multibyte/Unicode text) axis:
-    # script-diverse snippets salted into documents.text. One repair:
-    # DuckDB's STRING->BLOB cast refuses non-ASCII, so the payload
-    # byte-count oracle now rides encode() (the UTF-8 byte view).
-    "multimodal_payload_dedup",
-    # ... and its second wave (name-column salt): Spark's mask()
-    # classifies letters Unicode-wide, so the ASCII-range oracle left
-    # 'ü' VISIBLE — a silent PII leak in the replay; now \p-classes,
-    # exact on the BMP, with the astral-letter UTF-16 passthrough
-    # pinned as a canary.
-    "fn_mask",
-    # ADVICE r10-1, sharpened past the advice: below the cap the bin
-    # count is MERGE-ORDER dependent (equal values coalesce on the ADD
-    # path, not the MERGE path — probed both ways), so neither
-    # count-based nor distinct-based n_bins is exact there. The
-    # contract now pins the deterministic regimes exactly
-    # (n_bins_exact) and the duplicates-below-cap regime as a bounded
-    # invariant (n_bins_ok); crafted-regime test in
-    # tests/test_empty_input.py.
-    "agg_histogram_numeric",
-]
+CONTRACT_CHANGED = []
 
-# Round-11 selection, RE-rotated mid-round three times as the work
-# landed (wave 2, the histogram contract, the replica-axis repairs —
-# the r10 serve-and-clear pattern; propose_window() emits this list
-# verbatim): the 47 CONTRACT_CHANGED declarations take first claim,
-# and the remaining THREE slots go to the family reps the rule ranks
-# stalest — scan_filter_project, join_right_outer,
-# sample_reservoir_group.
-# The other starved families (script, setop, tpch, ann, neardup,
-# ptf, sketch) did NOT get a witness this round — the contract
-# claims outgrew the window; they are first in line for the r12
-# fills.
-# Registry growth stays FROZEN (VERDICT r10 #6): 362 entries,
+# Round-12 selection (post-drain propose_window(), emitted verbatim):
+# no contract claims, so the window leads with one rep per required
+# §2 family absent so far, stalest family first — exactly the seven
+# families the r11 contract load starved (script via
+# text_script_profile, setop via setop_union_distinct, tpch via
+# q18_large_orders, ann via sim_ann_ivf_bcast, neardup via
+# dedup_minhash_lsh, ptf via ptf_matchpath, sketch via agg_hll_sketch)
+# plus the session_window/streaming/udtf/functions/multimodal/outer/
+# sample/topk/window/join/agg/scan reps the secondary-tag pass ranks
+# next (several covered for free by earlier reps' tags) — then the
+# remaining slots fill oldest-witness-first (the r1-witnessed
+# setop/join/subquery/window/fn tier), never re-recording an
+# r11-fresh row.
+# Registry growth stays FROZEN (VERDICT r11 #4): 362 entries,
 # repairs and re-records only.
 
 DRIVER_WINDOW = [
-    "timeseries_ewma",
-    "timeseries_theil_sen",
-    "timeseries_holt",
-    "timeseries_gap_fill",
-    "timeseries_backtest_naive",
-    "timeseries_croston",
-    "timeseries_holt_winters",
-    "ml_linear_regression",
-    "ml_decision_stump",
-    "ml_boosted_stumps",
-    "ml_regression_calibration",
-    "ml_regression_kfold_cv",
-    "stats_subsample_ci",
-    "stats_anova_oneway",
-    "stats_spearman_corr",
-    "sample_stratified_neyman",
-    "stats_granger_lite",
-    "dq_distribution_drift_psi",
-    "customer_cohort_ltv",
-    "dq_benford_first_digit",
-    "customer_gini_revenue",
-    "part_price_elasticity",
-    "events_attribution_position",
-    "events_ab_cuped",
-    "orders_abc_classification",
-    "supplier_concentration_hhi",
-    "customer_segment_migration",
-    "orders_price_index",
-    "orders_abc_xyz_matrix",
-    "ds_worst_return_ratios",
-    "ds_sales_deviation_rank",
-    "ds_returns_adjusted_spend",
-    "ds_three_channel_ratio",
-    "sql_named_window",
-    "source_xml_roundtrip",
-    "source_sequencefile_roundtrip",
-    "fn_misc_surface",
-    "fn_decimal_arith",
-    "window_regr_slope",
-    "fn_trig",
-    "search_bm25_rank",
-    "search_tfidf_cosine",
-    "graph_adamic_adar",
-    "pipeline_corpus_build",
-    "multimodal_payload_dedup",
-    "fn_mask",
-    "agg_histogram_numeric",
-    "scan_filter_project",
-    "join_right_outer",
-    "sample_reservoir_group",
+    "text_script_profile",
+    "setop_union_distinct",
+    "q18_large_orders",
+    "sim_ann_ivf_bcast",
+    "dedup_minhash_lsh",
+    "ptf_matchpath",
+    "events_top_paths",
+    "stream_static_join",
+    "udtf_python",
+    "join_broadcast_part",
+    "fn_regex",
+    "multimodal_meta",
+    "join_full_outer",
+    "sample_bucket",
+    "agg_hll_sketch",
+    "sim_cosine_topk",
+    "window_lead_lag",
+    "limit_offset_page",
+    "distinct_rows",
+    "setop_intersect",
+    "setop_except",
+    "setop_except_all",
+    "q5_local_supplier_volume",
+    "join_left_semi",
+    "join_left_anti",
+    "join_cross",
+    "join_theta_residual",
+    "join_pure_theta",
+    "subquery_in",
+    "subquery_scalar_correlated",
+    "subquery_not_in",
+    "window_range_frame",
+    "window_first_last",
+    "window_share_of_total",
+    "fn_datetime",
+    "fn_conditional",
+    "fn_json",
+    "fn_hash",
+    "fn_complex_types",
+    "q1_pricing_summary",
+    "window_rows_frame",
+    "text_quality",
+    "text_fingerprint",
+    "text_ngrams_top",
+    "text_tfidf_top_terms",
+    "agg_pivot",
+    "join_merge_hint",
+    "fn_str_to_map",
+    "text_token_bpe_regex",
+    "join_unique",
 ]
 
 def _ordered():

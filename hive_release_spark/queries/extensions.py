@@ -56,7 +56,12 @@ def _app_scoped_roundtrip_dir(spark: SparkSession, prefix: str, sf_dir: str) -> 
     # most common debris source) would make its own debris permanently
     # unsweepable
     tag = os.path.basename(sf_dir.rstrip("/")).replace("_", "-")
-    name = f"{prefix}_{tag}_{spark.sparkContext.applicationId}"
+    # sanitize the appId segment the same way (ADVICE r11-4): local
+    # appIds ("local-17…") carry no underscore, but a YARN
+    # "application_x_y" id would make every generated dir fail its own
+    # family's one-segment parse below — debris would never be swept
+    app_id = spark.sparkContext.applicationId.replace("_", "-")
+    name = f"{prefix}_{tag}_{app_id}"
     path = os.path.join(base, name)
     if os.path.isdir(base):
         cutoff = time.time() - _STALE_SCRATCH_SECONDS
@@ -67,10 +72,11 @@ def _app_scoped_roundtrip_dir(spark: SparkSession, prefix: str, sf_dir: str) -> 
             # exactly one tag segment — a bare startswith would let a
             # family whose prefix prefixes another's ("race_pin" vs
             # "race_pin_sweep") sweep that family's still-wanted dirs.
-            # Underscore-bearing tags/appIds (a /tmp/sf_nan axis dir,
-            # a YARN application_x_y id) fail the one-segment parse
-            # and are simply SKIPPED — the sweep errs toward leaving
-            # debris, never toward deleting another family's data.
+            # Generated names sanitize '_' out of BOTH the tag and the
+            # appId, so they always parse; a legacy underscore-bearing
+            # name fails the one-segment parse and is simply SKIPPED —
+            # the sweep errs toward leaving debris, never toward
+            # deleting another family's data.
             if sib == name or not sib.startswith(f"{prefix}_"):
                 continue
             parts = sib[len(prefix) + 1 :].rsplit("_", 1)

@@ -320,16 +320,25 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fn_mask",
-    oracle="""
+    # Raw string: '\p' is an invalid Python escape (DeprecationWarning
+    # today, SyntaxError in a future CPython — ADVICE r11-1).
+    oracle=r"""
     SELECT c_custkey,
            -- Unicode classes, not ASCII ranges (r11 multibyte axis):
-           -- Spark's mask() classifies per Character.isUpper/Lower/
-           -- isDigit, so 'ü' masks as a letter — [a-z] left it
-           -- VISIBLE, a silent PII leak in the replay. Exact on the
-           -- BMP; astral-plane letters diverge BY ENGINE DESIGN
-           -- (Spark iterates UTF-16 chars, so they pass through its
-           -- mask unmasked) — pinned as a canary, kept out of the
-           -- fixture/salt space.
+           -- Spark's mask() classifies Unicode-wide, so 'ü' masks as
+           -- a letter — [a-z] left it VISIBLE, a silent PII leak in
+           -- the replay. An exhaustive BMP sweep (r12, ADVICE r11-2)
+           -- measured the exact agreement: mask() matches the
+           -- Lu/Ll/Nd CATEGORIES (Other_Uppercase/Other_Lowercase —
+           -- Roman numerals, circled letters, ª/º — are unmasked by
+           -- BOTH engines, refuting the isUpperCase hypothesis), and
+           -- the only BMP divergence is UNICODE VERSION SKEW: the 12
+           -- codepoints assigned in Unicode 14+ (Java 17 ships
+           -- Unicode 13) pass through Spark's mask while DuckDB's
+           -- newer regex table masks them. Both skew sets — those 12
+           -- and astral-plane letters (Spark iterates UTF-16 chars)
+           -- — are canary-pinned and kept out of the fixture/salt
+           -- space.
            regexp_replace(regexp_replace(regexp_replace(c_name,
                '\p{Lu}', 'X', 'g'), '\p{Ll}', 'x', 'g'),
                '\p{Nd}', 'n', 'g') AS masked
@@ -342,10 +351,16 @@ def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data masking (Hive GenericUDFMask family — SURVEY.md §2.H): upper→X,
     lower→x, digit→n, Unicode-aware on the BMP. Spark's built-in
     ``mask`` implements the same default; the oracle spells it out
-    with \\p-class regexes. KNOWN ENGINE LIMIT (r11 multibyte axis,
-    canary-pinned): mask() walks UTF-16 chars, so astral-plane
-    letters (mathematical-alphanumeric "fancy text") pass through
-    UNMASKED — a PII spoofing nuance worth knowing at 100 TB."""
+    with \\p-class regexes — exact on the Unicode-13 BMP (exhaustive
+    65,533-codepoint sweep, r12): mask() classifies by Lu/Ll/Nd
+    category. KNOWN ENGINE LIMITS (canary-pinned, kept out of the
+    fixture/salt space): (1) mask() walks UTF-16 chars, so
+    astral-plane letters (mathematical-alphanumeric "fancy text")
+    pass through UNMASKED — a PII spoofing nuance worth knowing at
+    100 TB; (2) the 12 BMP codepoints assigned in Unicode 14+
+    (U+2C2F/U+2C5F Glagolitic, the U+A7C0–A7D9 Latin additions) are
+    unassigned to Java 17's Unicode-13 tables and likewise pass
+    through."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 20 == 0)
     return c.select("c_custkey", F.mask("c_name").alias("masked"))
 

@@ -243,7 +243,10 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT u AS part_a, v AS part_b, n_common,
            round(aa, 6) AS adamic_adar, rk
     -- rank on the reported precision (r11 replica axis): the
-    -- 1/ln(deg) float sum is engine-wobbly at the last ulp
+    -- 1/ln(deg) float sum is engine-wobbly at the last ulp.
+    -- Probabilistic mitigation, not absolute — see the bm25 note
+    -- (llm3.py search_bm25_rank) for the boundary-straddle caveat
+    -- and the deterministic integer-surrogate alternative.
     FROM (SELECT *, row_number() OVER
             (ORDER BY round(aa, 6) DESC, u, v) AS rk FROM nonedge)
     WHERE rk <= 20 ORDER BY rk

@@ -1041,7 +1041,16 @@ def search_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn(
             # rank on the reported precision (r11 replica axis) — the
-            # raw float sum is engine-wobbly at the last ulp
+            # raw float sum is engine-wobbly at the last ulp.
+            # PROBABILISTIC, not absolute (ADVICE r11-3): a raw score
+            # straddling a 6th-decimal rounding boundary could still
+            # round (and rank) differently per engine; round() only
+            # shrinks the vulnerable set from "every near-tie" to
+            # "ties within one ulp OF a boundary". The fully
+            # deterministic alternative — an exact integer surrogate
+            # (BIGINT-quantized score) — costs a documented contract
+            # change; adopt it if this ever wobbles in practice.
+            # Shared by search_tfidf_cosine and graph_adamic_adar.
             "rk",
             F.row_number().over(
                 W.orderBy(F.desc(F.round("score", 6)), "doc_id")

@@ -1088,6 +1088,49 @@ def test_mask_astral_letter_passthrough_quirk(spark):
     assert row.m == "x\U0001d566x", row.m
 
 
+def test_mask_unicode_version_skew_quirk(spark):
+    """r12 exhaustive-BMP sweep (ADVICE r11-2, sharpened past the
+    advice): Spark's mask() matches the Lu/Ll/Nd CATEGORIES exactly —
+    Other_Uppercase/Other_Lowercase codepoints (Roman numerals Ⅷ,
+    circled letters Ⓐ/ⓐ, ª/º) are left unmasked by BOTH Spark and a
+    \\p{Lu}/\\p{Ll} regex, so the advisor's isUpperCase-divergence
+    hypothesis is refuted empirically. The ONLY BMP divergence is
+    Unicode VERSION skew: exactly 12 codepoints assigned in Unicode
+    14+ (Java 17 ships Unicode 13.0) pass through Spark's mask as
+    unassigned while DuckDB's newer regex tables mask them. Both
+    facts pinned here; the fn_mask fixture/salt space excludes the
+    skew set. If the second assertion flips, the JVM's Unicode tables
+    caught up — re-run the exhaustive sweep (git history r12) and
+    update the fn_mask contract comment."""
+    from pyspark.sql import functions as F
+
+    # (1) Other_Uppercase/Lowercase: unmasked by Spark, same as the
+    # \p-class oracle — agreement, not divergence.
+    other_case = "ⅧªºⒶⓐ"  # Ⅷ ª º Ⓐ ⓐ
+    # (2) Unicode-14+ additions: Spark (Unicode 13) passes them
+    # through; a current-Unicode engine masks them.
+    skew = "ⰯⱟꟀꟁꟐꟑꟓꟕꟖꟗꟘꟙ"
+    rows = (
+        spark.createDataFrame([(other_case,), (skew,)], "s STRING")
+        .select("s", F.mask("s").alias("m"))
+        .collect()
+    )
+    got = {r.s: r.m for r in rows}
+    assert got[other_case] == other_case, got[other_case]
+    assert got[skew] == skew, got[skew]
+
+    import duckdb
+
+    con = duckdb.connect()
+    q = (
+        r"SELECT regexp_replace(regexp_replace(regexp_replace(?,"
+        r" '\p{Lu}', 'X', 'g'), '\p{Ll}', 'x', 'g'), '\p{Nd}', 'n', 'g')"
+    )
+    assert con.execute(q, [other_case]).fetchone()[0] == other_case
+    # DuckDB's Unicode tables DO know the 12 — every char masks.
+    assert set(con.execute(q, [skew]).fetchone()[0]) <= {"X", "x"}
+
+
 def test_hive_render_sign_bit_nan():
     """Unit pin for functions/numeric.hive_render (ADVICE r10-2):
     DuckDB renders a sign-bit NaN (inf + -inf, -0.0 * inf) as '-nan',
