@@ -108,3 +108,37 @@ def test_rotating_leg_names_resolve_disjoint_from_headline():
         | {n for leg in BENCHED_HISTORY.values() for n in leg}
     )
     assert len(pool) + len(benched) == len(REGISTRY)
+
+
+def test_bench_history_band_current():
+    """The committed per-query spread table (VERDICT r11 #6) must stay
+    in sync with the committed BENCH artifacts: when a new
+    BENCH_r{N}.json lands this goes red — the same serve-and-clear
+    forcing function as the window rotation — and the fix is one
+    command: `python tools/bench_band.py`. The band is what the
+    SCALE.md noise rule's 'exceeds the band' clause reads, so a stale
+    band silently weakens the regression adjudication."""
+    import json
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(root / "tools"))
+    try:
+        import bench_band
+    finally:
+        sys.path.pop(0)
+
+    with open(bench_band.OUT) as f:
+        committed = json.load(f)
+    fresh = bench_band.build_band()
+    assert committed == fresh, (
+        "bench_history_band.json is stale — regenerate with:"
+        " python tools/bench_band.py"
+    )
+    # every current headline query with at least one recorded session
+    # has a band row
+    from bench import HEADLINE
+
+    missing = [n for n in HEADLINE if n not in fresh["queries"]]
+    assert not missing, missing
