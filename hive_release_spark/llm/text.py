@@ -287,6 +287,49 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Spark's mask() walks UTF-16 chars, so two codepoint classes EVADE it
+# (r11/r12 multibyte-axis findings, canary-pinned in
+# tests/test_empty_input.py):
+#   * astral-plane letters/digits — surrogate halves are not letters
+#     to a char walk ("fancy unicode" spoofed text);
+#   * the 12 BMP codepoints assigned in Unicode 14+ that Java 17's
+#     Unicode-13 tables treat as unassigned (exhaustive r12 sweep).
+# Java regex, by contrast, IS codepoint-aware, so the measurement can
+# ride plain JVM-side regexp_count — no UDF, pushes to the scan.
+_ASTRAL_MASKABLE = r"[\p{Lu}\p{Ll}\p{Nd}&&[\x{10000}-\x{10FFFF}]]"
+_UNICODE_SKEW = (
+    r"[\x{2C2F}\x{2C5F}\x{A7C0}\x{A7C1}\x{A7D0}\x{A7D1}"
+    r"\x{A7D3}\x{A7D5}-\x{A7D9}]"
+)
+
+
+def mask_evasion_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level PII-mask evasion measurement (VERDICT r11 #8): how
+    much of the corpus carries codepoints that Spark's ``mask()``
+    would silently pass through. A 100 TB PII pipeline wants this as
+    a standing data-quality number BEFORE trusting a mask-based
+    redaction replay — spoofed "fancy text" (astral mathematical
+    alphanumerics) and Unicode-version skew both defeat the mask
+    while looking like redacted output to a human.
+
+    One scan-side aggregate, pure JVM regex (codepoint-aware, unlike
+    the mask's own UTF-16 char walk) — no UDF, no shuffle beyond the
+    single partial/final aggregation."""
+    s = F.col(text_col)
+    astral = F.regexp_count(s, F.lit(_ASTRAL_MASKABLE))
+    skew = F.regexp_count(s, F.lit(_UNICODE_SKEW))
+    return df.select(
+        F.count("*").alias("n_docs"),
+        F.sum((astral > 0).cast("long")).alias("n_docs_astral_evading"),
+        F.sum(astral.cast("long")).alias("n_astral_evading_chars"),
+        F.sum((skew > 0).cast("long")).alias("n_docs_unicode_skew"),
+        F.sum(skew.cast("long")).alias("n_skew_chars"),
+        F.sum(((astral > 0) | (skew > 0)).cast("long")).alias(
+            "n_docs_mask_unsafe"
+        ),
+    )
+
+
 def vocab_coverage(
     df: DataFrame,
     cutoff: float = 0.999,

@@ -8,6 +8,14 @@ so this is the designed escape hatch: ``applyInPandas`` per partition —
 one shuffle on the partition key, regex over the in-memory ordered
 partition, Arrow both ways. Partition = one user/session: bounded state,
 scales horizontally.
+
+KNOWN BOUNDARY LIMIT (r12 temporal axis, canary-pinned in
+tests/test_empty_input.py): the Arrow→pandas input conversion maps
+timestamp columns to datetime64[ns], which OVERFLOWS for values past
+2262-04-11 — a corrupt far-future timestamp anywhere in the frame
+kills the whole task. Callers should ship timestamps across this
+boundary as int64 µs (``unix_micros``) — order-identical, lossless,
+corruption-proof; see queries/coverage.py::ptf_matchpath.
 """
 
 from __future__ import annotations

@@ -285,18 +285,57 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 # at commit 8d1d25a (and the declaring commits af3885e..a3252b8).
 CONTRACT_CHANGED_ROUND = 12
 
-CONTRACT_CHANGED = []
+# r12 stretch — the SEVENTH (temporal-edges) axis, VERDICT r11 #7:
+# pre-1970 sub-second, epoch-0, one-µs-before-epoch, DST wall time,
+# past-the-pandas-ns-ceiling (2262) and year-9999 values salted into
+# every timestamp column (tests/test_empty_input.py --make-time).
+# First contact 353/362; the 9 divergers repaired with three declared
+# devices, axis now 362/362:
+#   * ts_valid ceiling (functions/temporal.py) — far-future corruption
+#     poisons watermarks (one year-9999 row advances the watermark
+#     centuries and silently empties the stream) and overflows
+#     ts + interval past the calendar; dropped scan-side on BOTH
+#     engines: fn_datetime, fn_datetime_misc, stream_session,
+#     stream_session_dynamic, stream_watermark_late_drop,
+#     orders_backlog_curve;
+#   * µs-integer ordering across the Arrow/pandas boundary —
+#     datetime64[ns] overflows past 2262-04-11, so ptf_matchpath
+#     ships its order key as int64 µs (order-identical, keeps EVERY
+#     row; canary-pinned);
+#   * exact-money rendering — q9_product_profit adopts the cents fold
+#     (a group reshuffle landed the raw double sum on a .xx5 round
+#     boundary), customer_cohort_ltv's final divide moved to
+#     floor(x+0.5) on the shared exact quotient, and the
+#     unix-seconds oracles now trunc() toward zero (Spark/Hive Java
+#     division; floor()/CAST are off-by-one on pre-1970 sub-second
+#     values — canary-pinned).
+# The axis also caught a real ORACLE bug with no engine counterpart:
+# both session oracles' island running-sum walked equal-ts peers in a
+# different order than the new-session flags were computed in,
+# splitting equal-ts blocks across sessions — both now order by
+# (ts, event_id) end-to-end.
+CONTRACT_CHANGED = [
+    "ptf_matchpath",
+    "fn_datetime",
+    "fn_datetime_misc",
+    "stream_session",
+    "stream_session_dynamic",
+    "stream_watermark_late_drop",
+    "orders_backlog_curve",
+    "customer_cohort_ltv",
+    "q9_product_profit",
+]
 
-# Round-12 selection (post-drain propose_window(), emitted verbatim):
-# no contract claims, so the window leads with one rep per required
-# §2 family absent so far, stalest family first — exactly the seven
-# families the r11 contract load starved (script via
-# text_script_profile, setop via setop_union_distinct, tpch via
-# q18_large_orders, ann via sim_ann_ivf_bcast, neardup via
-# dedup_minhash_lsh, ptf via ptf_matchpath, sketch via agg_hll_sketch)
-# plus the session_window/streaming/udtf/functions/multimodal/outer/
-# sample/topk/window/join/agg/scan reps the secondary-tag pass ranks
-# next (several covered for free by earlier reps' tags) — then the
+# Round-12 selection, RE-rotated mid-round when the temporal-axis
+# repair wave landed (the r10/r11 serve-and-clear pattern;
+# propose_window() emits this list verbatim): the 9 CONTRACT_CHANGED
+# declarations take first claim, then one rep per required §2 family
+# absent so far, stalest family first — the r11-starved families
+# (script via text_script_profile, setop via setop_union_distinct,
+# ann via sim_ann_ivf_bcast, neardup via dedup_minhash_lsh, sketch
+# via agg_hll_sketch; ptf/tpch/session_window now ride the contract
+# rows' own tags) plus the udtf/multimodal/outer/sample/topk/window/
+# join/functions reps the secondary-tag pass ranks next — then the
 # remaining slots fill oldest-witness-first (the r1-witnessed
 # setop/join/subquery/window/fn tier), never re-recording an
 # r11-fresh row.
@@ -304,28 +343,31 @@ CONTRACT_CHANGED = []
 # repairs and re-records only.
 
 DRIVER_WINDOW = [
+    "ptf_matchpath",
+    "fn_datetime",
+    "fn_datetime_misc",
+    "stream_session",
+    "stream_session_dynamic",
+    "stream_watermark_late_drop",
+    "orders_backlog_curve",
+    "customer_cohort_ltv",
+    "q9_product_profit",
     "text_script_profile",
     "setop_union_distinct",
-    "q18_large_orders",
     "sim_ann_ivf_bcast",
     "dedup_minhash_lsh",
-    "ptf_matchpath",
-    "events_top_paths",
-    "stream_static_join",
     "udtf_python",
-    "join_broadcast_part",
-    "fn_regex",
     "multimodal_meta",
     "join_full_outer",
     "sample_bucket",
     "agg_hll_sketch",
     "sim_cosine_topk",
-    "window_lead_lag",
     "limit_offset_page",
     "distinct_rows",
     "setop_intersect",
     "setop_except",
     "setop_except_all",
+    "join_broadcast_part",
     "q5_local_supplier_volume",
     "join_left_semi",
     "join_left_anti",
@@ -335,10 +377,11 @@ DRIVER_WINDOW = [
     "subquery_in",
     "subquery_scalar_correlated",
     "subquery_not_in",
+    "window_lead_lag",
     "window_range_frame",
     "window_first_last",
     "window_share_of_total",
-    "fn_datetime",
+    "fn_regex",
     "fn_conditional",
     "fn_json",
     "fn_hash",
@@ -349,11 +392,7 @@ DRIVER_WINDOW = [
     "text_fingerprint",
     "text_ngrams_top",
     "text_tfidf_top_terms",
-    "agg_pivot",
-    "join_merge_hint",
-    "fn_str_to_map",
-    "text_token_bpe_regex",
-    "join_unique",
+    "stream_static_join",
 ]
 
 def _ordered():

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
+from hive_release_spark.functions.temporal import ts_valid
 from hive_release_spark.queries.registry import register
 
 
@@ -458,13 +459,20 @@ def supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "orders_backlog_curve",
     oracle="""
-    WITH deltas AS (
+    WITH o AS (
+      -- ts_valid ceiling (r12 temporal axis): the +30d close event of
+      -- a far-future corrupt order overflows the calendar; the order
+      -- has no position on the business-time axis — dropped scan-side
+      -- on BOTH engines (functions/temporal.py)
+      SELECT o_orderdate FROM orders
+      WHERE o_orderdate < TIMESTAMP '2200-01-01 00:00:00'),
+    deltas AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day, count(*) AS d
-      FROM orders GROUP BY 1
+      FROM o GROUP BY 1
       UNION ALL
       SELECT CAST(date_trunc('day', o_orderdate + INTERVAL 30 DAY) AS TIMESTAMP),
              -count(*)
-      FROM orders GROUP BY 1),
+      FROM o GROUP BY 1),
     merged AS (SELECT day, CAST(sum(d) AS BIGINT) AS delta FROM deltas GROUP BY day)
     SELECT day, delta,
            CAST(sum(delta) OVER (ORDER BY day
@@ -480,8 +488,9 @@ def orders_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-day × orders range join (quadratic) or a calendar cross join.
     The running sum operates on the date-cardinality delta frame; at
     100 TB the fact is read once and reduced map-side to two rows per
-    day."""
-    o = load_table(spark, sf_dir, "orders")
+    day. Scan-side ts_valid guard (r12 temporal axis): the +30d close
+    event of a far-future corrupt order overflows the calendar."""
+    o = load_table(spark, sf_dir, "orders").filter(ts_valid("o_orderdate"))
     starts = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
         F.count("*").alias("d")
     )

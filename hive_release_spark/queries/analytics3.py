@@ -807,10 +807,15 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT cohort_m, count(DISTINCT o_custkey) AS cohort_n
       FROM f GROUP BY 1)
     SELECT p.cohort_m, p.age_m, s.cohort_n, p.active,
-           round(CAST(sum(p.rev_cents) OVER (PARTITION BY p.cohort_m
+           -- floor(x + 0.5) on the SHARED exact quotient, not
+           -- round() (r12 temporal axis): cum_cents/cohort_n is the
+           -- same IEEE double on both engines (exact int64 inputs),
+           -- so half-up via floor is deterministic, while round()'s
+           -- internal scaling path can flip at a .xx5 boundary
+           floor(CAST(sum(p.rev_cents) OVER (PARTITION BY p.cohort_m
                                              ORDER BY p.age_m
                                              ROWS UNBOUNDED PRECEDING)
-                      AS DOUBLE) / (100.0 * s.cohort_n), 2)
+                      AS DOUBLE) / s.cohort_n + 0.5) / 100
                AS cum_ltv_per_user
     FROM per p JOIN sizes s ON p.cohort_m = s.cohort_m
     WHERE p.cohort_m < 6
@@ -857,8 +862,9 @@ def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "age_m",
             "cohort_n",
             "active",
-            F.round(
-                cum.cast("double") / (100.0 * F.col("cohort_n")), 2
+            # floor(x+0.5) device — see oracle note (r12 temporal axis)
+            (
+                F.floor(cum.cast("double") / F.col("cohort_n") + 0.5) / 100
             ).alias("cum_ltv_per_user"),
         )
         .orderBy("cohort_m", "age_m")

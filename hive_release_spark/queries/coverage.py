@@ -38,16 +38,28 @@ def ptf_matchpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MatchPath (Hive udf/ptf/MatchPath.java): find error→purchase
     sequences per user. The 'EP' pattern is oracle-expressible via
     lead/lag — proving the generic regex engine agrees with the
-    declarative special case."""
+    declarative special case.
+
+    Ordering rides µs-integer epoch, not the timestamp itself (r12
+    temporal axis): the applyInPandas boundary converts timestamps to
+    datetime64[ns], which OVERFLOWS past 2262-04-11 — an int64 µs
+    order key is order-identical, crosses Arrow losslessly, and keeps
+    every row regardless of how corrupt its timestamp is (the
+    canary-pinned engine limit in tests/test_empty_input.py)."""
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", "event_type"
+        "user_id",
+        "event_id",
+        # NTZ→TZ cast is value-exact under the pinned-UTC session
+        # (operators/asof.py:164 precedent)
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
     )
     sym = (
         F.when(F.col("event_type") == "error", "E")
         .when(F.col("event_type") == "purchase", "P")
         .otherwise("O")
     )
-    out = match_path(ev, ["user_id"], ["ts", "event_id"], sym, "EP")
+    out = match_path(ev, ["user_id"], ["ts_us", "event_id"], sym, "EP")
     return out.select("user_id", "event_id", "match_pos")
 
 

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
 from hive_release_spark.functions.numeric import finite, is_finite
+from hive_release_spark.functions.temporal import ts_valid
 from hive_release_spark.queries.registry import register
 
 
@@ -270,7 +271,11 @@ def fn_decimal_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_datetime_misc",
     oracle="""
     WITH o AS (SELECT o_orderkey, o_orderdate AS ts FROM orders
-               WHERE o_orderkey % 50 = 0),
+               WHERE o_orderkey % 50 = 0
+                 -- ts_valid ceiling (r12 temporal axis): the +1mo+2d
+                 -- arithmetic overflows the calendar on far-future
+                 -- corruption; every column derives from ts
+                 AND o_orderdate < TIMESTAMP '2200-01-01 00:00:00'),
     ref AS (SELECT TIMESTAMP '1998-01-01 00:00:00' AS r)
     SELECT o_orderkey,
            round(
@@ -294,7 +299,10 @@ def fn_decimal_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
            ts + INTERVAL 1 MONTH + INTERVAL 2 DAY AS plus_1m2d,
            strftime(ts, '%Y/%m/%d %a') AS fmt,
            CAST(dayofyear(ts) AS BIGINT) AS doy,
-           CAST(floor(epoch(ts)) AS BIGINT) AS unix_s
+           -- trunc, not floor (r12 temporal axis): Spark/Hive
+           -- to_unix_timestamp truncates TOWARD ZERO, so pre-1970
+           -- sub-second values are off-by-one under floor()
+           CAST(trunc(epoch(ts)) AS BIGINT) AS unix_s
     FROM o, ref
     """,
     tags=("functions", "datetime"),
@@ -307,8 +315,14 @@ def fn_datetime_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``timezone()`` mirrors them), make_interval arithmetic (month
     addition clamps to month end in both engines), date_format
     patterns, dayofyear, to_unix_timestamp. The oracle re-derives each
-    convention from DuckDB primitives — previously rows-only."""
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    convention from DuckDB primitives — previously rows-only.
+    Scan-side ts_valid guard + trunc-toward-zero epoch contract (r12
+    temporal axis) — see the oracle comments."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .filter(ts_valid("o_orderdate"))
+    )
     ts = F.col("o_orderdate")
     return o.select(
         "o_orderkey",

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table, register_views
 from hive_release_spark.functions.numeric import finite, hive_render
+from hive_release_spark.functions.temporal import ts_valid
 from hive_release_spark.queries.registry import register
 
 
@@ -160,9 +161,19 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o_orderdate AS DATE) + 30        AS plus30,
            CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
            date_diff('day', o_orderdate, TIMESTAMP '1998-01-01') AS days_to_98,
-           CAST(epoch(o_orderdate) AS BIGINT)    AS epoch_s
+           -- trunc, not floor/CAST (r12 temporal axis): Spark/Hive
+           -- unix_timestamp truncates TOWARD ZERO (Java integer
+           -- division), so a pre-1970 sub-second value floors one
+           -- second lower under floor(), and DuckDB's float->BIGINT
+           -- CAST rounds — both silently off-by-one on negatives
+           CAST(trunc(epoch(o_orderdate)) AS BIGINT) AS epoch_s
     FROM orders
     WHERE o_orderkey % 5 = 0
+      -- ts_valid ceiling (r12 temporal axis): +30d/+2mo arithmetic on
+      -- a far-future corrupt date overflows the calendar; every
+      -- column here derives from o_orderdate, so the row IS the time
+      -- measurement — dropped scan-side (functions/temporal.py)
+      AND o_orderdate < TIMESTAMP '2200-01-01 00:00:00'
     """,
     tags=("functions", "datetime"),
 )
@@ -170,8 +181,14 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time family (UDFYear/Month/Day/WeekOfYear, GenericUDFQuarter,
     GenericUDFLastDay, GenericUDFDateAdd, GenericUDFAddMonths,
     GenericUDFDateDiff, UDFUnixTimestamp — SURVEY.md §2.H). Spark
-    dayofweek is 1=Sunday; DuckDB is 0=Sunday (oracle adjusts)."""
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    dayofweek is 1=Sunday; DuckDB is 0=Sunday (oracle adjusts).
+    Scan-side ts_valid guard + trunc-toward-zero epoch contract (r12
+    temporal axis) — see the oracle comments."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .filter(ts_valid("o_orderdate"))
+    )
     return o.select(
         "o_orderkey",
         F.year("o_orderdate").cast("long").alias("y"),

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
+from hive_release_spark.functions.temporal import ts_valid
 from hive_release_spark.queries.registry import register
 from hive_release_spark.streaming import pipelines as P
 
@@ -78,16 +79,26 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                   OR ts - lag(ts) OVER w > INTERVAL '6 hours' THEN 1 ELSE 0 END AS new_s
       FROM events
-      WHERE ts IS NOT NULL
+      -- event-time validity ceiling (r12 temporal axis): a far-future
+      -- ts overflows session_end = ts + gap past the calendar and
+      -- would poison a real stream's watermark; see functions/temporal
+      WHERE ts IS NOT NULL AND ts < TIMESTAMP '2200-01-01 00:00:00'
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
       SELECT user_id, ts, value,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             -- the island sum must replay the SAME total order the
+             -- new_s flags were computed in — a bare ORDER BY ts
+             -- leaves equal-ts peers (the r12 temporal axis salts
+             -- many events onto one instant) in arbitrary order, and
+             -- a new_s=1 row landing mid-block splits the block
+             -- across two sessions (the dynamic twin diverged this
+             -- exact way before the event_id tie-break)
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM marked
     )
@@ -104,8 +115,13 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (6h gap) per user — Spark ``session_window``; the
     oracle is the classic gaps-and-islands rewrite, which doubles as the
-    §2.D windowing demonstration."""
-    return P.session_agg(load_table(spark, sf_dir, "events"))
+    §2.D windowing demonstration. Scan-side ts_valid guard (r12
+    temporal axis): session_end = ts + gap overflows the calendar for
+    far-future corruption, and a real stream's watermark is poisoned
+    by it — the declared validity ceiling drops those rows on BOTH
+    engines (functions/temporal.py)."""
+    ev = load_table(spark, sf_dir, "events").filter(ts_valid("ts"))
+    return P.session_agg(ev)
 
 
 @register(
@@ -115,16 +131,21 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, value, event_id,
              ts + CASE WHEN event_type = 'purchase' THEN INTERVAL '12 hours'
                        ELSE INTERVAL '6 hours' END AS te
-      FROM events WHERE ts IS NOT NULL),
+      -- ts_valid ceiling (r12 temporal axis) — see stream_session
+      FROM events
+      WHERE ts IS NOT NULL AND ts < TIMESTAMP '2200-01-01 00:00:00'),
     m AS (
-      SELECT user_id, ts, value, te,
+      SELECT user_id, ts, value, te, event_id,
              max(te) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS prev_max
       FROM e),
     f AS (SELECT *, CASE WHEN prev_max IS NULL OR ts >= prev_max
                          THEN 1 ELSE 0 END AS new_s FROM m),
-    s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, te
+    -- island sum in the SAME (ts, event_id) total order the new_s
+    -- flags were computed in — ORDER BY ts, te walked equal-ts peers
+    -- differently and split the block (r12 temporal axis finding)
+    s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                      ROWS UNBOUNDED PRECEDING) AS sid FROM f)
     SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
            CAST(max(te) AS TIMESTAMP) AS session_end,
@@ -143,8 +164,10 @@ def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     session starts when an event's ts reaches the max end of every
     window before it, and the session end is max(ts+gap) over the
     fused set. A lag-based fixed-gap oracle would be WRONG here (a
-    long-gap event can bridge across a short-gap event's window)."""
-    return P.session_agg_dynamic(load_table(spark, sf_dir, "events"))
+    long-gap event can bridge across a short-gap event's window).
+    Scan-side ts_valid guard — see stream_session."""
+    ev = load_table(spark, sf_dir, "events").filter(ts_valid("ts"))
+    return P.session_agg_dynamic(ev)
 
 
 @register(
@@ -363,7 +386,10 @@ def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH f1 AS (
       SELECT ts, value FROM events
-      WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'),
+      WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        -- ts_valid ceiling (r12 temporal axis): a far-future corrupt
+        -- row would poison the watermark model — see stream_session
+        AND ts < TIMESTAMP '2200-01-01 00:00:00'),
     wm AS (SELECT max(ts) - INTERVAL 72 HOUR AS w FROM f1)
     SELECT CAST(date_trunc('day', f1.ts) AS TIMESTAMP) AS window_start,
            count(*) AS n,

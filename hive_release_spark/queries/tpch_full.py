@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
+from hive_release_spark.functions.numeric import cents, cents_sql
 from hive_release_spark.operators.hints import maybe_broadcast
 from hive_release_spark.queries.registry import register
 
@@ -167,11 +168,18 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q9_product_profit",
-    oracle="""
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    oracle=f"""
+    -- integer-cents discipline (r12 temporal axis): the raw double
+    -- sum's add order differs per engine, and a group reshuffle (new
+    -- year buckets) can land a sum on a .xx5 rounding boundary where
+    -- the last-ulp wobble flips round() — the per-row cents fold
+    -- makes the sum exact and order-proof (the ds_* r11 precedent)
+    SELECT nation, o_year,
+           CAST(sum(amount_c) AS DOUBLE) / 100 AS sum_profit
     FROM (SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
-                 l.l_extendedprice * (1 - l.l_discount)
-                   - 0.1 * p.p_retailprice * l.l_quantity AS amount
+                 {cents_sql("l.l_extendedprice * (1 - l.l_discount)"
+                            " - 0.1 * p.p_retailprice * l.l_quantity")}
+                   AS amount_c
           FROM part p
           JOIN lineitem l ON p.p_partkey = l.l_partkey
           JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -188,7 +196,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     year. Adaptation: the driver schema has no partsupp, so unit cost is
     ``0.1 * p_retailprice`` instead of ``ps_supplycost`` — same plan
     shape (LIKE-filtered part broadcast into the fact, supplier→nation
-    rollup), different constant."""
+    rollup), different constant. Money rides as exact BIGINT cents
+    (r12 temporal axis): per-row amounts quantize to the reported
+    grain before summation, so the group sum is order-proof on both
+    engines — see the oracle note."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -204,7 +215,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg((F.sum(cents(amount)).cast("double") / 100).alias("sum_profit"))
         .orderBy(F.col("nation"), F.col("o_year").desc())
     )
 

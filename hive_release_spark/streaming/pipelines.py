@@ -384,8 +384,20 @@ def late_drop_replay(
         "spark-warehouse", f"latedrop_{os.path.basename(sf_dir.rstrip('/'))}"
     )
     data_dir = os.path.join(base, "data")
-    events = load_table(spark, sf_dir, "events").select(
-        F.col("ts").cast(T.TimestampType()).alias("ts"), "value"
+    # Event-time validity ceiling (r12 temporal axis,
+    # functions/temporal.py): one far-future corrupt timestamp in the
+    # on-time batch advances the watermark centuries — every
+    # legitimate event becomes "late" and the stream silently empties
+    # — and the tick batch's duplicates land in windows that now DO
+    # close, breaking the replay's fixed-calendar invariant. Watermark
+    # semantics are only meaningful over a bounded event-time domain;
+    # the guard states that domain on both engines.
+    from hive_release_spark.functions.temporal import ts_valid
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(ts_valid("ts"))
+        .select(F.col("ts").cast(T.TimestampType()).alias("ts"), "value")
     )
     if os.path.exists(base):
         shutil.rmtree(base)

@@ -458,6 +458,79 @@ def make_duplicated(dst: str, k: int = 3) -> str:
     return dst
 
 
+# Temporal-edge values for the SEVENTH axis (r12, VERDICT r11 #7).
+# The one fixture surface no prior axis stressed: TIMESTAMP edge
+# values, where JVM calendars (Spark) and ICU (DuckDB) can silently
+# disagree in date_trunc / window bucketing / interval arithmetic,
+# and SURVEY §7.6 #1 names timestamps the top semantic risk.
+# The six edges, each with a reason:
+#   * pre-1970 WITH sub-second fraction — epoch-seconds are NEGATIVE;
+#     truncation direction (floor vs toward-zero) is the classic seam
+#     for any kernel doing integer epoch division;
+#   * epoch 0 exactly — the degenerate origin bucket;
+#   * one µs BEFORE epoch — trunc-toward-zero puts it in second 0,
+#     floor puts it in second -1;
+#   * a DST spring-forward wall instant (2021-03-14 02:30 US) — inert
+#     under the pinned-UTC sessions, live the moment any kernel
+#     converts named zones;
+#   * just past 2262-04-11 — the datetime64[ns] ceiling: any kernel
+#     routing timestamps through a nanosecond pandas/Arrow path
+#     overflows here while µs-native paths are fine;
+#   * year 9999 — far-future corruption a real crawl carries; the
+#     stress for data-driven calendar spines (a gap-fill between 1992
+#     and 9999 is a ~70M-hour sequence — kernels must bound their
+#     spines by a declared business window, not trust max(ts)).
+import datetime as _dt
+
+_TIME_EDGES = (
+    _dt.datetime(1955, 6, 15, 11, 22, 33, 654321),
+    _dt.datetime(1970, 1, 1, 0, 0, 0, 0),
+    _dt.datetime(1969, 12, 31, 23, 59, 59, 999999),
+    _dt.datetime(2021, 3, 14, 2, 30, 0, 500000),
+    _dt.datetime(2262, 4, 12, 0, 0, 0, 1),
+    _dt.datetime(9999, 12, 31, 23, 59, 59, 999999),
+)
+
+# Salt grid per temporal column: prime strides so edges interleave
+# and most rows stay in the normal business window (the ordinary
+# code paths must still execute — the make_special_floats pattern).
+_TIME_GRID = ((13, 0), (17, 1), (19, 2), (23, 3), (29, 4), (31, 5))
+
+
+def make_time_edges(dst: str) -> str:
+    """SEVENTH axis (r12, VERDICT r11 #7): temporal-edge values salted
+    into every timestamp column (events.ts, orders.o_orderdate,
+    lineitem.l_shipdate) on a deterministic row-index grid. Both
+    engines read the SAME parquet µs values, so parity is exactly
+    defined; divergence means the engines' calendar/truncation/
+    bucketing semantics differ — exactly what a 100 TB pipeline with
+    crawl-corrupted timestamps needs to know."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    for f in os.listdir(SF_SRC):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(SF_SRC, f))
+            for fld in t.schema:
+                if not str(fld.type).startswith("timestamp"):
+                    continue
+                idx = t.schema.get_field_index(fld.name)
+                vals = t.column(idx).to_pylist()
+                for i in range(len(vals)):
+                    if vals[i] is None:
+                        continue
+                    for stride, e in _TIME_GRID:
+                        if i % stride == 0:
+                            vals[i] = _TIME_EDGES[e]
+                            break
+                t = t.set_column(
+                    idx, t.schema.field(idx), pa.array(vals, type=fld.type)
+                )
+            pq.write_table(t, os.path.join(dst, f))
+    return dst
+
+
 def make_single(dst: str) -> str:
     """First-row-only copies of every driver table (referential links
     between tables break, but Spark and the oracle see the SAME rows,
@@ -802,6 +875,249 @@ def test_repaired_entry_matches_oracle_on_replicas(spark, dup_sf, dup_con, name)
     assert ok, f"{name} on K-replica input: {why}"
 
 
+# Temporal-edge axis (r12 — the seventh sweep): the 9 entries the axis
+# diverged, each repaired with one of three declared devices and
+# re-pinned against the salted tables, plus the temporal flagships
+# that must stay green on edge timestamps:
+#   * ts_valid ceiling (functions/temporal.py) — far-future corruption
+#     poisons watermarks and overflows interval arithmetic; dropped
+#     scan-side on BOTH engines (fn_datetime, fn_datetime_misc,
+#     stream_session, stream_session_dynamic,
+#     stream_watermark_late_drop, orders_backlog_curve);
+#   * µs-integer ordering across the Arrow/pandas boundary
+#     (ptf_matchpath) — datetime64[ns] overflows past 2262; int64 µs
+#     is order-identical and keeps EVERY row;
+#   * exact-money rendering — q9 adopts the cents fold (group
+#     reshuffles landed a raw double sum on a .xx5 round boundary),
+#     customer_cohort_ltv's final divide moved to floor(x+0.5) on the
+#     shared exact quotient, and the unix-seconds oracles now
+#     trunc() toward zero (Spark/Hive Java division; floor()/CAST
+#     are off-by-one on pre-1970 sub-second values).
+# The axis also caught a real ORACLE bug with no engine counterpart:
+# both session oracles' island running-sum walked equal-ts peers in a
+# DIFFERENT order than the new-session flags were computed in,
+# splitting an equal-ts block across two sessions once the salt put
+# many events on one instant — both now order by (ts, event_id)
+# end-to-end.
+REPAIRED_TIME = [
+    "ptf_matchpath",
+    "fn_datetime",
+    "fn_datetime_misc",
+    "stream_session",
+    "stream_session_dynamic",
+    "stream_watermark_late_drop",
+    "orders_backlog_curve",
+    "customer_cohort_ltv",
+    "q9_product_profit",
+    # temporal flagships: bucketing/windows/gap-fill/as-of must stay
+    # green on pre-1970, epoch-0, sub-second and far-future values
+    "stream_tumbling",
+    "stream_sliding",
+    "timeseries_gap_fill",
+    "join_asof_orders",
+    "events_top_paths",
+    "fn_misc_surface",
+]
+
+
+@pytest.fixture(scope="module")
+def time_sf(tmp_path_factory):
+    return make_time_edges(str(tmp_path_factory.mktemp("sf_time")))
+
+
+@pytest.fixture(scope="module")
+def time_con(time_sf):
+    return testing.duckdb_con(time_sf)
+
+
+@pytest.mark.parametrize("name", REPAIRED_TIME)
+def test_repaired_entry_matches_oracle_on_time_edges(
+    spark, time_sf, time_con, name
+):
+    from hive_release_spark.queries import REGISTRY
+
+    entry = REGISTRY[name]
+    ok, why = testing.compare_query(
+        spark, time_con, entry.fn, entry.oracle, time_sf
+    )
+    assert ok, f"{name} on temporal-edge input: {why}"
+
+
+def test_pandas_boundary_ns_overflow_quirk(spark):
+    """Engine limit behind the µs-ordering device (r12 temporal axis):
+    the applyInPandas input boundary converts timestamps to
+    datetime64[ns], which OVERFLOWS for values past 2262-04-11 — the
+    whole task dies on one corrupt row. ptf_matchpath therefore ships
+    its order key as int64 µs. If this assertion flips, pyspark's
+    Arrow→pandas conversion went µs-native — the device can be
+    retired."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(9999, 12, 31, 23, 59, 59))],
+        "k LONG, ts TIMESTAMP_NTZ",
+    )
+
+    def ident(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[["k"]]
+
+    with pytest.raises(Exception) as exc:
+        df.groupBy("k").applyInPandas(ident, "k long").collect()
+    assert "out of" in str(exc.value).lower() or "overflow" in str(
+        exc.value
+    ).lower() or "bounds" in str(exc.value).lower(), str(exc.value)[:500]
+
+
+def test_session_window_calendar_overflow_quirk(spark):
+    """Engine limit behind the ts_valid ceiling (r12 temporal axis):
+    Spark COMPUTES a session end past year 9999 without error (µs are
+    int64 internally) but the row cannot be collected to Python —
+    the failure surfaces at the last possible moment, far from the
+    corrupt input. A real pipeline must bound event time BEFORE the
+    window op, which is exactly what functions/temporal.ts_valid
+    declares."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(9999, 12, 31, 23, 59, 59))],
+        "user_id LONG, ts TIMESTAMP_NTZ",
+    )
+    agg = df.groupBy(F.session_window("ts", "6 hours"), "user_id").count()
+    with pytest.raises(Exception) as exc:
+        agg.collect()
+    assert "out of range" in str(exc.value).lower(), str(exc.value)[:500]
+
+
+def test_session_oracle_equal_ts_block_crafted(spark, tmp_path):
+    """Crafted adversarial pin for the r12 session-oracle ordering
+    repair (the hygiene-loop bar: verify repairs against CRAFTED
+    inputs, not just the axis that found them). The regime: one user
+    with MANY events on the SAME instant, mixed gap classes (purchase
+    12h / click 6h), plus a follow-up event inside the long gap but
+    outside the short one — the dynamic merge must extend the session
+    via the purchase's 12h te even though later-ordered peers carry
+    6h, and the island sum must keep the equal-ts block in ONE
+    session regardless of which peer the engine walks first. Both
+    session entries must hash-match their oracles on this fixture."""
+    import datetime
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dst = str(tmp_path / "sf_tie")
+    shutil.copytree(SF_SRC, dst)
+    t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+    rows = {
+        "event_id": [1, 2, 3, 4, 5, 6],
+        # events 1-4: one instant; event 5 at +9h (inside the
+        # purchase's 12h gap, outside a click's 6h); event 6 at +30h
+        # (a clean new session)
+        "ts": [t0, t0, t0, t0,
+               t0 + datetime.timedelta(hours=9),
+               t0 + datetime.timedelta(hours=30)],
+        "user_id": [7, 7, 7, 7, 7, 7],
+        "event_type": ["click", "purchase", "click", "view",
+                       "click", "click"],
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        "props": ["{}"] * 6,
+    }
+    orig = pq.read_table(os.path.join(SF_SRC, "events.parquet"))
+    cols = [
+        pa.array(rows[f.name], type=f.type) for f in orig.schema
+    ]
+    pq.write_table(
+        pa.table(cols, schema=orig.schema),
+        os.path.join(dst, "events.parquet"),
+    )
+    from hive_release_spark.queries import REGISTRY
+
+    con = testing.duckdb_con(dst)
+    for name in ("stream_session", "stream_session_dynamic"):
+        entry = REGISTRY[name]
+        ok, why = testing.compare_query(
+            spark, con, entry.fn, entry.oracle, dst
+        )
+        assert ok, f"{name} on crafted equal-ts block: {why}"
+    # and the dynamic semantics themselves: events 1-5 fuse into ONE
+    # session (the purchase's 12h te bridges the +9h event), event 6
+    # opens the second
+    got = (
+        REGISTRY["stream_session_dynamic"].fn(spark, dst)
+        .orderBy("session_start")
+        .collect()
+    )
+    assert [r.n_events for r in got] == [5, 1], got
+
+
+def test_ts_valid_ceiling_boundary(spark):
+    """The ts_valid device's boundary is EXCLUSIVE at exactly
+    2200-01-01 00:00:00 and its DuckDB twin must agree to the
+    microsecond — an off-by-one here silently shifts which rows the
+    six guarded entries drop."""
+    import datetime
+
+    import duckdb
+
+    from hive_release_spark.functions.temporal import (
+        TS_VALID_MAX,
+        ts_valid,
+        ts_valid_sql,
+    )
+
+    edge = datetime.datetime(2200, 1, 1, 0, 0, 0)
+    just_under = edge - datetime.timedelta(microseconds=1)
+    df = spark.createDataFrame(
+        [(1, just_under), (2, edge), (3, None)], "k LONG, ts TIMESTAMP_NTZ"
+    )
+    kept = sorted(
+        r.k for r in df.filter(ts_valid("ts")).select("k").collect()
+    )
+    assert kept == [1], kept  # edge excluded, NULL filtered
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT "
+        + ts_valid_sql("TIMESTAMP '2199-12-31 23:59:59.999999'")
+        + ", "
+        + ts_valid_sql(f"TIMESTAMP '{TS_VALID_MAX}'")
+    ).fetchone()
+    assert got == (True, False), got
+
+
+def test_unix_seconds_truncate_toward_zero_quirk(spark):
+    """Engine semantic behind the trunc() oracle twin (r12 temporal
+    axis): Spark/Hive unix-seconds conversion is Java integer division
+    — TRUNCATION TOWARD ZERO — so a pre-1970 sub-second instant maps
+    one second HIGHER than floor() (and DuckDB's float→BIGINT CAST
+    rounds, a third behavior). Pinned so the trunc(epoch(...)) oracle
+    device stays justified."""
+    import datetime
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    ts = datetime.datetime(1955, 6, 15, 11, 22, 33, 654321)
+    row = (
+        spark.createDataFrame([(ts,)], "ts TIMESTAMP_NTZ")
+        .select(
+            F.to_unix_timestamp(F.col("ts").cast("timestamp")).alias("s")
+        )
+        .first()
+    )
+    assert row.s == -459088646, row.s  # trunc, not floor (-459088647)
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT CAST(trunc(epoch(TIMESTAMP '1955-06-15 11:22:33.654321'))"
+        " AS BIGINT)"
+    ).fetchone()[0]
+    assert got == row.s, got
+
+
 def test_histogram_bins_duplicates_below_cap(spark, tmp_path):
     """ADVICE r10-1, sharpened: below the cap histogram_numeric's bin
     count is MERGE-ORDER dependent — equal values coalesce on the ADD
@@ -1066,6 +1382,8 @@ if __name__ == "__main__":
         print(make_duplicated(sys.argv[2]))
     elif len(sys.argv) == 3 and sys.argv[1] == "--make-uni":
         print(make_multibyte(sys.argv[2]))
+    elif len(sys.argv) == 3 and sys.argv[1] == "--make-time":
+        print(make_time_edges(sys.argv[2]))
 
 
 def test_mask_astral_letter_passthrough_quirk(spark):

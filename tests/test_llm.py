@@ -511,3 +511,41 @@ def test_bpe_merges_match_pure_python_reference(spark):
         for r in REGISTRY["bpe_train_merges"].fn(spark, SF_SMOKE).collect()
     ]
     assert got == expected, (got, expected)
+
+
+def test_mask_evasion_profile(spark):
+    """Pin for text.mask_evasion_profile (VERDICT r11 #8): the
+    measurement's regex classes must count EXACTLY the codepoints that
+    evade Spark's mask() — astral letters/digits and the 12
+    Unicode-14+ BMP additions — and nothing else (emoji are astral but
+    not letters: the mask never masks them, so they are not
+    'evading'). Cross-checked in the same test: every row the profile
+    calls unsafe really does survive mask() with visible payload."""
+    rows = [
+        (1, "plain ascii text 123"),          # masked fine
+        (2, "spoofed 𝕦𝕟𝕚𝕔𝕠𝕕𝕖 name"),            # astral letters evade
+        (3, "old polish Ꟁꟁ letters"),          # Unicode-14 skew evades
+        (4, "emoji only 😀🚀 here"),            # astral NON-letters: safe
+        (5, None),                             # NULL text
+        (6, "both 𝕒 and ꟑ kinds"),             # counted once in unsafe
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    prof = text.mask_evasion_profile(df).first()
+    assert prof.n_docs == 6
+    assert prof.n_docs_astral_evading == 2          # rows 2, 6
+    assert prof.n_astral_evading_chars == 7 + 1     # 𝕦𝕟𝕚𝕔𝕠𝕕𝕖 + 𝕒
+    assert prof.n_docs_unicode_skew == 2            # rows 3, 6
+    assert prof.n_skew_chars == 2 + 1               # Ꟁꟁ + ꟑ
+    assert prof.n_docs_mask_unsafe == 3             # rows 2, 3, 6
+
+    # the unsafe rows really do defeat mask(): the evading codepoints
+    # appear VERBATIM in the masked output
+    masked = {
+        r.doc_id: r.m
+        for r in df.select("doc_id", F.mask("text").alias("m")).collect()
+    }
+    assert "𝕦𝕟𝕚𝕔𝕠𝕕𝕖" in masked[2]
+    assert "Ꟁꟁ" in masked[3]
+    assert "𝕒" in masked[6] and "ꟑ" in masked[6]
+    # and the safe emoji row carries no letter/digit leak at all
+    assert masked[4] == "xxxxx xxxx 😀🚀 xxxx"
