@@ -299,10 +299,11 @@ def fn_decimal_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
            ts + INTERVAL 1 MONTH + INTERVAL 2 DAY AS plus_1m2d,
            strftime(ts, '%Y/%m/%d %a') AS fmt,
            CAST(dayofyear(ts) AS BIGINT) AS doy,
-           -- trunc, not floor (r12 temporal axis): Spark/Hive
-           -- to_unix_timestamp truncates TOWARD ZERO, so pre-1970
-           -- sub-second values are off-by-one under floor()
-           CAST(trunc(epoch(ts)) AS BIGINT) AS unix_s
+           -- integer µs division (r12 temporal axis): Spark/Hive
+           -- to_unix_timestamp truncates TOWARD ZERO (pre-1970
+           -- sub-second values are off-by-one under floor()), and
+           -- DuckDB's BIGINT // matches — exact, no double hazard
+           epoch_us(ts) // 1000000 AS unix_s
     FROM o, ref
     """,
     tags=("functions", "datetime"),

@@ -161,12 +161,14 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o_orderdate AS DATE) + 30        AS plus30,
            CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
            date_diff('day', o_orderdate, TIMESTAMP '1998-01-01') AS days_to_98,
-           -- trunc, not floor/CAST (r12 temporal axis): Spark/Hive
-           -- unix_timestamp truncates TOWARD ZERO (Java integer
-           -- division), so a pre-1970 sub-second value floors one
-           -- second lower under floor(), and DuckDB's float->BIGINT
-           -- CAST rounds — both silently off-by-one on negatives
-           CAST(trunc(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+           -- integer µs division, not floor/CAST on epoch()'s DOUBLE
+           -- (r12 temporal axis): Spark/Hive unix_timestamp truncates
+           -- TOWARD ZERO (Java integer division) — floor() is one
+           -- second lower on pre-1970 sub-second values and the
+           -- float->BIGINT CAST rounds. DuckDB's BIGINT // truncates
+           -- toward zero too (canary-pinned), so the µs route is
+           -- exact end-to-end with no double-precision reasoning
+           epoch_us(o_orderdate) // 1000000 AS epoch_s
     FROM orders
     WHERE o_orderkey % 5 = 0
       -- ts_valid ceiling (r12 temporal axis): +30d/+2mo arithmetic on

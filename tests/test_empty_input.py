@@ -1111,9 +1111,15 @@ def test_unix_seconds_truncate_toward_zero_quirk(spark):
     )
     assert row.s == -459088646, row.s  # trunc, not floor (-459088647)
     con = duckdb.connect()
+    # the oracle device is INTEGER µs division: DuckDB's BIGINT //
+    # truncates toward zero like Java's division (pinned here — if //
+    # ever goes floor-division, the oracles drift on negatives), and
+    # integer arithmetic carries no double-precision hazard for
+    # sub-second values near the validity ceiling (epoch()'s DOUBLE
+    # ulp crosses 1µs around year 2242)
     got = con.execute(
-        "SELECT CAST(trunc(epoch(TIMESTAMP '1955-06-15 11:22:33.654321'))"
-        " AS BIGINT)"
+        "SELECT epoch_us(TIMESTAMP '1955-06-15 11:22:33.654321')"
+        " // 1000000"
     ).fetchone()[0]
     assert got == row.s, got
 
