@@ -324,11 +324,26 @@ CONTRACT_CHANGED = [
     "orders_backlog_curve",
     "customer_cohort_ltv",
     "q9_product_profit",
+    # r12 third stretch — the NINTH (dirty-JSON) axis: truncated/
+    # unquoted/empty/wrong-typed/overflow payloads salted into
+    # events.props. Both props consumers repaired with the
+    # lenient-JSON contract: extraction yields NULL for malformed
+    # documents and un-castable values (try_parse_json +
+    # try_variant_get / get_json_object + try_cast; oracle twin
+    # json_valid + TRY_CAST), and overflow group sums mirror as NULL
+    # (try_sum / TRY_CAST(sum) — probed identical under BOTH ANSI
+    # configs). The old parse_json FAILFAST path died on ONE
+    # truncated payload — the failure a 100 TB crawl scan cannot
+    # afford. Unmirrorable classes (duplicate keys, trailing junk,
+    # non-integral numbers) are out-of-salt and canary-pinned.
+    "fn_json",
+    "fn_variant_json",
 ]
 
-# Round-12 selection, RE-rotated mid-round when the temporal-axis
-# repair wave landed (the r10/r11 serve-and-clear pattern;
-# propose_window() emits this list verbatim): the 9 CONTRACT_CHANGED
+# Round-12 selection, RE-rotated mid-round TWICE as the repair waves
+# landed — the temporal axis (9 claims), then the dirty-JSON axis
+# (2 more) — the r10/r11 serve-and-clear pattern;
+# propose_window() emits this list verbatim: the 11 CONTRACT_CHANGED
 # declarations take first claim, then one rep per required §2 family
 # absent so far, stalest family first — the r11-starved families
 # (script via text_script_profile, setop via setop_union_distinct,
@@ -352,6 +367,8 @@ DRIVER_WINDOW = [
     "orders_backlog_curve",
     "customer_cohort_ltv",
     "q9_product_profit",
+    "fn_json",
+    "fn_variant_json",
     "text_script_profile",
     "setop_union_distinct",
     "sim_ann_ivf_bcast",
@@ -383,7 +400,6 @@ DRIVER_WINDOW = [
     "window_share_of_total",
     "fn_regex",
     "fn_conditional",
-    "fn_json",
     "fn_hash",
     "fn_complex_types",
     "q1_pricing_summary",
@@ -392,7 +408,6 @@ DRIVER_WINDOW = [
     "text_fingerprint",
     "text_ngrams_top",
     "text_tfidf_top_terms",
-    "stream_static_join",
 ]
 
 def _ordered():

@@ -250,13 +250,33 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fn_json",
+    # Lenient-JSON contract (r12 dirty-JSON axis): crawled JSON is
+    # dirty — truncated documents, unquoted keys, wrong-typed and
+    # overflow values — and extraction must yield NULL for them, not
+    # kill the scan. Spark's get_json_object is natively lenient but
+    # its plain CAST is not (ANSI throws on '"Infinity"'/'[1,2]'), so
+    # the kernel rides try_cast; DuckDB's ->> is natively STRICT
+    # (Malformed JSON error), so the oracle guards with json_valid +
+    # TRY_CAST. The unmirrorable edge classes — duplicate keys
+    # (Spark's variant rejects, both string paths first-win) and
+    # trailing junk (Spark accepts, DuckDB's json_valid refuses) —
+    # stay OUT of the fixture salt and are canary-pinned instead
+    # (tests/test_empty_input.py).
     oracle="""
     SELECT event_type,
            count(*)                                   AS n,
-           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
-           CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
-           count(props->>'missing')                   AS n_missing
+           -- overflow-as-NULL mirror: an int64-max payload makes the
+           -- group sum exceed BIGINT; Spark's try_sum yields NULL
+           -- under BOTH ANSI configs (probed) and DuckDB's HUGEINT
+           -- sum TRY_CASTs to the same NULL
+           TRY_CAST(sum(CASE WHEN json_valid(props)
+                    THEN TRY_CAST(props->>'k' AS BIGINT) END) AS BIGINT) AS sum_k,
+           CAST(min(CASE WHEN json_valid(props)
+                    THEN TRY_CAST(props->>'k' AS BIGINT) END) AS BIGINT) AS min_k,
+           CAST(max(CASE WHEN json_valid(props)
+                    THEN TRY_CAST(props->>'k' AS BIGINT) END) AS BIGINT) AS max_k,
+           count(CASE WHEN json_valid(props)
+                 THEN props->>'missing' END)          AS n_missing
     FROM events
     GROUP BY event_type
     """,
@@ -264,12 +284,15 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction (Hive GenericUDFGetJsonObject / json_tuple —
-    SURVEY.md §2.H) over the events.props payload."""
+    SURVEY.md §2.H) over the events.props payload. Lenient-JSON
+    contract (r12 dirty-JSON axis): malformed documents and
+    un-castable values extract as NULL — see the oracle note."""
     e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return e.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(k).alias("sum_k"),
+        # overflow-as-NULL mirror (r12 dirty-JSON axis; see oracle)
+        F.try_sum(k).alias("sum_k"),
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
         F.count(F.get_json_object("props", "$.missing")).alias("n_missing"),
@@ -278,12 +301,27 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fn_variant_json",
+    # Lenient-JSON contract (r12 dirty-JSON axis) — see fn_json. The
+    # variant path's leniency is try_parse_json + try_variant_get:
+    # the old parse_json FAILFAST-crashed the WHOLE query on one
+    # truncated payload, the exact failure a 100 TB crawl scan
+    # cannot afford. Probed coercion parity on the salt classes:
+    # string "12" → 12 on both (variant coerces, TRY_CAST parses),
+    # 1e309/array/json-null/absent → NULL on both. Out-of-salt
+    # canaries: duplicate keys (variant REJECTS the document where
+    # both string paths first-win) and non-integral numbers
+    # (variant's bigint get TRUNCATES 2.9 → 2 where the string
+    # TRY_CAST refuses).
     oracle="""
     SELECT event_type,
-           CAST(sum(CASE WHEN CAST(props->>'k' AS BIGINT) % 3 = 0
-                         THEN CAST(props->>'k' AS BIGINT) END) AS BIGINT) AS sum_k3,
-           count(CASE WHEN CAST(props->>'k' AS BIGINT) % 3 = 0 THEN 1 END) AS n_k3,
-           count(props->>'missing') AS n_missing
+           CAST(sum(CASE WHEN TRY_CAST(CASE WHEN json_valid(props)
+                              THEN props->>'k' END AS BIGINT) % 3 = 0
+                         THEN TRY_CAST(props->>'k' AS BIGINT) END) AS BIGINT) AS sum_k3,
+           count(CASE WHEN TRY_CAST(CASE WHEN json_valid(props)
+                           THEN props->>'k' END AS BIGINT) % 3 = 0
+                      THEN 1 END) AS n_k3,
+           count(CASE WHEN json_valid(props)
+                 THEN props->>'missing' END) AS n_missing
     FROM events GROUP BY event_type ORDER BY event_type
     """,
     tags=("functions", "json", "variant"),
@@ -295,10 +333,12 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     `variant_get` extractions (predicate + aggregate on the extracted
     value) with `try_variant_get` for absent paths. At 100 TB parse-once
     beats per-extraction re-parsing of the JSON string whenever a query
-    touches 2+ paths. Oracle is DuckDB's native JSON operators."""
+    touches 2+ paths. Oracle is DuckDB's native JSON operators.
+    Lenient-JSON contract (r12 dirty-JSON axis) — see the oracle
+    note: one malformed crawl row must not kill the scan."""
     e = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
-    k = F.variant_get(v, "$.k", "bigint")
+    v = F.try_parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
     return (
         e.select("event_type", k.alias("k"), F.try_variant_get(v, "$.missing", "bigint").alias("m"))
         .groupBy("event_type")

@@ -458,6 +458,60 @@ def make_duplicated(dst: str, k: int = 3) -> str:
     return dst
 
 
+# Dirty-JSON payloads for the NINTH axis (r12 third stretch): the
+# events.props JSON column is the one semi-structured surface no
+# axis ever salted, and crawled JSON is DIRTY — truncated documents,
+# unquoted keys, empty strings, wrong-typed and overflow values.
+# Probing found the engines genuinely disagree at the edges (DuckDB's
+# ->> ERRORS on malformed input where Spark's get_json_object yields
+# NULL; Spark's variant parser REJECTS duplicate keys both others
+# first-win; both accept trailing junk differently), so the salt
+# carries the classes a DECLARED lenient-JSON contract can mirror,
+# and the unmirrorable classes (duplicate keys, trailing junk) are
+# canary-pinned instead of salted.
+_JSON_EDGES = (
+    '{"k": 5',                        # truncated document
+    "{k: 7}",                         # unquoted key
+    "",                               # empty payload
+    '{"k": null}',                    # JSON null
+    '{"k": "12"}',                    # string-typed number
+    '{"k": 9223372036854775807}',     # int64 max
+    '{"k": 1e309}',                   # double overflow -> Infinity
+    '{"k": [1, 2]}',                  # array-valued k
+    '{"a": {"k": 3}}',                # k only at a deeper path
+)
+
+
+def make_json_edges(dst: str) -> str:
+    """NINTH axis (r12 third stretch): dirty JSON salted into
+    events.props on a deterministic grid (every 7th row). Both
+    engines read the SAME payload bytes, so parity is exactly
+    defined under the lenient-JSON contract: extraction yields NULL
+    for malformed documents and un-castable values instead of
+    killing the query — the only sane posture when one bad crawl
+    row must not take down a 100 TB scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    for f in os.listdir(SF_SRC):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(SF_SRC, f))
+            if f == "events.parquet":
+                vals = t.column("props").to_pylist()
+                for i in range(len(vals)):
+                    if vals[i] is not None and i % 7 == 0:
+                        vals[i] = _JSON_EDGES[(i // 7) % len(_JSON_EDGES)]
+                idx = t.schema.get_field_index("props")
+                t = t.set_column(
+                    idx,
+                    t.schema.field(idx),
+                    pa.array(vals, type=pa.string()),
+                )
+            pq.write_table(t, os.path.join(dst, f))
+    return dst
+
+
 # Control/hostile-byte snippets for the EIGHTH axis (r12 second
 # stretch): the bytes a real crawl actually carries that no prior
 # axis stressed — embedded NUL, CR/LF/TAB inside "lines", zero-width
@@ -957,6 +1011,87 @@ def test_repaired_entry_matches_oracle_on_replicas(spark, dup_sf, dup_con, name)
         spark, dup_con, entry.fn, entry.oracle, dup_sf
     )
     assert ok, f"{name} on K-replica input: {why}"
+
+
+# Dirty-JSON axis (r12 third stretch — the ninth sweep): the two
+# props-consuming entries, repaired with the lenient-JSON contract
+# (extraction yields NULL for malformed documents and un-castable
+# values; overflow group sums mirror as NULL via try_sum /
+# TRY_CAST(sum)) — one truncated crawl payload must not kill a
+# 100 TB scan, which is exactly what the old parse_json FAILFAST
+# path did.
+REPAIRED_JSON = [
+    "fn_json",
+    "fn_variant_json",
+]
+
+
+@pytest.fixture(scope="module")
+def json_sf(tmp_path_factory):
+    return make_json_edges(str(tmp_path_factory.mktemp("sf_json")))
+
+
+@pytest.fixture(scope="module")
+def json_con(json_sf):
+    return testing.duckdb_con(json_sf)
+
+
+@pytest.mark.parametrize("name", REPAIRED_JSON)
+def test_repaired_entry_matches_oracle_on_dirty_json(
+    spark, json_sf, json_con, name
+):
+    from hive_release_spark.queries import REGISTRY
+
+    entry = REGISTRY[name]
+    ok, why = testing.compare_query(
+        spark, json_con, entry.fn, entry.oracle, json_sf
+    )
+    assert ok, f"{name} on dirty-JSON input: {why}"
+
+
+def test_json_unmirrorable_edge_classes_quirk(spark):
+    """The two dirty-JSON classes kept OUT of the axis salt because
+    the engines genuinely disagree and no guard mirrors them —
+    pinned here so the fixture-exclusion stays justified:
+    (1) DUPLICATE KEYS: Spark's variant parser REJECTS the whole
+    document (try_parse_json → NULL) while get_json_object AND
+    DuckDB's ->> both first-win; (2) TRAILING JUNK: Spark's string
+    path extracts from the valid prefix while DuckDB's json_valid
+    refuses the document; (3) NON-INTEGRAL NUMBERS: variant's typed
+    bigint get TRUNCATES 2.9 → 2 while the string-path try_cast
+    refuses '2.9'. If any assertion flips, the engines converged —
+    fold the class into the axis salt."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, '{"k": 5, "k": 9}'),   # duplicate keys
+        (2, '{"k": 5}extra'),      # trailing junk
+        (3, '{"k": 2.9}'),         # non-integral number
+    ]
+    df = spark.createDataFrame(rows, "i LONG, props STRING")
+    got = {
+        r.i: (r.var, r.gj)
+        for r in df.select(
+            "i",
+            F.try_variant_get(
+                F.try_parse_json("props"), "$.k", "bigint"
+            ).alias("var"),
+            F.get_json_object("props", "$.k").try_cast("long").alias("gj"),
+        ).collect()
+    }
+    assert got[1] == (None, 5), got[1]   # variant rejects, string first-wins
+    assert got[2] == (5, 5), got[2]      # Spark accepts trailing junk
+    assert got[3] == (2, None), got[3]   # variant truncates, cast refuses
+
+    con = duckdb.connect()
+    assert con.execute(
+        "SELECT TRY_CAST('{\"k\": 5, \"k\": 9}'::VARCHAR->>'k' AS BIGINT)"
+    ).fetchone()[0] == 5                 # DuckDB first-wins
+    assert con.execute(
+        "SELECT json_valid('{\"k\": 5}extra')"
+    ).fetchone()[0] is False             # DuckDB refuses trailing junk
 
 
 # Control-chars axis (r12 second stretch — the eighth sweep): CLEAN
@@ -1524,6 +1659,8 @@ if __name__ == "__main__":
         print(make_time_edges(sys.argv[2]))
     elif len(sys.argv) == 3 and sys.argv[1] == "--make-ctrl":
         print(make_control_chars(sys.argv[2]))
+    elif len(sys.argv) == 3 and sys.argv[1] == "--make-json":
+        print(make_json_edges(sys.argv[2]))
 
 
 def test_mask_astral_letter_passthrough_quirk(spark):
