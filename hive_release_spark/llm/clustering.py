@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hive_release_spark.llm.similarity import VEC_VALID_SQL, vec_valid
+
 
 def _nearest(centroids: list[list[float]]):
     """Column expr: index of the nearest centroid (squared-L2,
@@ -56,11 +58,13 @@ def kmeans_assign(
 ) -> DataFrame:
     """Run ``n_iter`` Lloyd iterations; return (id, cluster) assignments
     under the final centroids."""
-    # NULL vectors carry no geometry — not init candidates, not
+    # corrupt vectors carry no geometry — not init candidates, not
     # assignable; drop JVM-side (scan-pushed), same contract as the
-    # similarity kernels. r10 all-NULL axis.
-    pts = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v")).filter(
-        F.col("v").isNotNull()
+    # similarity kernels. r10 all-NULL axis; r12 vector-specials axis
+    # extends the drop to NaN/Inf components and zero norm (one NaN
+    # centroid member would poison every later iteration).
+    pts = emb.filter(vec_valid(vec_col)).select(
+        id_col, F.col(vec_col).cast("array<double>").alias("v")
     )
     pts.persist()
     try:
@@ -100,7 +104,7 @@ def kmeans_oracle(k: int = 8, n_iter: int = 3) -> str:
     6-decimal centroid rounding, same lowest-cluster tie-break)."""
     sql = [
         "WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
-        " WHERE embedding IS NOT NULL),",
+        " WHERE " + VEC_VALID_SQL + "),",
         f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c"
         f" FROM (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT {k})),",
     ]
@@ -169,10 +173,10 @@ def pca_project(
     import numpy as np
     import pandas as pd
 
-    # NULL vectors carry no geometry — excluded from the moments AND
-    # from the projection output (scan-pushed JVM filter, same contract
-    # as the similarity kernels). r10 all-NULL axis.
-    emb = emb.filter(F.col(vec_col).isNotNull())
+    # corrupt vectors carry no geometry — excluded from the moments AND
+    # from the projection output (r10 all-NULL axis; r12 vector-
+    # specials axis: NaN/Inf components and zero norm drop too).
+    emb = emb.filter(vec_valid(vec_col))
     head = emb.select(vec_col).first()  # 1-row driver fetch, bounded
     if head is None:
         # zero-row corpus: no covariance to decompose — the typed empty
@@ -284,10 +288,10 @@ def power_iteration_project(
     """
     import math
 
-    # NULL vectors carry no geometry — excluded from the moments, the
-    # iterate, and the projection output (scan-pushed JVM filter, same
-    # contract as the similarity kernels). r10 all-NULL axis.
-    emb = emb.filter(F.col(vec_col).isNotNull())
+    # corrupt vectors carry no geometry — excluded from the moments,
+    # the iterate, and the projection output (r10 all-NULL axis; r12
+    # vector-specials axis: NaN/Inf components and zero norm too).
+    emb = emb.filter(vec_valid(vec_col))
     first = emb.select(vec_col).first()
     if first is None:
         # zero-row input: the DuckDB replay's recursive CTE emits no
@@ -398,7 +402,7 @@ def power_iteration_oracle(n_iter: int = 6, nq: int = 20, dim: int = 64) -> str:
     v0 = "[" + ", ".join([repr(1.0 / dim**0.5)] * dim) + "]"
     parts = [
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
-        " FROM embeddings WHERE embedding IS NOT NULL),",
+        " FROM embeddings WHERE " + VEC_VALID_SQL + "),",
         f"mm AS (SELECT pos, {q('avg(val)')} AS m FROM"
         " (SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS val"
         " FROM e) GROUP BY pos),",

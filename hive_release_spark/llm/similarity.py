@@ -23,6 +23,36 @@ def as_double_vec(col: Column | str) -> Column:
     return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
 
 
+# Vector-geometry contract v2 (r12 vector-specials axis, extending the
+# r10 NULL-geometry contract): a vector with ANY NULL/NaN/Inf component
+# or ZERO norm has NO position in the similarity space — cosine against
+# it is NaN or a division by zero, and under DESC similarity ordering
+# NaN ranks FIRST on both engines, so one corrupt crawl embedding would
+# otherwise WIN every search. Such rows are dropped scan-side at every
+# geometry intake (the same posture as finite()/ts_valid); the DuckDB
+# oracle twin is :data:`VEC_VALID_SQL`.
+VEC_VALID_SQL = (
+    "embedding IS NOT NULL"
+    " AND len(list_filter(embedding,"
+    " x -> x IS NULL OR NOT isfinite(x))) = 0"
+    " AND len(list_filter(embedding, x -> x <> 0)) > 0"
+)
+
+
+def vec_valid(col: Column | str) -> Column:
+    """Boolean: ``col`` is a geometrically valid vector — non-NULL,
+    every component non-NULL and finite, norm > 0. Oracle twin:
+    :data:`VEC_VALID_SQL` (swap the column name for non-default
+    columns). Codegen'd higher-order predicates, evaluated in the scan
+    stage — no shuffle, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    finite_all = F.forall(
+        c, lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) != F.lit(float("inf")))
+    )
+    nonzero = F.exists(c, lambda x: x != 0.0)
+    return c.isNotNull() & finite_all & nonzero
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-order dot product (matches a scalar loop exactly)."""
     return F.aggregate(
@@ -51,10 +81,11 @@ def brute_force_topk(
 
     The rank window partitions by query id — high cardinality, no skew.
     Ties broken by neighbor id for determinism."""
-    q = queries.select(
+    # vector-geometry contract v2: corrupt vectors never enter the rank
+    q = queries.filter(vec_valid(vec_col)).select(
         F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")
     )
-    c = corpus.select(
+    c = corpus.filter(vec_valid(vec_col)).select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
     )
     sims = (
@@ -80,7 +111,7 @@ def cosine_pairs(
     """All-pairs cosine ≥ threshold (embedding near-dup). ``block_col``
     restricts pairs to a blocking key (e.g. cluster label) — the IVF-style
     scale path; None = full cross product (small inputs only)."""
-    v = vectors.select(
+    v = vectors.filter(vec_valid(vec_col)).select(
         F.col(id_col).alias("id"),
         as_double_vec(vec_col).alias("v"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
@@ -145,10 +176,11 @@ def cosine_pairs_blas(
     import pandas as pd
 
     out_schema = "id_a BIGINT, id_b BIGINT, sim DOUBLE"
-    # NULL vectors carry no geometry — drop them JVM-side before the
-    # matrix build (a real heterogeneous corpus always has some; the
-    # filter pushes to the scan). r10 all-NULL axis.
-    src = vectors.filter(F.col(vec_col).isNotNull()).select(
+    # corrupt vectors carry no geometry — drop them JVM-side before
+    # the matrix build (r10 all-NULL axis; r12 vector-specials axis
+    # extends the drop to NaN/Inf components and zero norm, which
+    # would otherwise poison the normalized matrix)
+    src = vectors.filter(vec_valid(vec_col)).select(
         F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
     )
     pdf = src.toPandas()  # documented: bounded by feasibility of n² output
@@ -289,14 +321,14 @@ def lsh_bucket_topk(
     # drop JVM-side (scan-pushed) before the signature kernel's
     # np.stack. r10 all-NULL axis.
     q = with_buckets(
-        queries.filter(F.col(vec_col).isNotNull()).select(
+        queries.filter(vec_valid(vec_col)).select(
             F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")
         ),
         "query_id",
         "qv",
     )
     c = with_buckets(
-        corpus.filter(F.col(vec_col).isNotNull()).select(
+        corpus.filter(vec_valid(vec_col)).select(
             F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
         ),
         "neighbor_id",
@@ -356,6 +388,9 @@ def ivf_topk(
     the inverted-file trade every vector database makes. Recall vs the
     exact baseline is pinned in tests.
     """
+    # vector-geometry contract v2 (r12): corrupt vectors dropped
+    queries = queries.filter(vec_valid(vec_col))
+    corpus = corpus.filter(vec_valid(vec_col))
     n_corpus = corpus.count()
     stride = max(1, n_corpus // n_cells)
     centroids = [
@@ -480,6 +515,8 @@ def assign_cells(
     centroid via the packed-broadcast attach — zero shuffles, plan size
     O(1) in n_cells. The coarse-quantizer assignment shared by IVF search
     and semantic (SemDeDup-style) dedup."""
+    # vector-geometry contract v2 (r12): corrupt vectors dropped
+    vectors = vectors.filter(vec_valid(vec_col))
     v = vectors.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
     packed = _packed_centroids(vectors, n_cells, id_col, vec_col)
     return (
@@ -529,7 +566,7 @@ def semantic_dedup_pairs(
     # NULL vectors carry no geometry — drop them JVM-side before cell
     # assignment (scan-pushed; keeps NULL rows out of both the stride
     # centroid sample and the pair kernel's np.stack). r10 all-NULL axis.
-    vectors = vectors.filter(F.col(vec_col).isNotNull())
+    vectors = vectors.filter(vec_valid(vec_col))
     assigned = assign_cells(vectors, n_cells, id_col, vec_col)
 
     def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -603,6 +640,9 @@ def ivf_topk_bcast(
     descending (sim, cell) sort — array order inside the packed column
     is irrelevant to either, so collect_list's nondeterminism is safe.
     """
+    # vector-geometry contract v2 (r12): corrupt vectors dropped
+    queries = queries.filter(vec_valid(vec_col))
+    corpus = corpus.filter(vec_valid(vec_col))
     packed = _packed_centroids(corpus, n_cells, id_col, vec_col)
     cell_sims = _cell_sims
 
@@ -651,6 +691,8 @@ def label_centroids(
     embedding-drift monitoring. posexplode → groupBy (label, position) →
     avg: partial aggregation map-side, shuffle carries one row per
     (label, dim) — corpus-size-independent."""
+    # vector-geometry contract v2 (r12): corrupt vectors dropped
+    vectors = vectors.filter(vec_valid(vec_col))
     ex = vectors.select(
         F.col(label_col).alias("label"),
         F.posexplode(as_double_vec(vec_col)).alias("pos", "val"),
@@ -667,6 +709,8 @@ def normalize_quantize(
     aggregate HOFs): embarrassingly parallel, zero shuffles; the norm is
     rounded to 6 decimals for output (accumulation-order ulp) while the
     quantizer divides by the raw norm."""
+    # vector-geometry contract v2 (r12): corrupt vectors dropped
+    df = df.filter(vec_valid(vec_col))
     v = as_double_vec(vec_col)
     nrm = norm(v)
     return df.select(
@@ -707,8 +751,8 @@ def pq_topk(
     # NULL vectors carry no geometry — not encodable, not candidates;
     # drop JVM-side (scan-pushed). Also keeps the dimension probe below
     # from landing on a NULL head row. r10 all-NULL axis.
-    corpus = corpus.filter(F.col(vec_col).isNotNull())
-    queries = queries.filter(F.col(vec_col).isNotNull())
+    corpus = corpus.filter(vec_valid(vec_col))
+    queries = queries.filter(vec_valid(vec_col))
     head = corpus.select(vec_col).first()  # bounded 1-row fetch
     if head is None:
         # zero-row corpus: no dimension to derive, no codebook to build
@@ -810,6 +854,9 @@ def binary_hamming_topk(
     the ``shortlist`` survivors per query. Deterministic end to end:
     sign bits of identical floats, integer Hamming, the same cosine
     expression as brute_force_topk, ties broken by neighbor id."""
+    # vector-geometry contract v2 (r12): corrupt vectors dropped
+    queries = queries.filter(vec_valid(vec_col))
+    corpus = corpus.filter(vec_valid(vec_col))
     weights = [(2**i if i < 63 else -(2**63)) for i in range(64)]
     warr = F.array(*[F.lit(w).cast("long") for w in weights])
 
@@ -886,6 +933,9 @@ def sq8_topk(
     doubles in the pipeline are the final reranked cosines (the same
     expression brute_force_topk gates). Ties break on neighbor id at
     both stages."""
+    # vector-geometry contract v2 (r12): corrupt vectors dropped
+    queries = queries.filter(vec_valid(vec_col))
+    corpus = corpus.filter(vec_valid(vec_col))
     dim = 64
     vstats = (
         corpus.select(

@@ -338,22 +338,66 @@ CONTRACT_CHANGED = [
     # non-integral numbers) are out-of-salt and canary-pinned.
     "fn_json",
     "fn_variant_json",
+    # r12 fourth stretch — the TENTH (vector-specials) axis: NaN/Inf
+    # COMPONENTS and zero-norm vectors salted into embeddings (the
+    # one numeric surface the r10 NaN axis never reached — it salts
+    # only top-level double columns). First contact: 19 of the 26
+    # vector entries diverged or crashed (ANSI division by zero on
+    # zero norms, DuckDB stddev refusals on Inf, pandas NaN→INT
+    # casts, a power-iteration collapse). The repair is the
+    # VECTOR-GEOMETRY CONTRACT v2 (llm/similarity.py vec_valid +
+    # VEC_VALID_SQL, extending the r10 NULL-geometry contract):
+    # corrupt vectors have no position in the similarity space and
+    # are dropped at every geometry intake — justified by the pinned
+    # engine fact that a NaN similarity ranks FIRST under DESC
+    # ordering on both engines, so one corrupt crawl embedding would
+    # otherwise win every search. Applied at the shared helper
+    # intakes (similarity.py, clustering.py) and the ten kernels
+    # that build their own frames — BEFORE any dimension slicing, so
+    # truncated and full passes see the same population. The ONE
+    # deliberate exception: emb_quality_report keeps corrupt vectors
+    # IN (it IS the corruption detector) — its corruption count
+    # generalizes from NaN-only to NULL/NaN/Inf (n_with_nan →
+    # n_corrupt) and its norm statistics ride finite norms only.
+    "dedup_embedding_cosine",
+    "dedup_semantic_cells",
+    "sim_cosine_topk",
+    "sim_cosine_topk_arrow",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_ann_ivf_bcast",
+    "sim_ann_pq",
+    "sim_ann_binary",
+    "sim_ann_sq8",
+    "sim_hard_negatives",
+    "sim_mmr_rerank",
+    "sim_rrf_fusion",
+    "sim_rocchio_expansion",
+    "emb_label_centroids",
+    "emb_quality_report",
+    "emb_normalize_quantize",
+    "emb_kmeans",
+    "emb_pca_project",
+    "emb_pca_contract",
+    "emb_matryoshka_recall",
+    "emb_cluster_separation",
+    "emb_whitening",
+    "emb_mean_shift_drift",
+    "search_eval_metrics",
+    "ml_knn_label_accuracy",
 ]
 
-# Round-12 selection, RE-rotated mid-round TWICE as the repair waves
-# landed — the temporal axis (9 claims), then the dirty-JSON axis
-# (2 more) — the r10/r11 serve-and-clear pattern;
-# propose_window() emits this list verbatim: the 11 CONTRACT_CHANGED
-# declarations take first claim, then one rep per required §2 family
-# absent so far, stalest family first — the r11-starved families
-# (script via text_script_profile, setop via setop_union_distinct,
-# ann via sim_ann_ivf_bcast, neardup via dedup_minhash_lsh, sketch
-# via agg_hll_sketch; ptf/tpch/session_window now ride the contract
-# rows' own tags) plus the udtf/multimodal/outer/sample/topk/window/
-# join/functions reps the secondary-tag pass ranks next — then the
-# remaining slots fill oldest-witness-first (the r1-witnessed
-# setop/join/subquery/window/fn tier), never re-recording an
-# r11-fresh row.
+# Round-12 selection, RE-rotated mid-round THREE times as the repair
+# waves landed — the temporal axis (9 claims), the dirty-JSON axis
+# (2), the vector-specials axis (26) — the r10/r11 serve-and-clear
+# pattern; propose_window() emits this list verbatim: the 37
+# CONTRACT_CHANGED declarations take first claim (their own tags
+# cover ptf/tpch/session_window/ann/similarity/dedup/functions), then
+# one rep per remaining required §2 family, stalest first (script via
+# text_script_profile, setop via setop_union_distinct, udtf,
+# multimodal, outer, sample, topk/limit via limit_offset_page), then
+# oldest-witness-first fill (the r1-witnessed setop/join tier) —
+# never re-recording an r11-fresh row.
 # Registry growth stays FROZEN (VERDICT r11 #4): 362 entries,
 # repairs and re-records only.
 
@@ -369,16 +413,38 @@ DRIVER_WINDOW = [
     "q9_product_profit",
     "fn_json",
     "fn_variant_json",
+    "dedup_embedding_cosine",
+    "dedup_semantic_cells",
+    "sim_cosine_topk",
+    "sim_cosine_topk_arrow",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_ann_ivf_bcast",
+    "sim_ann_pq",
+    "sim_ann_binary",
+    "sim_ann_sq8",
+    "sim_hard_negatives",
+    "sim_mmr_rerank",
+    "sim_rrf_fusion",
+    "sim_rocchio_expansion",
+    "emb_label_centroids",
+    "emb_quality_report",
+    "emb_normalize_quantize",
+    "emb_kmeans",
+    "emb_pca_project",
+    "emb_pca_contract",
+    "emb_matryoshka_recall",
+    "emb_cluster_separation",
+    "emb_whitening",
+    "emb_mean_shift_drift",
+    "search_eval_metrics",
+    "ml_knn_label_accuracy",
     "text_script_profile",
     "setop_union_distinct",
-    "sim_ann_ivf_bcast",
-    "dedup_minhash_lsh",
     "udtf_python",
     "multimodal_meta",
     "join_full_outer",
     "sample_bucket",
-    "agg_hll_sketch",
-    "sim_cosine_topk",
     "limit_offset_page",
     "distinct_rows",
     "setop_intersect",
@@ -386,28 +452,6 @@ DRIVER_WINDOW = [
     "setop_except_all",
     "join_broadcast_part",
     "q5_local_supplier_volume",
-    "join_left_semi",
-    "join_left_anti",
-    "join_cross",
-    "join_theta_residual",
-    "join_pure_theta",
-    "subquery_in",
-    "subquery_scalar_correlated",
-    "subquery_not_in",
-    "window_lead_lag",
-    "window_range_frame",
-    "window_first_last",
-    "window_share_of_total",
-    "fn_regex",
-    "fn_conditional",
-    "fn_hash",
-    "fn_complex_types",
-    "q1_pricing_summary",
-    "window_rows_frame",
-    "text_quality",
-    "text_fingerprint",
-    "text_ngrams_top",
-    "text_tfidf_top_terms",
 ]
 
 def _ordered():

@@ -201,7 +201,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-               WHERE embedding IS NOT NULL)
+               WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.v, b.v), 6) AS sim
     FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -223,7 +223,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_semantic_cells",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-               WHERE embedding IS NOT NULL),
+               WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
     params AS (SELECT greatest(1, count(*) // 8) AS stride FROM e),
     cents AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
@@ -263,7 +263,7 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_cosine_topk",
     oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
     sims AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              list_cosine_similarity(q.v, c.v) AS sim
@@ -309,7 +309,7 @@ def _lsh_oracle(k: int = 5, n_planes: int = 4, n_tables: int = 8,
         arms.append(f"({t << 32} + {bits})")
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-               WHERE embedding IS NOT NULL),
+               WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
     sig AS (SELECT vec_id, unnest([{', '.join(arms)}]) AS bucket FROM e),
     cand AS (
       SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
@@ -353,7 +353,7 @@ def _ivf_oracle(n_cells: int, n_probe: int, k: int, nq: int) -> str:
     exact re-rank) — shared by the plan-literal and broadcast-centroid
     variants, which must produce identical results by construction."""
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
     params AS (SELECT greatest(1, count(*) // {n_cells}) AS stride FROM e),
     cents AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
@@ -641,7 +641,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_pq",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-               WHERE embedding IS NOT NULL),
+               WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
     params AS (SELECT greatest(1, count(*) // 16) AS stride FROM e),
     cents AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
@@ -817,6 +817,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, unnest(embedding) AS val,
              generate_subscripts(embedding, 1) AS pos
       FROM embeddings
+      WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0
     )
     GROUP BY label, pos
     """,
@@ -1023,7 +1024,7 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_binary",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
     cand AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              CAST(len(list_filter(range(1, 65),
@@ -1164,22 +1165,31 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_quality_report",
+    # The ONE vector entry that must NOT drop corrupt vectors — it IS
+    # the corruption detector (r12 vector-specials axis). The input
+    # stays UNFILTERED; corruption generalizes from the old NaN-only
+    # count to any NULL vector / NULL component / NaN / Inf
+    # (n_with_nan → n_corrupt), and the norm statistics ride FINITE
+    # norms only (an Inf component otherwise poisons mu/sd — Spark
+    # renders NaN, DuckDB's stddev refuses outright).
     oracle="""
-    WITH n AS (
-      SELECT vec_id, label,
-             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-                                          x -> x * x))) AS nrm,
-             len(list_filter(CAST(embedding AS DOUBLE[]),
-                             x -> isnan(x))) AS n_nan
+    WITH n0 AS (
+      SELECT label,
+             CASE WHEN embedding IS NULL THEN NULL
+                  ELSE sqrt(list_sum(list_transform(
+                       CAST(embedding AS DOUBLE[]), x -> x * x))) END AS nrm_raw,
+             (embedding IS NOT NULL AND len(list_filter(embedding,
+                  x -> x IS NULL OR NOT isfinite(x))) = 0) AS ok
       FROM embeddings),
+    n AS (SELECT label, ok, CASE WHEN ok THEN nrm_raw END AS nrm FROM n0),
     s AS (SELECT avg(nrm) AS mu,
                  stddev_pop(nrm) AS sd
-          FROM n WHERE n_nan = 0)
+          FROM n WHERE ok)
     SELECT label,
            CAST(count(*) AS BIGINT) AS n_vecs,
-           CAST(count(*) FILTER (n_nan > 0) AS BIGINT) AS n_with_nan,
-           CAST(count(*) FILTER (nrm = 0) AS BIGINT) AS n_zero_norm,
-           CAST(count(*) FILTER (n_nan = 0 AND
+           CAST(count(*) FILTER (NOT ok) AS BIGINT) AS n_corrupt,
+           CAST(count(*) FILTER (ok AND nrm = 0) AS BIGINT) AS n_zero_norm,
+           CAST(count(*) FILTER (ok AND
                 abs(nrm - s.mu) > 3 * s.sd) AS BIGINT) AS n_norm_outliers,
            round(avg(nrm), 6) AS mean_norm,
            round(min(nrm), 6) AS min_norm,
@@ -1196,27 +1206,39 @@ def emb_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     OUTLIERS beyond 3 sigma of the corpus norm distribution (scale
     bugs, double-normalization), plus the norm envelope.  A single
     corrupt shard silently poisons cosine rankings — norms are the
-    cheapest detector.  Shapes: the norm and NaN count are scan-side
-    HOFs over the vector (no shuffle); the corpus mu/sd ride a 1-row
-    broadcast; one label rollup emits the report.  Norms of identical
-    floats are identical doubles, outlier thresholds compare those
-    against broadcast scalars, so the flag set is engine-exact."""
+    cheapest detector.  Shapes: the norm and corruption flag are
+    scan-side HOFs over the vector (no shuffle); the corpus mu/sd
+    ride a 1-row broadcast; one label rollup emits the report.
+    Norms of identical floats are identical doubles, outlier
+    thresholds compare those against broadcast scalars, so the flag
+    set is engine-exact.  r12 vector-specials axis: the INPUT stays
+    unfiltered (this entry IS the corruption detector), corruption
+    covers NULL vectors/components and NaN/Inf (n_corrupt), and the
+    norm statistics ride finite norms only — an Inf component
+    otherwise poisons mu/sd on both engines."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform(
         F.col("embedding"), lambda x: x.cast("double")
     )
-    nrm = F.sqrt(
+    nrm_raw = F.sqrt(
         F.aggregate(
             F.transform(v, lambda x: x * x),
             F.lit(0.0),
             lambda a, x: a + x,
         )
     )
-    n_nan = F.size(F.filter(v, lambda x: F.isnan(x)))
-    n = emb.select(
-        "label", nrm.alias("nrm"), n_nan.alias("n_nan")
+    ok = F.col("embedding").isNotNull() & F.forall(
+        v,
+        lambda x: x.isNotNull()
+        & ~F.isnan(x)
+        & (F.abs(x) != F.lit(float("inf"))),
     )
-    s = n.filter(F.col("n_nan") == 0).agg(
+    n = emb.select(
+        "label",
+        F.when(ok, nrm_raw).alias("nrm"),
+        ok.alias("ok"),
+    )
+    s = n.filter(F.col("ok")).agg(
         F.avg("nrm").alias("mu"), F.stddev_pop("nrm").alias("sd")
     )
     j = n.crossJoin(F.broadcast(s))
@@ -1224,11 +1246,13 @@ def emb_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy("label")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.count(F.when(F.col("n_nan") > 0, 1)).alias("n_with_nan"),
-            F.count(F.when(F.col("nrm") == 0, 1)).alias("n_zero_norm"),
+            F.count(F.when(~F.col("ok"), 1)).alias("n_corrupt"),
+            F.count(
+                F.when(F.col("ok") & (F.col("nrm") == 0), 1)
+            ).alias("n_zero_norm"),
             F.count(
                 F.when(
-                    (F.col("n_nan") == 0)
+                    F.col("ok")
                     & (
                         F.abs(F.col("nrm") - F.col("mu"))
                         > 3 * F.col("sd")
@@ -1314,7 +1338,7 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_sq8",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
     mm AS (
       SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
       FROM e, range(1, 65) t(i) GROUP BY i),

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hive_release_spark.catalog import load_table
+from hive_release_spark.llm import similarity
 from hive_release_spark.queries.registry import register
 
 
@@ -71,7 +72,7 @@ def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TOPK_ORACLE = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
 sims AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          list_cosine_similarity(q.v, c.v) AS sim
@@ -98,7 +99,13 @@ def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus computes a (batch × queries) similarity block; top-k is a
     window rank after. Ranks are taken on 9-decimal-rounded sims so BLAS
     summation order can't flip neighbor order vs the oracle."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # vector-geometry contract v2 (r12 vector-specials axis):
+    # corrupt vectors (NaN/Inf component, zero norm) dropped at the
+    # load — BEFORE any slicing/arm split, so every pass sees the
+    # same population; oracle twin mirrors on the full embedding
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        similarity.vec_valid("embedding")
+    )
     qrows = emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding").collect()
     if not qrows:
         # empty query set (zero-row corpus, or no vec_id < 20): no

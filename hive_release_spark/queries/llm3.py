@@ -102,7 +102,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                                               x -> x * x))) AS nrm
-          FROM embeddings)
+          FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0)
     ORDER BY vec_id
     """,
     tags=("llm", "embedding", "quantize"),
@@ -326,7 +326,7 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT count(*) AS n_rows, 8 AS k,
            TRUE AS ordered_ok, TRUE AS means_ok, TRUE AS ortho_ok
-    FROM embeddings WHERE embedding IS NOT NULL
+    FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0
     """,
     tags=("llm", "embedding", "pca", "sketch"),
 )
@@ -524,7 +524,7 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_hard_negatives",
     oracle="""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
     sims AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              c.label AS neighbor_label,
@@ -552,7 +552,13 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     the label-mismatch predicate rides the broadcast join condition, so
     same-label candidates are dropped before any similarity is scored.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # vector-geometry contract v2 (r12 vector-specials axis):
+    # corrupt vectors (NaN/Inf component, zero norm) dropped at the
+    # load — BEFORE any slicing/arm split, so every pass sees the
+    # same population; oracle twin mirrors on the full embedding
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        similarity.vec_valid("embedding")
+    )
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
@@ -585,7 +591,7 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "emb_matryoshka_recall",
     oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
     fr AS (
       SELECT query_id, neighbor_id FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -622,7 +628,13 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on (query, neighbor); the corpus never shuffles. Fully
     deterministic (cosine tie-break on neighbor id), so recall itself
     is oracle-gated — no tolerance band needed."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # vector-geometry contract v2 (r12 vector-specials axis):
+    # corrupt vectors (NaN/Inf component, zero norm) dropped at the
+    # load — BEFORE any slicing/arm split, so every pass sees the
+    # same population; oracle twin mirrors on the full embedding
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        similarity.vec_valid("embedding")
+    )
     q = emb.filter(F.col("vec_id") < 20)
     full = similarity.brute_force_topk(q, emb, k=5)
     trunc = similarity.brute_force_topk(
@@ -653,7 +665,7 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_cluster_separation",
     oracle="""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
     c AS (
       SELECT label, pos, avg(val) AS cv FROM (
         SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos
@@ -691,7 +703,13 @@ def emb_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is dimension-table-sized. Centroid attach is a broadcast join
     on label; everything re-derives exactly in SQL, so the scores are
     oracle-gated, not tolerance-banded."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # vector-geometry contract v2 (r12 vector-specials axis):
+    # corrupt vectors (NaN/Inf component, zero norm) dropped at the
+    # load — BEFORE any slicing/arm split, so every pass sees the
+    # same population; oracle twin mirrors on the full embedding
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        similarity.vec_valid("embedding")
+    )
     e = emb.select(
         "vec_id", "label", similarity.as_double_vec("embedding").alias("v")
     )
@@ -826,7 +844,7 @@ def corpus_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_mmr_rerank",
     oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
     cand AS (
       SELECT query_id, vec_id, cv, rel FROM (
@@ -884,7 +902,13 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     is touched once, rounds only re-rank the 10-row candidate set).
     Fully deterministic (vec_id tie-breaks) -> the greedy trace itself
     is oracle-gated, stage by stage."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # vector-geometry contract v2 (r12 vector-specials axis):
+    # corrupt vectors (NaN/Inf component, zero norm) dropped at the
+    # load — BEFORE any slicing/arm split, so every pass sees the
+    # same population; oracle twin mirrors on the full embedding
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        similarity.vec_valid("embedding")
+    )
     e = emb.select("vec_id", similarity.as_double_vec("embedding").alias("v"))
     q = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -1065,7 +1089,7 @@ def search_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_rrf_fusion",
     oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
     fr AS (
       SELECT query_id, neighbor_id, rk FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1108,7 +1132,13 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames — top-10 per ranker, so the join input is query-count-sized,
     never corpus-sized. Deterministic ranks -> the fused list is
     oracle-gated exactly."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # vector-geometry contract v2 (r12 vector-specials axis):
+    # corrupt vectors (NaN/Inf component, zero norm) dropped at the
+    # load — BEFORE any slicing/arm split, so every pass sees the
+    # same population; oracle twin mirrors on the full embedding
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        similarity.vec_valid("embedding")
+    )
     q = emb.filter(F.col("vec_id") < 10)
     fr = similarity.brute_force_topk(q, emb, k=10).select(
         "query_id", "neighbor_id", F.col("rank").alias("rk_a")
@@ -1251,7 +1281,7 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_whitening",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
     ex AS (SELECT vec_id, unnest(v) AS x,
                   generate_subscripts(v, 1) AS dim FROM e),
     st AS (SELECT dim, avg(x) AS m, stddev(x) AS s FROM ex GROUP BY 1),
@@ -1279,7 +1309,13 @@ def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulations agreeing IS the test that the packed transform
     applies the right stat to the right dimension). Sample stddev on
     both engines."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # vector-geometry contract v2 (r12 vector-specials axis):
+    # corrupt vectors (NaN/Inf component, zero norm) dropped at the
+    # load — BEFORE any slicing/arm split, so every pass sees the
+    # same population; oracle twin mirrors on the full embedding
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        similarity.vec_valid("embedding")
+    )
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     ex = e.select(
         "vec_id", F.posexplode("v").alias("dim", "x")
@@ -1668,7 +1704,7 @@ def search_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_mean_shift_drift",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
     ex AS (SELECT vec_id % 2 AS g, unnest(v) AS x,
                   generate_subscripts(v, 1) AS dim FROM e),
     st AS (
@@ -1702,7 +1738,13 @@ def emb_mean_shift_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pass, output is dimensionality-sized. The t denominator is
     the usual Welch combination of per-half sample variances; folds
     at micro/milli on O(1)-magnitude statistics."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # vector-geometry contract v2 (r12 vector-specials axis):
+    # corrupt vectors (NaN/Inf component, zero norm) dropped at the
+    # load — BEFORE any slicing/arm split, so every pass sees the
+    # same population; oracle twin mirrors on the full embedding
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        similarity.vec_valid("embedding")
+    )
     ex = emb.select(
         (F.col("vec_id") % 2).alias("g"),
         F.posexplode(similarity.as_double_vec("embedding")).alias(

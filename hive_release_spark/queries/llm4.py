@@ -749,7 +749,7 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     "search_eval_metrics",
     oracle="""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
     q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
           FROM e WHERE vec_id < 8),
     ranked AS (
@@ -802,7 +802,13 @@ def search_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     every metric — replays exactly in the oracle."""
     from hive_release_spark.llm import similarity
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # vector-geometry contract v2 (r12 vector-specials axis):
+    # corrupt vectors (NaN/Inf component, zero norm) dropped at the
+    # load — BEFORE any slicing/arm split, so every pass sees the
+    # same population; oracle twin mirrors on the full embedding
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        similarity.vec_valid("embedding")
+    )
     labels = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
     )
@@ -1016,7 +1022,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_rocchio_expansion",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
     r1 AS (
       SELECT query_id, neighbor_id, rk FROM (

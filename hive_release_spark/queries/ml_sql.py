@@ -511,7 +511,7 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ml_knn_label_accuracy",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
     q AS (SELECT vec_id AS query_id, v AS qv, label AS true_label
           FROM e WHERE vec_id % 2 = 1 AND vec_id < 40),
     t AS (SELECT vec_id AS neighbor_id, v AS cv, label FROM e
@@ -560,7 +560,13 @@ def ml_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries (IVF/PQ/SQ8) unchanged above the shortlist."""
     from hive_release_spark.llm import similarity
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # vector-geometry contract v2 (r12 vector-specials axis):
+    # corrupt vectors (NaN/Inf component, zero norm) dropped at the
+    # load — BEFORE any slicing/arm split, so every pass sees the
+    # same population; oracle twin mirrors on the full embedding
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        similarity.vec_valid("embedding")
+    )
     q = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 40)).select(
         F.col("vec_id").alias("query_id"),
         similarity.as_double_vec("embedding").alias("qv"),

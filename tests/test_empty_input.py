@@ -458,6 +458,55 @@ def make_duplicated(dst: str, k: int = 3) -> str:
     return dst
 
 
+def make_vector_specials(dst: str) -> str:
+    """TENTH axis (r12 fourth stretch): IEEE specials INSIDE embedding
+    vectors plus zero-norm vectors — the one numeric surface the NaN
+    axis never reached (make_special_floats salts only TOP-LEVEL
+    double columns; array<float> components pass through untouched).
+    Real crawl embeddings carry NaN from degenerate upstream
+    normalization and all-zero vectors from empty inputs; a NaN
+    component silently poisons every dot product it touches, and
+    under DESC similarity ordering NaN ranks FIRST on both engines —
+    corrupt vectors winning every search is the failure mode this
+    axis exists to expose. Grid: i%13 → one NaN component, i%17 →
+    one +Inf, i%19 → the all-zero vector, i%23 → one -Inf."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    for f in os.listdir(SF_SRC):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(SF_SRC, f))
+            if f == "embeddings.parquet":
+                idx = t.schema.get_field_index("embedding")
+                vecs = t.column(idx).to_pylist()
+                for i in range(len(vecs)):
+                    v = vecs[i]
+                    if v is None:
+                        continue
+                    if i % 13 == 0 and v:
+                        v = list(v)
+                        v[i % len(v)] = math.nan
+                    elif i % 17 == 0 and v:
+                        v = list(v)
+                        v[i % len(v)] = math.inf
+                    elif i % 19 == 0 and v:
+                        v = [0.0] * len(v)
+                    elif i % 23 == 0 and v:
+                        v = list(v)
+                        v[i % len(v)] = -math.inf
+                    vecs[i] = v
+                t = t.set_column(
+                    idx,
+                    t.schema.field(idx),
+                    pa.array(vecs, type=t.schema.field(idx).type),
+                )
+            pq.write_table(t, os.path.join(dst, f))
+    return dst
+
+
 # Dirty-JSON payloads for the NINTH axis (r12 third stretch): the
 # events.props JSON column is the one semi-structured surface no
 # axis ever salted, and crawled JSON is DIRTY — truncated documents,
@@ -1011,6 +1060,95 @@ def test_repaired_entry_matches_oracle_on_replicas(spark, dup_sf, dup_con, name)
         spark, dup_con, entry.fn, entry.oracle, dup_sf
     )
     assert ok, f"{name} on K-replica input: {why}"
+
+
+# Vector-specials axis (r12 fourth stretch — the tenth sweep): the
+# embedding family under the vector-geometry contract v2
+# (llm/similarity.py vec_valid / VEC_VALID_SQL): NaN/Inf components
+# and zero-norm vectors are dropped at every geometry intake, because
+# cosine against them is NaN or a division by zero and NaN ranks
+# FIRST under DESC ordering on both engines — one corrupt crawl
+# embedding would otherwise win every search. The one deliberate
+# exception: emb_quality_report keeps corrupt vectors IN (it is the
+# corruption detector) and its norm statistics ride finite norms.
+REPAIRED_VEC = [
+    "dedup_embedding_cosine",
+    "dedup_semantic_cells",
+    "sim_cosine_topk",
+    "sim_cosine_topk_arrow",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_ann_ivf_bcast",
+    "sim_ann_pq",
+    "sim_ann_binary",
+    "sim_ann_sq8",
+    "sim_hard_negatives",
+    "sim_mmr_rerank",
+    "sim_rrf_fusion",
+    "sim_rocchio_expansion",
+    "emb_label_centroids",
+    "emb_quality_report",
+    "emb_normalize_quantize",
+    "emb_kmeans",
+    "emb_pca_contract",
+    "emb_matryoshka_recall",
+    "emb_cluster_separation",
+    "emb_whitening",
+    "emb_mean_shift_drift",
+    "search_eval_metrics",
+    "ml_knn_label_accuracy",
+]
+
+
+@pytest.fixture(scope="module")
+def vec_sf(tmp_path_factory):
+    return make_vector_specials(str(tmp_path_factory.mktemp("sf_vec")))
+
+
+@pytest.fixture(scope="module")
+def vec_con(vec_sf):
+    return testing.duckdb_con(vec_sf)
+
+
+@pytest.mark.parametrize("name", REPAIRED_VEC)
+def test_repaired_entry_matches_oracle_on_vector_specials(
+    spark, vec_sf, vec_con, name
+):
+    from hive_release_spark.queries import REGISTRY
+
+    entry = REGISTRY[name]
+    ok, why = testing.compare_query(
+        spark, vec_con, entry.fn, entry.oracle, vec_sf
+    )
+    assert ok, f"{name} on vector-specials input: {why}"
+
+
+def test_nan_similarity_ranks_first_quirk(spark):
+    """The engine behavior that makes the vector-geometry contract v2
+    NECESSARY, pinned: a NaN cosine similarity sorts FIRST under DESC
+    ordering (NaN is greatest in Spark's ordering), so without the
+    vec_valid guard a corrupt vector would be returned as the TOP
+    neighbor of every query — not an error, a silently wrong search
+    result. If this flips (NaN ordered last), the guard is still
+    correct (corrupt vectors carry no geometry) but the urgency
+    argument in the contract comments should be softened."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (2, float("nan")), (3, 0.1)], "id LONG, sim DOUBLE"
+    )
+    top = df.orderBy(F.col("sim").desc()).first()
+    assert math.isnan(top.sim), top
+    import duckdb
+
+    con = duckdb.connect()
+    first = con.execute(
+        "SELECT id FROM (VALUES (1, 0.9), (2, 'NaN'::DOUBLE), (3, 0.1))"
+        " t(id, sim) ORDER BY sim DESC LIMIT 1"
+    ).fetchone()[0]
+    assert first == 2, first
 
 
 # Dirty-JSON axis (r12 third stretch — the ninth sweep): the two
@@ -1661,6 +1799,8 @@ if __name__ == "__main__":
         print(make_control_chars(sys.argv[2]))
     elif len(sys.argv) == 3 and sys.argv[1] == "--make-json":
         print(make_json_edges(sys.argv[2]))
+    elif len(sys.argv) == 3 and sys.argv[1] == "--make-vec":
+        print(make_vector_specials(sys.argv[2]))
 
 
 def test_mask_astral_letter_passthrough_quirk(spark):
