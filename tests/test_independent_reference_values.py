@@ -2956,24 +2956,30 @@ def test_sorted_neighborhood_vs_python_window(spark):
 
 
 def test_emb_quality_report_vs_numpy_norms(spark):
+    # r12 vector-specials contract: corruption = any NULL/NaN/Inf
+    # component (n_with_nan → n_corrupt); norm statistics ride FINITE
+    # norms only (the committed fixture has no corrupt vectors, so
+    # finite == all here — the corrupt regime is exercised by the
+    # vec axis sweep in test_empty_input.py)
     emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
     X = np.stack(emb.embedding.values).astype("float64")
     nrm = np.linalg.norm(X, axis=1)
-    nan_rows = np.isnan(X).any(axis=1)
-    mu = nrm[~nan_rows].mean()
-    sd = nrm[~nan_rows].std(ddof=0)
+    bad_rows = ~np.isfinite(X).all(axis=1)
+    mu = nrm[~bad_rows].mean()
+    sd = nrm[~bad_rows].std(ddof=0)
     out = {r["label"]: r for r in _run(spark, "emb_quality_report")}
     for l in np.unique(emb.label.values):
         m = emb.label.values == l
         o = out[l]
+        ok = m & ~bad_rows
         assert o["n_vecs"] == int(m.sum())
-        assert o["n_with_nan"] == int(nan_rows[m].sum())
-        assert o["n_zero_norm"] == int((nrm[m] == 0).sum())
-        outliers = (~nan_rows[m]) & (np.abs(nrm[m] - mu) > 3 * sd)
+        assert o["n_corrupt"] == int(bad_rows[m].sum())
+        assert o["n_zero_norm"] == int((nrm[ok] == 0).sum())
+        outliers = (~bad_rows[m]) & (np.abs(nrm[m] - mu) > 3 * sd)
         assert o["n_norm_outliers"] == int(outliers.sum())
-        assert abs(o["mean_norm"] - nrm[m].mean()) < 2e-6
-        assert abs(o["min_norm"] - nrm[m].min()) < 2e-6
-        assert abs(o["max_norm"] - nrm[m].max()) < 2e-6
+        assert abs(o["mean_norm"] - nrm[ok].mean()) < 2e-6
+        assert abs(o["min_norm"] - nrm[ok].min()) < 2e-6
+        assert abs(o["max_norm"] - nrm[ok].max()) < 2e-6
 
 
 # ------------------------------------------------ payload dedup math

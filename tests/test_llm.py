@@ -200,14 +200,16 @@ class TestRound3Ops:
 
     def test_normalize_quantize_unit_bounds(self, spark):
         df = spark.createDataFrame(
-            [(1, [3.0, 4.0]), (2, [0.0, 0.0])], ["vec_id", "embedding"]
+            [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [float("nan"), 1.0])],
+            ["vec_id", "embedding"],
         )
         rows = {r.vec_id: r for r in similarity.normalize_quantize(df).collect()}
         assert rows[1].l2_norm == 5.0
         assert rows[1].q8 == [76, 102]  # round(127*3/5), round(127*4/5)
-        # zero vector: norm 0 -> q8 components are NULL (0/0), never a crash
-        assert rows[2].l2_norm == 0.0
-        assert all(v is None for v in rows[2].q8)
+        # vector-geometry contract v2 (r12): zero-norm and
+        # corrupt-component vectors have nothing to normalize — dropped
+        # at the intake, never a 0/0 NULL row and never a NaN->INT crash
+        assert set(rows) == {1}
 
 
 class TestKMeans:
