@@ -347,11 +347,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # LAZY checkpoints (r12): each round's ``changed`` count is an
+    # action that materializes ``new`` anyway — eager=True ran a
+    # SECOND materialization job per round first.  Lazy keeps the same
+    # lineage truncation (the DataFrame wraps the checkpointed RDD
+    # either way) with one job per round instead of two; the computed
+    # per-round plan — and the integer min-label arithmetic — is
+    # unchanged.
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         nbr = (
@@ -364,7 +371,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             "node",
             F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
         )
-        new = new.localCheckpoint(eager=True)
+        new = new.localCheckpoint(eager=False)
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "node")
@@ -645,17 +652,23 @@ def prefix_candidate_pairs(
     the exact verification step."""
     from pyspark import StorageLevel
 
-    # ONE corpus scan: the exploded shingle frame feeds both the
-    # document-frequency build and the df-attach join, and the ordered
-    # per-doc frame feeds both the prefix postings and the verification
-    # doc sets — without the persists each consumer re-runs the
-    # scan -> tokenize -> shingle lineage (the MinHash-base rule,
-    # SCALE.md deliberate-persist inventory).
-    ex = _exploded_shingles(docs, n, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    dfreq = ex.groupBy("s_h").agg(F.count("*").alias("df"))
-    exr = ex.join(dfreq, "s_h")
+    # ONE corpus scan: the document frequency rides a window over the
+    # exploded shingle frame (single consumer — see below), and the
+    # ordered per-doc frame feeds both the prefix postings and the
+    # verification doc sets — without ITS persist each consumer re-runs
+    # the scan -> tokenize -> shingle -> window lineage (the
+    # MinHash-base rule, SCALE.md deliberate-persist inventory).
+    # r12 (guide §2.4): the document frequency attaches via a window
+    # count over the shingle key — ONE exchange of the exploded frame —
+    # instead of the former groupBy + self-join, which exchanged it
+    # twice (once into the count aggregate, once into the join) and ran
+    # a sort-merge join.  Exact same integer df per (doc, shingle).
+    # With the join gone the exploded frame has ONE consumer, so its
+    # former persist (two-consumer insurance) is dropped too.
+    from pyspark.sql import Window as _W
+
+    ex = _exploded_shingles(docs, n, id_col, text_col)
+    exr = ex.withColumn("df", F.count("*").over(_W.partitionBy("s_h")))
     per_doc = exr.groupBy("doc_id").agg(
         F.first("n_sh").alias("n_sh"),
         F.sort_array(F.collect_list(F.struct("df", "s_h"))).alias("ordered"),

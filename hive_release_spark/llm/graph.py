@@ -69,6 +69,13 @@ def pagerank(
         ranks = contribs.groupBy("a").agg(
             (F.lit((1.0 - alpha) / n) + F.lit(alpha) * F.sum("c")).alias("p")
         )
+        # eager stays TRUE (r12 measured): a lazy checkpoint looked like
+        # it would save iters driver round-trips, but the paired A/B
+        # showed ~2x WORSE wall-clock — the chained 3-round mega-job
+        # scheduled worse than three isolated rounds, and each rank
+        # frame feeds both the next round's join AND its own
+        # checkpoint, so eager materialization is doing real reuse
+        # work.  Measured, rejected, kept eager.
         ranks = ranks.localCheckpoint(eager=True)
     return (
         ranks.join(deg, "a")

@@ -290,7 +290,15 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = li.select(
         "l_orderkey", (F.col("l_partkey") % 50).alias("grp")
     ).distinct()
-    n_orders = items.select("l_orderkey").distinct().count()
+    # r12 (guide §5): three consumers (order count, group frequency,
+    # baskets) re-ran the scan+distinct lineage per consumer — persist
+    # once; and the order count rides as DATA via the threshold-attach
+    # pattern (1-row broadcast crossJoin, the oracle's own `n` CTE
+    # shape) instead of a driver-side .count() action at call time.
+    items.persist()
+    nn = items.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
     freq = items.groupBy("grp").agg(F.count("*").alias("c"))
     baskets = items.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list("grp")).alias("gs")
@@ -318,12 +326,14 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(fa), "grp_a")
         .join(F.broadcast(fb), "grp_b")
+        .crossJoin(F.broadcast(nn))
         .select(
             "grp_a",
             "grp_b",
             "c_ab",
             F.round(
-                F.col("c_ab") * F.lit(float(n_orders)) / (F.col("ca") * 1.0 * F.col("cb")),
+                F.col("c_ab") * F.col("n_orders").cast("double")
+                / (F.col("ca") * 1.0 * F.col("cb")),
                 6,
             ).alias("lift"),
         )

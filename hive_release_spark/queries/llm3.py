@@ -563,15 +563,20 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
         similarity.as_double_vec("embedding").alias("qv"),
-    )
+    ).withColumn("qn", similarity.norm(F.col("qv")))  # per-row norm (r12)
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         similarity.as_double_vec("embedding").alias("cv"),
-    )
+    ).withColumn("cn", similarity.norm(F.col("cv")))
     sims = (
         c.join(F.broadcast(q), F.col("query_label") != F.col("neighbor_label"))
-        .withColumn("sim", similarity.cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "sim",
+            similarity.cosine_pre(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ),
+        )
         .select("query_id", "neighbor_id", "neighbor_label", "sim")
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
@@ -909,13 +914,22 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(
         similarity.vec_valid("embedding")
     )
-    e = emb.select("vec_id", similarity.as_double_vec("embedding").alias("v"))
+    e = emb.select(
+        "vec_id", similarity.as_double_vec("embedding").alias("v")
+    ).withColumn("nv", similarity.norm(F.col("v")))  # per-row norm (r12)
     q = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qn"),
     )
     cand = (
         e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
-        .withColumn("rel", similarity.cosine(F.col("qv"), F.col("v")))
+        .withColumn(
+            "rel",
+            similarity.cosine_pre(
+                F.col("qv"), F.col("v"), F.col("qn"), F.col("nv")
+            ),
+        )
         .withColumn(
             "rk",
             F.row_number().over(

@@ -571,14 +571,17 @@ def ml_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         similarity.as_double_vec("embedding").alias("qv"),
         F.col("label").alias("true_label"),
-    )
+    ).withColumn("qn", similarity.norm(F.col("qv")))  # per-row norm (r12)
     t = emb.filter(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("neighbor_id"),
         similarity.as_double_vec("embedding").alias("cv"),
         "label",
-    )
+    ).withColumn("cn", similarity.norm(F.col("cv")))
     cand = t.crossJoin(F.broadcast(q)).withColumn(
-        "sim", similarity.cosine(F.col("qv"), F.col("cv"))
+        "sim",
+        similarity.cosine_pre(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+        ),
     )
     top = cand.withColumn(
         "rk",
@@ -660,13 +663,43 @@ def ml_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     b = li.select("l_orderkey", "l_partkey").distinct()
     b.persist()
+    # deg feeds TWO broadcast subtrees (deg_a / deg_b projections) —
+    # without the persist the groupBy over the basket frame runs twice
+    # (r12; the item-degree frame is item-cardinality, tiny)
     deg = b.groupBy("l_partkey").agg(F.count("*").alias("d"))
-    b2 = b.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    deg.persist()
+    # r12 optimization (guide §2.4): pair emission via the postings-list
+    # shape (groupBy order → sorted part array → inline i<j pairs), the
+    # same device the dedup family uses — replaces the equi-self-join,
+    # which shuffled the basket frame TWICE (once per join side) plus
+    # once for the pair groupBy.  Now the basket frame shuffles once
+    # (groupBy l_orderkey) and only the emitted pairs shuffle again.
+    # Identical pair set: parts are distinct within an order, the array
+    # is sorted ascending, and slice(i+2..) emits exactly the pa < pb
+    # combinations the a.l_partkey < b.l_partkey join produced.
+    baskets = b.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("parts")
+    )
+    pair_arrays = baskets.filter(F.size("parts") > 1).select(
+        F.flatten(
+            F.transform(
+                F.col("parts"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                    lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                ),
+            )
+        ).alias("ps")
+    )
+    # explode_OUTER + isNotNull, not plain explode: the dedup-family
+    # InferFiltersFromGenerate lesson (llm/dedup.py) — an inner explode
+    # gets an inferred size-filter that duplicates the pair-array
+    # construction
+    pairs = pair_arrays.select(F.explode_outer("ps").alias("p")).filter(
+        F.col("p").isNotNull()
     )
     co = (
-        b.join(b2, (b.l_orderkey == b2.ok) & (b.l_partkey < b2.pb))
-        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        pairs.groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= 2)
     )
@@ -695,12 +728,18 @@ def ml_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("deg_a").cast("double") * F.col("deg_b")),
         )
     )
+    # r12 optimization (guide §2.5): the global row_number window
+    # funneled EVERY scored pair through one task's sort; orderBy+limit
+    # compiles to TakeOrderedAndProject (parallel per-partition top-k,
+    # driver merge of 20-row heads) and the ordering (cosine DESC, pa,
+    # pb) is total — (pa, pb) is unique — so the 20 survivors are
+    # identical; the window then ranks just those 20 rows.
+    top20 = scored.orderBy(F.desc("cosine"), "pa", "pb").limit(20)
     return (
-        scored.withColumn(
+        top20.withColumn(
             "rk",
             F.row_number().over(W.orderBy(F.desc("cosine"), "pa", "pb")),
         )
-        .filter(F.col("rk") <= 20)
         .select(
             F.col("pa").alias("part_a"),
             F.col("pb").alias("part_b"),

@@ -455,13 +455,31 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     and there is no count_distinct Expand."""
     from pyspark.sql import Window
 
-    o = load_table(spark, sf_dir, "orders")
+    # r12 optimization, two fact-side changes (guide §2.3/§2.4), both
+    # result-identical:
+    # 1. o_orderstatus = 'F' is pushed to the ORDERS scan.  The filter
+    #    used to sit above the window, where Catalyst cannot move it
+    #    (o_orderstatus is not a window partition key) — but it is an
+    #    ORDER-level constant: every row of an order shares it, the
+    #    window partitions by l_orderkey, so dropping non-F orders
+    #    before the join changes no surviving order's n_supp /
+    #    n_late_supp and removes ~half the fact join + shuffle bytes.
+    # 2. The fact is hash-repartitioned on l_orderkey BEFORE the
+    #    groupBy: HashPartitioning(l_orderkey) satisfies the aggregate's
+    #    ClusteredDistribution(l_orderkey, l_suppkey, status) AND the
+    #    window's ClusteredDistribution(l_orderkey), so the plan runs
+    #    ONE fact exchange instead of two (groupBy keys vs window key).
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
     li = load_table(spark, sf_dir, "lineitem")
     lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
         "is_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS")
     )
-    per_os = lo.groupBy("l_orderkey", "l_suppkey", "o_orderstatus").agg(
-        F.sum(F.col("is_late").cast("long")).alias("late_lines")
+    per_os = (
+        lo.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey", "o_orderstatus")
+        .agg(F.sum(F.col("is_late").cast("long")).alias("late_lines"))
     )
     w = Window.partitionBy("l_orderkey")
     s = load_table(spark, sf_dir, "supplier")
@@ -471,8 +489,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_late_supp", F.sum((F.col("late_lines") > 0).cast("long")).over(w)
         )
         .filter(
-            (F.col("o_orderstatus") == "F")
-            & (F.col("late_lines") > 0)
+            (F.col("late_lines") > 0)
             & (F.col("n_supp") >= 2)
             & (F.col("n_late_supp") == 1)
         )
