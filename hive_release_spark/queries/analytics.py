@@ -287,21 +287,34 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the SQL self-join lives only in the oracle); the lift join runs on
     the group-frequency frame (50 keys, broadcast)."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        "l_orderkey", (F.col("l_partkey") % 50).alias("grp")
-    ).distinct()
-    # r12 (guide §5): three consumers (order count, group frequency,
-    # baskets) re-ran the scan+distinct lineage per consumer — persist
-    # once; and the order count rides as DATA via the threshold-attach
-    # pattern (1-row broadcast crossJoin, the oracle's own `n` CTE
-    # shape) instead of a driver-side .count() action at call time.
-    items.persist()
-    nn = items.select("l_orderkey").distinct().agg(
-        F.count("*").alias("n_orders")
+    # r12 (guide §2.4): ONE order-key exchange serves the whole fact
+    # path.  The fact repartitions on l_orderkey; the (l_orderkey, grp)
+    # dedup and the basket groupBy both have their clustered
+    # distributions satisfied by that partitioning (subset-key rule)
+    # and CHAIN in one plan with no further exchange — a first draft
+    # persisted the deduped item frame instead, but the cache boundary
+    # reports UnknownPartitioning under AQE, so every consumer
+    # re-exchanged and the A/B came back neutral.  What persists now is
+    # the BASKET frame (one row per order), and the other two consumers
+    # derive from it: the order count is its row count (every order has
+    # >= 1 item group) riding as DATA via the threshold-attach pattern
+    # (1-row broadcast crossJoin, the oracle's own `n` CTE shape), and
+    # the group frequency re-explodes the per-order distinct group
+    # lists — the identical (order, grp) multiset the item frame held.
+    items = (
+        li.select("l_orderkey", (F.col("l_partkey") % 50).alias("grp"))
+        .repartition("l_orderkey")
+        .distinct()
     )
-    freq = items.groupBy("grp").agg(F.count("*").alias("c"))
     baskets = items.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list("grp")).alias("gs")
+    )
+    baskets.persist()
+    nn = baskets.agg(F.count("*").alias("n_orders"))
+    freq = (
+        baskets.select(F.explode("gs").alias("grp"))
+        .groupBy("grp")
+        .agg(F.count("*").alias("c"))
     )
     pair_arrays = baskets.filter(F.size("gs") > 1).select(
         F.flatten(

@@ -661,25 +661,41 @@ def ml_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything; cosine discounts them). The score is one exact-long
     ratio through sqrt, folded at micro; (score, pa, pb) tie-break."""
     li = load_table(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    b.persist()
-    # deg feeds TWO broadcast subtrees (deg_a / deg_b projections) —
-    # without the persist the groupBy over the basket frame runs twice
-    # (r12; the item-degree frame is item-cardinality, tiny)
-    deg = b.groupBy("l_partkey").agg(F.count("*").alias("d"))
-    deg.persist()
     # r12 optimization (guide §2.4): pair emission via the postings-list
     # shape (groupBy order → sorted part array → inline i<j pairs), the
     # same device the dedup family uses — replaces the equi-self-join,
     # which shuffled the basket frame TWICE (once per join side) plus
-    # once for the pair groupBy.  Now the basket frame shuffles once
-    # (groupBy l_orderkey) and only the emitted pairs shuffle again.
-    # Identical pair set: parts are distinct within an order, the array
-    # is sorted ascending, and slice(i+2..) emits exactly the pa < pb
-    # combinations the a.l_partkey < b.l_partkey join produced.
-    baskets = b.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_partkey")).alias("parts")
+    # once for the pair groupBy.  Identical pair set: parts are distinct
+    # within an order, the array is sorted ascending, and slice(i+2..)
+    # emits exactly the pa < pb combinations the
+    # a.l_partkey < b.l_partkey join produced.
+    #
+    # Second pass (same round, the basket_part_affinity device): ONE
+    # order-key exchange serves the whole fact path — the fact
+    # repartitions on l_orderkey, and both the (l_orderkey, l_partkey)
+    # dedup and the basket groupBy chain on that partitioning
+    # (subset-key rule) with no further exchange.  What persists is the
+    # BASKET frame; the degree frame derives from it by re-exploding
+    # the per-order distinct part lists (the identical (order, part)
+    # multiset the former distinct frame held), so the former three
+    # fact-cardinality exchanges become one.
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"))
     )
+    baskets.persist()
+    # deg feeds TWO broadcast subtrees (deg_a / deg_b projections) —
+    # without the persist the explode+groupBy over the basket frame
+    # runs twice (r12; the item-degree frame is item-cardinality, tiny)
+    deg = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("d"))
+    )
+    deg.persist()
     pair_arrays = baskets.filter(F.size("parts") > 1).select(
         F.flatten(
             F.transform(
