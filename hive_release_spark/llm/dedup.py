@@ -306,16 +306,28 @@ def minhash_lsh_pairs(
     # the SAME persisted base, not a fresh corpus scan per side
     va = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     vb = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # r12: intersection/union sizes materialize ONCE per candidate pair
+    # behind a Generate barrier (the jaccard_pairs_prefix device) —
+    # written as withColumn + filter, alias substitution pushes the
+    # threshold predicate into the join condition and the O(na+nb)
+    # array_intersect/array_union pair evaluates twice per candidate.
+    # Same integers, same single division — bit-identical output.
+    sized = candidates.join(va, "doc_a").join(vb, "doc_b").select(
+        F.explode_outer(
+            F.array(
+                F.struct(
+                    "doc_a",
+                    "doc_b",
+                    F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+                    F.size(F.array_union("sh_a", "sh_b")).alias("uni"),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    jac = F.col("inter") / F.col("uni")
     return (
-        candidates.join(va, "doc_a")
-        .join(vb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        sized.filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -739,12 +751,31 @@ def jaccard_pairs_prefix(
         F.col("n_sh").alias("nb"),
         F.col("all_h").alias("hb"),
     )
-    inter = F.size(F.array_intersect("ha", "hb"))
-    jac = inter / (F.col("na") + F.col("nb") - inter)
+    # r12 (guide §1.2 per-task work): materialize the intersection SIZE
+    # once per candidate pair behind a Generate barrier.  Written the
+    # natural way (filter + round on a jac expression), predicate
+    # pushdown folds the threshold filter into the broadcast-join
+    # condition and the O(na+nb) array_intersect evaluates FOUR times
+    # per pair (twice in the pushed condition's numerator/denominator,
+    # twice in the rounded output).  A filter on a Generate's output
+    # cannot be pushed below it — the repo's explode_outer device — so
+    # `inter` is computed exactly once and the jaccard filter/round are
+    # scalar arithmetic on it.
+    inter_once = candidates.join(a, "doc_a").join(b, "doc_b").select(
+        F.explode_outer(
+            F.array(
+                F.struct(
+                    "doc_a",
+                    "doc_b",
+                    "na",
+                    "nb",
+                    F.size(F.array_intersect("ha", "hb")).alias("inter"),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        candidates.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn("jaccard", F.round(jac, 6))
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        inter_once.filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
