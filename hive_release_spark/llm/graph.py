@@ -59,16 +59,22 @@ def pagerank(
             ]
         )
         return spark.createDataFrame([], schema)
-    ranks = deg.select("a", F.lit(1.0 / n).alias("p"))
+    # r12 (guide §2.3/§3): the rank state CARRIES the node degree, so
+    # each round joins edges against ONE node frame — the former shape
+    # joined edges⋈ranks and then joined deg onto the EDGE-cardinality
+    # result (an extra edge-sized join per round); now deg reattaches
+    # to the NODE-cardinality aggregate output instead.  Per-edge term
+    # p(u)/d(u) is the identical expression on identical inputs, so the
+    # summed multiset — and every rank — is unchanged (oracle-verified).
+    ranks = deg.select("a", "d", F.lit(1.0 / n).alias("p"))
     for _ in range(iters):
-        contribs = (
-            edges.join(ranks, "a")
-            .join(deg, "a")
-            .select(F.col("b").alias("a"), (F.col("p") / F.col("d")).alias("c"))
+        contribs = edges.join(ranks, "a").select(
+            F.col("b").alias("a"), (F.col("p") / F.col("d")).alias("c")
         )
-        ranks = contribs.groupBy("a").agg(
+        new_p = contribs.groupBy("a").agg(
             (F.lit((1.0 - alpha) / n) + F.lit(alpha) * F.sum("c")).alias("p")
         )
+        ranks = new_p.join(deg, "a").select("a", "d", "p")
         # eager stays TRUE (r12 measured): a lazy checkpoint looked like
         # it would save iters driver round-trips, but the paired A/B
         # showed ~2x WORSE wall-clock — the chained 3-round mega-job
@@ -78,8 +84,7 @@ def pagerank(
         # work.  Measured, rejected, kept eager.
         ranks = ranks.localCheckpoint(eager=True)
     return (
-        ranks.join(deg, "a")
-        .select(
+        ranks.select(
             F.col("a").alias("doc_id"),
             F.col("d").alias("degree"),
             F.round("p", 6).alias("pagerank"),
