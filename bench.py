@@ -286,6 +286,48 @@ BENCHED_HISTORY = {
     "corpus_token_stats",
     "corpus_zipf_fit",
     ),
+    12: (
+        "emb_pca_contract",
+        "text_pmi_top_pairs",
+        "dedup_graph_degrees",
+        "corpus_length_histogram",
+        "sim_hard_negatives",
+        "emb_matryoshka_recall",
+        "emb_cluster_separation",
+        "corpus_heaps_fit",
+        "sim_mmr_rerank",
+        "sim_rrf_fusion",
+        "text_chunk_sliding",
+        "text_readability",
+        "search_query_likelihood",
+        "text_rake_phrases",
+        "search_tfidf_cosine",
+        "emb_mean_shift_drift",
+        "domain_mix_resample",
+        "shuffle_shard_assign",
+        "sample_stratified",
+        "vocab_coverage_cutoff",
+        "source_overlap_matrix",
+        "tokenize_word_ids",
+        "sample_reservoir_group",
+        "decontaminate_fuzzy",
+        "search_eval_metrics",
+        "sim_rocchio_expansion",
+        "pack_efficiency_report",
+        "tokenize_fertility",
+        "text_source_divergence",
+        "text_entropy_quality",
+        "text_langid_confusion",
+        "text_ttr_hapax",
+        "text_script_profile",
+        "ds_frequent_buyers",
+        "ds_channel_rollup",
+        "ds_returns_adjusted_spend",
+        "ds_three_channel_ratio",
+        "events_gap_stats",
+        "customer_rfm_segments",
+        "basket_part_affinity",
+    ),
 }
 
 
@@ -299,56 +341,58 @@ def never_benched() -> list:
     return [n for n in REGISTRY if n not in seen]
 
 
-# r12 selection (VERDICT r11 #3): the first 40 of never_benched()
-# after the r11 leg joined BENCHED_HISTORY — the embedding/similarity
-# analysis tier (PCA contract, matryoshka recall, MMR/RRF/Rocchio,
-# hard negatives), the corpus-statistics tier (PMI, Heaps, Zipf tail,
-# length histogram, source overlap/divergence), the tokenize/pack
-# reporting tier, the text-quality tail (readability, RAKE, entropy,
-# TTR, script profile, langid confusion), three ds_* shapes and the
-# events/customer analytics head. Coverage after this leg: 320/362;
-# the remaining 42 finish in r13.
+# r13 selection (VERDICT r12 "Next round" #4): ALL 42 remaining
+# never-benched entries — the events/orders analytics tail, the graph
+# statistics tier (triangles, clustering, Adamic-Adar,
+# assortativity), the timeseries tail (EWMA, Theil-Sen, Holt,
+# Croston, backtest, rolling/cross correlation), the stats tail
+# (Mann-Whitney, subsample CI, power, FDR, Weibull, QQ, Fano, Tukey,
+# Granger, Simpson) and the ml_* tier (naive Bayes, decision stump,
+# Markov, basket rules, calibration, k-fold CV). Coverage after this
+# leg: 362/362 — every registry entry benched at least once.
 ROTATING_LEG = (
-    "emb_pca_contract",
-    "text_pmi_top_pairs",
-    "dedup_graph_degrees",
-    "corpus_length_histogram",
-    "sim_hard_negatives",
-    "emb_matryoshka_recall",
-    "emb_cluster_separation",
-    "corpus_heaps_fit",
-    "sim_mmr_rerank",
-    "sim_rrf_fusion",
-    "text_chunk_sliding",
-    "text_readability",
-    "search_query_likelihood",
-    "text_rake_phrases",
-    "search_tfidf_cosine",
-    "emb_mean_shift_drift",
-    "domain_mix_resample",
-    "shuffle_shard_assign",
-    "sample_stratified",
-    "vocab_coverage_cutoff",
-    "source_overlap_matrix",
-    "tokenize_word_ids",
-    "sample_reservoir_group",
-    "decontaminate_fuzzy",
-    "search_eval_metrics",
-    "sim_rocchio_expansion",
-    "pack_efficiency_report",
-    "tokenize_fertility",
-    "text_source_divergence",
-    "text_entropy_quality",
-    "text_langid_confusion",
-    "text_ttr_hapax",
-    "text_script_profile",
-    "ds_frequent_buyers",
-    "ds_channel_rollup",
-    "ds_returns_adjusted_spend",
-    "ds_three_channel_ratio",
-    "events_gap_stats",
-    "customer_rfm_segments",
-    "basket_part_affinity",
+    "events_daily_anomaly",
+    "orders_status_transitions",
+    "supplier_pareto",
+    "orders_backlog_curve",
+    "events_hourly_seasonality",
+    "orders_priority_mix_shift",
+    "events_user_lifecycle",
+    "region_nation_share",
+    "part_type_hhi",
+    "graph_triangles",
+    "dedup_cluster_size_histogram",
+    "graph_local_clustering",
+    "graph_adamic_adar",
+    "graph_assortativity",
+    "rollup_multires",
+    "orders_monthly_percentiles",
+    "timeseries_rolling_corr",
+    "timeseries_ewma",
+    "timeseries_theil_sen",
+    "timeseries_holt",
+    "timeseries_backtest_naive",
+    "timeseries_croston",
+    "stats_mann_whitney",
+    "timeseries_cross_corr",
+    "stats_subsample_ci",
+    "stats_power_two_proportions",
+    "agg_approx_top_k_contract",
+    "dq_freshness_lag",
+    "retention_halflife_fit",
+    "stats_fdr_bh",
+    "stats_weibull_fit",
+    "stats_qq_deciles",
+    "events_fano_factor",
+    "dq_outlier_tukey_fences",
+    "stats_granger_lite",
+    "stats_simpson_check",
+    "ml_naive_bayes_langid",
+    "ml_decision_stump",
+    "ml_markov_next_event",
+    "ml_basket_rules",
+    "ml_regression_calibration",
+    "ml_regression_kfold_cv",
 )
 
 

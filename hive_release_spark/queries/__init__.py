@@ -283,7 +283,15 @@ from hive_release_spark.queries import (  # noqa: F401,E402
 # witness; the tripwire (test_entry_contract) forced this clear at
 # rotation.  The full r11 declaration rationale lives in git history
 # at commit 8d1d25a (and the declaring commits af3885e..a3252b8).
-CONTRACT_CHANGED_ROUND = 12
+# Round-13 rotation (the tripwire forced this clear): every r12
+# declaration — the temporal-edges axis (9), the dirty-JSON axis (2),
+# the vector-specials axis (26) — was served by a round-12 witness
+# (CORRECTNESS_r12 is 50/50 hash-green on the r12 window), so the
+# list clears.  The full r12 declaration rationale lives in git
+# history at commit c01061f and the declaring commits of the r12
+# build session.  No r13 contract changes: r13 is an optimization
+# round — every touched kernel keeps its declared output bit-for-bit.
+CONTRACT_CHANGED_ROUND = 13
 
 # r12 stretch — the SEVENTH (temporal-edges) axis, VERDICT r11 #7:
 # pre-1970 sub-second, epoch-0, one-µs-before-epoch, DST wall time,
@@ -314,144 +322,70 @@ CONTRACT_CHANGED_ROUND = 12
 # different order than the new-session flags were computed in,
 # splitting equal-ts blocks across sessions — both now order by
 # (ts, event_id) end-to-end.
-CONTRACT_CHANGED = [
-    "ptf_matchpath",
-    "fn_datetime",
-    "fn_datetime_misc",
-    "stream_session",
-    "stream_session_dynamic",
-    "stream_watermark_late_drop",
-    "orders_backlog_curve",
-    "customer_cohort_ltv",
-    "q9_product_profit",
-    # r12 third stretch — the NINTH (dirty-JSON) axis: truncated/
-    # unquoted/empty/wrong-typed/overflow payloads salted into
-    # events.props. Both props consumers repaired with the
-    # lenient-JSON contract: extraction yields NULL for malformed
-    # documents and un-castable values (try_parse_json +
-    # try_variant_get / get_json_object + try_cast; oracle twin
-    # json_valid + TRY_CAST), and overflow group sums mirror as NULL
-    # (try_sum / TRY_CAST(sum) — probed identical under BOTH ANSI
-    # configs). The old parse_json FAILFAST path died on ONE
-    # truncated payload — the failure a 100 TB crawl scan cannot
-    # afford. Unmirrorable classes (duplicate keys, trailing junk,
-    # non-integral numbers) are out-of-salt and canary-pinned.
-    "fn_json",
-    "fn_variant_json",
-    # r12 fourth stretch — the TENTH (vector-specials) axis: NaN/Inf
-    # COMPONENTS and zero-norm vectors salted into embeddings (the
-    # one numeric surface the r10 NaN axis never reached — it salts
-    # only top-level double columns). First contact: 19 of the 26
-    # vector entries diverged or crashed (ANSI division by zero on
-    # zero norms, DuckDB stddev refusals on Inf, pandas NaN→INT
-    # casts, a power-iteration collapse). The repair is the
-    # VECTOR-GEOMETRY CONTRACT v2 (llm/similarity.py vec_valid +
-    # VEC_VALID_SQL, extending the r10 NULL-geometry contract):
-    # corrupt vectors have no position in the similarity space and
-    # are dropped at every geometry intake — justified by the pinned
-    # engine fact that a NaN similarity ranks FIRST under DESC
-    # ordering on both engines, so one corrupt crawl embedding would
-    # otherwise win every search. Applied at the shared helper
-    # intakes (similarity.py, clustering.py) and the ten kernels
-    # that build their own frames — BEFORE any dimension slicing, so
-    # truncated and full passes see the same population. The ONE
-    # deliberate exception: emb_quality_report keeps corrupt vectors
-    # IN (it IS the corruption detector) — its corruption count
-    # generalizes from NaN-only to NULL/NaN/Inf (n_with_nan →
-    # n_corrupt) and its norm statistics ride finite norms only.
-    "dedup_embedding_cosine",
-    "dedup_semantic_cells",
-    "sim_cosine_topk",
-    "sim_cosine_topk_arrow",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "sim_ann_ivf_bcast",
-    "sim_ann_pq",
-    "sim_ann_binary",
-    "sim_ann_sq8",
-    "sim_hard_negatives",
-    "sim_mmr_rerank",
-    "sim_rrf_fusion",
-    "sim_rocchio_expansion",
-    "emb_label_centroids",
-    "emb_quality_report",
-    "emb_normalize_quantize",
-    "emb_kmeans",
-    "emb_pca_project",
-    "emb_pca_contract",
-    "emb_matryoshka_recall",
-    "emb_cluster_separation",
-    "emb_whitening",
-    "emb_mean_shift_drift",
-    "search_eval_metrics",
-    "ml_knn_label_accuracy",
-]
+CONTRACT_CHANGED: list = []
 
-# Round-12 selection, RE-rotated mid-round THREE times as the repair
-# waves landed — the temporal axis (9 claims), the dirty-JSON axis
-# (2), the vector-specials axis (26) — the r10/r11 serve-and-clear
-# pattern; propose_window() emits this list verbatim: the 37
-# CONTRACT_CHANGED declarations take first claim (their own tags
-# cover ptf/tpch/session_window/ann/similarity/dedup/functions), then
-# one rep per remaining required §2 family, stalest first (script via
-# text_script_profile, setop via setop_union_distinct, udtf,
-# multimodal, outer, sample, topk/limit via limit_offset_page), then
-# oldest-witness-first fill (the r1-witnessed setop/join tier) —
-# never re-recording an r11-fresh row.
-# Registry growth stays FROZEN (VERDICT r11 #4): 362 entries,
-# repairs and re-records only.
+# Round-13 selection (post-drain regime, propose_window() emits this
+# list verbatim — validated by tools/witness_ledger.py --window):
+# CONTRACT_CHANGED is empty (cleared above), so the window is one rep
+# per required §2 family missing so far, stalest family first (scan,
+# tpch via q1, neardup via dedup_minhash_lsh, functions, join,
+# multimodal, streaming, ptf, sample, script, session_window via
+# events_top_paths, setop, sketch, text, topk), then
+# oldest-witness-first fill from the r6/r7-witnessed tier — never
+# re-recording an r12-fresh row.  Registry growth stays FROZEN: 362
+# entries, optimization only this round.
 
 DRIVER_WINDOW = [
-    "ptf_matchpath",
-    "fn_datetime",
-    "fn_datetime_misc",
-    "stream_session",
-    "stream_session_dynamic",
-    "stream_watermark_late_drop",
-    "orders_backlog_curve",
-    "customer_cohort_ltv",
-    "q9_product_profit",
-    "fn_json",
-    "fn_variant_json",
-    "dedup_embedding_cosine",
-    "dedup_semantic_cells",
-    "sim_cosine_topk",
-    "sim_cosine_topk_arrow",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "sim_ann_ivf_bcast",
-    "sim_ann_pq",
-    "sim_ann_binary",
-    "sim_ann_sq8",
-    "sim_hard_negatives",
-    "sim_mmr_rerank",
-    "sim_rrf_fusion",
-    "sim_rocchio_expansion",
-    "emb_label_centroids",
-    "emb_quality_report",
-    "emb_normalize_quantize",
-    "emb_kmeans",
-    "emb_pca_project",
-    "emb_pca_contract",
-    "emb_matryoshka_recall",
-    "emb_cluster_separation",
-    "emb_whitening",
-    "emb_mean_shift_drift",
-    "search_eval_metrics",
-    "ml_knn_label_accuracy",
-    "text_script_profile",
-    "setop_union_distinct",
-    "udtf_python",
-    "multimodal_meta",
-    "join_full_outer",
-    "sample_bucket",
-    "limit_offset_page",
-    "distinct_rows",
-    "setop_intersect",
-    "setop_except",
-    "setop_except_all",
-    "join_broadcast_part",
-    "q5_local_supplier_volume",
+    "scan_filter_project",
+    "q1_pricing_summary",
+    "dedup_minhash_lsh",
+    "fn_regex",
+    "join_left_semi",
+    "multimodal_features",
+    "stream_stream_left_join",
+    "ptf_apply_in_pandas_zscore",
+    "sample_fraction",
+    "script_transform",
+    "events_top_paths",
+    "setop_intersect_all",
+    "agg_hll_sketch",
+    "text_quality",
+    "topk_orders",
+    "q18_large_orders",
+    "udtf_stack",
+    "window_lead_lag",
+    "join_left_anti",
+    "join_cross",
+    "join_theta_residual",
+    "join_pure_theta",
+    "subquery_in",
+    "subquery_scalar_correlated",
+    "subquery_not_in",
+    "window_range_frame",
+    "window_first_last",
+    "window_share_of_total",
+    "fn_conditional",
+    "fn_hash",
+    "fn_complex_types",
+    "window_rows_frame",
+    "text_fingerprint",
+    "text_ngrams_top",
+    "text_tfidf_top_terms",
+    "stream_static_join",
+    "agg_pivot",
+    "join_merge_hint",
+    "fn_str_to_map",
+    "text_token_bpe_regex",
+    "join_unique",
+    "split_train_eval",
+    "pipeline_dedup_quality",
+    "decontaminate_ngram",
+    "pack_sequences",
+    "domain_mix_resample",
+    "pipeline_neardedup_corpus",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
+    "dedup_connected_components",
 ]
 
 def _ordered():

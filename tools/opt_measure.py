@@ -1,8 +1,8 @@
-"""r12 optimization measurement harness (guide §1: measure first).
+"""r12/r13 optimization measurement harness (guide §1: measure first).
 
 Times individual registry entries in isolation with the noop sink
 (min/median of N), labels jobs, and dumps `.explain("formatted")` to
-plans/r12/<name>_<tag>.txt so before/after plan claims are on disk.
+plans/r13/<name>_<tag>.txt so before/after plan claims are on disk.
 
 Usage:
     python tools/opt_measure.py before q21_waiting_suppliers ml_item_item_cf
@@ -28,14 +28,14 @@ from hive_release_spark.session import get_session  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 REPS = int(os.environ.get("SPARK_GRAFT_OPT_REPS", "3"))
-PLANS = Path(__file__).resolve().parent.parent / "plans" / "r12"
+PLANS = Path(__file__).resolve().parent.parent / "plans" / "r13"
 
 
 def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     spark = get_session(
-        app_name="r12_opt_measure",
+        app_name="r13_opt_measure",
         master=f"local[{CPUS}]",
         shuffle_partitions=int(CPUS),
         extra_conf={"spark.ui.showConsoleProgress": "false"},
