@@ -49,6 +49,51 @@ def _nearest(centroids: list[list[float]]):
     return F.array_min(F.array(*cands))["c"]
 
 
+def _nearest_kernel(centroids: list[list[float]], id_col: str, id_type: str):
+    """(mapInPandas fn, schema) computing the nearest-centroid index
+    with the EXACT arithmetic contract of :func:`_nearest`, vectorized
+    over rows (r13, guide §4.2 — the HOF path evaluates k·d interpreted
+    lambda steps per row per iteration; this is k·d elementwise numpy
+    ops per BATCH, the ``_assign_cells_kernel`` recipe):
+
+    - each candidate's squared-L2 distance accumulates SEQUENTIALLY
+      over dimensions (``dist += (X[:, j] - C[:, j])²``, elementwise
+      IEEE float64 — the identical per-row op sequence as the
+      zip_with/aggregate fold, ((0 + t₀) + t₁) + …);
+    - ``np.argmin`` returns the FIRST index attaining the minimum, so
+      the LOWEST cluster id wins exact distance ties — the
+      array_min struct(d, c) ordering, bit-for-bit.
+
+    Verified value-identical against the HOF path on every fixture SF
+    (the per-iteration assignment sweep in tools/ab history; the
+    argmin-gap margin test independently pins the flip distance).
+    ``v`` is echoed through so the means pass can re-explode it."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array(centroids, dtype="float64")  # len(cents) × d, id order
+    schema = f"{id_col} {id_type}, v ARRAY<DOUBLE>, cluster INT"
+
+    def assign(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            X = np.stack(b["v"].to_numpy()).astype("float64")
+            dist = np.zeros((len(X), C.shape[0]))
+            for j in range(C.shape[1]):
+                diff = X[:, j : j + 1] - C[:, j][None, :]
+                dist += diff * diff
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col],
+                    "v": b["v"],
+                    "cluster": np.argmin(dist, axis=1).astype("int32"),
+                }
+            )
+
+    return assign, schema
+
+
 def kmeans_assign(
     emb: DataFrame,
     k: int = 8,
@@ -81,8 +126,19 @@ def kmeans_assign(
         # the keep-previous fallback by len(cents) (not the requested
         # k) is what makes the k > n case an IndexError-free degrade
         # instead of a crash
+        #
+        # r13 (guide §4.2): the assignment runs the vectorized Arrow
+        # kernel (_nearest_kernel — bit-identical fold order and
+        # argmin tie-break) instead of the interpreted array_min-over-
+        # folds HOF expression, which evaluated k·d lambda steps per
+        # row per iteration and ran EVERY iteration — the last such
+        # hot loop after the r12 IVF/PQ/PCA kernelizations.  The means
+        # pass and the 6-dp centroid rounding stay JVM-side, so the
+        # update step's arithmetic is untouched.
+        id_type = pts.schema[id_col].dataType.simpleString()
         for _ in range(n_iter):
-            assigned = pts.withColumn("cluster", _nearest(cents))
+            kernel, schema = _nearest_kernel(cents, id_col, id_type)
+            assigned = pts.mapInPandas(kernel, schema=schema)
             means = (
                 assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
                 .groupBy("cluster", "pos")
@@ -94,7 +150,8 @@ def kmeans_assign(
             new = {r.cluster: [x.m for x in r.ms] for r in means}
             # empty cluster → keep its previous centroid
             cents = [new.get(i, cents[i]) for i in range(len(cents))]
-        return pts.withColumn("cluster", _nearest(cents)).select(id_col, "cluster")
+        kernel, schema = _nearest_kernel(cents, id_col, id_type)
+        return pts.mapInPandas(kernel, schema=schema).select(id_col, "cluster")
     finally:
         pts.unpersist()
 
@@ -159,10 +216,11 @@ def pca_project(
        (d = 64 → 4 161 cells) is collected to the DRIVER — bounded by
        dimension, never by corpus size (same contract as the k-means
        centroid loop).
-    3. numpy ``eigh`` on the driver yields the top-k components, which
-       are embedded back as LITERAL arrays; the projection itself is a
-       zero-shuffle JVM map stage (``aggregate(zip_with(...))`` dot
-       products), so the second corpus pass never touches Python.
+    3. numpy ``eigh`` on the driver yields the top-k components; the
+       projection itself is a zero-shuffle Arrow map stage (ONE
+       ``mapInPandas`` kernel whose numpy accumulate replays the old
+       fold's sequential index order bit-for-bit — r12, guide §4.2),
+       with the 6-dp output round staying JVM-side.
 
     Rows-only by design: float summation order makes the last ulp of
     the covariance — and the eigenvector signs — engine-specific, so
