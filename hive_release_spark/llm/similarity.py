@@ -164,36 +164,40 @@ def cosine_pairs_blas(
     ``cosine_pairs`` — same output, ~50× faster: the HOF self-join
     evaluates a 64-term fold expression per PAIR (n² row-at-a-time
     JVM work, 78 s at 2 000×2 000 on the bench box), while this path
-    computes each corpus block against the whole normalized matrix as
-    ONE ``X_block @ N.T`` (vectorized, Arrow-batched — the "Pandas
-    UDFs beat per-row by 10-100×" rule applied to the pair bomb).
+    computes each block-PAIR as ONE ``N_a @ N_b.T`` (vectorized,
+    Arrow-batched — the "Pandas UDFs beat per-row by 10-100×" rule
+    applied to the pair bomb).
 
-    EAGER at call time (ADVICE r6-3): building this plan runs a Spark
-    job — the corpus ``toPandas()`` happens HERE, not at the first
-    action on the returned frame, because the normalized matrix must
-    exist before the kernel closure can be constructed. Callers that
-    only want the plan shape (plan tests, registration flows) should
-    use ``cosine_pairs`` instead.
+    r13 shape (VERDICT r12 #2 — retire the driver collect): the
+    corpus no longer rides the driver at all.  Rows hash into
+    ``nb`` deterministic id-blocks (xxhash64 — stable across
+    retries, guide §2.5), each block packs into one
+    ``collect_list(struct(id, v))`` row, and the nb(nb+1)/2 ordered
+    block pairs fan out as tasks whose kernel runs the identical
+    normalize + matmul + ``id_a < id_b`` mask the old full-matrix
+    kernel ran (value-identical sweep vs the collected path on every
+    fixture SF).  The former shape ``toPandas()``-ed the whole corpus
+    into a task closure: an n-sized DRIVER collect in a declared
+    query path, re-pickled into the task binary on every action
+    (ADVICE r7-1) — guide §5's first rule is that the driver does no
+    data work.
 
-    Scale posture: the corpus matrix rides the TASK CLOSURE (n×d
-    doubles, shipped inside Spark's internally-broadcast task binary,
-    which the ContextCleaner reclaims when the stage is GC'd — unlike
-    an explicit ``sparkContext.broadcast``, which would leak for the
-    session lifetime since a lazily-executed plan has no post-action
-    destroy hook). The honest cost of that trade (ADVICE r7-1): the
-    closure is re-pickled into the task binary on EVERY action over
-    the returned frame, where the explicit broadcast shipped once per
-    session — at the large end of feasible n (≈1M×64 = 512 MB) that
-    is a per-action driver serialization stall. Callers that execute
-    the same pair frame repeatedly should persist the OUTPUT, not
-    re-run the plan. That is NOT the 100 TB all-corpus path — but
-    all-PAIRS output is O(n²) rows, so any n where this entry is
-    feasible at all has a trivially shippable matrix (2 000×64 = 1 MB;
-    even 1M×64 = 512 MB sits under executor memory while its 10¹²
-    pair output does not). Beyond that, the blocked
+    EAGER at call time (ADVICE r6-3): building this plan runs ONE
+    bounded Spark action — the count() that sizes the block grid
+    (the former shape's toPandas was an unbounded one). Callers that
+    only want the plan shape should use ``cosine_pairs`` instead.
+
+    Scale posture: block replication is the trade — each block ships
+    to nb pair-tasks, so the shuffle carries nb × corpus bytes
+    (nb ≈ 64 at the 1M-row end: ~32 GB spread across the cluster,
+    where the old closure stalled the DRIVER on 512 MB per action).
+    All-PAIRS output is O(n²) rows, so any n where this entry is
+    feasible at all keeps nb small; beyond that, the blocked
     ``cosine_pairs(block_col=...)`` / LSH / IVF paths are the
     documented escapes. Pair emission keeps ``id_a < id_b`` inside
     the kernel so no post-filter shuffles."""
+    import math
+
     import numpy as np
     import pandas as pd
 
@@ -205,33 +209,80 @@ def cosine_pairs_blas(
     src = vectors.filter(vec_valid(vec_col)).select(
         F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
     )
-    pdf = src.toPandas()  # documented: bounded by feasibility of n² output
-    if not len(pdf):  # np.stack raises on empty; return an empty typed frame
+    n = src.count()  # bounded action: one long, sizes the block grid
+    if n == 0:
         return vectors.sparkSession.createDataFrame([], out_schema)
-    ids_all = pdf["id"].to_numpy()
-    X = np.stack(pdf["v"].to_numpy()).astype("float64")
-    nrm = np.linalg.norm(X, axis=1)
-    nrm[nrm == 0] = 1.0
-    N = X / nrm[:, None]
-    closure = (ids_all, N)  # task-closure capture, not an explicit broadcast
+    # nb blocks ≈ n/8192 rows each, floored at 8 for task spread and
+    # capped at 64 so replication (nb × corpus) stays bounded — the
+    # grid scales with n, not with the local core count
+    nb = max(8, min(64, math.ceil(n / 8192)))
 
     def block(batches):
-        b_ids, b_n = closure
         for batch in batches:
-            if not len(batch):
-                continue
-            Xb = np.stack(batch["v"].to_numpy()).astype("float64")
-            nb = np.linalg.norm(Xb, axis=1)
-            nb[nb == 0] = 1.0
-            S = (Xb / nb[:, None]) @ b_n.T
-            idb = batch["id"].to_numpy()
-            mask = (S >= threshold) & (idb[:, None] < b_ids[None, :])
-            i, j = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"id_a": idb[i], "id_b": b_ids[j], "sim": S[i, j]}
-            )
+            for ra, rb, same in zip(
+                batch["rows_a"], batch["rows_b"], batch["same"]
+            ):
+                ids_a = np.fromiter(
+                    (r["id"] for r in ra), dtype="int64", count=len(ra)
+                )
+                Xa = np.stack([r["v"] for r in ra]).astype("float64")
+                na = np.linalg.norm(Xa, axis=1)
+                na[na == 0] = 1.0
+                Na = Xa / na[:, None]
+                if same:
+                    ids_b, Nb = ids_a, Na
+                else:
+                    ids_b = np.fromiter(
+                        (r["id"] for r in rb), dtype="int64", count=len(rb)
+                    )
+                    Xb = np.stack([r["v"] for r in rb]).astype("float64")
+                    nbn = np.linalg.norm(Xb, axis=1)
+                    nbn[nbn == 0] = 1.0
+                    Nb = Xb / nbn[:, None]
+                S = Na @ Nb.T
+                mask = (S >= threshold) & (ids_a[:, None] < ids_b[None, :])
+                i, j = np.nonzero(mask)
+                out = {"id_a": ids_a[i], "id_b": ids_b[j], "sim": S[i, j]}
+                if not same:
+                    # cross-block pairs where the LOWER id sits on the
+                    # b side appear only in this task — emit them too
+                    # (sim is ulp-identical either way: IEEE multiply
+                    # commutes and the dot accumulates over the same
+                    # dimension order)
+                    m2 = (S >= threshold) & (ids_b[None, :] < ids_a[:, None])
+                    i2, j2 = np.nonzero(m2)
+                    out = {
+                        "id_a": np.concatenate([out["id_a"], ids_b[j2]]),
+                        "id_b": np.concatenate([out["id_b"], ids_a[i2]]),
+                        "sim": np.concatenate([out["sim"], S[i2, j2]]),
+                    }
+                yield pd.DataFrame(out)
 
-    return src.mapInPandas(block, schema=out_schema).select(
+    packed = (
+        src.withColumn(
+            "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(nb)).cast("int")
+        )
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+        # two consumers (both join sides) — without the persist each
+        # side re-runs the scan → pack lineage, reading the corpus
+        # twice (the MinHash-base rule, SCALE.md deliberate-persist
+        # inventory; released by the ContextCleaner)
+        .persist()
+    )
+    pa = packed.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
+    pb = packed.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    pairs = (
+        pa.join(F.broadcast(pb), F.col("blk_a") <= F.col("blk_b"))
+        # one fat row per task: the nb(nb+1)/2 block pairs hash-spread
+        # so each gemm runs in its own slot instead of queueing behind
+        # its left block's partition
+        .repartition(F.col("blk_a"), F.col("blk_b"))
+        .select(
+            "rows_a", "rows_b", (F.col("blk_a") == F.col("blk_b")).alias("same")
+        )
+    )
+    return pairs.mapInPandas(block, schema=out_schema).select(
         "id_a", "id_b", F.round("sim", 6).alias("sim")
     )
 
