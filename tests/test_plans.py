@@ -269,3 +269,25 @@ def test_ds_three_channel_ratio_collapses_six_scans(spark):
     assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
     assert plan.count("orders.parquet") == 1, plan.count("orders.parquet")
     assert "Not(EqualTo(l_returnflag,R))" in plan, plan[:4000]
+
+
+def test_jaccard_intersect_generate_barrier_holds(spark):
+    """ADVICE r12-2: both exact-Jaccard verification paths rely on the
+    Catalyst behavior that a predicate referencing a Generate's output
+    is not pushed below the Generate — that is what makes the
+    explode_outer(array(struct(...))) barrier evaluate the O(na+nb)
+    array_intersect ONCE per candidate pair instead of re-inlining it
+    into the pushed-down join condition (up to 4 evaluations, the r12
+    before-plans). The behavior is an optimizer implementation detail,
+    not a contract, so a Spark upgrade could silently collapse it:
+    pin the single-evaluation shape here (perf-only tripwire — outputs
+    are unchanged either way)."""
+    for name in ("dedup_jaccard_prefix", "dedup_minhash_lsh"):
+        plan = _plan(REGISTRY[name].fn(spark, SF_SMOKE), mode="simple")
+        n = plan.count("array_intersect")
+        assert n == 1, (
+            f"{name}: array_intersect appears {n}x in the simple-mode "
+            "plan — the explode_outer Generate barrier collapsed and "
+            "the intersect is being re-evaluated per predicate"
+        )
+        assert "Generate explode" in plan, f"{name}: barrier Generate missing"
