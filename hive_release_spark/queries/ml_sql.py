@@ -107,20 +107,30 @@ def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
-    x1d = F.col("x1").cast("decimal(19,0)")
-    x2d = F.col("x2").cast("decimal(19,0)")
-    yd = F.col("y").cast("decimal(19,0)")
+    # r13 (guide §1.2 per-task work, measured): the per-row second-
+    # moment MULTIPLY runs in LONG — exact, since every product is
+    # bounded by |y|² ≲ 1e14 ≪ 2⁶³ on the declared inputs (quantity
+    # ≤ ~10², discount·100 ≤ 10, price_cents ≤ ~10⁷; ANSI keeps any
+    # violation a loud overflow error, the same failure mode as the
+    # .cast("long") above) — and only the SUM runs as DECIMAL(38,0),
+    # which is the one step that genuinely needs >64-bit exactness
+    # (sum(y²) ≈ 6e19 at sf0.1).  The former shape multiplied
+    # DECIMAL(19)×LONG per row — six Decimal128 multiplies per row
+    # dominated the aggregate; the sums are bit-identical either way
+    # (exact integers on both routes; interleaved A/B: 1.12 s →
+    # 0.71 s min, sums verified equal to the decimal-multiply path).
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     s = li.agg(
         F.count("*").alias("n"),
         F.sum("x1").alias("s1"),
         F.sum("x2").alias("s2"),
         F.sum("y").alias("sy"),
-        F.sum(x1d * F.col("x1")).cast("double").alias("s11"),
-        F.sum(x1d * F.col("x2")).cast("double").alias("s12"),
-        F.sum(x2d * F.col("x2")).cast("double").alias("s22"),
-        F.sum(x1d * F.col("y")).cast("double").alias("s1y"),
-        F.sum(x2d * F.col("y")).cast("double").alias("s2y"),
-        F.sum(yd * F.col("y")).cast("double").alias("syy"),
+        F.sum(d38(F.col("x1") * F.col("x1"))).cast("double").alias("s11"),
+        F.sum(d38(F.col("x1") * F.col("x2"))).cast("double").alias("s12"),
+        F.sum(d38(F.col("x2") * F.col("x2"))).cast("double").alias("s22"),
+        F.sum(d38(F.col("x1") * F.col("y"))).cast("double").alias("s1y"),
+        F.sum(d38(F.col("x2") * F.col("y"))).cast("double").alias("s2y"),
+        F.sum(d38(F.col("y") * F.col("y"))).cast("double").alias("syy"),
     )
     dd = lambda c: F.col(c).cast("double")  # noqa: E731
     d = s.withColumns(
