@@ -66,9 +66,28 @@ def _executed_shuffle_stages(spark, action):
 
 # entry -> executed shuffle-map stages per call at sf0.001 (see module
 # docstring for the per-stage attribution)
+#
+# r13 (VERDICT r12 #8): the two CHECKPOINTED iterative entries join the
+# pin set — their eager localCheckpoints truncate the returned plan, so
+# the static Exchange ledger is blind to their per-round exchanges (the
+# graph_pagerank after-plan in plans/r12 showed 2 Exchange mentions vs
+# the before-plan's 35 for a change that REMOVED one edge-sized join
+# per round). Executed-stage counts at sf0.001, local[4], stable across
+# two trials each at pin time:
+#
+# * graph_pagerank = 9 — edge symmetrize-distinct + degree groupBy,
+#   then per round (×3): the edges⋈ranks join exchange + the
+#   contribution groupBy (the deg reattach is node-sized and rides the
+#   same exchanges after the r12 state-carry), plus the output sort.
+# * dedup_connected_components = 8 — shingle postings + candidate pair
+#   emission + exact-verify exchanges feeding the label frame, then the
+#   min-label rounds (converging in one round at this fixture's
+#   duplicate density) + the survivor aggregation.
 PINNED = {
     "pipeline_corpus_build": 4,
     "pipeline_incremental_dedup": 5,
+    "graph_pagerank": 9,
+    "dedup_connected_components": 8,
 }
 
 
