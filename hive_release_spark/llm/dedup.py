@@ -379,19 +379,24 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy("node")
             .agg(F.min("label").alias("nbr_min"))
         )
+        # r13 (guide §2.4): the convergence probe used to be its OWN
+        # node-keyed join of new against old labels — two exchanges
+        # per round spent on a yes/no question.  The changed flag now
+        # rides the label-update join itself (old label and its
+        # replacement meet in the same row), so the probe is a filter
+        # over the checkpointed frame; the label values are the
+        # identical least/coalesce expression.
         new = labels.join(nbr, "node", "left").select(
             "node",
             F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
+            (
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label")))
+                != F.col("label")
+            ).alias("chg"),
         )
         new = new.localCheckpoint(eager=False)
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.filter("chg").limit(1).count()
+        labels = new.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()
