@@ -920,16 +920,52 @@ def ml_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     total via broadcast attaches. Metrics are exact-long ratios
     folded once; (lift, a, b) tie-break on the top-20."""
     li = load_table(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    b.persist()
-    nb = b.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
-    deg = b.groupBy("l_partkey").agg(F.count("*").alias("d"))
-    b2 = b.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    # r13 — the ml_item_item_cf recipe replayed on its directed sibling
+    # (guide §2.4): ONE order-key exchange serves the whole fact path
+    # (repartition on l_orderkey; dedup + basket groupBy chain on it by
+    # the subset-key rule), DIRECTED pair emission happens inside each
+    # order's distinct part list via HOFs instead of the equi-self-join
+    # (which shuffled the basket frame twice plus the pair groupBy):
+    # for every element x the inner transform pairs it with every OTHER
+    # element — parts are distinct within an order, so y != x removes
+    # exactly the self-pair and the emitted multiset equals the
+    # a.l_partkey <> b.l_partkey join's. The basket frame persists;
+    # degree and the basket count derive from it (re-explode / row
+    # count — the identical multisets the distinct frame held).
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"))
+    )
+    baskets.persist()
+    nb = baskets.agg(F.count("*").alias("n_baskets"))
+    deg = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("d"))
+    )
+    deg.persist()
+    pair_arrays = baskets.filter(F.size("parts") > 1).select(
+        F.flatten(
+            F.transform(
+                F.col("parts"),
+                lambda x: F.transform(
+                    F.filter(F.col("parts"), lambda y: y != x),
+                    lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                ),
+            )
+        ).alias("ps")
+    )
+    # explode_OUTER + isNotNull: the InferFiltersFromGenerate lesson
+    # (an inner explode gets an inferred size-filter that duplicates
+    # the pair-array construction)
+    pairs = pair_arrays.select(F.explode_outer("ps").alias("p")).filter(
+        F.col("p").isNotNull()
     )
     co = (
-        b.join(b2, (b.l_orderkey == b2.ok) & (b.l_partkey != b2.pb))
-        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        pairs.groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= 3)
     )
@@ -961,12 +997,14 @@ def ml_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_a") * F.col("n_b")),
         )
     )
+    # global row_number → orderBy+limit (TakeOrderedAndProject; the
+    # ordering is total — (pa, pb) unique), window then ranks 20 rows
+    top20 = scored.orderBy(F.desc("lift"), "pa", "pb").limit(20)
     return (
-        scored.withColumn(
+        top20.withColumn(
             "rk",
             F.row_number().over(W.orderBy(F.desc("lift"), "pa", "pb")),
         )
-        .filter(F.col("rk") <= 20)
         .select(
             F.col("pa").alias("antecedent"),
             F.col("pb").alias("consequent"),
