@@ -509,15 +509,35 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Adamic-Adar / Jaccard / CF family — one substrate, five
     lenses."""
     li = load_table(spark, sf_dir, "lineitem")
-    bframe = li.select("l_orderkey", "l_partkey").distinct()
-    b2 = bframe.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    # r13 — the item-item-CF pair-emission recipe (guide §2.4): one
+    # order-key exchange, then i<j pairs emitted inside each order's
+    # sorted distinct part list via HOFs; the former equi-self-join
+    # shuffled the basket frame twice plus the pair groupBy. Identical
+    # pair set: parts are distinct within an order, the array is
+    # ascending, and slice(i+2..) emits exactly the pa < pb
+    # combinations the l_partkey < pb join produced.
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"))
+    )
+    pair_arrays = baskets.filter(F.size("parts") > 1).select(
+        F.flatten(
+            F.transform(
+                F.col("parts"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                    lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                ),
+            )
+        ).alias("ps")
     )
     pairs = (
-        bframe.join(
-            b2, (bframe.l_orderkey == b2.ok) & (bframe.l_partkey < b2.pb)
-        )
-        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        pair_arrays.select(F.explode_outer("ps").alias("p"))
+        .filter(F.col("p").isNotNull())
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 2)
         .select("pa", "pb")
@@ -542,19 +562,18 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("x", "y")
     )
+    # r13 (the linreg lesson): per-row moment multiplies in LONG —
+    # exact, |x·y| ≤ max_degree² ≪ 2⁶³ (degrees are bounded by the
+    # item count; ANSI keeps violations loud) — only the sums stay
+    # Decimal128.  Bit-identical: exact integers on both routes.
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     s = de.agg(
         F.count("*").alias("m"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
-        .cast("double")
-        .alias("sxx"),
-        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
-        .cast("double")
-        .alias("syy"),
-        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y"))
-        .cast("double")
-        .alias("sxy"),
+        F.sum(d38(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(d38(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        F.sum(d38(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
     )
     num = F.col("m") * F.col("sxy") - F.col("sx").cast("double") * F.col(
         "sy"
