@@ -49,6 +49,50 @@ def _pr_iterations(k: int) -> str:
     return ",".join(out)
 
 
+def _copurchase_pairs(li: DataFrame) -> DataFrame:
+    """The >= 2-support co-purchase edge list (pa < pb), emitted from
+    each order's sorted distinct part list — the item-item-CF
+    pair-emission recipe (r13, guide §2.4): ONE order-key exchange
+    (repartition + subset-key rule for the dedup and the basket
+    groupBy), i<j pairs via in-order HOFs instead of an
+    equi-self-join of the distinct basket frame (which shuffled it
+    twice plus the pair groupBy, or broadcast it wholesale at fixture
+    scale). Identical pair set: parts are distinct within an order,
+    the array is ascending, and slice(i+2..) emits exactly the
+    pa < pb combinations the join produced. explode_OUTER +
+    isNotNull: the InferFiltersFromGenerate lesson (an inner explode
+    gets an inferred size-filter that duplicates the pair-array
+    construction). Shared by the Adamic-Adar / Jaccard-neighbors /
+    assortativity substrate builders; returned UNPERSISTED."""
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"))
+    )
+    pair_arrays = baskets.filter(F.size("parts") > 1).select(
+        F.flatten(
+            F.transform(
+                F.col("parts"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                    lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                ),
+            )
+        ).alias("ps")
+    )
+    return (
+        pair_arrays.select(F.explode_outer("ps").alias("p"))
+        .filter(F.col("p").isNotNull())
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+
+
+
 @register(
     "graph_pagerank",
     oracle=f"""
@@ -274,18 +318,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.1), so the co-purchase graph is what gives link prediction
     something to predict."""
     li = load_table(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    b2 = b.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
-    )
-    pairs = (
-        b.join(b2, (b.l_orderkey == b2.ok) & (b.l_partkey < b2.pb))
-        .groupBy(F.col("l_partkey").alias("pa"), "pb")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("pa", "pb")
-        .persist()
-    )
+    pairs = _copurchase_pairs(li).persist()
     edges = (
         pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
         .unionByName(
@@ -387,18 +420,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact longs — identical doubles in both engines — folded once at
     micro precision."""
     li = load_table(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    b2 = b.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
-    )
-    pairs = (
-        b.join(b2, (b.l_orderkey == b2.ok) & (b.l_partkey < b2.pb))
-        .groupBy(F.col("l_partkey").alias("pa"), "pb")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("pa", "pb")
-        .persist()
-    )
+    pairs = _copurchase_pairs(li).persist()
     edges = (
         pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
         .unionByName(
@@ -509,39 +531,8 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Adamic-Adar / Jaccard / CF family — one substrate, five
     lenses."""
     li = load_table(spark, sf_dir, "lineitem")
-    # r13 — the item-item-CF pair-emission recipe (guide §2.4): one
-    # order-key exchange, then i<j pairs emitted inside each order's
-    # sorted distinct part list via HOFs; the former equi-self-join
-    # shuffled the basket frame twice plus the pair groupBy. Identical
-    # pair set: parts are distinct within an order, the array is
-    # ascending, and slice(i+2..) emits exactly the pa < pb
-    # combinations the l_partkey < pb join produced.
-    baskets = (
-        li.select("l_orderkey", "l_partkey")
-        .repartition("l_orderkey")
-        .distinct()
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"))
-    )
-    pair_arrays = baskets.filter(F.size("parts") > 1).select(
-        F.flatten(
-            F.transform(
-                F.col("parts"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
-                    lambda y: F.struct(x.alias("pa"), y.alias("pb")),
-                ),
-            )
-        ).alias("ps")
-    )
-    pairs = (
-        pair_arrays.select(F.explode_outer("ps").alias("p"))
-        .filter(F.col("p").isNotNull())
-        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("pa", "pb")
-    )
+    # r13: pair emission via the shared _copurchase_pairs recipe
+    pairs = _copurchase_pairs(li)
     edges = pairs.select(
         F.col("pa").alias("a"), F.col("pb").alias("b")
     ).unionByName(
