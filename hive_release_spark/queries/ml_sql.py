@@ -1161,7 +1161,10 @@ def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum("y").alias("sy"),
-            F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+            # r13 (the linreg lesson): per-row multiply in LONG —
+            # exact, y is line-price cents (≤ ~1e7, scale-invariant),
+            # y² ≪ 2⁶³; only the sum stays Decimal128
+            F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
             .cast("double")
             .alias("syy"),
         )
@@ -1375,10 +1378,13 @@ def ml_regression_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        # r13 (the linreg lesson): per-row multiplies in LONG —
+        # exact, x ≤ ~10² and y ≤ ~1e7 cents (scale-invariant values);
+        # only the sums stay Decimal128
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
         .cast("double")
         .alias("sxx"),
-        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y"))
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
         .cast("double")
         .alias("sxy"),
     )
@@ -1518,15 +1524,16 @@ def ml_regression_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
-    xd = F.col("x").cast("decimal(19,0)")
-    yd = F.col("y").cast("decimal(19,0)")
+    # r13 (the linreg lesson): per-row multiplies in LONG — exact on
+    # the declared inputs (x ≤ ~10², y ≤ ~1e7 cents); sums Decimal128
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     f = pts.groupBy("fold").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(xd * F.col("x")).cast("double").alias("sxx"),
-        F.sum(xd * F.col("y")).cast("double").alias("sxy"),
-        F.sum(yd * F.col("y")).cast("double").alias("syy"),
+        F.sum(d38(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(d38(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(d38(F.col("y") * F.col("y"))).cast("double").alias("syy"),
     )
     f.persist()
     g = f.agg(

@@ -847,7 +847,10 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum("y").alias("sy"),
-            F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+            # r13 (the linreg lesson): per-row multiply in LONG —
+            # exact, y is order-total cents (≤ ~1e8, a scale-invariant
+            # value bound), y² ≪ 2⁶³; only the sum stays Decimal128
+            F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
             .cast("double")
             .alias("syy"),
         )
@@ -1501,7 +1504,10 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("nh"),
             F.sum("y").alias("sy"),
-            F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+            # r13 (the linreg lesson): per-row multiply in LONG —
+            # exact, y is order-total cents (≤ ~1e8, a scale-invariant
+            # value bound), y² ≪ 2⁶³; only the sum stays Decimal128
+            F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
             .cast("double")
             .alias("syy"),
         )
