@@ -346,15 +346,20 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["u", "v"],
         "left_anti",
     )
+    # r13 (guide §2.5, the CF top-k device): the global row_number
+    # funneled EVERY candidate pair through one task's sort;
+    # orderBy+limit compiles to TakeOrderedAndProject (parallel
+    # per-partition top-k) and the ordering is total — (u, v) unique —
+    # so the 20 survivors are identical; the window then ranks 20 rows.
+    top20 = nonedge.orderBy(F.desc(F.round("aa", 6)), "u", "v").limit(20)
     return (
-        nonedge.withColumn(
+        top20.withColumn(
             # rank on the reported precision (see oracle note)
             "rk",
             F.row_number().over(
                 W.orderBy(F.desc(F.round("aa", 6)), "u", "v")
             ),
         )
-        .filter(F.col("rk") <= 20)
         .select(
             F.col("u").alias("part_a"),
             F.col("v").alias("part_b"),
@@ -461,12 +466,14 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("deg_u") + F.col("deg_v") - F.col("n_common")),
         )
     )
+    # r13: global row_number → orderBy+limit (TakeOrderedAndProject;
+    # total order, (u, v) unique), window then ranks the 20 survivors
+    top20 = scored.orderBy(F.desc("score"), "u", "v").limit(20)
     return (
-        scored.withColumn(
+        top20.withColumn(
             "rk",
             F.row_number().over(W.orderBy(F.desc("score"), "u", "v")),
         )
-        .filter(F.col("rk") <= 20)
         .select(
             F.col("u").alias("part_a"),
             F.col("v").alias("part_b"),
