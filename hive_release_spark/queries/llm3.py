@@ -1452,11 +1452,15 @@ def search_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
+    # r13 (guide §2.5, the CF top-k device): orderBy+limit compiles to
+    # TakeOrderedAndProject (parallel per-partition top-k; the ordering
+    # is total — doc_id unique), the window then ranks 20 rows instead
+    # of the corpus-cardinality score frame
+    top20 = scored.orderBy(F.desc("score"), "doc_id").limit(20)
     return (
-        scored.withColumn(
+        top20.withColumn(
             "rk", F.row_number().over(W.orderBy(F.desc("score"), "doc_id"))
         )
-        .filter(F.col("rk") <= 20)
         .select("doc_id", F.round("score", 6).alias("ql_score"), "rk")
         .orderBy("rk")
     )
@@ -1536,11 +1540,12 @@ def text_rake_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     freq = tok.groupBy("t").agg(F.count("*").alias("freq"))
+    # r13: top-8 stopwords via TakeOrderedAndProject instead of a
+    # global row_number over the vocabulary frame (total order — t
+    # unique; identical survivor set)
     delim = (
-        freq.withColumn(
-            "r", F.row_number().over(W.orderBy(F.desc("freq"), "t"))
-        )
-        .filter(F.col("r") <= 8)
+        freq.orderBy(F.desc("freq"), "t")
+        .limit(8)
         .select("t", F.lit(True).alias("stop"))
     )
     f = (
@@ -1592,12 +1597,15 @@ def text_rake_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_occur"),
         F.round(F.max("score"), 6).alias("rake_score"),
     )
+    # r13: orderBy+limit = TakeOrderedAndProject over the
+    # phrase-cardinality frame (total order — phrase unique); the
+    # window ranks the 15 survivors
+    top15 = agg.orderBy(F.desc("rake_score"), "phrase").limit(15)
     return (
-        agg.withColumn(
+        top15.withColumn(
             "rk",
             F.row_number().over(W.orderBy(F.desc("rake_score"), "phrase")),
         )
-        .filter(F.col("rk") <= 15)
         .select("phrase", "plen", "n_occur", "rake_score", "rk")
         .orderBy("rk")
     )
