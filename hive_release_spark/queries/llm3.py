@@ -1421,36 +1421,71 @@ def search_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequencies, and tf; mu=100 suits the fixture's short docs."""
     docs = load_table(spark, sf_dir, "documents")
     mu = F.lit(_QL_MU)
+    # r13 (guide §1.2 — the distributed algorithm first): the former
+    # shape consumed the exploded token frame through FOUR unpersisted
+    # subtrees (doc lengths, the token total, collection frequencies,
+    # per-doc tf), so the scan → split → explode pipeline executed
+    # four times per run.  The query term list is a 3-literal
+    # constant, so ALL per-doc statistics ride ONE doc-grain
+    # conditional aggregate over ONE tokenize pass: dlen plus one tf
+    # counter per query term; the token total and the collection
+    # frequencies are its 1-row rollup (t = Σ dlen, cf_i = Σ tf_i —
+    # the identical integers the separate aggregates produced).  The
+    # decomposed score arithmetic is unchanged term for term: c0 sums
+    # log(mu·cf/t) over PRESENT terms only and stays NULL when no
+    # query term occurs anywhere (the old empty-cf sum — the oracle's
+    # own convention), the hit sum contributes log(1 + tf/(mu·cf/t))
+    # exactly for tf > 0 rows and 0 otherwise (absent postings), and
+    # the length term is untouched.
+    from pyspark import StorageLevel
+
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dlen"))
-    tot = toks.agg(F.count("*").cast("long").alias("t"))
-    qtoks = toks.filter(F.col("term").isin(*_QL_TERMS))
-    cf = qtoks.groupBy("term").agg(F.count("*").cast("long").alias("cf"))
-    p_t = mu * (F.col("cf").cast("double") / F.col("t"))
-    const = (
-        cf.crossJoin(F.broadcast(tot))
-        .agg(F.sum(F.log(p_t)).alias("c0"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("dlen"),
+        *[
+            F.count(F.when(F.col("term") == t, True))
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(_QL_TERMS)
+        ],
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # doc-grain, 5 narrow cols;
+    # two consumers (the 1-row stats rollup and the scored pass) — the
+    # persist is what holds the tokenize pass at ONE; released by the
+    # caller's pipeline_scope
+    stats = per_doc.agg(
+        F.sum("dlen").cast("long").alias("t"),
+        *[
+            F.sum(f"tf_{i}").cast("long").alias(f"cf_{i}")
+            for i in range(len(_QL_TERMS))
+        ],
     )
-    tf = qtoks.groupBy("doc_id", "term").agg(
-        F.count("*").cast("long").alias("tf")
+
+    def p_i(i):
+        return mu * (F.col(f"cf_{i}").cast("double") / F.col("t"))
+
+    any_present = None
+    for i in range(len(_QL_TERMS)):
+        c = F.col(f"cf_{i}") > 0
+        any_present = c if any_present is None else (any_present | c)
+    c0 = F.when(
+        any_present,
+        sum(
+            F.coalesce(F.when(F.col(f"cf_{i}") > 0, F.log(p_i(i))), F.lit(0.0))
+            for i in range(len(_QL_TERMS))
+        ),
     )
-    hits = (
-        tf.join(F.broadcast(cf), "term")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
-        .agg(F.sum(F.log(1 + F.col("tf") / p_t)).alias("h"))
-    )
-    scored = (
-        dl.join(hits, "doc_id", "left")
-        .crossJoin(F.broadcast(const))
-        .select(
-            "doc_id",
-            (
-                F.col("c0")
-                + F.coalesce(F.col("h"), F.lit(0.0))
-                - 3 * F.log(F.col("dlen") + mu)
-            ).alias("score"),
+    h = sum(
+        F.coalesce(
+            F.when(
+                F.col(f"tf_{i}") > 0, F.log(1 + F.col(f"tf_{i}") / p_i(i))
+            ),
+            F.lit(0.0),
         )
+        for i in range(len(_QL_TERMS))
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        (c0 + h - 3 * F.log(F.col("dlen") + mu)).alias("score"),
     )
     # r13 (guide §2.5, the CF top-k device): orderBy+limit compiles to
     # TakeOrderedAndProject (parallel per-partition top-k; the ordering

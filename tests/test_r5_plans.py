@@ -73,15 +73,36 @@ def test_abc_classification_windows_on_part_frame(spark):
     assert plan.count("Exchange SinglePartition") == 1, plan
 
 
-def test_query_likelihood_stats_ride_broadcasts(spark):
-    """Collection frequencies, token total, and the query constant are
-    broadcast; the only shuffled join is the doc-grain dl⋈hits merge.
-    The per-term work must be postings-pruned: the tf/cf branch filters
-    on the query terms before any aggregation."""
-    plan = _plan(_entry(spark, "search_query_likelihood"), "formatted")
-    assert plan.count("BroadcastExchange") >= 3, plan
+def test_query_likelihood_single_tokenize_pass(spark):
+    """r13: every statistic (doc lengths, per-doc query-term tfs, the
+    token total, collection frequencies) rides ONE doc-grain
+    conditional aggregate over ONE tokenize pass — the former shape
+    re-ran scan→split→explode four times (dl / tot / cf / tf
+    subtrees). The per_doc frame persists, so BOTH consumers (the
+    1-row stats rollup and the scored pass) read the cache — the
+    tokenize pipeline executes once. The 1-row stats frame broadcasts;
+    the top-20 is a TakeOrderedAndProject, never a global window over
+    the corpus."""
+    # cache-sensitive counts: an earlier test running this entry
+    # outside pipeline_scope leaves per_doc (or a parent frame)
+    # cached, which reshapes the echoed subtrees (precedent:
+    # test_stats_plans.py)
+    spark.catalog.clearCache()
+    df = _entry(spark, "search_query_likelihood")
+    simple = _plan(df, "simple")
+    # every consumer of per_doc hits the cache: exactly the two
+    # InMemoryTableScans, and no documents scan OUTSIDE a cached
+    # subtree (each InMemoryTableScan echoes the cached plan once, so
+    # parquet mentions == cache scans)
+    assert simple.count("InMemoryTableScan") == 2, simple
+    assert simple.count("documents.parquet") == simple.count(
+        "InMemoryTableScan"
+    ), simple
+    plan = _plan(df, "formatted")
+    assert plan.count("BroadcastExchange") >= 1, plan
     assert "CartesianProduct" not in plan
-    # query-term pruning reaches the scan as a pushed filter on `term`
+    assert "TakeOrderedAndProject" in plan
+    # the conditional tf counters reference the query terms inline
     assert "spark" in plan and "query" in plan
 
 
