@@ -1052,29 +1052,66 @@ def search_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra replayed exactly by the oracle, doc_id tie-break on the
     rank."""
     docs = load_table(spark, sf_dir, "documents")
+    # r13 (guide §1.2/§6 — one corpus pass, for real): the former shape
+    # consumed the exploded token frame through FOUR unpersisted
+    # subtrees (dl fed both the stats rollup and the scored join; tf
+    # fed both df and scored), so scan → split → explode executed four
+    # times per run.  The query term list is a 3-literal constant, so
+    # every statistic rides ONE doc-grain conditional aggregate over
+    # ONE tokenize pass: dlen plus one tf counter per query term; the
+    # corpus stats AND document frequencies are its 1-row rollup
+    # (n_docs = count, avg_len = avg(dlen) — exact: sum of longs, one
+    # division; df_i = count of docs with tf_i > 0 — the identical
+    # integers the tf-then-groupBy produced).  Per-doc scoring sums
+    # the identical idf·tf/norm expression over PRESENT terms only
+    # (tf_i > 0 — absent postings contribute exactly 0, and docs with
+    # no query term are filtered out, as the old inner join dropped
+    # them).
+    from pyspark import StorageLevel
+
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("dlen").alias("avg_len")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dlen"),
+        *[
+            F.count(F.when(F.col("term") == t, True)).alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # doc-grain, 5 narrow cols;
+    # two consumers (1-row stats rollup + scored pass); released by the
+    # caller's pipeline_scope
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dlen").alias("avg_len"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
-    tf = (
-        toks.filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    norm = F.col("tf") + 1.2 * (
-        0.25 + 0.75 * F.col("dlen") / F.col("avg_len")
-    )
+
+    def term_score(i):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        norm = F.col(f"tf_{i}") + 1.2 * (
+            0.25 + 0.75 * F.col("dlen") / F.col("avg_len")
+        )
+        return F.when(
+            F.col(f"tf_{i}") > 0,
+            idf * (F.col(f"tf_{i}") * 2.2) / norm,
+        ).otherwise(F.lit(0.0))
+
+    hit = sum(F.col(f"tf_{i}") for i in range(len(_BM25_TERMS)))
     scored = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.sum(idf * (F.col("tf") * 2.2) / norm).alias("score"))
+        per_doc.crossJoin(F.broadcast(stats))
+        .filter(hit > 0)
+        .select(
+            "doc_id",
+            sum(term_score(i) for i in range(len(_BM25_TERMS))).alias(
+                "score"
+            ),
+        )
     )
     return (
         scored.withColumn(

@@ -106,6 +106,25 @@ def test_query_likelihood_single_tokenize_pass(spark):
     assert "spark" in plan and "query" in plan
 
 
+def test_bm25_single_tokenize_pass(spark):
+    """r13: same one-pass recipe as query likelihood — doc lengths,
+    per-doc query-term tfs, corpus stats AND document frequencies all
+    ride ONE doc-grain conditional aggregate over ONE tokenize pass
+    (the former shape re-ran scan→split→explode four times: dl fed
+    stats + the scored join, tf fed df + scored). per_doc persists, so
+    both consumers read the cache; the 1-row stats frame broadcasts."""
+    spark.catalog.clearCache()
+    df = _entry(spark, "search_bm25_rank")
+    simple = _plan(df, "simple")
+    assert simple.count("InMemoryTableScan") == 2, simple
+    assert simple.count("documents.parquet") == simple.count(
+        "InMemoryTableScan"
+    ), simple
+    plan = _plan(df, "formatted")
+    assert plan.count("BroadcastExchange") >= 1, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_cuped_single_user_collapse(spark):
     """All six sufficient statistics ride one user-grain aggregate;
     the readout adds only the 2-row arm rollup — two hash exchanges
