@@ -118,6 +118,73 @@ def brute_force_topk(
     )
 
 
+def dual_topk_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    prefix_len: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE broadcast pair pass carrying BOTH the full-dimension cosine
+    and the ``prefix_len``-dim Matryoshka-truncation cosine (r13,
+    guide §1.2): the callers that rank a corpus under both geometries
+    (emb_matryoshka_recall, sim_rrf_fusion) previously ran
+    :func:`brute_force_topk` once per geometry — two broadcast joins,
+    two full corpus scans, two sets of per-row norm folds. Returns the
+    PERSISTED pair-skinny frame ``(query_id, neighbor_id, sim,
+    sim_p, ok_p)`` (released by the caller's ``pipeline_scope``); the
+    caller applies its own rank windows.
+
+    Bit-identity contract: ``sim`` is exactly the ``cosine_pre`` value
+    the full-dimension :func:`brute_force_topk` computed (same
+    expressions, same per-row norm hoist); ``sim_p`` is exactly the
+    sliced pass's value (``cast(slice(raw))`` composition preserved);
+    ``ok_p`` is the sliced pass's ``vec_valid`` gate on BOTH sides —
+    the old per-pass scan filter, carried as a flag so the trunc
+    window ranks the identical row population after ``filter(ok_p)``.
+    """
+    from pyspark import StorageLevel
+
+    sl = F.slice(F.col(vec_col), 1, prefix_len)
+    q = (
+        queries.filter(vec_valid(vec_col))
+        .select(
+            F.col(id_col).alias("query_id"),
+            as_double_vec(vec_col).alias("qv"),
+            as_double_vec(sl).alias("qvp"),
+            vec_valid(sl).alias("qok"),
+        )
+        .withColumn("qn", norm(F.col("qv")))
+        .withColumn("qnp", norm(F.col("qvp")))
+    )
+    c = (
+        corpus.filter(vec_valid(vec_col))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_vec(vec_col).alias("cv"),
+            as_double_vec(sl).alias("cvp"),
+            vec_valid(sl).alias("cok"),
+        )
+        .withColumn("cn", norm(F.col("cv")))
+        .withColumn("cnp", norm(F.col("cvp")))
+    )
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pre(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("sim"),
+            cosine_pre(
+                F.col("qvp"), F.col("cvp"), F.col("qnp"), F.col("cnp")
+            ).alias("sim_p"),
+            (F.col("qok") & F.col("cok")).alias("ok_p"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def cosine_pairs(
     vectors: DataFrame,
     threshold: float,

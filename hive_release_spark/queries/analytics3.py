@@ -2594,9 +2594,13 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("t_to").alias("et"))
             .agg(F.sum(F.col("xp") * F.col("p")).alias("xp"))
         )
-    tot = tc.agg(F.sum("n").alias("tot"))
+    # r13 (guide §1.2): tot/obs read the PERSISTED tp (which carries
+    # tc's n column unchanged) instead of re-deriving tc — the old
+    # shape re-ran the fact-stream lag window + transition groupBy
+    # twice more per call; the sums are the identical integers.
+    tot = tp.agg(F.sum("n").alias("tot"))
     obs = (
-        tc.groupBy(F.col("t_from").alias("et"))
+        tp.groupBy(F.col("t_from").alias("et"))
         .agg(F.sum("n").alias("n_obs"))
         .crossJoin(F.broadcast(tot))
         .select(

@@ -641,15 +641,34 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.vec_valid("embedding")
     )
     q = emb.filter(F.col("vec_id") < 20)
-    full = similarity.brute_force_topk(q, emb, k=5)
-    trunc = similarity.brute_force_topk(
-        q.withColumn("embedding", F.slice("embedding", 1, 16)),
-        emb.withColumn("embedding", F.slice("embedding", 1, 16)),
-        k=5,
+    # r13 (guide §1.2): both geometries ride ONE broadcast pair pass
+    # (the former shape ran brute_force_topk twice — and consumed the
+    # full-dim result twice unpersisted, so the full-dim corpus join
+    # executed twice more). The persisted pair frame is skinny
+    # (ids + 2 sims + flag); the two rank windows replay the old
+    # per-pass windows exactly — identical sims (dual_topk_pairs'
+    # bit-identity contract), identical tie-breaks, and filter(ok_p)
+    # restores the trunc pass's sliced-vector validity population.
+    pairs = similarity.dual_topk_pairs(q, emb, prefix_len=16)
+    wf = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    wp = W.partitionBy("query_id").orderBy(
+        F.col("sim_p").desc(), F.col("neighbor_id")
+    )
+    full = (
+        pairs.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    trunc = (
+        pairs.filter("ok_p")
+        .withColumn("rank", F.row_number().over(wp))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
     )
     ov = (
-        full.select("query_id", "neighbor_id")
-        .join(trunc.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        full.join(trunc, ["query_id", "neighbor_id"])
         .groupBy("query_id")
         .agg(F.count("*").alias("n_overlap"))
     )
@@ -1191,14 +1210,29 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.vec_valid("embedding")
     )
     q = emb.filter(F.col("vec_id") < 10)
-    fr = similarity.brute_force_topk(q, emb, k=10).select(
-        "query_id", "neighbor_id", F.col("rank").alias("rk_a")
+    # r13 (guide §1.2): both rankers ride ONE broadcast pair pass
+    # (dual_topk_pairs — was two brute_force_topk corpus joins); the
+    # two rank windows replay the old per-pass windows exactly, and
+    # filter(ok_p) restores the 16-dim pass's sliced-vector validity
+    # population.
+    pairs = similarity.dual_topk_pairs(q, emb, prefix_len=16)
+    wa = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
     )
-    tr = similarity.brute_force_topk(
-        q.withColumn("embedding", F.slice("embedding", 1, 16)),
-        emb.withColumn("embedding", F.slice("embedding", 1, 16)),
-        k=10,
-    ).select("query_id", "neighbor_id", F.col("rank").alias("rk_b"))
+    wb = W.partitionBy("query_id").orderBy(
+        F.col("sim_p").desc(), F.col("neighbor_id")
+    )
+    fr = (
+        pairs.withColumn("rk_a", F.row_number().over(wa))
+        .filter(F.col("rk_a") <= 10)
+        .select("query_id", "neighbor_id", "rk_a")
+    )
+    tr = (
+        pairs.filter("ok_p")
+        .withColumn("rk_b", F.row_number().over(wb))
+        .filter(F.col("rk_b") <= 10)
+        .select("query_id", "neighbor_id", "rk_b")
+    )
     fused = (
         fr.join(tr, ["query_id", "neighbor_id"], "full_outer")
         .select(

@@ -66,3 +66,55 @@ def test_blas_pairs_match_collected_matrix(spark):
     assert set(got) == set(ref) and len(got) > 0
     for k, v in got.items():
         assert v == float(np.round(ref[k], 6)), k
+
+
+def test_dual_topk_pairs_matches_two_pass(spark):
+    """The one-pass dual-geometry pair frame (emb_matryoshka_recall /
+    sim_rrf_fusion, r13) must carry EXACTLY the sims the two separate
+    brute_force_topk passes computed: same pair population, sim ==
+    the full-dimension pass's cosine bit-for-bit, sim_p == the sliced
+    pass's, and filter(ok_p) == the sliced pass's vec_valid row set."""
+    spark.catalog.clearCache()
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter(
+        similarity.vec_valid("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+
+    def all_sims(queries, corpus):
+        qq = queries.filter(similarity.vec_valid("embedding")).select(
+            F.col("vec_id").alias("query_id"),
+            similarity.as_double_vec("embedding").alias("qv"),
+        ).withColumn("qn", similarity.norm(F.col("qv")))
+        cc = corpus.filter(similarity.vec_valid("embedding")).select(
+            F.col("vec_id").alias("neighbor_id"),
+            similarity.as_double_vec("embedding").alias("cv"),
+        ).withColumn("cn", similarity.norm(F.col("cv")))
+        return {
+            (r.query_id, r.neighbor_id): r.sim
+            for r in cc.join(
+                F.broadcast(qq), F.col("query_id") != F.col("neighbor_id")
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                similarity.cosine_pre(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                ).alias("sim"),
+            )
+            .collect()
+        }
+
+    full_ref = all_sims(q, emb)
+    trunc_ref = all_sims(
+        q.withColumn("embedding", F.slice("embedding", 1, 16)),
+        emb.withColumn("embedding", F.slice("embedding", 1, 16)),
+    )
+    pairs = similarity.dual_topk_pairs(q, emb, prefix_len=16)
+    rows = pairs.collect()
+    pairs.unpersist()
+    got_full = {(r.query_id, r.neighbor_id): r.sim for r in rows}
+    got_trunc = {
+        (r.query_id, r.neighbor_id): r.sim_p for r in rows if r.ok_p
+    }
+    assert got_full == full_ref and len(got_full) > 0
+    assert got_trunc == trunc_ref
