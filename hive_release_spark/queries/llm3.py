@@ -1776,6 +1776,15 @@ def search_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf.persist()
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     nd = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # r13 (guide §1.2/§5): the full (doc, term) weight matrix W used to
+    # be PERSISTED so the scoring join could filter it down to the 3
+    # query terms — a corpus-token-cardinality cache paid to serve a
+    # postings-sized read. W now streams ONCE straight into the norm
+    # aggregate (its only full-width consumer), and the scoring branch
+    # re-derives its query-term weights postings-pruned from the
+    # cached tf frame: wt = (1 + ln tf) · qwt, where qwt is the SAME
+    # ln(n_docs/df) double the old W row carried — the multiply is
+    # bit-identical.
     w = (
         tf.join(df, "term")
         .crossJoin(F.broadcast(nd))
@@ -1785,7 +1794,6 @@ def search_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.log(F.col("n_docs").cast("double") / F.col("df")),
         )
     )
-    w.persist()
     dn = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("dnorm")
     )
@@ -1799,7 +1807,9 @@ def search_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qn = qw.agg(F.sqrt(F.sum(F.col("qwt") * F.col("qwt"))).alias("qnorm"))
     scored = (
-        w.join(F.broadcast(qw), "term")
+        tf.filter(F.col("term").isin(*_BM25_TERMS))
+        .join(F.broadcast(qw), "term")
+        .withColumn("wt", (1.0 + F.log("tf")) * F.col("qwt"))
         .join(dn, "doc_id")
         .crossJoin(F.broadcast(qn))
         .groupBy("doc_id")

@@ -179,3 +179,22 @@ def test_threshold_sweep_reuses_persisted_pairs(spark):
     # (more embedded FileScan mentions). The load-bearing fact is that
     # the threshold join reads the cache at all.
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_tfidf_weight_matrix_not_cached(spark):
+    """r13: the full (doc, term) tf-idf weight matrix W streams ONCE
+    into the doc-norm aggregate — it is never persisted (the old shape
+    cached the corpus-token-cardinality W to serve a 3-query-term
+    read). The scoring branch is postings-pruned instead: the query
+    term IN-filter lands directly on the cached tf scan."""
+    spark.catalog.clearCache()
+    df = _entry(spark, "search_tfidf_cosine")
+    plan = _plan(df, "formatted")
+    # no cached relation carries the weight column
+    for line in plan.splitlines():
+        if "InMemoryRelation" in line:
+            assert "wt" not in line, line
+    # the scoring branch reads the tf cache already filtered to the
+    # query terms (filter pushed into the cache scan, next to the
+    # doc-norm join's null guard)
+    assert "IN (spark,table,query), isnotnull(doc_id" in plan, plan
