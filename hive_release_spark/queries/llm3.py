@@ -1679,7 +1679,9 @@ def text_rake_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("phrase"),
         F.count("*").alias("plen"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # r13: two consumers (word
+    # stats + the scored join) — without the persist the
+    # phrase-building collect_list aggregate re-runs per consumer
     ws = (
         f.join(ph.select("doc_id", "grp", "plen"), ["doc_id", "grp"])
         .groupBy("t")
